@@ -1,0 +1,19 @@
+from jcf_nb_migration_spark.io.readers import (
+    load_star_schema,
+    normalize_headers,
+    read_csv,
+    read_parquet,
+)
+from jcf_nb_migration_spark.io.writers import (
+    write_distinct_value_lists,
+    write_single_csv,
+)
+
+__all__ = [
+    "load_star_schema",
+    "normalize_headers",
+    "read_csv",
+    "read_parquet",
+    "write_distinct_value_lists",
+    "write_single_csv",
+]

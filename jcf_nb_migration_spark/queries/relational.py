@@ -1,0 +1,550 @@
+"""Relational core queries (SURVEY.md §2.2–§2.7).
+
+Each query exercises one or more inventory rows (P/F/J/A/W/C operators)
+over the synthetic star schema, with a DuckDB oracle. The Spark side is
+pure DataFrame API so the physical plan is visible to Catalyst:
+dimension joins broadcast, filters and projections push down to parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.registry import (
+    davg, dec, dsum, query, sql_davg, sql_dsum, t,
+)
+
+# revenue = extendedprice * (1 - discount), computed exactly in decimal
+# (see registry docstring for why). Built lazily: Column construction
+# needs an active SparkContext, so no module-level expressions.
+def _rev():
+    return dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+
+
+_SQL_REV = ("CAST(l_extendedprice AS DECIMAL(18,4))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,4)))")
+
+
+# --------------------------------------------------------------------------
+# Aggregation over the fact table (SURVEY §2.5; flagship / TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS sum_disc_price,
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+    tags=("agg", "groupby", "sort"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → groupBy → 7 aggregates → sort. The canonical scan-heavy
+    aggregation; map-side partial aggregation means the shuffle carries
+    only |groups|×|partitions| rows, so it scales linearly to 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(_rev()).cast("double").alias("sum_disc_price"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "forecast_revenue",
+    oracle=f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    headline=True,
+    tags=("filter", "agg", "pushdown"),
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+sum. All four predicates push down to
+    the parquet row groups; no shuffle at all (single-stage partial+final
+    agg), so this is scan-bandwidth-bound at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+             .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+@query(
+    "top_revenue_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+    headline=True,
+    tags=("join", "agg", "topk"),
+)
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, revenue per customer, top 10.
+    Join order matters at scale: filter orders first (status='F'), join
+    the fact table on the shuffled key, and let AQE/broadcast handle the
+    customer dimension."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+@query(
+    "regional_customer_distribution",
+    oracle=f"""
+    SELECT r.r_name AS region, COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal', 'total_acctbal')}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region
+    """,
+    tags=("join", "broadcast", "agg"),
+)
+def regional_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension join: nation and region broadcast (J2
+    pattern — tiny lookup sides), so the only shuffle is the final
+    5-group aggregation."""
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("region")
+    )
+
+
+@query(
+    "customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (J1's intended semantics, SURVEY §2.4: the
+    reference emulated anti-join with an outer merge on all columns)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@query(
+    "customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join", "semi"),
+)
+def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS). The filter on the right side is applied
+    before the join, shrinking the build side."""
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@query(
+    "late_shipment_priority_count",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("join", "semi", "non-equi"),
+)
+def late_shipment_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: semi join with a non-equi residual condition
+    (shipped >90 days after order date), then a small aggregation."""
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == orders.o_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "supplier_nation_directory",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name, s.s_acctbal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    tags=("join", "project", "rename"),
+)
+def supplier_nation_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + rename over a broadcast equi-join (P1/P2 + J2)."""
+    sup = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    return (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey", "s_name",
+                F.col("n_name").alias("nation_name"), "s_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY §2.6 extensions)
+# --------------------------------------------------------------------------
+
+@query(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    headline=True,
+    tags=("window", "topk-per-group"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group via row_number window — the standard latest-record
+    pattern. One shuffle on user_id; AQE handles skewed users."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@query(
+    "user_running_value",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value,
+           LAG(value) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+    tags=("window", "running-agg", "lag"),
+)
+def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag over an ordered per-user window (decimal-exact
+    accumulation so the running values are engine-independent)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id",
+        F.sum(dec("value")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .cast("double").alias("running_value"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+
+
+@query(
+    "event_sessionization",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ), marked AS (
+        SELECT user_id,
+               CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM gaps
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM marked GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("window", "sessionization"),
+)
+def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag(ts) gap > 30 min starts a new session. The
+    classic window/cumsum formulation — batch twin of the streaming
+    session_window operator (see streaming module)."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Distinct / rollup / time bucketing (SURVEY §2.5 A1 + extensions)
+# --------------------------------------------------------------------------
+
+@query(
+    "mktsegment_distinct",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+    tags=("distinct",),
+)
+def mktsegment_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column distinct (A1/S5: the reference's multiple-choice value
+    lists). Column pruning means the scan reads one column."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+@query(
+    "part_brand_type_rollup",
+    oracle=f"""
+    SELECT COALESCE(p_brand, 'ALL') AS brand,
+           COALESCE(p_type, 'ALL') AS type,
+           COUNT(*) AS n_parts,
+           {sql_dsum('p_retailprice', 'total_retail')}
+    FROM part
+    GROUP BY ROLLUP (p_brand, p_type)
+    ORDER BY brand, type
+    """,
+    tags=("rollup", "agg"),
+)
+def part_brand_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (brand → type → grand total) — grouping-sets
+    aggregation the reference lacked entirely (SURVEY §2.5 note)."""
+    part = t(spark, sf_dir, "part")
+    return (
+        part.rollup("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             dsum("p_retailprice", "total_retail"))
+        .select(
+            F.coalesce(F.col("p_brand"), F.lit("ALL")).alias("brand"),
+            F.coalesce(F.col("p_type"), F.lit("ALL")).alias("type"),
+            "n_parts", "total_retail",
+        )
+        .orderBy("brand", "type")
+    )
+
+
+@query(
+    "events_hourly",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type, COUNT(*) AS n_events, {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("time-window", "agg"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling one-hour aggregation — the batch twin of the streaming
+    hourly window (streaming module runs the same plan via readStream)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")),
+                          "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value"))
+        .orderBy("hour_ts", "event_type")
+    )
+
+
+@query(
+    "events_json_bucket",
+    oracle=f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n, {sql_dsum('value', 'total_value')},
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("json", "agg"),
+)
+def events_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the props JSON payload
+    (get_json_object stays JVM-side) and aggregate by a derived key."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value", "total_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions: date rewrite, conditional update (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+@query(
+    "orderdate_us_format",
+    oracle="""
+    SELECT o_orderkey,
+           substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 4) AS order_year,
+           substr(strftime(o_orderdate, '%Y-%m-%d'), 6, 2) AS order_month,
+           substr(strftime(o_orderdate, '%Y-%m-%d'), 9, 2) AS order_day,
+           concat_ws('/',
+               substr(strftime(o_orderdate, '%Y-%m-%d'), 6, 2),
+               substr(strftime(o_orderdate, '%Y-%m-%d'), 9, 2),
+               substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 4)) AS order_date_us
+    FROM orders
+    """,
+    tags=("string", "date"),
+)
+def orderdate_us_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's positional date rewrite (C5/C6, main.py:412-418):
+    ISO yyyy-mm-dd sliced to year/month/day and reassembled MM/DD/YYYY —
+    faithfully reproduced with substring+concat_ws on a formatted string."""
+    orders = t(spark, sf_dir, "orders")
+    iso = F.date_format(F.col("o_orderdate"), "yyyy-MM-dd")
+    y = F.substring(iso, 1, 4)
+    m = F.substring(iso, 6, 2)
+    d = F.substring(iso, 9, 2)
+    return orders.select(
+        "o_orderkey",
+        y.alias("order_year"), m.alias("order_month"), d.alias("order_day"),
+        F.concat_ws("/", m, d, y).alias("order_date_us"),
+    )
+
+
+@query(
+    "customer_account_flags",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_mktsegment IN ('AUTOMOBILE', 'MACHINERY') THEN 'wholesale'
+                WHEN c_acctbal < 0 THEN 'review'
+                ELSE 'ok' END AS account_flag,
+           CASE WHEN c_mktsegment = 'FURNITURE' THEN 'HOME'
+                ELSE c_mktsegment END AS segment_clean
+    FROM customer
+    """,
+    tags=("conditional-update", "isin"),
+)
+def customer_account_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core translation rule of the reference port (C11): pandas
+    masked assignment df.loc[mask, col] = v becomes when/otherwise.
+    Also exercises membership (F5) and equality (F6) predicates."""
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY"), "wholesale")
+         .when(F.col("c_acctbal") < 0, "review")
+         .otherwise("ok").alias("account_flag"),
+        F.when(F.col("c_mktsegment") == "FURNITURE", "HOME")
+         .otherwise(F.col("c_mktsegment")).alias("segment_clean"),
+    )
+
+
+@query(
+    "table_counts",
+    oracle="""
+    SELECT 'customer' AS tbl, COUNT(*) AS n FROM customer
+    UNION ALL SELECT 'orders', COUNT(*) FROM orders
+    UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    UNION ALL SELECT 'events', COUNT(*) FROM events
+    """,
+    tags=("count", "union"),
+)
+def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape checks (A2/T5): row counts as data, via union — parquet
+    count(*) is answered from footer metadata, no data scan."""
+    parts = []
+    for name in ("customer", "orders", "lineitem", "events"):
+        parts.append(
+            t(spark, sf_dir, name).agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("tbl"), "n")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

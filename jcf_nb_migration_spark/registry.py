@@ -1,0 +1,107 @@
+"""Query registry: name → (Spark callable, DuckDB oracle SQL).
+
+Every operator the engine claims (SURVEY.md §2 + the training-data
+extensions) registers here with a Spark implementation and — when the
+semantics are ANSI-SQL-expressible — an equivalent DuckDB oracle. The
+driver contract (__spark_entry__.py) is a thin view over this registry.
+
+Cross-engine determinism rules (so order-insensitive value hashes match):
+
+- SUM over doubles is computed in DECIMAL(18,4) (exact, order-independent)
+  and cast back to DOUBLE — bit-identical in Spark and DuckDB regardless
+  of partial-aggregation order. AVG = CAST(decimal-sum AS DOUBLE)/COUNT.
+- Timestamps are returned as formatted strings (session TZ pinned UTC).
+- Every computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # None → non-SQL-expressible, rows-only check
+    headline: bool = False     # included in bench.py
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, headline: bool = False,
+          tags: tuple[str, ...] = ()):
+    """Decorator registering a (spark, sf_dir) -> DataFrame query."""
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = Query(name, fn, oracle, headline, tags,
+                                (fn.__doc__ or "").strip())
+        return fn
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def get(name: str) -> Query:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+def _ensure_loaded() -> None:
+    # Import side-effect registration; deferred to avoid import cycles.
+    from jcf_nb_migration_spark import queries as _q  # noqa: F401
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one star-schema table (parquet scan; Catalyst prunes/pushes).
+
+    The events table stores TIMESTAMP(NANOS), which Spark's parquet
+    reader only accepts as long (nanosAsLong conf, set in session.py);
+    convert back to a microsecond timestamp here so downstream operators
+    see a real timestamp column. Sub-microsecond truncation matches what
+    DuckDB returns to pandas.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---- shared expression helpers (decimal-exact aggregation) ----
+
+def dec(c: str | Column) -> Column:
+    """Cast a double column to DECIMAL(18,4): exact, order-independent
+    summation across engines (see module docstring)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,4)")
+
+
+def dsum(c: str | Column, alias: str) -> Column:
+    """SUM computed exactly in decimal, returned as DOUBLE."""
+    return F.sum(dec(c)).cast("double").alias(alias)
+
+
+def davg(c: str | Column, alias: str) -> Column:
+    """AVG = exact decimal sum cast to double, divided by count (double
+    division is a single deterministic FP op in both engines)."""
+    return (F.sum(dec(c)).cast("double") / F.count(F.lit(1))).alias(alias)
+
+
+# The same helpers for the DuckDB oracle side, as SQL snippets.
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (f"CAST(SUM(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE)"
+            f" / COUNT(*) AS {alias}")

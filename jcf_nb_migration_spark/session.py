@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]``; the same configs are what we would
+ship to a 1000-executor cluster (AQE, skew-join handling, broadcast
+thresholds). Nothing here is local-mode specific except the master URL.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults tuned for the test harness (local[32], 128 GiB). On a real
+# cluster the master/memory come from spark-submit; the SQL configs below
+# are the ones that matter at 100 TB:
+#  - AQE coalesces post-shuffle partitions and splits skewed ones at
+#    runtime, so a fixed shuffle.partitions never has to be "right".
+#  - autoBroadcastJoinThreshold keeps dimension joins (region/nation/
+#    supplier/lookup tables) as BroadcastHashJoin — no shuffle of the
+#    fact table.
+#  - maxPartitionBytes bounds scan-task input so 100 TB splits into
+#    ~800k tasks instead of a few giant ones.
+_SQL_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.session.timeZone": "UTC",
+    # The synthetic events table stores TIMESTAMP(NANOS) which the
+    # vectorized reader rejects; read as long and convert (registry.t).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "jcf-nb-migration-spark",
+              master: str | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]) when
+    no cluster master is configured — on a real deployment spark-submit's
+    ``--master`` wins because an active session is reused as-is.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master is not None:
+        builder = builder.master(master)
+    for k, v in _SQL_CONFS.items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
