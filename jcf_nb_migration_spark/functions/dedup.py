@@ -1,0 +1,203 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the part that matters at 100 TB):
+
+- **Exact** dedup is one hash-shuffle on the fingerprint — the window
+  variant keeps a deterministic survivor (min id), unlike
+  dropDuplicates whose survivor is partition-order dependent.
+- **Brute Jaccard** (all-pairs via shingle inverted index) is the
+  oracle-checkable baseline; its cost is Σ_shingle df(shingle)² — fine
+  for verification scale, quadratic in hot shingles at corpus scale.
+- **MinHash+LSH** is the scale path: k md5-derived min-hashes per doc
+  (one explode + one groupBy), banded so candidate generation is an
+  equi-join on (band_idx, band_hash) — linear in near-duplicate pairs
+  instead of all pairs. Candidates are then verified with exact
+  Jaccard, so banding parameters only affect recall/cost, never
+  precision.
+- **SimHash** gives a constant-size fingerprint whose Hamming distance
+  bounds cosine distance over token sets; pairs within radius r can be
+  found by pigeonhole-banding the bits (same equi-join trick).
+
+All hashes are md5-derived (engine-independent) — see text.token_hash48.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions.text import (
+    doc_fingerprint, token_hash48, tokens, word_shingles,
+)
+
+SIMHASH_BITS = 48
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one deterministic survivor (min id) per normalized-text
+    fingerprint. One shuffle on the fingerprint key."""
+    fp = doc_fingerprint(text_col).alias("__fp")
+    w = Window.partitionBy("__fp").orderBy(id_col)
+    return (
+        df.select("*", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def shingle_index(df: DataFrame, id_col: str, text_col: str,
+                  n: int = 3) -> DataFrame:
+    """Inverted index: one row per (id, distinct n-word shingle)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(tokens(text_col), n)))
+         .alias("shingle"),
+    )
+
+
+def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                  threshold: float = 0.5, n: int = 3) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold, via inverted
+    index self-join (count common shingles, divide by union size).
+    Columns: id_a, id_b, jaccard."""
+    sh = shingle_index(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 16, n: int = 3) -> DataFrame:
+    """k min-hash values per document over its n-word shingle set.
+    One explode + one groupBy (k aggregates) — no per-permutation pass.
+    Columns: id, h0..h{k-1}."""
+    sh = shingle_index(df, id_col, text_col, n)
+    aggs = [F.min(token_hash48(F.col("shingle"), salt=str(i))).alias(f"h{i}")
+            for i in range(k)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
+                        bands: int = 8, rows: int = 2) -> DataFrame:
+    """Candidate pairs from banded minhash signatures: docs agreeing on
+    all ``rows`` hashes of any band collide. The band table is exploded
+    (bands rows per doc) and self-joined on (band_idx, band_hash) — an
+    equi-join, so it shuffles instead of cross-joining.
+    Columns: id_a, id_b (distinct)."""
+    band_cols = []
+    for bi in range(bands):
+        hs = [F.col(f"h{bi * rows + ri}") for ri in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band_idx"),
+                     F.md5(F.concat_ws(",", *hs)).alias("band_hash"))
+        )
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.5, k: int = 16,
+                      bands: int = 8, rows: int = 2,
+                      n: int = 3) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
+    Precision is exact (verification step); banding tunes recall/cost.
+    Columns: id_a, id_b, jaccard."""
+    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
+    sh = shingle_index(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cands.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str,
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint over the distinct token set: per bit b, sum
+    ±1 votes of each token's 48-bit hash bit b; bit set iff the sum is
+    ≥ 0. One explode + one groupBy with ``bits`` conditional-sum
+    aggregates, then the fingerprint is reassembled as Σ bit_b · 2^b.
+    Columns: id, simhash."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+    ).withColumn("h", token_hash48(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                   1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b).cast("bigint")) \
+                .otherwise(F.lit(0).cast("bigint"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, id_col: str,
+                       max_hamming: int = 10) -> DataFrame:
+    """Pairs within Hamming radius of their simhash fingerprints.
+    All-pairs formulation (verification scale); at corpus scale,
+    pigeonhole the bits into (max_hamming+1) bands and equi-join —
+    any pair within radius must agree exactly on ≥1 band.
+    Columns: id_a, id_b, hamming."""
+    a = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

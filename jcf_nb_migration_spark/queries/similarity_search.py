@@ -1,0 +1,150 @@
+"""Embedding similarity-search queries over the embeddings table
+(array<float> columns): brute-force cosine top-k, blocked near-dup
+pairs, norm statistics, and deterministic hyperplane-LSH ANN.
+
+Both engines fold dot products left-to-right over doubles, so cosine
+values are bit-identical (verified) and every query here is
+oracle-checked exactly — including the LSH variant, whose hyperplanes
+are md5-derived and re-generated identically in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions import similarity as S
+from jcf_nb_migration_spark.registry import query, t
+
+_SQL_DOT = ("list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])")
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+            f" / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+            f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))")
+
+
+@query(
+    "ann_brute_force_topk",
+    oracle=f"""
+    SELECT b.vec_id AS neighbor_id,
+           {_sql_cos('b.embedding', 'a.embedding')} AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id = 0
+    ORDER BY cos_sim DESC, neighbor_id
+    LIMIT 10
+    """,
+    headline=True,
+    tags=("similarity", "ann", "topk"),
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors of probe vec_id=0: broadcast the
+    probe, one scan of the corpus, ordered take. The exact baseline the
+    LSH variant's recall is judged against."""
+    emb = t(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0)
+    return S.brute_force_topk(emb, probe, k=10)
+
+
+@query(
+    "embedding_dedup_pairs",
+    oracle=f"""
+    SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_sql_cos('a.embedding', 'b.embedding')} AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.35
+    """,
+    headline=True,
+    tags=("similarity", "dedup", "blocked"),
+)
+def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup candidates, blocked by label: the
+    equi-join on the block key turns an all-pairs cross join into
+    per-block pair enumeration — the standard blocking strategy when a
+    cheap partition key (cluster id, LSH bucket, shard) exists."""
+    emb = t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", S.cosine(F.col("emb_a"), F.col("emb_b")))
+        .where(F.col("cos_sim") >= 0.35)
+        .select("label", "id_a", "id_b", "cos_sim")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(CAST(sqrt(list_dot_product(embedding::DOUBLE[],
+               embedding::DOUBLE[])) AS DECIMAL(18,12))) AS DOUBLE)
+               / COUNT(*) AS avg_norm,
+           MIN(sqrt(list_dot_product(embedding::DOUBLE[],
+               embedding::DOUBLE[]))) AS min_norm,
+           MAX(sqrt(list_dot_product(embedding::DOUBLE[],
+               embedding::DOUBLE[]))) AS max_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    tags=("similarity", "agg", "array"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics — array fold + decimal-exact mean
+    (norms are computed per row bit-identically; their sum goes through
+    decimal so grouping order can't perturb the mean)."""
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = S.norm(F.col("embedding"))
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(nrm.cast("decimal(18,12)")).cast("double")
+             / F.count(F.lit(1))).alias("avg_norm"),
+            F.min(nrm).alias("min_norm"),
+            F.max(nrm).alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+def _sql_lsh_bucket(vec: str, n_planes: int = 6, dim: int = 64) -> str:
+    planes = S.hyperplane_signs(n_planes, dim)
+    terms = []
+    for p, signs in enumerate(planes):
+        lst = ", ".join(f"{float(s)}" for s in signs)
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}::DOUBLE[], [{lst}]) >= 0"
+            f" THEN {1 << p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_sql_lsh_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    probe AS (SELECT embedding AS pvec, bucket AS pbucket
+              FROM bucketed WHERE vec_id = 0)
+    SELECT b.vec_id AS neighbor_id, b.bucket,
+           {_sql_cos('b.embedding', 'probe.pvec')} AS cos_sim
+    FROM bucketed b, probe
+    WHERE b.bucket = probe.pbucket AND b.vec_id <> 0
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via deterministic random-hyperplane LSH: the
+    probe only scans vectors in its sign-pattern bucket (~1/2^6 of the
+    corpus). The bucket column is what the table would be bucketBy'd on
+    at 100 TB so bucket probes prune partitions at the source."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_ann_same_bucket(emb, probe_id=0, n_planes=6, dim=64)

@@ -1,0 +1,350 @@
+"""Text-analysis + deduplication queries over the documents table
+(training-data pipeline operators: token stats, language ID, quality
+scoring, fingerprinting, exact/Jaccard/MinHash-LSH/SimHash dedup).
+
+The DuckDB oracles for the hash-based operators are *generated* from
+the same parameters (salt scheme, band layout, bit width) as the Spark
+implementation, so both engines compute the identical md5-derived
+integers — the comparison is exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions import dedup as D
+from jcf_nb_migration_spark.functions import text as T
+from jcf_nb_migration_spark.registry import query, t
+
+# DuckDB-side token/shingle expressions matching text.tokens /
+# text.word_shingles over a `text` column.
+_SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x != '')"
+_SQL_SHINGLES = (
+    "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform("
+    "generate_series(1, len(w)-2), i -> array_to_string(w[i:i+2], ' ')))"
+    " ELSE [] END"
+)
+_SQL_SH_CTE = f"""
+    sh AS (
+        SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
+        FROM (SELECT doc_id, {_SQL_TOKS} AS w FROM documents)
+    )"""
+
+
+def _sql_hash48(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 12))::BIGINT"
+
+
+def _sql_minhash_sig_cte(k: int = 16) -> str:
+    mins = ",\n               ".join(
+        "min(" + _sql_hash48(f"'{i}:' || shingle") + f") AS h{i}"
+        for i in range(k)
+    )
+    return f"""{_SQL_SH_CTE},
+    sig AS (
+        SELECT doc_id, {mins}
+        FROM sh GROUP BY doc_id
+    )"""
+
+
+def _sql_bands_cte(bands: int = 8, rows: int = 2) -> str:
+    selects = []
+    for bi in range(bands):
+        hs = ", ".join(f"h{bi * rows + ri}" for ri in range(rows))
+        selects.append(
+            f"SELECT doc_id, {bi} AS band_idx, "
+            f"md5(concat_ws(',', {hs})) AS band_hash FROM sig"
+        )
+    return "bands AS (\n        " + "\n        UNION ALL ".join(selects) + "\n    )"
+
+
+# --------------------------------------------------------------------------
+# Token stats / language ID / quality / fingerprint
+# --------------------------------------------------------------------------
+
+@query(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS avg_token_len,
+           length(text) AS n_chars
+    FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    """,
+    headline=True,
+    tags=("text", "tokenize"),
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): counts, distinct counts,
+    mean token length — all codegen'd array expressions, zero UDFs."""
+    docs = t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (F.aggregate(F.transform(toks, F.length), F.lit(0),
+                     lambda a, v: a + v).cast("double")
+         / F.size(toks)).alias("avg_token_len"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@query(
+    "doc_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_declared,
+           {T.lang_id_oracle_sql('toks')} AS lang_pred,
+           len(list_filter(toks,
+               x -> list_contains(['the','a','of','and','is','to','in'], x)))
+               AS n_stop_en
+    FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
+    """,
+    tags=("text", "lang-id"),
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-profile argmax). The synthetic
+    corpus shares one vocabulary across langs, so the declared label is
+    returned alongside for comparison."""
+    docs = t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        T.lang_id(toks).alias("lang_pred"),
+        T.stopword_hits(toks, "en").alias("n_stop_en"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks) AS n_tokens,
+           (length(text) - length(regexp_replace(text,
+               '[.,;:!?''"()-]', '', 'g'))) AS n_punct,
+           CAST(len(list_filter(toks,
+               x -> list_contains(['the','a','of','and','is','to','in'], x)))
+               AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+               AS distinct_ratio
+    FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
+    """,
+    tags=("text", "quality"),
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features for corpus filtering: length, punctuation count,
+    stopword ratio, lexical diversity. Downstream policy (keep/drop
+    thresholds) composes as plain filters on these columns."""
+    docs = t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        T.punct_count("text").alias("n_punct"),
+        (T.stopword_hits(toks, "en").cast("double") / F.size(toks))
+            .alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks))
+            .alias("distinct_ratio"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle=r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+           ('0x' || substr(md5(regexp_replace(lower(trim(text)),
+               '\s+', ' ', 'g')), 1, 12))::BIGINT % 1024 AS fp_bucket
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint (normalized md5) + a 1024-way shard
+    bucket — the key you'd hash-partition a 100 TB corpus on for
+    exact dedup without skew."""
+    docs = t(spark, sf_dir, "documents")
+    fp = T.doc_fingerprint("text")
+    return docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        (F.conv(F.substring(fp, 1, 12), 16, 10).cast("bigint") % 1024)
+            .alias("fp_bucket"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Dedup: exact, brute Jaccard, MinHash+LSH, SimHash
+# --------------------------------------------------------------------------
+
+@query(
+    "dedup_exact",
+    oracle=r"""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                   '\s+', ' ', 'g'))
+                   ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+    headline=True,
+    tags=("dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor (min doc_id per
+    normalized-text fingerprint) — one shuffle on the fingerprint."""
+    docs = t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SQL_SH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+    """,
+    headline=True,
+    tags=("dedup", "jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs 3-gram-shingle Jaccard ≥ 0.5 via inverted-index
+    self-join — the exact baseline the LSH pipeline is verified
+    against. Finds the corpus's planted near-duplicate pairs."""
+    docs = t(spark, sf_dir, "documents")
+    return D.jaccard_pairs(docs, "doc_id", "text", threshold=0.5, n=3)
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_sql_minhash_sig_cte(16)}
+    SELECT * FROM sig
+    """,
+    tags=("dedup", "minhash"),
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 md5-derived minhash values per document over its 3-gram
+    shingle set (one explode + one groupBy with 16 min aggregates)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs, "doc_id", "text", k=16, n=3)
+
+
+@query(
+    "minhash_lsh_dedup",
+    oracle=f"""
+    WITH {_sql_minhash_sig_cte(16)},
+    {_sql_bands_cte(8, 2)},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard
+    FROM verified
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+    """,
+    headline=True,
+    tags=("dedup", "minhash", "lsh"),
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path near-dup pipeline: banded MinHash LSH candidate
+    generation (equi-join on band hashes — linear, not all-pairs)
+    followed by exact-Jaccard verification of candidates only."""
+    docs = t(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(docs, "doc_id", "text",
+                               threshold=0.5, k=16, bands=8, rows=2, n=3)
+
+
+def _sql_simhash_cte(bits: int = D.SIMHASH_BITS) -> str:
+    votes = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)"
+        f" AS v{b}"
+        for b in range(bits)
+    )
+    terms = " + ".join(
+        f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for b in range(bits)
+    )
+    return f"""toks AS (
+        SELECT doc_id, unnest(list_distinct({_SQL_TOKS})) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, {_sql_hash48('tok')} AS h FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, {votes}
+        FROM hashed GROUP BY doc_id
+    ),
+    fps AS (
+        SELECT doc_id, {terms} AS simhash FROM votes
+    )"""
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH {_sql_simhash_cte()}
+    SELECT * FROM fps
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document (±1 votes per hash bit over the
+    distinct token set)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH {_sql_simhash_cte()}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+    """,
+    tags=("dedup", "simhash"),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs within Hamming distance 10 of their SimHash — constant-
+    size-fingerprint near-dup detection (all-pairs here; pigeonhole
+    banding at scale, see functions.dedup.simhash_near_pairs)."""
+    docs = t(spark, sf_dir, "documents")
+    fps = D.simhash(docs, "doc_id", "text")
+    return D.simhash_near_pairs(fps, "doc_id", max_hamming=10)
