@@ -1,0 +1,94 @@
+"""Multimodal columns: images/audio/video as opaque binary columns with
+typed metadata, processed with Arrow-batched mapInPandas.
+
+Container note: no image/audio codecs ship in this environment, so the
+actual decode step is STUBBED — ``decode_media`` raises
+NotImplementedError unless ``fake=True``, which substitutes a
+deterministic header parse (documented below) so the Spark-side
+plumbing (binary schema, batch iteration, partition sizing, output
+struct) is real and testable end-to-end.
+
+Scale notes:
+- Binary payloads ride ordinary parquet binary columns; scans prune
+  them unless selected (keep metadata in sibling scalar columns so
+  filters never touch bytes).
+- mapInPandas streams Arrow record batches: bound batch bytes with
+  spark.sql.execution.arrow.maxRecordsPerBatch when payloads are MBs.
+- Decode is CPU-bound and embarrassingly parallel — repartition to
+  cores, never collect.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = ("doc_id bigint, mime string, n_bytes int, "
+                  "width int, height int, n_frames int")
+
+
+def attach_payload(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Synthesize an opaque binary payload column (+ typed metadata)
+    from a text column — the fixture corpus has no real media, so the
+    bytes are the utf-8 encoding standing in for an image blob."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("image/fake").alias("mime"),
+        F.length(F.col(text_col)).alias("n_bytes"),
+    )
+
+
+def _fake_header_parse(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a codec: 'parse' a header from the
+    first bytes. width = first byte + 64; height = (len % 480) + 16;
+    n_frames = (second byte % 30) + 1."""
+    b0 = payload[0] if len(payload) > 0 else 0
+    b1 = payload[1] if len(payload) > 1 else 0
+    return b0 + 64, (len(payload) % 480) + 16, (b1 % 30) + 1
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode binary payloads to (width, height, n_frames) metadata via
+    mapInPandas (Arrow batches, one Python roundtrip per partition
+    batch — never per row).
+
+    Real decoding requires PIL/ffmpeg, absent in this container:
+    ``fake=False`` raises NotImplementedError. ``fake=True`` runs the
+    deterministic header parse, exercising the identical plumbing.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not available in this "
+            "environment; pass fake=True for the deterministic stub")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = pdf["payload"].map(_fake_header_parse)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "mime": pdf["mime"],
+                "n_bytes": pdf["n_bytes"].astype("int32"),
+                "width": parsed.map(lambda t: t[0]).astype("int32"),
+                "height": parsed.map(lambda t: t[1]).astype("int32"),
+                "n_frames": parsed.map(lambda t: t[2]).astype("int32"),
+            })
+
+    return df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB: real implementation would decode → resample → re-encode
+    inside mapInPandas. Unavailable without codecs."""
+    raise NotImplementedError("image resampling requires PIL; not in env")
+
+
+def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
+    """STUB: real implementation would demux video payloads and emit
+    one row per sampled frame (mapInPandas yielding multiple rows per
+    input). Unavailable without ffmpeg."""
+    raise NotImplementedError("video demux requires ffmpeg; not in env")

@@ -1,9 +1,13 @@
 """Side-effect imports that populate the query registry."""
 
 from jcf_nb_migration_spark.queries import (  # noqa: F401
+    migration_ops,
+    multimodal_ops,
     relational,
     similarity_search,
+    streaming_ops,
     text_analysis,
 )
 
-__all__ = ["relational", "similarity_search", "text_analysis"]
+__all__ = ["migration_ops", "multimodal_ops", "relational",
+           "similarity_search", "streaming_ops", "text_analysis"]

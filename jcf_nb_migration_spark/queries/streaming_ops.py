@@ -1,0 +1,56 @@
+"""Streaming-operator queries: the hourly watermarked window (driven to
+completion through a real Structured Streaming query + memory sink) and
+the native session_window — both oracle-checked against their batch
+SQL equivalents, which is exactly the semantics complete-mode emission
+guarantees."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from jcf_nb_migration_spark.registry import query, sql_dsum
+from jcf_nb_migration_spark.streaming import events as SE
+
+
+@query(
+    "streaming_hourly_counts",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type, COUNT(*) AS n_events,
+           {sql_dsum('value', 'total_value')}
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "watermark"),
+)
+def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows with a 1-hour watermark, executed as an
+    actual streaming query (readStream → memory sink). The oracle is
+    the batch equivalent — complete mode must reproduce it exactly."""
+    return SE.hourly_counts_stream(spark, sf_dir)
+
+
+@query(
+    "session_window_counts",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ), marked AS (
+        SELECT user_id,
+               CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM gaps
+    )
+    SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM marked GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "session-window"),
+)
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window(30 min) — checked against the lag/cumsum
+    islands formulation (they agree when no gap is exactly the
+    threshold; the fixture's microsecond timestamps guarantee that)."""
+    return SE.session_window_counts(spark, sf_dir)

@@ -62,15 +62,25 @@ def _ensure_loaded() -> None:
     from jcf_nb_migration_spark import queries as _q  # noqa: F401
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, set defensively because
+    the external driver builds its own SparkSession: nanosecond-parquet
+    reading (events table) and UTC timestamp rendering (oracle parity).
+    Both are dynamic SQL confs — setting them repeatedly is free."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table (parquet scan; Catalyst prunes/pushes).
 
     The events table stores TIMESTAMP(NANOS), which Spark's parquet
-    reader only accepts as long (nanosAsLong conf, set in session.py);
-    convert back to a microsecond timestamp here so downstream operators
-    see a real timestamp column. Sub-microsecond truncation matches what
-    DuckDB returns to pandas.
+    reader only accepts as long (nanosAsLong conf, set defensively via
+    ensure_session_confs); convert back to a microsecond timestamp here
+    so downstream operators see a real timestamp column. Sub-microsecond
+    truncation matches what DuckDB returns to pandas.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

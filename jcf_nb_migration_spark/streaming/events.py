@@ -1,0 +1,125 @@
+"""Structured Streaming over the events table (SURVEY.md §2.9: the
+reference has no streaming surface; this is the engine's native one).
+
+Patterns covered:
+- file-source micro-batch ingestion (parquet dir; a production
+  deployment swaps the source string for kafka with the same plan)
+- event-time tumbling windows with watermarks (late-data bound)
+- session windows (native session_window — the streaming twin of the
+  batch lag/cumsum sessionization in queries/relational.py)
+- arbitrary stateful processing via applyInPandasWithState (running
+  per-user aggregates with timeout-based state expiry)
+
+For deterministic verification the streams are driven to completion
+with processAllAvailable() against a static directory — semantically a
+single micro-batch; the plans are identical for unbounded sources.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.registry import t
+
+
+def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet. Spark's file stream source
+    requires a *directory*; the fixture is a single file, so a temp dir
+    with a symlink adapts it (read-only, nothing copied). The nanosec
+    timestamp is normalized exactly as the batch reader does
+    (registry.t)."""
+    from jcf_nb_migration_spark.registry import ensure_session_confs
+
+    ensure_session_confs(spark)
+    src_file = os.path.join(sf_dir, "events.parquet")
+    d = tempfile.mkdtemp(prefix="jcf_events_stream_")
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    schema = spark.read.parquet(src_file).schema
+    st = spark.readStream.schema(schema).format("parquet").load(d)
+    if dict(st.dtypes).get("ts") == "bigint":
+        st = st.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return st
+
+
+def run_to_memory(stream_df: DataFrame, name: str,
+                  output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation to completion into a memory sink
+    and return the sink's content as a batch DataFrame."""
+    q = (stream_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")  # noqa: S608
+
+
+def hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, driven to completion.
+    Complete output mode emits every window, so the result equals the
+    batch groupBy(date_trunc) — which is exactly the oracle used."""
+    st = events_stream_source(spark, sf_dir)
+    agg = (
+        st.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+              .alias("total_value"))
+    )
+    out = run_to_memory(agg, "jcf_hourly_stream")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss")
+         .alias("hour_ts"),
+        "event_type", "n_events", "total_value",
+    )
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-minute gap) per user — batch mode here
+    (identical operator works under readStream with a watermark).
+    Equals the lag/cumsum islands formulation, verified by oracle."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.sum("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def running_user_totals_stateful(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming: applyInPandasWithState keeps one
+    running (count, sum) per user across micro-batches. Demonstrates
+    the custom-stateful-operator surface; with a single micro-batch the
+    result equals groupBy(user_id).agg(count, sum)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    st = events_stream_source(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    out = st.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "jcf_user_state_stream", output_mode="update")

@@ -1,0 +1,60 @@
+"""Streaming + multimodal surface tests (real streaming queries driven
+to completion; Arrow-batch decode plumbing; stub gating)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions.multimodal import (
+    attach_payload,
+    decode_media,
+    resize_images,
+)
+from jcf_nb_migration_spark.registry import t
+from jcf_nb_migration_spark.streaming import events as SE
+from tests.conftest import SF_SMALL
+
+
+def test_hourly_stream_equals_batch(spark):
+    out = SE.hourly_counts_stream(spark, SF_SMALL)
+    batch = (
+        t(spark, SF_SMALL, "events")
+        .groupBy(F.date_format(F.date_trunc("hour", "ts"),
+                               "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+                 "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+              .alias("total_value"))
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
+
+
+def test_stateful_running_totals(spark):
+    out = SE.running_user_totals_stateful(spark, SF_SMALL).toPandas()
+    batch = (t(spark, SF_SMALL, "events").groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"))).toPandas()
+    got = dict(zip(out.user_id, out.n_events))
+    want = dict(zip(batch.user_id, batch.n_events))
+    assert got == want
+
+
+def test_multimodal_decode_fake(spark):
+    docs = t(spark, SF_SMALL, "documents")
+    dec = decode_media(attach_payload(docs), fake=True).toPandas()
+    src = docs.select("doc_id", "text").toPandas()
+    joined = dec.merge(src, on="doc_id")
+    assert len(joined) == len(src)
+    # stub arithmetic holds against the source text
+    sample = joined.head(20)
+    for _, r in sample.iterrows():
+        assert r["width"] == ord(r["text"][0]) + 64
+        assert r["height"] == (len(r["text"]) % 480) + 16
+        assert r["n_bytes"] == len(r["text"])
+
+
+def test_multimodal_real_decode_gated(spark):
+    docs = t(spark, SF_SMALL, "documents")
+    with pytest.raises(NotImplementedError):
+        decode_media(attach_payload(docs), fake=False)
+    with pytest.raises(NotImplementedError):
+        resize_images(attach_payload(docs), 64, 64)
