@@ -48,7 +48,12 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def shingle_index(df: DataFrame, id_col: str, text_col: str,
                   n: int = 3) -> DataFrame:
-    """Inverted index: one row per (id, distinct n-word shingle)."""
+    """Inverted index: one row per (id, distinct n-word shingle).
+    Input is spread across cores first — shingling + downstream hashing
+    are CPU-bound and must not run on one small-file split."""
+    from jcf_nb_migration_spark.registry import spread
+
+    df = spread(df)
     return df.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(tokens(text_col), n)))
@@ -61,7 +66,12 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     """All pairs with shingle-set Jaccard ≥ threshold, via inverted
     index self-join (count common shingles, divide by union size).
     Columns: id_a, id_b, jaccard."""
-    sh = shingle_index(df, id_col, text_col, n)
+    # The index feeds three shuffles with different partitionings, so
+    # without persistence the scan+shingle map stage would re-execute
+    # per consumer. At corpus scale you'd materialize the inverted
+    # index to storage instead; persist() is the verification-scale
+    # equivalent.
+    sh = shingle_index(df, id_col, text_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -133,9 +143,11 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
     Precision is exact (verification step); banding tunes recall/cost.
     Columns: id_a, id_b, jaccard."""
-    sigs = minhash_signatures(df, id_col, text_col, k, n)
+    sh = shingle_index(df, id_col, text_col, n).persist()
+    aggs = [F.min(token_hash48(F.col("shingle"), salt=str(i))).alias(f"h{i}")
+            for i in range(k)]
+    sigs = sh.groupBy(id_col).agg(*aggs)
     cands = lsh_candidate_pairs(sigs, id_col, bands, rows)
-    sh = shingle_index(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -164,7 +176,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     ≥ 0. One explode + one groupBy with ``bits`` conditional-sum
     aggregates, then the fingerprint is reassembled as Σ bit_b · 2^b.
     Columns: id, simhash."""
-    toks = df.select(
+    from jcf_nb_migration_spark.registry import spread
+
+    toks = spread(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
     ).withColumn("h", token_hash48(F.col("tok")))

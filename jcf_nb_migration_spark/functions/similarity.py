@@ -49,9 +49,11 @@ def brute_force_topk(emb: DataFrame, probe: DataFrame, k: int = 10,
     """Exact top-k cosine neighbors of a single probe vector (broadcast
     the probe; one scan of the corpus; k-row ordered take).
     Columns: neighbor_id, cos_sim."""
+    from jcf_nb_migration_spark.registry import spread
+
     p = F.broadcast(probe.select(F.col(vec_col).alias("__probe_vec")))
     return (
-        emb.crossJoin(p)
+        spread(emb).crossJoin(p)
         .select(
             F.col(id_col).alias("neighbor_id"),
             cosine(F.col(vec_col), F.col("__probe_vec")).alias("cos_sim"),

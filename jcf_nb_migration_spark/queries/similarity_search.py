@@ -64,15 +64,24 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the block key turns an all-pairs cross join into
     per-block pair enumeration — the standard blocking strategy when a
     cheap partition key (cluster id, LSH bucket, shard) exists."""
-    emb = t(spark, sf_dir, "embeddings")
+    from jcf_nb_migration_spark.registry import spread
+
+    # Precompute each vector's norm once (N folds) instead of inside
+    # every pair's cosine (N² folds): cos = dot/(n_a·n_b) is the same
+    # arithmetic, so values stay bit-identical to the oracle.
+    emb = spread(t(spark, sf_dir, "embeddings")).select(
+        "label", "vec_id", "embedding",
+        S.norm(F.col("embedding")).alias("nrm"))
     a = emb.select(F.col("label"), F.col("vec_id").alias("id_a"),
-                   F.col("embedding").alias("emb_a"))
+                   F.col("embedding").alias("emb_a"), F.col("nrm").alias("n_a"))
     b = emb.select(F.col("label"), F.col("vec_id").alias("id_b"),
-                   F.col("embedding").alias("emb_b"))
+                   F.col("embedding").alias("emb_b"), F.col("nrm").alias("n_b"))
     return (
         a.join(b, "label")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", S.cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("cos_sim",
+                    S.dot(F.col("emb_a"), F.col("emb_b"))
+                    / (F.col("n_a") * F.col("n_b")))
         .where(F.col("cos_sim") >= 0.35)
         .select("label", "id_a", "id_b", "cos_sim")
     )

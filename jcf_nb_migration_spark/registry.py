@@ -87,6 +87,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Ensure a DataFrame has at least cluster-parallelism partitions
+    before CPU-heavy per-row work (hashing, shingling, vector folds).
+
+    A small input (one parquet file → one split) would otherwise run
+    the whole map stage on a single core. At real scale inputs already
+    have ≥ cores splits, so this is a no-op — the check is metadata
+    only, no job is triggered."""
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---- shared expression helpers (decimal-exact aggregation) ----
 
 def dec(c: str | Column) -> Column:

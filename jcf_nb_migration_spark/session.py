@@ -24,6 +24,11 @@ from pyspark.sql import SparkSession
 _SQL_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Keep AQE from squashing small-but-CPU-dense shuffles (shingle
+    # hashing, vector folds) onto one core: floor at 256 KiB instead of
+    # 1 MiB. At scale partitions are orders of magnitude above either
+    # floor, so this only affects small inputs.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "262144",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
