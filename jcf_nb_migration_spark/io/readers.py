@@ -58,7 +58,11 @@ def read_csv(spark: SparkSession, path: str,
     elif all_string:
         # Read header first (cheap: limit 0 scan), then force strings —
         # the reference's dtype override generalized (main.py:199-202).
+        # The sniff read needs the same multiLine/escape options or a
+        # quoted header containing a newline would split.
         header_df = (spark.read.option("header", True)
+                     .option("multiLine", multi_line)
+                     .option("escape", '"')
                      .option("inferSchema", False).csv(path).limit(0))
         reader = reader.schema(all_string_schema(list(header_df.columns)))
     else:

@@ -1,6 +1,7 @@
 """Side-effect imports that populate the query registry."""
 
 from jcf_nb_migration_spark.queries import (  # noqa: F401
+    advanced,
     migration_ops,
     multimodal_ops,
     relational,

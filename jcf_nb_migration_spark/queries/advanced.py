@@ -1,0 +1,240 @@
+"""Advanced relational surface: pivot, cube/grouping_id, exact
+percentiles, set operations, fuzzy matching, as-of join, and
+bucketized range join — each oracle-checked.
+
+The as-of and range joins are the custom operators the build brief
+calls out (Spark has no native ones); implementations live in
+functions/asof.py as compositions of stock DataFrame ops, and their
+oracles express the same semantics with windows / non-equi joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions.asof import asof_join, range_join_buckets
+from jcf_nb_migration_spark.registry import dsum, query, sql_dsum, t
+
+
+@query(
+    "order_status_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0)
+                AS BIGINT) AS n_open,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0)
+                AS BIGINT) AS n_fulfilled,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0)
+                AS BIGINT) AS n_pending
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("pivot",),
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() with explicit pivot values (never let Spark
+    scan for distinct pivot keys at 100 TB — list them)."""
+    orders = t(spark, sf_dir, "orders")
+    p = (orders.groupBy("o_orderpriority")
+         .pivot("o_orderstatus", ["O", "F", "P"])
+         .agg(F.count(F.lit(1)))
+         .na.fill(0, ["O", "F", "P"]))
+    return (p.select(
+        "o_orderpriority",
+        F.col("O").alias("n_open"),
+        F.col("F").alias("n_fulfilled"),
+        F.col("P").alias("n_pending"),
+    ).orderBy("o_orderpriority"))
+
+
+@query(
+    "lineitem_cube",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    tags=("cube", "grouping-sets"),
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube with grouping_id — all four grouping sets in one
+    shuffle (Spark expands map-side, so it's still a single pass)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"),
+             F.count(F.lit(1)).alias("n"),
+             dsum("l_quantity", "sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "gid", "n", "sum_qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "price_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.95) AS p95
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("percentile", "agg"),
+)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont — verified bit-equal). The approximate variant
+    (percentile_approx / approx_count_distinct) is the 100 TB path;
+    kept in approx_distinct_stats with a rows-only check since sketch
+    internals differ per engine."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+             F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+             F.expr("percentile(l_extendedprice, 0.95)").alias("p95"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "approx_distinct_stats",
+    oracle=None,  # sketch internals are engine-specific → rows-only
+    tags=("approx", "hll"),
+)
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketches you actually run at 100 TB: HLL distinct counts and
+    t-digest-style quantiles, one pass, constant memory. No oracle —
+    sketch values are engine-specific; the exact twins above are the
+    correctness anchor."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+             F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+             F.percentile_approx("l_extendedprice", 0.5).alias("p50_approx"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "high_balance_never_fulfilled",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("set-ops", "except"),
+)
+def high_balance_never_fulfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (EXCEPT distinct semantics) — high-balance
+    customers with no fulfilled order."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    rich = cust.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    fulfilled = (orders.where(F.col("o_orderstatus") == "F")
+                 .select(F.col("o_custkey").alias("c_custkey")))
+    return rich.exceptAll(fulfilled.distinct()).distinct()
+
+
+@query(
+    "part_name_fuzzy_pairs",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("fuzzy", "levenshtein", "blocked"),
+)
+def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching blocked by p_type (same blocking strategy
+    as the embedding dedup — never all-pairs at scale)."""
+    part = t(spark, sf_dir, "part")
+    a = part.select(F.col("p_type"), F.col("p_partkey").alias("id_a"),
+                    F.col("p_name").alias("name_a"))
+    b = part.select(F.col("p_type"), F.col("p_partkey").alias("id_b"),
+                    F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, "p_type")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist",
+                    F.levenshtein(F.col("name_a"), F.col("name_b")))
+        .where(F.col("edit_dist") <= 2)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+@query(
+    "asof_click_before_error",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, 1 AS side,
+               CAST(NULL AS BIGINT) AS p_event_id
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT user_id, ts, event_id, 0 AS side, event_id AS p_event_id
+        FROM events WHERE event_type = 'click'
+    ), carried AS (
+        SELECT user_id, ts, event_id, side,
+               LAST_VALUE(p_event_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS asof_event_id
+        FROM u
+    )
+    SELECT event_id AS error_id, asof_event_id AS click_id
+    FROM carried WHERE side = 1
+    """,
+    headline=True,
+    tags=("asof-join", "window"),
+)
+def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every error event, the latest click at-or-before
+    it by the same user. Union+window implementation — one shuffle on
+    user_id, no per-group Python (functions/asof.py)."""
+    ev = t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+    joined = asof_join(errors, clicks, key="user_id", ts="ts",
+                       payload_cols=["event_id"])
+    return joined.select(F.col("event_id").alias("error_id"),
+                         F.col("asof_event_id").alias("click_id"))
+
+
+@query(
+    "range_join_error_click",
+    oracle="""
+    SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+           (epoch_us(c.ts) - epoch_us(e.ts)) / 1000000.0 AS dt_sec
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 120 * 1000000
+    """,
+    tags=("range-join", "bucketed"),
+)
+def range_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (|Δt| ≤ 120 s, same user) via time-bucket
+    explode + equi-join + residual filter — the scale-path rewrite of a
+    non-equi join (functions/asof.py.range_join_buckets). The oracle is
+    the plain non-equi formulation."""
+    ev = t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    return range_join_buckets(errors, clicks, key="user_id", ts="ts",
+                              max_gap_seconds=120,
+                              left_id="error_id", right_id="click_id")

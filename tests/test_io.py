@@ -1,0 +1,100 @@
+"""IO surface tests: CSV round-trips (S1/S4), header normalization
+(P5), distinct-value list sinks (S5), schema-diff reports (S9/T4),
+metadata cache (S2), gsheets gating (S3/S8), setup lifecycle (S10)."""
+
+import os
+
+import pytest
+
+from jcf_nb_migration_spark.io.gsheets import (
+    HAVE_GSPREAD,
+    fetch_metadata_from_gsheet,
+    load_metadata_from_cache,
+    push_repeated_data_sheets,
+    setup_workspace,
+)
+from jcf_nb_migration_spark.io.readers import read_csv
+from jcf_nb_migration_spark.io.writers import (
+    write_distinct_value_lists,
+    write_sample_csv,
+    write_schema_diff_reports,
+    write_single_csv,
+)
+
+
+@pytest.fixture()
+def workdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_csv_roundtrip_multiline_and_header_newline(spark, workdir):
+    # embedded newline in a value AND in a header name (P5 + multiLine)
+    path = os.path.join(workdir, "in.csv")
+    with open(path, "w") as fh:
+        fh.write('"Full\nName",Notes\n"Ann","line1\nline2"\n')
+    df = read_csv(spark, path, all_string=True)
+    assert df.columns == ["FullName", "Notes"]
+    row = df.collect()[0]
+    assert row["Notes"] == "line1\nline2"
+
+
+def test_write_single_csv_is_one_file(spark, workdir):
+    df = spark.range(100).selectExpr("id", "id * 2 AS dbl")
+    out = os.path.join(workdir, "out.csv")
+    write_single_csv(df.repartition(8), out)
+    assert os.path.isfile(out)
+    back = read_csv(spark, out, all_string=True)
+    assert back.count() == 100
+
+
+def test_sample_sink_limits(spark, workdir):
+    df = spark.range(500).selectExpr("id")
+    out = os.path.join(workdir, "sample.csv")
+    write_sample_csv(df, out, n=10)
+    assert read_csv(spark, out, all_string=True).count() == 10
+
+
+def test_distinct_value_lists(spark, workdir):
+    df = spark.createDataFrame(
+        [("a",), ("b",), ("a",), (None,), ("",)], "Choice string")
+    paths = write_distinct_value_lists(df, ["Choice"],
+                                       os.path.join(workdir, "lists"))
+    got = sorted(open(paths["Choice"]).read().split())
+    assert got == ["Choice", "a", "b"]  # header + non-blank distinct
+
+
+def test_schema_diff_reports(workdir):
+    p1, p2 = write_schema_diff_reports(
+        ["A", "B"], ["B", "C"], os.path.join(workdir, "diffs"))
+    assert open(p1).read().splitlines()[1:] == ["A"]
+    assert open(p2).read().splitlines()[1:] == ["C"]
+
+
+def test_metadata_cache_roundtrip(spark, workdir):
+    cache = os.path.join(workdir, "cache")
+    os.makedirs(cache)
+    with open(os.path.join(cache, "STM.csv"), "w") as fh:
+        fh.write("fullColName,IN SCOPE\nEmail,T\n")
+    tables = load_metadata_from_cache(spark, cache)
+    assert set(tables) == {"STM"}
+    assert tables["STM"].collect()[0]["fullColName"] == "Email"
+
+
+def test_gsheets_gated_without_dependency(spark):
+    if HAVE_GSPREAD:  # pragma: no cover - not in this environment
+        pytest.skip("gspread installed")
+    with pytest.raises(NotImplementedError):
+        fetch_metadata_from_gsheet(spark, "key.json", "Book", "/tmp/x", [])
+    with pytest.raises(NotImplementedError):
+        push_repeated_data_sheets(None, [], "Email", "key.json", "Book")
+
+
+def test_setup_workspace(workdir):
+    out = os.path.join(workdir, "customFieldValues")
+    os.makedirs(out)
+    with open(os.path.join(out, "stale.csv"), "w") as fh:
+        fh.write("old")
+    warnings = setup_workspace(out, api_key_file=os.path.join(workdir, "no.json"),
+                               cache_dir=os.path.join(workdir, "nocache"))
+    assert os.path.isdir(out) and not os.listdir(out)  # recreated empty
+    assert len(warnings) == 2
