@@ -63,6 +63,56 @@ def brute_force_topk(emb: DataFrame, probe: DataFrame, k: int = 10,
     )
 
 
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid by cosine (broadcast the centroid table; one scan).
+    Deterministic ties broken by centroid id. Adds ``cluster``.
+
+    At 100 TB the output is what you partition/bucket the corpus by;
+    probes then read only their cluster's files."""
+    c = F.broadcast(centroids.select(
+        F.col(id_col).alias("__c_id"), F.col(vec_col).alias("__c_vec")))
+    scored = (
+        emb.crossJoin(c)
+        .withColumn("__sim", cosine(F.col(vec_col), F.col("__c_vec")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.col("__c_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col(vec_col),
+                F.col("__c_id").alias("cluster"))
+    )
+
+
+def ivf_ann_probe(emb: DataFrame, centroids: DataFrame, probe_id: int,
+                  k: int = 10, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """IVF probe: rank only the probe's cluster by exact cosine —
+    the coarse-quantization ANN path (nprobe=1). Columns:
+    neighbor_id, cluster, cos_sim."""
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    probe = F.broadcast(
+        assigned.where(F.col(id_col) == probe_id)
+        .select(F.col(vec_col).alias("__probe_vec"),
+                F.col("cluster").alias("__probe_cluster"))
+    )
+    return (
+        assigned.crossJoin(probe)
+        .where((F.col("cluster") == F.col("__probe_cluster"))
+               & (F.col(id_col) != probe_id))
+        .select(F.col(id_col).alias("neighbor_id"), "cluster",
+                cosine(F.col(vec_col), F.col("__probe_vec"))
+                .alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "neighbor_id")
+        .limit(k)
+    )
+
+
 def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: sign of plane p, dim d = parity of
     the first byte of md5(f"{p}:{d}"). Engine-independent (the oracle

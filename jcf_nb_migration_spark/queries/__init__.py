@@ -2,6 +2,7 @@
 
 from jcf_nb_migration_spark.queries import (  # noqa: F401
     advanced,
+    advanced2,
     migration_ops,
     multimodal_ops,
     relational,

@@ -1,0 +1,152 @@
+"""Second advanced batch: IVF coarse-quantization ANN, TF-IDF term
+weighting, and the classic multi-way star join (TPC-H Q5 shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions import text as T
+from jcf_nb_migration_spark.functions.similarity import ivf_ann_probe
+from jcf_nb_migration_spark.queries.similarity_search import _sql_cos
+from jcf_nb_migration_spark.queries.text_analysis import _SQL_TOKS
+from jcf_nb_migration_spark.registry import query, spread, t
+
+_SQL_REV = ("CAST(l_extendedprice AS DECIMAL(18,4))"
+            " * (1 - CAST(l_discount AS DECIMAL(18,4)))")
+
+
+@query(
+    "ivf_ann_probe",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS c_id, embedding AS c_vec
+        FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               {_sql_cos('e.embedding', 'c.c_vec')} AS sim
+        FROM embeddings e, centroids c
+    ), assigned AS (
+        SELECT vec_id, embedding, c_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT embedding AS pvec, cluster AS pcluster
+        FROM assigned WHERE vec_id = 0
+    )
+    SELECT a.vec_id AS neighbor_id, a.cluster,
+           {_sql_cos('a.embedding', 'probe.pvec')} AS cos_sim
+    FROM assigned a, probe
+    WHERE a.cluster = probe.pcluster AND a.vec_id <> 0
+    ORDER BY cos_sim DESC, neighbor_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def ivf_ann_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (nprobe=1): vectors coarse-quantized to 8 deterministic
+    centroids (the first 8 vectors — a stand-in for trained k-means);
+    the probe ranks only its own cluster. The cluster column is the
+    partition key the corpus would be written by at scale."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    centroids = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
+    return ivf_ann_probe(emb, centroids, probe_id=0, k=10)
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfreq AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df, score FROM (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df DESC,
+                            tf.term) AS rn
+        FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf", "topk-per-group"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style term weighting (rarity weight N/df — log-free so
+    the score is exactly reproducible across engines), top-3 terms per
+    document. df is a broadcast-sized table (vocabulary), so the only
+    big shuffle is the per-doc term count."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id",
+                       F.explode(T.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("score",
+                    (F.col("tf") * F.lit(n_docs)).cast("double")
+                    / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    )
+
+
+@query(
+    "local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(SUM({_SQL_REV}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    headline=True,
+    tags=("join", "multiway", "tpch-q5"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table star join where customer and supplier
+    nations must match. All dimensions broadcast; the fact table
+    shuffles once for the orders join, and the nation-equality is a
+    residual on the broadcast supplier join."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)")
+              - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey)
+              & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_items"))
+        .orderBy(F.desc("revenue"), "nation")
+    )

@@ -1,0 +1,82 @@
+"""Physical-plan assertions: guard the performance-critical plan shapes
+(pushdown, pruning, broadcast, no cartesian products) so a future edit
+can't silently regress them. These are the properties `.explain`
+auditing established; see SURVEY.md §4."""
+
+import pytest
+
+from jcf_nb_migration_spark.registry import all_queries
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = all_queries()[name].fn(spark, SF_SMALL)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan     # predicate reached scan
+    assert "l_orderkey" not in plan                 # unused column pruned
+    # partial-agg + sort exchanges only (formatted plans list each node
+    # in both tree and detail sections)
+    assert plan.count("Exchange") <= 4
+
+
+def test_forecast_revenue_all_filters_pushed(spark):
+    plan = plan_of(spark, "forecast_revenue")
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+                 "GreaterThanOrEqual(l_discount", "LessThan(l_quantity"):
+        assert frag in plan, frag
+
+
+def test_dimension_joins_broadcast(spark):
+    for q in ("regional_customer_distribution", "top_revenue_customers",
+              "local_supplier_volume"):
+        plan = plan_of(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+        assert "SortMergeJoin" not in plan, q       # dims must not shuffle
+
+
+def test_blocked_pair_joins_are_not_cartesian(spark):
+    for q in ("embedding_dedup_pairs", "part_name_fuzzy_pairs",
+              "dedup_ngram_jaccard"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+
+
+def test_purge_is_predicate_not_join(spark):
+    plan = plan_of(spark, "document_purge")
+    assert "Join" not in plan
+    assert "Filter" in plan
+
+
+def test_migration_pipeline_is_narrow(spark):
+    """The E2E migration chain must stay shuffle-free (embarrassingly
+    parallel): no Exchange anywhere in the output plan."""
+    from tests.test_migration_pipeline import CRM_ROWS, CRM_SCHEMA, RULES
+    from jcf_nb_migration_spark.pipeline import MigrationConfig, run_migration
+
+    crm = spark.createDataFrame(CRM_ROWS, CRM_SCHEMA)
+    religions = spark.createDataFrame(
+        [("christian", "Christianity")],
+        "`Values in Data` string, `Replacement Values` string")
+    cfg = MigrationConfig(
+        purge_exemptions={"Constituency": "Southampton, Test"},
+        date_cols=("Join Date",),
+        value_lookups={"Faith": (religions, "Values in Data",
+                                 "Replacement Values")})
+    res = run_migration(crm, RULES, cfg)
+    plan = res.output._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    # The fact path must not shuffle: the only shuffle exchanges allowed
+    # are on the (tiny) lookup-table dedup feeding a broadcast. One
+    # value lookup is configured → at most one such exchange.
+    shuffles = plan.replace("BroadcastExchange", "BX").count("+- Exchange")
+    assert shuffles <= 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the lookup remap
