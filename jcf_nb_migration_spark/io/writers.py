@@ -24,6 +24,16 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_partitioned_parquet(df: DataFrame, path: str,
+                              partition_cols: list[str],
+                              mode: str = "overwrite") -> None:
+    """The engine's primary large-scale sink: parquet partitioned by
+    low-cardinality keys so downstream scans partition-prune. At
+    100 TB this (plus optional bucketBy on join keys) is where the
+    reference's single-CSV output model has to go."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def write_single_csv(df: DataFrame, path: str) -> str:
     """Write df as exactly one CSV file at ``path`` (a file, not a dir).
 

@@ -30,6 +30,46 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_window_counts",
+    oracle=f"""
+    WITH shifted AS (
+        SELECT ts, value, 0 AS k FROM events
+        UNION ALL
+        SELECT ts, value, 1 AS k FROM events
+    )
+    SELECT strftime(make_timestamp(
+               (epoch_us(ts) // 1800000000 - k) * 1800000000),
+               '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'total_value')}
+    FROM shifted
+    GROUP BY 1 ORDER BY 1
+    """,
+    tags=("streaming", "sliding-window"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping windows: 1-hour windows sliding every 30 minutes —
+    each event lands in two windows. Spark's window(ts, '1 hour',
+    '30 minutes') does the fan-out natively; the oracle replicates it
+    with an explicit two-way shift-union."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.registry import t
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+              .alias("total_value"))
+        .select(F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss")
+                 .alias("window_start"),
+                "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@query(
     "session_window_counts",
     oracle="""
     WITH gaps AS (

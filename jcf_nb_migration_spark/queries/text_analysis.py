@@ -37,14 +37,19 @@ def _sql_hash48(expr: str) -> str:
 
 
 def _sql_minhash_sig_cte(k: int = 16) -> str:
+    from jcf_nb_migration_spark.functions.dedup import MINHASH_P, minhash_coef
+
+    h32 = "('0x' || substr(md5(shingle), 1, 8))::BIGINT"
     mins = ",\n               ".join(
-        "min(" + _sql_hash48(f"'{i}:' || shingle") + f") AS h{i}"
+        f"min(({minhash_coef(i, 'a')} * {h32} + {minhash_coef(i, 'b')})"
+        f" % {MINHASH_P}) AS h{i}"
         for i in range(k)
     )
     return f"""{_SQL_SH_CTE},
+    hashed AS (SELECT doc_id, shingle FROM sh),
     sig AS (
         SELECT doc_id, {mins}
-        FROM sh GROUP BY doc_id
+        FROM hashed GROUP BY doc_id
     )"""
 
 

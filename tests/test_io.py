@@ -98,3 +98,23 @@ def test_setup_workspace(workdir):
                                cache_dir=os.path.join(workdir, "nocache"))
     assert os.path.isdir(out) and not os.listdir(out)  # recreated empty
     assert len(warnings) == 2
+
+
+def test_partitioned_parquet_prunes(spark, workdir):
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.io.writers import write_partitioned_parquet
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(90)], "id long, seg string")
+    out = os.path.join(workdir, "pq")
+    write_partitioned_parquet(df, out, ["seg"])
+    dirs = {d for d in os.listdir(out) if d.startswith("seg=")}
+    assert dirs == {"seg=a", "seg=b", "seg=c"}
+    back = spark.read.parquet(out).where(F.col("seg") == "b")
+    assert back.count() == 30
+    # partition filter must prune at the source, not post-filter
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "PartitionFilters: [isnotnull(seg" in plan
