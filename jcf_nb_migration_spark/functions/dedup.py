@@ -198,6 +198,49 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def dup_clusters(df: DataFrame, id_col: str, text_col: str,
+                 threshold: float = 0.5, n: int = 3,
+                 max_iterations: int = 20) -> DataFrame:
+    """Connected components over the near-duplicate graph: every
+    document labeled with the min id of its duplicate cluster
+    (singletons label themselves). The canonical "keep one per
+    near-dup group" step after pair generation.
+
+    Iterative min-label propagation: label(v) ← min(label(v),
+    min_{u~v} label(u)) until fixpoint. Converges in O(component
+    diameter) rounds — near-dup clusters are small cliques, so a
+    handful. Each round is one join + aggregate; localCheckpoint
+    truncates lineage so plans don't snowball.
+    """
+    pairs = jaccard_pairs(df, id_col, text_col, threshold, n)
+    edges = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+             .unionAll(pairs.select(F.col("id_b").alias("u"),
+                                    F.col("id_a").alias("v"))))
+    edges = edges.persist()
+    labels = (df.select(F.col(id_col).alias("u"))
+              .withColumn("label", F.col("u")))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v")
+                       .withColumnRenamed("label", "nlabel"), "v")
+            .groupBy("u").agg(F.min("nlabel").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select("u", F.least(F.col("label"),
+                                 F.coalesce(F.col("nmin"), F.col("label")))
+                    .alias("label"))
+        ).localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "u")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str,
             bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash fingerprint over the distinct token set: per bit b, sum

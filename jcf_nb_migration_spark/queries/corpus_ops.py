@@ -1,0 +1,142 @@
+"""Corpus-pipeline utility queries: near-dup clustering (connected
+components), deterministic stratified sampling, corpus vocabulary,
+embedding normalization, and skew-safe salted aggregation."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions import dedup as D
+from jcf_nb_migration_spark.functions import similarity as S
+from jcf_nb_migration_spark.functions import text as T
+from jcf_nb_migration_spark.functions.skew import salted_aggregate
+from jcf_nb_migration_spark.queries.text_analysis import _SQL_SH_CTE, _SQL_TOKS
+from jcf_nb_migration_spark.registry import query, spread, sql_dsum, t
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_SH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    cm AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM cm
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.node
+    )
+    SELECT node AS doc_id, min(root) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+    tags=("dedup", "clustering", "iterative"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the Jaccard≥0.5 near-dup graph —
+    iterative min-label propagation (the genuinely iterative operator
+    of the suite; the oracle is a recursive CTE computing the same
+    components)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.dup_clusters(docs, "doc_id", "text", threshold=0.5, n=3)
+
+
+@query(
+    "stratified_sample",
+    oracle=r"""
+    SELECT doc_id, lang FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+          % 10 = 0
+    """,
+    tags=("sampling", "deterministic"),
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sampling by content-stable hash — reruns and
+    retries select the same rows (df.sample's RNG does not survive
+    partition reshuffles; hash-mod does, which is what a reproducible
+    training-data split needs)."""
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+               16, 10).cast("bigint")
+    return docs.where(h % 10 == 0).select("doc_id", "lang")
+
+
+@query(
+    "corpus_vocabulary",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    )
+    SELECT term, COUNT(*) AS total_tf,
+           COUNT(DISTINCT doc_id) AS df,
+           CAST(DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, term)
+                AS BIGINT) AS freq_rank
+    FROM toks GROUP BY term
+    """,
+    tags=("text", "vocabulary"),
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level vocabulary with frequencies and rank — the table a
+    tokenizer build or frequency-cutoff filter starts from."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+    agg = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("total_tf"),
+        F.countDistinct("doc_id").alias("df"))
+    w = Window.orderBy(F.desc("total_tf"), "term")
+    return agg.select("term", "total_tf", "df",
+                      F.dense_rank().over(w).cast("bigint")
+                       .alias("freq_rank"))
+
+
+@query(
+    "embedding_normalize",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[])))
+               AS unit_vec
+    FROM embeddings
+    """,
+    tags=("similarity", "normalize", "array"),
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-normalize the embedding column (after which cosine is a
+    plain dot product — normalize once at ingest, save a norm per
+    comparison forever)."""
+    emb = t(spark, sf_dir, "embeddings")
+    nrm = S.norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"),
+                    lambda x: x.cast("double") / nrm).alias("unit_vec"))
+
+
+@query(
+    "salted_user_totals",
+    oracle=f"""
+    SELECT user_id, {sql_dsum('value', 'sum_value')}, COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    tags=("skew", "salted-agg"),
+)
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (functions/skew.py): identical
+    result to the plain groupBy — the oracle IS the plain groupBy —
+    but a hot user's rows split across 16 reducers in phase 1."""
+    ev = t(spark, sf_dir, "events")
+    return salted_aggregate(ev, "user_id", "value", n_salts=16)

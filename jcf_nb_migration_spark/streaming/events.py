@@ -95,6 +95,38 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def interval_join_stream(spark: SparkSession, sf_dir: str,
+                         gap_seconds: int = 120) -> DataFrame:
+    """Stream-stream interval join with watermarks: error events joined
+    to click events of the same user within ±gap. Both sides are
+    watermarked so state for expired time ranges is dropped — the
+    requirement for unbounded stream-stream joins. Driven to
+    completion; equals the batch non-equi join (range_join oracle)."""
+    errors = (events_stream_source(spark, sf_dir)
+              .where(F.col("event_type") == "error")
+              .select("user_id", F.col("ts").alias("e_ts"),
+                      F.col("event_id").alias("error_id"))
+              .withWatermark("e_ts", "1 hour"))
+    clicks = (events_stream_source(spark, sf_dir)
+              .where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("click_id"))
+              .withWatermark("c_ts", "1 hour"))
+    joined = errors.join(
+        clicks,
+        F.expr(f"""
+            user_id = c_user_id AND
+            c_ts BETWEEN e_ts - INTERVAL {gap_seconds} SECONDS
+                     AND e_ts + INTERVAL {gap_seconds} SECONDS
+        """),
+    ).select("user_id", "error_id", "click_id",
+             ((F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("e_ts")))
+              / 1_000_000.0).alias("dt_sec"))
+    return run_to_memory(joined, "jcf_interval_join_stream",
+                         output_mode="append")
+
+
 def running_user_totals_stateful(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming: applyInPandasWithState keeps one

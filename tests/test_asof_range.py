@@ -61,3 +61,41 @@ def test_range_join_buckets_boundaries(spark):
     got = {(r["lid"], r["rid"]): r["dt_sec"] for r in out.collect()}
     assert set(got) == {(1, 10), (1, 11)}
     assert got[(1, 10)] == 60.0 and got[(1, 11)] == -30.0
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions.skew import (
+        salted_aggregate,
+        salted_join,
+    )
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    ev = t(spark, SF_SMALL, "events")
+    salted = salted_aggregate(ev, "user_id", "value", n_salts=8).toPandas()
+    plain = (ev.groupBy("user_id")
+             .agg(F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                  .alias("sum_value"),
+                  F.count(F.lit(1)).alias("n"))).toPandas()
+    s = salted.sort_values("user_id").reset_index(drop=True)
+    p = plain.sort_values("user_id").reset_index(drop=True)
+    assert (s["sum_value"] == p["sum_value"]).all()
+    assert (s["n"] == p["n"]).all()
+
+
+def test_salted_join_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions.skew import salted_join
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    orders = t(spark, SF_SMALL, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, SF_SMALL, "customer").select("c_custkey", "c_mktsegment") \
+        .withColumnRenamed("c_custkey", "o_custkey")
+    salted = salted_join(orders, cust, "o_custkey", n_salts=4)
+    plain = orders.join(cust, "o_custkey")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0

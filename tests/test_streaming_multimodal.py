@@ -58,3 +58,20 @@ def test_multimodal_real_decode_gated(spark):
         decode_media(attach_payload(docs), fake=False)
     with pytest.raises(NotImplementedError):
         resize_images(attach_payload(docs), 64, 64)
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    from jcf_nb_migration_spark.functions.asof import range_join_buckets
+
+    out = SE.interval_join_stream(spark, SF_SMALL, gap_seconds=120)
+    ev = t(spark, SF_SMALL, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("error_id"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"))
+    batch = range_join_buckets(errors, clicks, key="user_id", ts="ts",
+                               max_gap_seconds=120,
+                               left_id="error_id", right_id="click_id")
+    got = {(r["error_id"], r["click_id"]) for r in out.collect()}
+    want = {(r["error_id"], r["click_id"]) for r in batch.collect()}
+    assert got == want
