@@ -1,0 +1,112 @@
+"""Data-profiling, upsert, and ranking-window queries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions.upsert import upsert
+from jcf_nb_migration_spark.registry import query, sql_dsum, t
+
+
+@query(
+    "customer_column_profile",
+    oracle="""
+    SELECT 'c_name' AS col, COUNT(*) AS n,
+           COUNT(*) - COUNT(c_name) AS n_null,
+           COUNT(DISTINCT c_name) AS n_distinct,
+           CAST(MIN(length(c_name)) AS BIGINT) AS min_len,
+           CAST(MAX(length(c_name)) AS BIGINT) AS max_len
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', COUNT(*), COUNT(*) - COUNT(c_mktsegment),
+           COUNT(DISTINCT c_mktsegment),
+           CAST(MIN(length(c_mktsegment)) AS BIGINT),
+           CAST(MAX(length(c_mktsegment)) AS BIGINT)
+    FROM customer
+    """,
+    tags=("profiling", "quality"),
+)
+def customer_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (nulls, cardinality, length bounds) — the
+    data-quality report a migration pipeline runs before trusting its
+    input; one aggregate pass per column, unioned."""
+    cust = t(spark, sf_dir, "customer")
+    parts = []
+    for c in ("c_name", "c_mktsegment"):
+        parts.append(cust.agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(F.length(c)).cast("bigint").alias("min_len"),
+            F.max(F.length(c)).cast("bigint").alias("max_len"),
+        ).select(F.lit(c).alias("col"), "n", "n_null", "n_distinct",
+                 "min_len", "max_len"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@query(
+    "orders_upsert",
+    oracle=f"""
+    WITH updates AS (
+        SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+               o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey < 100
+    ), merged AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        UNION ALL
+        SELECT * FROM updates
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 'total')}
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    tags=("upsert", "cdc"),
+)
+def orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO emulated relationally (functions/upsert.py): a batch
+    of order updates (status X, doubled price) replaces matching keys;
+    result summarized by status. The v1 answer to CDC without a
+    Delta/Iceberg table format."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    updates = (orders.where(F.col("o_orderkey") < 100)
+               .withColumn("o_orderstatus", F.lit("X"))
+               .withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    merged = upsert(orders, updates, "o_orderkey")
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .cast("double").alias("total"))
+            .orderBy("o_orderstatus"))
+
+
+@query(
+    "order_value_ranks",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice,
+                 o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def order_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window suite: ntile, percent_rank, cume_dist over a
+    deterministic (value, key) ordering within priority groups."""
+    orders = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

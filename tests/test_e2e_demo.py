@@ -1,0 +1,26 @@
+"""The examples/migration_demo.py E2E workflow (file-in → file-out,
+every sink) as a test: the reference's whole run() lifecycle."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_demo_end_to_end(spark, tmp_path):
+    from examples.migration_demo import main
+
+    outputs = main(str(tmp_path))
+    out_lines = open(outputs["output"]).read().splitlines()
+    assert out_lines[0] == ("email,first_name,last_name,join_date,faith,"
+                            "notes,constituency,phone,tags")
+    assert len(out_lines) == 5           # 5 rows - 1 purged + header
+    assert any("03/07/2019" in l for l in out_lines)      # date rewrite
+    assert any('"555, 556"' in l for l in out_lines)      # concat merge
+    deleted = open(outputs["deleted"]).read()
+    assert "e2@x" in deleted and "Test row" in deleted    # purge audit
+    assert open(outputs["faith"]).read().splitlines()[1:] == ["Christianity"]
+    audit = open(outputs["concat_audit"]).read()
+    assert "e5@x" in audit
+    assert open(outputs["diff_data_missing"]).read().splitlines()[1:] == \
+        ["Mystery"]
