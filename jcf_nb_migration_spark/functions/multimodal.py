@@ -81,14 +81,49 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: real implementation would decode → resample → re-encode
-    inside mapInPandas. Unavailable without codecs."""
-    raise NotImplementedError("image resampling requires PIL; not in env")
+def resize_images(df: DataFrame, width: int, height: int,
+                  fake: bool = False) -> DataFrame:
+    """Resize decoded media metadata. Real implementation would decode
+    → resample → re-encode inside mapInPandas; without codecs the
+    ``fake=True`` path just rewrites the metadata (same batch plumbing,
+    no pixels)."""
+    if not fake:
+        raise NotImplementedError("image resampling requires PIL; not in env")
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    return df.mapInPandas(resize, schema=DECODED_SCHEMA)
 
 
-def sample_frames(df: DataFrame, every_n: int) -> DataFrame:
-    """STUB: real implementation would demux video payloads and emit
-    one row per sampled frame (mapInPandas yielding multiple rows per
-    input). Unavailable without ffmpeg."""
-    raise NotImplementedError("video demux requires ffmpeg; not in env")
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms int"
+
+
+def sample_frames(df: DataFrame, every_n: int = 1,
+                  fake: bool = False) -> DataFrame:
+    """Demux media into one row per sampled frame — mapInPandas with
+    row FAN-OUT (a batch yields more rows than it received), the shape
+    a video pipeline needs. The fake path emits every ``every_n``-th of
+    the decoded n_frames with a synthetic 40 ms/frame timestamp."""
+    if not fake:
+        raise NotImplementedError("video demux requires ffmpeg; not in env")
+
+    def demux(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss = [], [], []
+            for doc_id, n_frames in zip(pdf["doc_id"], pdf["n_frames"]):
+                for i in range(0, int(n_frames), every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * 40)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_ts_ms": pd.Series(tss, dtype="int32"),
+            })
+
+    return df.mapInPandas(demux, schema=FRAME_SCHEMA)

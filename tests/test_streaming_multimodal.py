@@ -75,3 +75,40 @@ def test_stream_stream_interval_join_equals_batch(spark):
     got = {(r["error_id"], r["click_id"]) for r in out.collect()}
     want = {(r["error_id"], r["click_id"]) for r in batch.collect()}
     assert got == want
+
+
+def test_foreach_batch_idempotent_sink(spark, tmp_path):
+    """foreachBatch exactly-once pattern: write each micro-batch to a
+    batch-id-named path — a retry of the same epoch overwrites instead
+    of duplicating."""
+    import os
+
+    out_dir = str(tmp_path / "sink")
+    seen = []
+
+    def sink(batch_df, epoch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}"))
+        seen.append(epoch_id)
+
+    st = SE.events_stream_source(spark, SF_SMALL)
+    q = (st.select("event_id", "user_id")
+         .writeStream.foreachBatch(sink)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert seen, "no micro-batch processed"
+    back = spark.read.parquet(os.path.join(out_dir, f"epoch={seen[0]}"))
+    assert back.count() == t(spark, SF_SMALL, "events").count()
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    from jcf_nb_migration_spark.functions.multimodal import sample_frames
+
+    decoded = decode_media(attach_payload(t(spark, SF_SMALL, "documents")),
+                           fake=True)
+    frames = sample_frames(decoded, every_n=2, fake=True).toPandas()
+    meta = decoded.toPandas()
+    # fan-out: one row per sampled frame, ceil(n_frames/2) per doc
+    want = int(((meta["n_frames"] + 1) // 2).sum())
+    assert len(frames) == want
+    assert (frames["frame_ts_ms"] == frames["frame_idx"] * 40).all()
