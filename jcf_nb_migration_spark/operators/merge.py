@@ -90,6 +90,12 @@ def apply_merge_plan(df: DataFrame, plan: dict[str, list[str]],
     Audits are taken against the *intermediate* frame each step sees,
     matching the reference's step-at-a-time logging semantics.
     """
+    missing = {s for sources in plan.values() for s in sources
+               if s not in df.columns}
+    if missing:
+        raise ValueError(
+            f"merge plan references columns absent from the frame: "
+            f"{sorted(missing)}")
     report = MergeReport(df=df)
     for target, sources in plan.items():
         first, rest = sources[0], sources[1:]

@@ -119,9 +119,16 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
     # T1: tags.
     df = derive_tags(df, ruleset.tag_mapping(), out_col=config.tags_col)
 
-    # T2: rename + ordered merges (with concat audit).
-    merge_report = apply_merge_plan(
-        df, ruleset.rename_and_merge_plan(), key_col=config.key_col)
+    # T2: rename + ordered merges (with concat audit). Rules whose
+    # source column is absent from the data are a soft condition —
+    # already surfaced by the T4 schema diff — so the plan narrows to
+    # present columns before the merge's hard validation.
+    plan: dict[str, list[str]] = {}
+    for tgt, srcs in ruleset.rename_and_merge_plan().items():
+        present = [s for s in srcs if s in df.columns]
+        if present:
+            plan[tgt] = present
+    merge_report = apply_merge_plan(df, plan, key_col=config.key_col)
     df = merge_report.df
 
     # Drop tag-only trigger columns that weren't merged into a target

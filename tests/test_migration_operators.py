@@ -233,3 +233,11 @@ class TestValidate:
         assert rs.rename_and_merge_plan() == {
             "join_date": ["JoinDate"], "city": ["City"]}
         assert rs.multiple_choice_sources() == ["City"]
+
+
+def test_merge_plan_missing_source_raises(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("e", "v")], "Email string, A string")
+    with _pytest.raises(ValueError, match="absent from the frame"):
+        apply_merge_plan(df, {"T": ["A", "Nope"]}, key_col="Email")

@@ -1,0 +1,72 @@
+"""Edge-case unit tests for the text expression library (empty/short
+documents, whitespace runs) and the user-extensibility (UDF) surface."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from jcf_nb_migration_spark.functions import text as T
+
+
+def _texts(spark, *texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "id int, text string")
+
+
+class TestTokens:
+    def test_whitespace_runs_and_blank(self, spark):
+        df = _texts(spark, "a  b\tc", "", "   ", "single")
+        out = df.select("id", T.tokens("text").alias("t"),
+                        T.token_count("text").alias("n")).collect()
+        got = {r["id"]: (r["t"], r["n"]) for r in out}
+        assert got[0] == (["a", "b", "c"], 3)
+        assert got[1] == ([], 0)
+        assert got[2] == ([], 0)
+        assert got[3] == (["single"], 1)
+
+    def test_shingles_short_docs(self, spark):
+        df = _texts(spark, "a b c d", "a b c", "a b", "a", "")
+        out = df.select(
+            "id", T.word_shingles(T.tokens("text"), 3).alias("s")).collect()
+        got = {r["id"]: r["s"] for r in out}
+        assert got[0] == ["a b c", "b c d"]
+        assert got[1] == ["a b c"]
+        assert got[2] == []          # shorter than n → empty, not garbage
+        assert got[3] == []
+        assert got[4] == []
+
+
+class TestLangId:
+    def test_stopword_argmax_and_tie(self, spark):
+        df = _texts(spark,
+                    "the cat and the dog",    # en stopwords
+                    "der hund und die katze", # de stopwords
+                    "xyz qrs")                # no hits → tie → 'en' priority
+        out = df.select("id", T.lang_id(T.tokens("text")).alias("l")).collect()
+        got = {r["id"]: r["l"] for r in out}
+        assert got == {0: "en", 1: "de", 2: "en"}
+
+
+class TestFingerprint:
+    def test_normalization_equivalence(self, spark):
+        df = _texts(spark, "Hello   World", "  hello world ", "hello world")
+        fps = [r["fp"] for r in
+               df.select(T.doc_fingerprint("text").alias("fp")).collect()]
+        assert fps[0] == fps[1] == fps[2]
+
+
+class TestUdfSurface:
+    def test_pandas_udf_registration(self, spark):
+        """The engine exposes Spark's native extensibility: an
+        Arrow-vectorized pandas UDF registered and used from SQL."""
+        @F.pandas_udf(DoubleType())
+        def discounted(price: pd.Series, disc: pd.Series) -> pd.Series:
+            return price * (1.0 - disc)
+
+        spark.udf.register("discounted", discounted)
+        df = spark.createDataFrame([(100.0, 0.1), (50.0, 0.0)],
+                                   "price double, disc double")
+        df.createOrReplaceTempView("udf_in")
+        got = [r["v"] for r in spark.sql(
+            "SELECT discounted(price, disc) AS v FROM udf_in").collect()]
+        assert got == [90.0, 50.0]
