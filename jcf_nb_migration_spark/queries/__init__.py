@@ -11,6 +11,7 @@ from jcf_nb_migration_spark.queries import (  # noqa: F401
     similarity_search,
     streaming_ops,
     text_analysis,
+    timeseries_ops,
 )
 
 __all__ = ["migration_ops", "multimodal_ops", "relational",
