@@ -16,9 +16,6 @@ from pyspark.sql import functions as F
 from jcf_nb_migration_spark.functions import similarity as S
 from jcf_nb_migration_spark.registry import query, t
 
-_SQL_DOT = ("list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])")
-
-
 def _sql_cos(a: str, b: str) -> str:
     return (f"list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
             f" / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"

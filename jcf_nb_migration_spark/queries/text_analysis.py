@@ -10,7 +10,7 @@ integers — the comparison is exact, not approximate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions import dedup as D
