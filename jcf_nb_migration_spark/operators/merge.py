@@ -26,15 +26,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _b(c: str) -> Column:
-    """Blank-normalized view of a column (NULL → '') for rule tests —
-    matches the reference's pre-merge fillna (main.py:623)."""
-    return F.coalesce(F.col(c), F.lit(""))
+def _b(c: Column) -> Column:
+    """Blank-normalized view (NULL → '') for rule tests — matches the
+    reference's pre-merge fillna (main.py:623)."""
+    return F.coalesce(c, F.lit(""))
 
 
-def merge_expr(target: str, source: str) -> Column:
-    """One fold step: merge ``source`` into ``target`` per the
-    four-branch rule. Returns the new target value."""
+def merge_value_expr(target: Column, source: Column) -> Column:
+    """One fold step as a pure expression: merge ``source`` into
+    ``target`` per the four-branch rule. Composable, so a multi-source
+    chain folds into ONE nested expression instead of one projection
+    per step — at 40 merges that's the difference between a single
+    Project node and 40 stacked ones (Catalyst analysis cost grows
+    superlinearly with projection depth)."""
     t, s = _b(target), _b(source)
     merged = (
         F.when((s == t) | (s == ""), t)
@@ -42,23 +46,30 @@ def merge_expr(target: str, source: str) -> Column:
          .otherwise(F.concat(t, F.lit(", "), s))
     )
     # Preserve NULL when both sides are absent (internal null policy).
-    return F.when(F.col(target).isNull() & F.col(source).isNull(),
+    return F.when(target.isNull() & source.isNull(),
                   F.lit(None)).otherwise(merged)
 
 
-def concat_audit(df: DataFrame, target: str, source: str,
-                 key_col: str) -> DataFrame:
+def merge_expr(target: str, source: str) -> Column:
+    """Name-based convenience wrapper around merge_value_expr."""
+    return merge_value_expr(F.col(target), F.col(source))
+
+
+def concat_audit_expr(df: DataFrame, target_value: Column, target_name: str,
+                      source: str, key_col: str) -> DataFrame:
     """Rows that will concatenation-merge (both present, different) —
     the manual-review report the reference prints per row
-    (main.py:605-610), as a real DataFrame output."""
-    t, s = _b(target), _b(source)
+    (main.py:605-610), as a real DataFrame output. ``target_value`` is
+    the (possibly already partially folded) target expression the step
+    sees."""
+    t, s = _b(target_value), _b(F.col(source))
     return (
         df.where((t != "") & (s != "") & (t != s))
         .select(
             F.col(key_col).alias("key"),
-            F.lit(target).alias("target_col"),
+            F.lit(target_name).alias("target_col"),
             F.lit(source).alias("source_col"),
-            F.col(target).alias("target_value"),
+            target_value.alias("target_value"),
             F.col(source).alias("source_value"),
         )
     )
@@ -97,15 +108,46 @@ def apply_merge_plan(df: DataFrame, plan: dict[str, list[str]],
             f"merge plan references columns absent from the frame: "
             f"{sorted(missing)}")
     report = MergeReport(df=df)
+
+    # Build every target's final value as ONE nested expression (fold
+    # left-to-right in rule order — SURVEY §7.5), then emit the whole
+    # plan as a single select. Audits evaluate the partially-folded
+    # expression each step would have seen, against the ORIGINAL frame,
+    # which is exactly the intermediate value (the fold is the only
+    # writer of the target between steps).
+    final_exprs: dict[str, Column] = {}
+    consumed: set[str] = set()
     for target, sources in plan.items():
         first, rest = sources[0], sources[1:]
         if first != target:
-            df = df.withColumnRenamed(first, target)
             report.renames.append((first, target))
+        acc = F.col(first)
+        consumed.add(first)
         for src in rest:
             if collect_audit:
-                report.audits.append(concat_audit(df, target, src, key_col))
-            df = df.withColumn(target, merge_expr(target, src)).drop(src)
+                report.audits.append(
+                    concat_audit_expr(df, acc, target, src, key_col))
+            acc = merge_value_expr(acc, F.col(src))
+            consumed.add(src)
             report.merges.append((src, target))
-    report.df = df
+        final_exprs[target] = acc
+
+    out_cols: list[Column] = []
+    for c in df.columns:
+        if c in final_exprs:
+            out_cols.append(final_exprs.pop(c).alias(c))
+        elif c not in consumed:
+            out_cols.append(F.col(c))
+        else:
+            # first source of a renamed target: emit the folded value
+            # at this position under the target name
+            for tgt, srcs in plan.items():
+                if srcs[0] == c and tgt in final_exprs:
+                    out_cols.append(final_exprs.pop(tgt).alias(tgt))
+                    break
+    # targets whose first source was the target itself but absent from
+    # df.columns can't happen (validated above); any remainder appends
+    for tgt, expr in final_exprs.items():
+        out_cols.append(expr.alias(tgt))
+    report.df = df.select(*out_cols)
     return report

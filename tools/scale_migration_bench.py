@@ -1,0 +1,133 @@
+"""Migration pipeline at the reference's exact workload shape:
+68,589 rows x 297 all-string columns (config.py:6-7), with a full STM
+(scope filter, 24 tag rules, 40 two-source merges, multiple-choice
+lists), the whole-row purge scan, cleaning, and a lookup remap.
+
+The reference runs this single-threaded in pandas 0.23 with
+self-described "takes a while ... constant looping through the entire
+dataset" runtime (README.md:42). This script measures our engine on the
+same shape end-to-end (including writing the output) — the direct
+throughput-parity evidence.
+
+Usage: PYTHONPATH=. python tools/scale_migration_bench.py [rows] [cols]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+
+def build_frame(spark, n_rows: int, n_cols: int):
+    """Deterministic synthetic CRM extract: md5-derived string cells,
+    ~10% blanks, a 'test' marker planted in ~0.5% of rows, an Email
+    key, date and faith columns for the cleaning/lookup stages."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_rows).repartition(
+        spark.sparkContext.defaultParallelism)
+    cols = [F.concat(F.lit("u"), F.col("id").cast("string"),
+                     F.lit("@example.org")).alias("Email")]
+    cols.append(F.concat(F.lit("20"),
+                         F.lpad((F.col("id") % 22).cast("string"), 2, "0"),
+                         F.lit("-"),
+                         F.lpad((F.col("id") % 12 + 1).cast("string"), 2, "0"),
+                         F.lit("-"),
+                         F.lpad((F.col("id") % 28 + 1).cast("string"), 2, "0"))
+                .alias("Join Date"))
+    cols.append(F.when(F.col("id") % 7 == 0, "christian")
+                .when(F.col("id") % 7 == 1, "muslim")
+                .otherwise("").alias("Faith"))
+    cols.append(F.when(F.col("id") % 211 == 0, F.lit("contains test marker"))
+                .otherwise(F.lit("ordinary note")).alias("Notes"))
+    for i in range(4, n_cols + 1):
+        c = (F.when((F.col("id") + i) % 10 == 0, F.lit(""))
+             .otherwise(F.substring(F.md5(
+                 F.concat(F.col("id").cast("string"), F.lit(f":{i}"))),
+                 1, 12)))
+        cols.append(c.alias(f"Col {i:03d}"))
+    return base.select(*cols)
+
+
+def build_rules(n_cols: int):
+    from jcf_nb_migration_spark.rules import ColumnRule, RuleSet
+
+    rules = [
+        ColumnRule("Email", target="email"),
+        ColumnRule("Join Date", target="join_date"),
+        ColumnRule("Faith", target="faith", multiple_choice=True),
+        ColumnRule("Notes", target="notes"),
+    ]
+    generic = [f"Col {i:03d}" for i in range(4, n_cols + 1)]
+    # 24 tag-only columns, 40 merge pairs, ~20 out of scope, the rest
+    # straight renames — a realistic STM mix at the reference's width.
+    for i, name in enumerate(generic):
+        if i < 24:
+            rules.append(ColumnRule(name, tag=f"Tag {i % 12}"))
+        elif i < 104 and i % 2 == 0:
+            rules.append(ColumnRule(name, target=f"merged_{i // 2}"))
+        elif i < 104:
+            rules.append(ColumnRule(name, target=f"merged_{(i - 1) // 2}"))
+        elif i < 124:
+            rules.append(ColumnRule(name, in_scope=False))
+        else:
+            rules.append(ColumnRule(name, target=f"field_{i}"))
+    return RuleSet(rules)
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 68_589
+    n_cols = int(sys.argv[2]) if len(sys.argv) > 2 else 297
+
+    from jcf_nb_migration_spark import get_spark
+    from jcf_nb_migration_spark.io.writers import write_csv
+    from jcf_nb_migration_spark.pipeline import MigrationConfig, run_migration
+
+    # local mode = driver-only: give the one JVM real memory (the
+    # 297-column projection + 40-merge fold needs codegen + exec room)
+    spark = get_spark("scale-migration-bench",
+                      extra_conf={"spark.driver.memory": "48g"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = build_frame(spark, n_rows, n_cols)
+    ruleset = build_rules(n_cols)
+    religions = spark.createDataFrame(
+        [("christian", "Christianity"), ("muslim", "Islam")],
+        "`Values in Data` string, `Replacement Values` string")
+    cfg = MigrationConfig(
+        key_col="Email",
+        date_cols=("Join Date",),
+        value_lookups={"Faith": (religions, "Values in Data",
+                                 "Replacement Values")},
+    )
+
+    # Materialize the input once (parquet) so the measured time is the
+    # pipeline, not the synthetic generator.
+    src = tempfile.mkdtemp(prefix="jcf_scale_src_")
+    df.write.mode("overwrite").parquet(src)
+    inp = spark.read.parquet(src)
+
+    t0 = time.time()
+    res = run_migration(inp, ruleset, cfg)
+    out_dir = tempfile.mkdtemp(prefix="jcf_scale_out_")
+    write_csv(res.output, out_dir)           # full output sink
+    n_out = spark.read.option("header", True).csv(out_dir).count()
+    n_removed = res.purge.removed.count()
+    elapsed = time.time() - t0
+
+    print(json.dumps({
+        "metric": "migration_pipeline_wall_seconds",
+        "value": round(elapsed, 2),
+        "unit": "sec",
+        "rows_in": n_rows, "cols_in": n_cols,
+        "rows_out": n_out, "rows_purged": n_removed,
+        "cols_out": len(res.output.columns),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
