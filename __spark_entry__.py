@@ -24,14 +24,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    from jcf_nb_migration_spark.registry import all_queries
-    return {name: q.fn for name, q in sorted(all_queries().items())}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Exposes the registry's driver-visible subset (≤50 names): the
+    driver hard-checks the first 50 query names alphabetically, so
+    pure-baseline/intermediate queries are kept out of the contract
+    (they remain registered and oracle-tested locally — see
+    registry.Query.driver_visible)."""
+    from jcf_nb_migration_spark.registry import driver_queries
+    return {name: q.fn for name, q in sorted(driver_queries().items())}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query; omitted for queries whose
     semantics aren't SQL-expressible (driver then does rows-only)."""
-    from jcf_nb_migration_spark.registry import all_queries
-    return {name: q.oracle for name, q in sorted(all_queries().items())
+    from jcf_nb_migration_spark.registry import driver_queries
+    return {name: q.oracle for name, q in sorted(driver_queries().items())
             if q.oracle is not None}

@@ -270,20 +270,63 @@ def simhash(df: DataFrame, id_col: str, text_col: str,
     return agg.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def simhash_band_layout(max_hamming: int,
+                        bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """Contiguous (offset, width) bit bands partitioning the
+    fingerprint into max_hamming+1 disjoint bands (widths differ by at
+    most 1). Pigeonhole: a pair within Hamming radius max_hamming has
+    fewer differing bits than there are bands, so at least one band
+    matches EXACTLY — candidate recall is 100 %, not probabilistic."""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    layout, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
 def simhash_near_pairs(fps: DataFrame, id_col: str,
-                       max_hamming: int = 10) -> DataFrame:
-    """Pairs within Hamming radius of their simhash fingerprints.
-    All-pairs formulation (verification scale); at corpus scale,
-    pigeonhole the bits into (max_hamming+1) bands and equi-join —
-    any pair within radius must agree exactly on ≥1 band.
-    Columns: id_a, id_b, hamming."""
-    a = fps.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = fps.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+                       max_hamming: int = 10,
+                       bits: int = SIMHASH_BITS) -> DataFrame:
+    """Pairs within Hamming radius of their simhash fingerprints, via
+    pigeonhole banding: explode each fingerprint into (band_idx,
+    band_val) rows, equi-join on exact band matches (shuffle join —
+    never a cartesian product), dedupe candidates, then verify the
+    exact Hamming distance. Identical result set to the all-pairs
+    formulation (the banding is lossless for radius ≤ max_hamming);
+    cost is linear in band collisions instead of quadratic in corpus
+    size. Columns: id_a, id_b, hamming."""
+    layout = simhash_band_layout(max_hamming, bits)
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright(F.col("simhash"), off)
+             .bitwiseAND(F.lit((1 << w) - 1)).alias("band_val"),
+        )
+        for i, (off, w) in enumerate(layout)
+    ]
+    banded = (
+        fps.select(F.col(id_col), F.col("simhash"),
+                   F.explode(F.array(*band_structs)).alias("b"))
+        .select(id_col, "simhash", "b.band_idx", "b.band_val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()  # a close pair can collide on several bands
+    )
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("hamming",
-                    F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -137,10 +137,15 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice").cast("decimal(18,4)")
            * (F.lit(1).cast("decimal(18,4)")
               - F.col("l_discount").cast("decimal(18,4)")))
+    # Only the bounded dims (nation: 25 rows, region: 5) carry explicit
+    # broadcast hints. customer/supplier grow with scale factor — a
+    # forced broadcast would hit the 8 GB hard limit at the 100 TB
+    # target; AQE converts them to broadcast at runtime while they're
+    # small and falls back to shuffle join when they aren't.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey)
               & (cust.c_nationkey == sup.s_nationkey))
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
@@ -169,6 +174,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, l_orderkey
     LIMIT 20
     """,
+    headline=True,
     tags=("join", "topk", "tpch-q3"),
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,6 +219,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
     """,
+    headline=True,
     tags=("join", "topk", "tpch-q10"),
 )
 def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,9 +234,12 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               .where((F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
                      & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))))
     li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    # nation (25 rows) keeps its hint; customer is SF-proportional, so
+    # its join strategy is left to AQE (broadcast while small, shuffle
+    # at scale — never a forced multi-GB broadcast).
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(F.sum(rev).cast("double").alias("revenue"))

@@ -87,6 +87,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks GROUP BY term
     """,
     tags=("text", "vocabulary"),
+    driver_visible=False,
 )
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level vocabulary with frequencies and rank — the table a
@@ -106,24 +107,30 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_normalize",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding::DOUBLE[],
-               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
-                                              embedding::DOUBLE[])))
-               AS unit_vec
-    FROM embeddings
+           CAST(unnest(range(len(u))) AS INT) AS dim_idx,
+           unnest(u) AS component
+    FROM (SELECT vec_id,
+                 list_transform(embedding::DOUBLE[],
+                     x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                    embedding::DOUBLE[])))
+                     AS u
+          FROM embeddings)
     """,
     tags=("similarity", "normalize", "array"),
 )
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize the embedding column (after which cosine is a
     plain dot product — normalize once at ingest, save a norm per
-    comparison forever)."""
+    comparison forever). Output is posexploded to one scalar row per
+    (vec_id, dim_idx) so the result is canonicalizable by engines that
+    sort rows on scalar columns (array cells aren't sortable keys);
+    the array-shaped variant is ``F.transform(embedding, x -> x/norm)``
+    — same expression, minus the posexplode."""
     emb = t(spark, sf_dir, "embeddings")
     nrm = S.norm(F.col("embedding"))
+    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm)
     return emb.select(
-        "vec_id",
-        F.transform(F.col("embedding"),
-                    lambda x: x.cast("double") / nrm).alias("unit_vec"))
+        "vec_id", F.posexplode(unit).alias("dim_idx", "component"))
 
 
 @query(

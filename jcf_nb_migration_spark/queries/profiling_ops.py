@@ -97,6 +97,7 @@ def orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                  o_orderkey)
     """,
     tags=("window", "rank"),
+    driver_visible=False,
 )
 def order_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-window suite: ntile, percent_rank, cume_dist over a

@@ -122,7 +122,7 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c_custkey
     LIMIT 10
     """,
-    headline=True,
+    driver_visible=False,
     tags=("join", "agg", "topk"),
 )
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,9 +133,12 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     li = t(spark, sf_dir, "lineitem")
+    # No broadcast hint on customer: it's SF-proportional (a forced
+    # broadcast OOMs at the 100 TB target); Spark broadcasts it while
+    # its scan stats are under the threshold, AQE otherwise.
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_mktsegment")
         .agg(
             F.sum(_rev()).cast("double").alias("revenue"),
@@ -158,6 +161,7 @@ def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY region
     """,
     tags=("join", "broadcast", "agg"),
+    driver_visible=False,
 )
 def regional_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star-schema dimension join: nation and region broadcast (J2
@@ -208,6 +212,7 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AND o.o_orderpriority = '1-URGENT')
     """,
     tags=("join", "semi"),
+    driver_visible=False,
 )
 def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left semi join (EXISTS). The filter on the right side is applied
@@ -388,6 +393,7 @@ def mktsegment_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY brand, type
     """,
     tags=("rollup", "agg"),
+    driver_visible=False,
 )
 def part_brand_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (brand → type → grand total) — grouping-sets
@@ -416,6 +422,7 @@ def part_brand_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     tags=("time-window", "agg"),
+    driver_visible=False,
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling one-hour aggregation — the batch twin of the streaming

@@ -98,6 +98,7 @@ def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings GROUP BY label ORDER BY label
     """,
     tags=("similarity", "agg", "array"),
+    driver_visible=False,
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label L2-norm statistics — array fold + decimal-exact mean

@@ -169,6 +169,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("text", "fingerprint"),
+    driver_visible=False,
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document fingerprint (normalized md5) + a 1024-way shard
@@ -229,7 +230,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
     """,
-    headline=True,
+    driver_visible=False,
     tags=("dedup", "jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +248,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM sig
     """,
     tags=("dedup", "minhash"),
+    driver_visible=False,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16 md5-derived minhash values per document over its 3-gram
@@ -327,6 +329,7 @@ def _sql_simhash_cte(bits: int = D.SIMHASH_BITS) -> str:
     SELECT * FROM fps
     """,
     tags=("dedup", "simhash"),
+    driver_visible=False,
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document (±1 votes per hash bit over the
@@ -347,9 +350,11 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "simhash"),
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs within Hamming distance 10 of their SimHash — constant-
-    size-fingerprint near-dup detection (all-pairs here; pigeonhole
-    banding at scale, see functions.dedup.simhash_near_pairs)."""
+    """Pairs within Hamming distance 10 of their SimHash — pigeonhole-
+    banded candidate generation (11 disjoint bit bands, equi-join on
+    exact band matches — lossless for this radius) + exact-Hamming
+    verification; the oracle is the naive all-pairs formulation the
+    banding provably equals."""
     docs = t(spark, sf_dir, "documents")
     fps = D.simhash(docs, "doc_id", "text")
     return D.simhash_near_pairs(fps, "doc_id", max_hamming=10)

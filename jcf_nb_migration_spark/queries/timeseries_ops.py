@@ -80,6 +80,7 @@ def user_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY 1 ORDER BY 1
     """,
     tags=("histogram", "binning"),
+    driver_visible=False,
 )
 def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram by integer binning — the one-pass
@@ -125,6 +126,7 @@ _SQL_MOMENTS = """
     ORDER BY flag
     """,
     tags=("statistics", "correlation"),
+    driver_visible=False,
 )
 def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation computed from decimal moment sums — unlike
