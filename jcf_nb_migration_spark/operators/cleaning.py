@@ -66,15 +66,18 @@ def strip_chars(df: DataFrame, col: str, chars: str,
 
 def title_case(c: Column | str) -> Column:
     """C3: pandas str.title() semantics — uppercase after any
-    non-alpha, lowercase otherwise. Differs from F.initcap on tokens
+    non-letter, lowercase otherwise. Differs from F.initcap on tokens
     like "o'neill" (initcap only breaks on whitespace, SURVEY §7.4);
     implemented with a word-boundary regex transform to match the
-    reference exactly."""
+    reference exactly. The boundary is the Unicode letter class
+    (\\P{L}), not ASCII [^A-Za-z], so accented letters stay inside
+    their word run ('café' → 'Café', matching str.title(), not
+    'CafÉ')."""
     col = F.col(c) if isinstance(c, str) else c
-    # Split into runs of alpha / non-alpha, initcap each alpha run.
+    # Split into runs of letters / non-letters, initcap each letter run.
     return F.array_join(
         F.transform(
-            F.split(col, r"(?<=[^A-Za-z])|(?=[^A-Za-z])"),
+            F.split(col, r"(?<=\P{L})|(?=\P{L})"),
             lambda w: F.concat(F.upper(F.substring(w, 1, 1)),
                                F.lower(F.substring(w, 2, 2147483647))),
         ),

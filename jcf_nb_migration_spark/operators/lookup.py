@@ -31,14 +31,16 @@ def replace_via_lookup(df: DataFrame, col: str, lookup: DataFrame,
       lookup[match_col]``.
 
     Unmatched rows get NULL (the reference's wipe semantics).
-    Duplicate lookup keys are collapsed (first wins after an
-    aggregation) so the join can't fan out fact rows.
+    Duplicate lookup keys are collapsed with MIN over the non-null
+    replacements — a deterministic reducer (F.first depends on
+    partition evaluation order, so a dirty lookup sheet with duplicate
+    keys would flip values between runs), so the join can't fan out
+    fact rows and resolves duplicates reproducibly.
     """
     left_key = F.col(key_col) if key_col else F.col(col)
     clean = (
         lookup.groupBy(F.col(match_col).alias("__match"))
-        .agg(F.first(F.col(replacement_col), ignorenulls=True)
-             .alias("__replacement"))
+        .agg(F.min(F.col(replacement_col)).alias("__replacement"))
     )
     return (
         df.join(F.broadcast(clean), left_key == F.col("__match"), "left")

@@ -39,7 +39,18 @@ from jcf_nb_migration_spark.rules import RuleSet
 
 @dataclass
 class MigrationConfig:
-    """Driver-side knobs mirroring the reference's config.py + STM."""
+    """Driver-side knobs mirroring the reference's config.py + STM.
+
+    Every clean shape in the reference's cleanData (main.py:364-455)
+    has a hook here: C1 is always on; C2 via ``strip_char_cols``
+    (Last Name comma strip, main.py:381-383); C3 via
+    ``title_case_masks`` (conditional City title-case,
+    main.py:390-391); C4 via ``fix_entities_cols``; equality
+    value→value fixes via ``value_fixes`` (e.g. the email typo,
+    main.py:400); F5 membership scrubs via ``junk_values``; C5/C6 via
+    ``date_cols``; J2/J3 via the lookup fields. ``extra_cleans`` takes
+    arbitrary DataFrame→DataFrame callables for one-off fixes that
+    don't fit a declarative shape — applied last in the clean stage."""
 
     key_col: str = "Email"
     purge_needle: str = "test"
@@ -49,6 +60,11 @@ class MigrationConfig:
     keyed_lookup_tables: dict[str, Any] = field(default_factory=dict)  # J3: col → lookup_df
     junk_values: dict[str, tuple[str, ...]] = field(default_factory=dict)  # F5 scrubs
     fix_entities_cols: tuple[str, ...] = ()   # C4 intended behavior
+    strip_char_cols: dict[str, tuple[str, tuple[str, ...]]] = \
+        field(default_factory=dict)           # C2: col → (chars, exemptions)
+    title_case_masks: dict[str, str] = field(default_factory=dict)  # C3: col → rlike mask
+    value_fixes: dict[str, dict[str, str]] = field(default_factory=dict)  # F6+C11: col → {bad: good}
+    extra_cleans: tuple[Any, ...] = ()        # generic df→df clean hooks
     tags_col: str = "tags"
 
 
@@ -76,18 +92,39 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
     in_scope = [c for c in ruleset.in_scope_sources() if c in df.columns]
     df = df.select(*in_scope)
 
-    # T3: test-row purge (predicate, not join).
-    purge = purge_test_rows(df, needle=config.purge_needle,
-                            exemptions=config.purge_exemptions)
+    # T3: test-row purge (predicate, not join). Exemptions on columns
+    # absent from this extract are vacuous — drop them rather than
+    # failing analysis (configs carry the full production exemption
+    # set; partial extracts are normal).
+    purge = purge_test_rows(
+        df, needle=config.purge_needle,
+        exemptions={c: v for c, v in config.purge_exemptions.items()
+                    if c in df.columns})
     df = purge.kept
 
     # C1: scrub control characters everywhere.
     df = cleaning.scrub_control_chars(df)
 
+    # C2: character strips with literal exemptions (Last Name commas).
+    for c, (chars, exempt) in config.strip_char_cols.items():
+        if c in df.columns:
+            df = cleaning.strip_chars(df, c, chars, exempt=list(exempt))
+
+    # C3: conditional title-case (City rows matching the regex mask).
+    for c, pattern in config.title_case_masks.items():
+        if c in df.columns:
+            df = cleaning.title_case_if(df, c, F.col(c).rlike(pattern))
+
     # C4 (intended semantics): HTML entity fix.
     for c in config.fix_entities_cols:
         if c in df.columns:
             df = cleaning.fix_html_entities(df, c)
+
+    # F6+C11: equality value→value fixes (e.g. the email typo).
+    for c, fixes in config.value_fixes.items():
+        if c in df.columns:
+            for bad, good in fixes.items():
+                df = cleaning.masked_update(df, c, F.col(c) == bad, good)
 
     # F5/C11: junk-value scrubs (bad phones, 'None'/'Na' orgs, ...).
     for c, values in config.junk_values.items():
@@ -98,6 +135,10 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
     for c in config.date_cols:
         if c in df.columns:
             df = cleaning.rewrite_iso_date_to_us(df, c)
+
+    # Escape hatch: arbitrary clean callables, applied in order.
+    for fn in config.extra_cleans:
+        df = fn(df)
 
     # J2: value-remap lookups (religions map): replace, not coalesce.
     for c, (lk, match_col, repl_col) in config.value_lookups.items():
@@ -131,14 +172,15 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
     merge_report = apply_merge_plan(df, plan, key_col=config.key_col)
     df = merge_report.df
 
-    # Drop tag-only trigger columns that weren't merged into a target
-    # (the reference drops consumed sources; tag triggers without a
-    # target vanish from the output too).
-    mapped = set()
-    for tgt, srcs in ruleset.rename_and_merge_plan().items():
-        mapped.add(tgt)
+    # Output columns: merge targets, tag-only trigger columns, tags.
+    # Tag-only sources pass through to the sink — the reference's
+    # mapColumns skips Tag? rows (main.py:528-541), so they survive to
+    # the final CSV; merged-away sources were already dropped by the
+    # merge plan.
+    mapped = set(ruleset.rename_and_merge_plan())
+    passthrough = set(ruleset.tag_only_sources())
     keep = [c for c in df.columns
-            if c in mapped or c == config.tags_col]
+            if c in mapped or c in passthrough or c == config.tags_col]
     df = df.select(*keep)
 
     # C10 at the sink boundary: NULL → ''.

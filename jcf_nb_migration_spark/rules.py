@@ -93,6 +93,14 @@ class RuleSet:
         return [r.source for r in self.rules
                 if r.in_scope and r.target is None and r.tag is None]
 
+    def tag_only_sources(self) -> list[str]:
+        """Columns that trigger a tag but have no merge target. The
+        reference's mapColumns skips them (main.py:528-541 'continue'
+        on Tag?=='T' rows), so they survive to the output CSV — they
+        are passed through, not dropped."""
+        return [r.source for r in self.rules
+                if r.in_scope and r.tag is not None and r.target is None]
+
     def multiple_choice_sources(self) -> list[str]:
         """S5: columns that emit distinct-value lists (main.py:463-467)."""
         return [r.source for r in self.rules

@@ -12,8 +12,10 @@ def test_demo_end_to_end(spark, tmp_path):
 
     outputs = main(str(tmp_path))
     out_lines = open(outputs["output"]).read().splitlines()
+    # "Vol Interest" is a tag-only trigger column: it passes through to
+    # the sink (reference mapColumns skips Tag? rows, main.py:528-541).
     assert out_lines[0] == ("email,first_name,last_name,join_date,faith,"
-                            "notes,constituency,phone,tags")
+                            "notes,constituency,Vol Interest,phone,tags")
     assert len(out_lines) == 5           # 5 rows - 1 purged + header
     assert any("03/07/2019" in l for l in out_lines)      # date rewrite
     assert any('"555, 556"' in l for l in out_lines)      # concat merge

@@ -130,6 +130,15 @@ class TestCleaning:
         assert [r["t"] for r in out.collect()] == [
             "O'Neill Town", "Anne-Marie City"]
 
+    def test_title_case_unicode_boundaries(self, spark):
+        # Accented letters are letters: they must stay inside their
+        # word run (pandas 'café'.title() == 'Café', not 'CafÉ').
+        df = _df(spark, [("café du nord",), ("ZÜRICH WEST",)],
+                 "city string")
+        out = df.select(cleaning.title_case("city").alias("t"))
+        assert [r["t"] for r in out.collect()] == [
+            "Café Du Nord", "Zürich West"]
+
     def test_title_case_if_mask(self, spark):
         df = _df(spark, [("LONDON",), ("Paris",)], "city string")
         out = cleaning.title_case_if(df, "city", F.col("city").rlike("[A-Z]$"))
@@ -191,7 +200,11 @@ class TestLookup:
         lk = _df(spark, [("v", "r1"), ("v", "r2")],
                  "m string, r string")
         out = replace_via_lookup(df, "c", lk, "m", "r")
-        assert out.count() == 1  # no row duplication
+        rows = out.collect()
+        assert len(rows) == 1  # no row duplication
+        # deterministic reducer: duplicate keys resolve to MIN, never
+        # partition-order-dependent "first"
+        assert rows[0]["c"] == "r1"
 
 
 # ---- T4/T5 validations ----

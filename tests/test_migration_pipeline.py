@@ -108,10 +108,12 @@ def test_output_golden(result):
 
 
 def test_output_schema(result):
-    # only mapped targets + tags; out-of-scope and tag-only columns gone
+    # mapped targets + tag-only trigger columns (reference passthrough,
+    # main.py:528-541) + tags; out-of-scope and unmapped columns gone
     assert set(result.output.columns) == {
         "email", "first_name", "last_name", "join_date", "faith",
-        "notes", "constituency", "phone", "tags"}
+        "notes", "constituency", "phone", "tags",
+        "Vol Interest", "Donor Flag"}
 
 
 def test_concat_audit(result):
@@ -120,6 +122,44 @@ def test_concat_audit(result):
     a = audit[0]
     assert (a["key"], a["target_value"], a["source_value"]) == \
         ("e5@x", "555", "556")
+
+
+def test_clean_hooks_cover_remaining_reference_shapes(spark):
+    """The cleanData steps not expressible as lookups/junk/dates:
+    char strips with exemptions (main.py:381-383), conditional
+    title-case (main.py:390-391), equality value fixes (main.py:400),
+    and the generic escape hatch — all reachable via MigrationConfig."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a@x", "Smith, Jr", "LONDON", "a..typo@x"),
+        ("b@x", "F. Queen, Jr.", "paris", "ok@x"),
+    ]
+    schema = ("`Email` string, `Last Name` string, `City` string, "
+              "`Alt Email` string")
+    rules = RuleSet([
+        ColumnRule("Email", target="email"),
+        ColumnRule("Last Name", target="last_name"),
+        ColumnRule("City", target="city"),
+        ColumnRule("Alt Email", target="alt_email"),
+    ])
+    cfg = MigrationConfig(
+        purge_needle="zzz-no-purge",
+        strip_char_cols={"Last Name": (",", ("F. Queen, Jr.",))},
+        title_case_masks={"City": "[A-Z]$"},
+        value_fixes={"Alt Email": {"a..typo@x": "a.typo@x"}},
+        extra_cleans=(
+            lambda df: df.withColumn("City", F.rtrim(F.col("City"))),),
+    )
+    out = {r["email"]: r.asDict()
+           for r in run_migration(spark.createDataFrame(rows, schema),
+                                  rules, cfg).output.collect()}
+    assert out["a@x"]["last_name"] == "Smith Jr"      # comma stripped
+    assert out["b@x"]["last_name"] == "F. Queen, Jr." # exemption held
+    assert out["a@x"]["city"] == "London"             # mask matched
+    assert out["b@x"]["city"] == "paris"              # mask not matched
+    assert out["a@x"]["alt_email"] == "a.typo@x"      # value fix
+    assert out["b@x"]["alt_email"] == "ok@x"
 
 
 def test_distinct_lists(result):
