@@ -76,3 +76,27 @@ def test_merge_algebraic_invariants(spark, pairs):
     for i, (t, _) in enumerate(pairs):
         want = None if t is None else (t or "")
         assert eq[i] == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 48) - 1),
+                min_size=2, max_size=40, unique=True),
+       st.integers(min_value=0, max_value=12))
+@settings(**SETTINGS)
+def test_simhash_banding_lossless(spark, fps, max_hamming):
+    """Pigeonhole banding must find EXACTLY the pairs the all-pairs
+    formulation finds (the bands partition all 48 bits, so ≤r differing
+    bits leave ≥1 band identical — recall 1.0; the verify step keeps
+    precision 1.0)."""
+    from jcf_nb_migration_spark.functions.dedup import simhash_near_pairs
+
+    df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(fps)], "id int, simhash long")
+    got = {(r["id_a"], r["id_b"], r["hamming"])
+           for r in simhash_near_pairs(df, "id", max_hamming).collect()}
+    want = set()
+    for i, a in enumerate(fps):
+        for j in range(i + 1, len(fps)):
+            h = bin(a ^ fps[j]).count("1")
+            if h <= max_hamming:
+                want.add((i, j, h))
+    assert got == want
