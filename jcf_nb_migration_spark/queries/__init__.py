@@ -6,6 +6,7 @@ from jcf_nb_migration_spark.queries import (  # noqa: F401
     corpus_ops,
     migration_ops,
     multimodal_ops,
+    pandas_udf_ops,
     profiling_ops,
     relational,
     similarity_search,

@@ -34,6 +34,11 @@ _SQL_CONFS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime Bloom-filter pruning: on a selective join (filtered
+    # orders ⋈ lineitem) the build side's keys seed a Bloom filter
+    # pushed into the probe side's scan — at 100 TB this skips whole
+    # row groups of the fact table. No-op on broadcasts/small inputs.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.session.timeZone": "UTC",
