@@ -127,6 +127,59 @@ def interval_join_stream(spark: SparkSession, sf_dir: str,
                          output_mode="append")
 
 
+def asof_join_stream(spark: SparkSession, sf_dir: str,
+                     lookback_seconds: int = 3600) -> DataFrame:
+    """Stream-stream AS-OF join (Spark has no native one): for every
+    error event, the latest click at-or-before it (within a bounded
+    lookback) by the same user. Composed from the two streaming
+    primitives Spark does have:
+
+      1. stream-stream interval join, time-bounded to
+         [e_ts - lookback, e_ts] — the bound is what lets both sides'
+         state expire (an unbounded as-of can't stream);
+      2. a downstream streaming max-aggregation per (error-hour
+         window, error) — chained stateful operators (Spark 3.4+).
+         Stream-stream joins only support append output, and an
+         append-mode aggregation needs an event-time window so the
+         watermark can finalize groups: an error's result is emitted
+         once the watermark passes its hour window (errors newer than
+         the final watermark stay in state — inherent to streaming
+         emission, asserted in the test).
+
+    The batch twin is functions/asof.asof_join (union+window, no bound
+    needed). Driven to completion; equals the batch formulation
+    restricted to the lookback window, for errors old enough to have
+    been finalized."""
+    errors = (events_stream_source(spark, sf_dir)
+              .where(F.col("event_type") == "error")
+              .select("user_id", F.col("ts").alias("e_ts"),
+                      F.col("event_id").alias("error_id"))
+              .withWatermark("e_ts", "1 hour"))
+    clicks = (events_stream_source(spark, sf_dir)
+              .where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("click_id"))
+              .withWatermark("c_ts", "2 hours"))
+    joined = errors.join(
+        clicks,
+        F.expr(f"""
+            user_id = c_user_id AND
+            c_ts BETWEEN e_ts - INTERVAL {lookback_seconds} SECONDS
+                     AND e_ts
+        """),
+    )
+    latest = (joined
+              .groupBy(F.window("e_ts", "1 hour"), F.col("error_id"))
+              # max over (ts, id) struct = latest click with a
+              # deterministic id tiebreak on equal timestamps
+              .agg(F.max(F.struct(F.col("c_ts"), F.col("click_id")))
+                    .alias("m"))
+              .select("error_id", F.col("m.click_id").alias("click_id"),
+                      F.col("m.c_ts").alias("click_ts")))
+    return run_to_memory(latest, "jcf_asof_stream", output_mode="append")
+
+
 def running_user_totals_stateful(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming: applyInPandasWithState keeps one

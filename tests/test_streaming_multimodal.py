@@ -77,6 +77,48 @@ def test_stream_stream_interval_join_equals_batch(spark):
     assert got == want
 
 
+def test_stream_stream_asof_join_equals_batch(spark):
+    """The composed streaming as-of (bounded interval join + max_by
+    aggregation, chained stateful ops) must equal the batch
+    formulation: per error, the latest click at-or-before it within
+    the lookback, deterministic id tiebreak."""
+    lookback = 3600
+    out = SE.asof_join_stream(spark, SF_SMALL, lookback_seconds=lookback)
+
+    ev = t(spark, SF_SMALL, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("error_id"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"))
+    batch = (
+        errors.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("c_ts") <= F.col("e_ts"))
+            & (F.col("c_ts") >= F.col("e_ts")
+               - F.expr(f"INTERVAL {lookback} SECONDS")))
+        .groupBy("error_id")
+        .agg(F.max(F.struct(F.col("c_ts"), F.col("click_id"))).alias("m"))
+        .select("error_id", F.col("m.click_id").alias("click_id"),
+                F.col("m.c_ts").alias("click_ts")))
+    # Append-mode emission: an error's group finalizes when the
+    # watermark (max e_ts - 1 h) passes its hour window's end. Errors
+    # newer than that remain in state — restrict the batch expectation
+    # to finalized windows.
+    max_e = errors.agg(F.max("e_ts")).collect()[0][0]
+    batch = batch.join(
+        errors.select("error_id", "e_ts"), "error_id").where(
+        F.date_trunc("hour", F.col("e_ts")) + F.expr("INTERVAL 1 HOUR")
+        <= F.lit(max_e) - F.expr("INTERVAL 1 HOUR"))
+    got = {(r["error_id"], r["click_id"], r["click_ts"])
+           for r in out.collect()}
+    want = {(r["error_id"], r["click_id"], r["click_ts"])
+            for r in batch.collect()}
+    assert want and got == want
+
+
 def test_foreach_batch_idempotent_sink(spark, tmp_path):
     """foreachBatch exactly-once pattern: write each micro-batch to a
     batch-id-named path — a retry of the same epoch overwrites instead
