@@ -63,6 +63,47 @@ def brute_force_topk(emb: DataFrame, probe: DataFrame, k: int = 10,
     )
 
 
+def brute_force_topk_pandas(emb: DataFrame, probe: DataFrame, k: int = 10,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """Vectorized-Pandas-UDF variant of brute_force_topk: cosines
+    computed per Arrow batch with one numpy matrix-vector product
+    instead of a per-row fold expression.
+
+    When to use which: the JVM fold is allocation-free and
+    whole-stage-codegen'd — it wins on narrow vectors (≤~100 dims).
+    A 1536-dim embedding column flips the economics: one BLAS
+    matvec per ~10k-row Arrow batch beats 1536 codegen'd
+    multiply-adds per row. Same single-scan plan either way; only the
+    per-batch kernel differs. Results are numerically equal to ~1e-7
+    (numpy pairwise-sums; the fold is strictly sequential), so this
+    variant is ranking-tested against the exact fold, not
+    hash-compared. Columns: neighbor_id, cos_sim."""
+    import numpy as np
+    import pandas as pd
+
+    from jcf_nb_migration_spark.registry import spread
+
+    pvec = np.asarray(
+        probe.select(vec_col).head()[0], dtype=np.float64)
+    pnorm = float(np.sqrt(pvec @ pvec))
+    sess = emb.sparkSession
+    bpvec = sess.sparkContext.broadcast(pvec)
+
+    def score(batches):
+        for pdf in batches:
+            m = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            sims = (m @ bpvec.value) / (
+                np.sqrt((m * m).sum(axis=1)) * pnorm)
+            yield pd.DataFrame({"neighbor_id": pdf[id_col],
+                                "cos_sim": sims})
+
+    out = spread(emb.select(id_col, vec_col)).mapInPandas(
+        score, schema="neighbor_id long, cos_sim double")
+    return out.orderBy(F.desc("cos_sim"), "neighbor_id").limit(k)
+
+
 def ivf_assign(emb: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:

@@ -51,6 +51,23 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, simplified to the
+# lookahead-free subset so Java regex (Spark) and RE2 (DuckDB)
+# tokenize identically): contraction suffixes, space-prefixed letter
+# runs, digit runs, and punctuation runs. This is the *pre-tokenizer*
+# a BPE vocabulary trains over; subword counts from it track BPE token
+# counts closely enough for corpus budgeting.
+BPE_ISH_PATTERN = (r"'s|'t|'re|'ve|'m|'ll|'d"
+                   r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+")
+
+
+def subword_tokens(c: Column | str) -> Column:
+    """BPE-ish subword pre-tokens (see BPE_ISH_PATTERN). JVM-side
+    regexp_extract_all — no Python in the path."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def token_hash48(tok: Column, salt: str = "") -> Column:
     """Deterministic 48-bit integer hash of a token: first 12 hex chars
     of md5. 48 bits keeps values positive in a signed 64-bit int and is

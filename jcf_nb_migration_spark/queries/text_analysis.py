@@ -98,6 +98,43 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_BPE_PAT = T.BPE_ISH_PATTERN.replace("'", "''")
+
+
+@query(
+    "doc_subword_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(sw) AS n_subwords,
+           len(list_distinct(sw)) AS n_distinct_subwords,
+           len({_SQL_TOKS}) AS n_words,
+           CAST(len(sw) AS DOUBLE) / len({_SQL_TOKS})
+               AS subwords_per_word
+    FROM (SELECT doc_id, text,
+                 regexp_extract_all(text, '{_SQL_BPE_PAT}') AS sw
+          FROM documents)
+    """,
+    tags=("text", "tokenize", "bpe"),
+    driver_visible=False,
+)
+def doc_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword counting (the token-budget estimate an LLM data
+    pipeline runs corpus-wide): lookahead-free GPT-2-style
+    pre-tokenizer, counts + fertility (subwords per whitespace word).
+    Both engines run the identical pattern (Java regex ≡ RE2 on this
+    subset), so the oracle comparison is exact."""
+    docs = t(spark, sf_dir, "documents")
+    sw = T.subword_tokens("text")
+    w = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(sw).alias("n_subwords"),
+        F.size(F.array_distinct(sw)).alias("n_distinct_subwords"),
+        F.size(w).alias("n_words"),
+        (F.size(sw).cast("double") / F.size(w)).alias("subwords_per_word"),
+    )
+
+
 @query(
     "doc_lang_id",
     oracle=f"""

@@ -70,3 +70,42 @@ class TestUdfSurface:
         got = [r["v"] for r in spark.sql(
             "SELECT discounted(price, disc) AS v FROM udf_in").collect()]
         assert got == [90.0, 50.0]
+
+
+class TestSubwordTokens:
+    def test_bpe_ish_pretokenization(self, spark):
+        df = spark.createDataFrame(
+            [("Hello world, it's 2026! café #42",)], "t string")
+        toks = df.select(T.subword_tokens("t").alias("x")).head()[0]
+        assert toks == ["Hello", " world", ",", " it", "'s", " 2026",
+                        "!", " café", " #", "42"]
+
+    def test_lossless_concat(self, spark):
+        # on single-spaced text the pre-tokenizer partitions the input:
+        # concatenating subwords round-trips it (runs of extra
+        # whitespace are not captured — same as GPT-2's pre-tokenizer,
+        # which handles them with lookahead branches we deliberately
+        # omit for RE2 parity)
+        df = spark.createDataFrame(
+            [("a b c-d's 12x",), ("nospace",)], "t string")
+        out = df.select(
+            "t",
+            F.concat_ws("", T.subword_tokens("t")).alias("joined"))
+        for r in out.collect():
+            assert r["joined"] == r["t"]
+
+
+class TestPandasCosine:
+    def test_pandas_topk_matches_fold_ranking(self, spark):
+        from jcf_nb_migration_spark.functions import similarity as S
+        from jcf_nb_migration_spark.registry import t
+        from tests.conftest import SF_SMALL
+
+        emb = t(spark, SF_SMALL, "embeddings")
+        probe = emb.where(F.col("vec_id") == 0)
+        jvm = S.brute_force_topk(emb, probe, k=10).collect()
+        pnd = S.brute_force_topk_pandas(emb, probe, k=10).collect()
+        assert [r["neighbor_id"] for r in jvm] == \
+            [r["neighbor_id"] for r in pnd]
+        for a, b in zip(jvm, pnd):
+            assert abs(a["cos_sim"] - b["cos_sim"]) < 1e-9
