@@ -74,6 +74,24 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl(spark: SparkSession, path: str,
+               schema: StructType | str | None = None) -> DataFrame:
+    """JSONL (one JSON object per line) — the de-facto interchange
+    format for LLM training corpora. Line-delimited JSON is splittable
+    (unlike multiLine JSON arrays), so a 100 TB corpus parallelizes at
+    the line level. Always pass a schema in production: without one
+    Spark runs a full inference pre-pass over the data (twice the
+    I/O), and schema drift across files silently widens types.
+    Corrupt lines land in ``_corrupt_record`` instead of failing the
+    job (PERMISSIVE), so a bad shard can't kill a corpus-wide run."""
+    reader = (spark.read
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", "_corrupt_record"))
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def load_star_schema(spark: SparkSession, sf_dir: str,
                      tables: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     """Load the synthetic star schema from a scale-factor directory and

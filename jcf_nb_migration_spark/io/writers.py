@@ -34,6 +34,17 @@ def write_partitioned_parquet(df: DataFrame, path: str,
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite",
+                compression: str | None = "gzip") -> None:
+    """JSONL corpus sink (one object per line, one file per partition,
+    optionally gzipped). The interchange format LLM data pipelines
+    exchange shards in; pair with read_jsonl."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
 def write_single_csv(df: DataFrame, path: str) -> str:
     """Write df as exactly one CSV file at ``path`` (a file, not a dir).
 

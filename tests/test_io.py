@@ -118,3 +118,33 @@ def test_partitioned_parquet_prunes(spark, workdir):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert "PartitionFilters: [isnotnull(seg" in plan
+
+
+def test_jsonl_roundtrip_with_corrupt_line(spark, workdir):
+    from jcf_nb_migration_spark.io.readers import read_jsonl
+    from jcf_nb_migration_spark.io.writers import write_jsonl
+
+    d = os.path.join(workdir, "docs_jsonl")
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "bonjour", "fr")],
+        "doc_id long, text string, lang string")
+    write_jsonl(df, d, compression=None)
+    back = read_jsonl(spark, d, schema="doc_id long, text string, lang string")
+    assert {tuple(r) for r in back.collect()} == \
+        {(1, "hello world", "en"), (2, "bonjour", "fr")}
+
+    # corrupt line: PERMISSIVE mode captures, doesn't fail the job
+    bad = os.path.join(workdir, "bad_jsonl")
+    os.makedirs(bad, exist_ok=True)
+    with open(os.path.join(bad, "part-0.json"), "w") as fh:
+        fh.write('{"doc_id": 1, "text": "ok"}\n')
+        fh.write('this is not json\n')
+    got = read_jsonl(
+        spark, bad,
+        schema="doc_id long, text string, _corrupt_record string")
+    rows = got.collect()
+    assert len(rows) == 2
+    ok = [r for r in rows if r["doc_id"] == 1][0]
+    corrupt = [r for r in rows if r["doc_id"] is None][0]
+    assert ok["text"] == "ok" and ok["_corrupt_record"] is None
+    assert corrupt["_corrupt_record"] == "this is not json"
