@@ -100,6 +100,48 @@ def resize_images(df: DataFrame, width: int, height: int,
     return df.mapInPandas(resize, schema=DECODED_SCHEMA)
 
 
+FEATURES_SCHEMA = "doc_id bigint, features array<float>"
+
+
+def extract_features(df: DataFrame, dim: int = 16,
+                     fake: bool = False) -> DataFrame:
+    """Feature extraction: binary payload → fixed-dim float vector —
+    the embed-the-modality step before similarity search / dedup over
+    media. A real implementation loads a vision/audio encoder inside
+    ``mapInPandas`` (model initialized once per PYTHON WORKER, outside
+    the batch loop — never per batch) and runs batched inference.
+
+    No model runtimes ship in this container, so ``fake=True``
+    substitutes a deterministic md5-derived vector (16 bytes of
+    md5(payload) → ``dim`` floats in [0,1)); the Arrow plumbing —
+    binary in, array<float> out, batch shapes — is identical, and the
+    output feeds the similarity operators unchanged."""
+    if not fake:
+        raise NotImplementedError(
+            "no vision/audio model runtime in this environment; "
+            "pass fake=True for the deterministic stub")
+    import hashlib
+
+    def embed(payload: bytes) -> list[float]:
+        out: list[float] = []
+        counter = 0
+        while len(out) < dim:
+            h = hashlib.md5(payload + counter.to_bytes(4, "big")).digest()
+            out.extend(b / 256.0 for b in h)
+            counter += 1
+        return out[:dim]
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # (a real model would be loaded HERE, once per worker)
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "features": pdf["payload"].map(embed),
+            })
+
+    return df.mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_ts_ms int"
 
 

@@ -154,3 +154,29 @@ def test_multimodal_frame_sample_fanout(spark):
     want = int(((meta["n_frames"] + 1) // 2).sum())
     assert len(frames) == want
     assert (frames["frame_ts_ms"] == frames["frame_idx"] * 40).all()
+
+
+def test_multimodal_feature_extract(spark):
+    from jcf_nb_migration_spark.functions.multimodal import extract_features
+    from jcf_nb_migration_spark.functions import similarity as S
+
+    docs = t(spark, SF_SMALL, "documents")
+    feats = extract_features(attach_payload(docs), dim=16, fake=True)
+    rows = feats.limit(5).collect()
+    assert all(len(r["features"]) == 16 for r in rows)
+    assert all(0.0 <= v < 1.0 for r in rows for v in r["features"])
+    # deterministic: same payload -> same vector across runs
+    again = {r["doc_id"]: r["features"] for r in
+             extract_features(attach_payload(docs), dim=16, fake=True)
+             .limit(5).collect()}
+    for r in rows:
+        assert again[r["doc_id"]] == r["features"]
+    # the extracted features feed the similarity operators unchanged
+    emb_like = feats.withColumnRenamed("doc_id", "vec_id") \
+                    .withColumnRenamed("features", "embedding")
+    probe = emb_like.limit(1)
+    top = S.brute_force_topk(emb_like, probe, k=3).collect()
+    assert len(top) == 3 and abs(top[0]["cos_sim"] - 1.0) < 1e-9
+
+    with pytest.raises(NotImplementedError):
+        extract_features(attach_payload(docs), fake=False)
