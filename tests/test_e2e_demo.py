@@ -26,3 +26,27 @@ def test_demo_end_to_end(spark, tmp_path):
     assert "e5@x" in audit
     assert open(outputs["diff_data_missing"]).read().splitlines()[1:] == \
         ["Mystery"]
+
+
+def test_corpus_curation_pipeline(spark, tmp_path):
+    """The composed training-corpus pipeline (filter → dedup →
+    cluster-keep-one → split → budget → shards) runs end-to-end and
+    every stage only ever removes rows."""
+    from examples.corpus_pipeline import curate
+
+    out = curate(spark, "/root/testdata/sf0.001", str(tmp_path))
+    s = out["stages"]
+    order = ["input", "after_lang_filter", "after_quality_filter",
+             "after_exact_dedup", "after_near_dedup"]
+    for a, b in zip(order, order[1:]):
+        assert s[b] <= s[a], (a, b, s)
+    assert s["train"] + s["holdout"] == s["after_near_dedup"]
+    assert out["train_subwords"] >= out["train_words"] > 0
+
+    train = spark.read.json(str(tmp_path / "train_jsonl"))
+    holdout = spark.read.parquet(str(tmp_path / "holdout_parquet"))
+    assert train.count() == s["train"]
+    assert holdout.count() == s["holdout"]
+    # disjoint, deterministic split
+    both = train.select("doc_id").intersect(holdout.select("doc_id"))
+    assert both.count() == 0
