@@ -54,6 +54,10 @@ def main() -> None:
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # Queries persist intermediates (shingle index, per-doc
+        # signatures); drop them so later queries aren't measured
+        # under accumulated cache memory pressure.
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total_runtime",

@@ -90,9 +90,13 @@ def main(argv: list[str] | None = None) -> int:
         # Entry point 2: refresh the snapshot cache from Sheets, then
         # continue down the cache path exactly like the reference
         # (main.py:658-663 → README:41).
-        fetch_metadata_from_gsheet(
-            spark, args.api_key, args.spreadsheet, args.cache_dir,
-            repdata_cols=[])
+        try:
+            fetch_metadata_from_gsheet(
+                spark, args.api_key, args.spreadsheet, args.cache_dir,
+                repdata_cols=[])
+        except NotImplementedError as e:
+            print(f"error: --meta unavailable: {e}", file=sys.stderr)
+            return 3
 
     meta = load_metadata_from_cache(spark, args.cache_dir)
     if "STM" not in meta:

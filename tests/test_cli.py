@@ -82,3 +82,13 @@ def test_cli_default_pipeline(tmp_path):
     assert "Christianity" in faith_list
     assert (outdir / "concat_audit.csv").exists()
     assert (outdir / "dataColsMissingFromMeta.csv").exists()
+
+def test_cli_meta_without_gspread_fails_gracefully(tmp_path):
+    r = subprocess.run(
+        [sys.executable, "-m", "jcf_nb_migration_spark", "--meta",
+         "--cache-dir", str(tmp_path / "meta"),
+         "--output-dir", str(tmp_path / "out")],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+        env={**os.environ, "PYTHONPATH": REPO})
+    assert r.returncode == 3
+    assert "--meta unavailable" in r.stderr
