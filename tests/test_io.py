@@ -148,3 +148,44 @@ def test_jsonl_roundtrip_with_corrupt_line(spark, workdir):
     corrupt = [r for r in rows if r["doc_id"] is None][0]
     assert ok["text"] == "ok" and ok["_corrupt_record"] is None
     assert corrupt["_corrupt_record"] == "this is not json"
+
+
+def test_cluster_write_gives_disjoint_file_stats(spark, workdir):
+    """Range-clustered writes must give each file a disjoint key
+    slice with tight row-group min/max stats — the property that makes
+    parquet pruning effective at scale."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from jcf_nb_migration_spark.io.layout import cluster_write
+
+    df = spark.range(100_000).selectExpr(
+        "id", "cast(id % 97 as double) as noise")
+    out = os.path.join(workdir, "clustered")
+    cluster_write(df, out, ["id"], num_files=8)
+
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(out, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        col_idx = [md.schema.column(i).name
+                   for i in range(md.num_columns)].index("id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap — no pruning possible"
+
+    # and Spark's scan actually exploits it: a point filter reads a
+    # fraction of the rows' files (pushed filter visible in the plan)
+    back = spark.read.parquet(out).where("id = 54321")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "PushedFilters: [IsNotNull(id), EqualTo(id,54321)]" in plan
+    assert back.count() == 1
