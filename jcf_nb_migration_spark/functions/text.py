@@ -119,6 +119,61 @@ def punct_count(c: Column | str) -> Column:
     return F.length(col) - F.length(F.regexp_replace(col, r"[.,;:!?'\"()-]", ""))
 
 
+def winnowing_fingerprints(df, id_col: str, text_col: str, k: int = 8,
+                           window: int = 4):
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-char gram of the normalized text (rolling-hash family — here
+    md5-derived per gram for engine-independence), then slide a
+    ``window`` over the gram-hash sequence keeping each window's
+    minimum. The selected set is a position-robust fingerprint:
+    documents sharing any substring of length ≥ k + window - 1 share
+    at least one fingerprint, so partial overlaps (quotations,
+    boilerplate, plagiarism) are detectable by joining on fingerprint
+    values — unlike a whole-document hash, which only catches exact
+    duplicates.
+
+    Formulated relationally — posexplode the gram positions to rows
+    (whole-stage-codegen'd hashing) and take the window minimum with a
+    sliding frame — instead of nested array lambdas: higher-order-
+    function lambda bodies evaluate INTERPRETED and re-evaluate
+    captured expressions per element (measured ~1 s/doc for the array
+    formulation vs milliseconds for this one). One shuffle on the doc
+    id. Documents shorter than k+window-1 chars keep their single
+    minimum gram hash; documents under k chars yield no rows.
+
+    Returns a DataFrame (id_col, fp) — distinct fingerprints per doc.
+    """
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    n_grams = (F.length(norm) - (k - 1)).alias("__n_grams")
+    base = df.select(F.col(id_col), norm.alias("__norm"), n_grams)
+    positions = base.select(
+        id_col, "__norm", "__n_grams",
+        F.explode(F.when(F.col("__n_grams") >= 1,
+                         F.sequence(F.lit(1), F.col("__n_grams")))
+                  .otherwise(F.array().cast("array<int>"))).alias("__i"),
+    )
+    hashed = positions.select(
+        id_col, "__n_grams", F.col("__i"),
+        F.conv(F.substring(
+            F.md5(F.substr(F.col("__norm"), F.col("__i"), F.lit(k))),
+            1, 12), 16, 10).cast("bigint").alias("__h"),
+    )
+    w = (Window.partitionBy(id_col).orderBy("__i")
+         .rowsBetween(0, window - 1))
+    # windows starting past n_grams-window+1 are partial; they only
+    # stand in when the doc has fewer than `window` grams (then the
+    # single window at position 1 covers all grams)
+    return (
+        hashed.withColumn("__wmin", F.min("__h").over(w))
+        .where((F.col("__i") <= F.col("__n_grams") - (window - 1))
+               | ((F.col("__n_grams") < window) & (F.col("__i") == 1)))
+        .select(F.col(id_col), F.col("__wmin").alias("fp"))
+        .distinct()
+    )
+
+
 def doc_fingerprint(c: Column | str) -> Column:
     """Whole-document fingerprint: md5 of the whitespace-normalized,
     lowercased text. Exact-dedup key that survives formatting noise."""

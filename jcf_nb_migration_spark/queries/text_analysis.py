@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions import dedup as D
 from jcf_nb_migration_spark.functions import text as T
-from jcf_nb_migration_spark.registry import query, t
+from jcf_nb_migration_spark.registry import query, spread, t
 
 # DuckDB-side token/shingle expressions matching text.tokens /
 # text.word_shingles over a `text` column.
@@ -225,6 +225,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Dedup: exact, brute Jaccard, MinHash+LSH, SimHash
 # --------------------------------------------------------------------------
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(norm) - 7, 0) + 1),
+                   i -> ('0x' || substr(md5(norm[i:i+7]), 1, 12))::BIGINT
+               ) AS hs
+        FROM base
+    ), wins AS (
+        SELECT doc_id,
+               CASE WHEN len(hs) - 3 >= 1 THEN
+                   list_distinct(list_transform(
+                       range(1, len(hs) - 3 + 1),
+                       j -> list_min(hs[j:j+3])))
+               WHEN len(hs) >= 1 THEN [list_min(hs)]
+               ELSE [] END AS fps
+        FROM grams
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wins
+    """,
+    tags=("text", "fingerprint", "winnowing"),
+    driver_visible=False,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash + min-per-window) fingerprints,
+    exploded to (doc_id, fp) — join two corpora on fp to find partial
+    overlaps (shared substrings ≥ k+window-1 chars), which a whole-doc
+    hash can't see. k=8, window=4."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    return T.winnowing_fingerprints(docs, "doc_id", "text", k=8, window=4)
+
 
 @query(
     "dedup_exact",

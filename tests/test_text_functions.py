@@ -109,3 +109,36 @@ class TestPandasCosine:
             [r["neighbor_id"] for r in pnd]
         for a, b in zip(jvm, pnd):
             assert abs(a["cos_sim"] - b["cos_sim"]) < 1e-9
+
+
+class TestWinnowing:
+    def test_shared_substring_shares_fingerprint(self, spark):
+        shared = "the quick brown fox jumps over the lazy dog"
+        df = spark.createDataFrame(
+            [(1, f"AAAA {shared} BBBB"),
+             (2, f"XXXXXX {shared} YYYY"),
+             (3, "completely different content here entirely")],
+            "doc_id long, text string")
+        fps = T.winnowing_fingerprints(df, "doc_id", "text",
+                                       k=8, window=4)
+        by_doc = {}
+        for r in fps.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        # winnowing guarantee: any shared substring of length >=
+        # k + window - 1 yields at least one common fingerprint
+        assert by_doc[1] & by_doc[2]
+        assert not (by_doc[1] & by_doc[3])
+
+    def test_short_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "tiny"),        # < k chars -> no fingerprints
+             (2, "exactlyeig"),  # k <= len < k+window-1 -> 1 fp
+             (3, "")],
+            "doc_id long, text string")
+        fps = T.winnowing_fingerprints(df, "doc_id", "text",
+                                       k=8, window=4)
+        by_doc = {}
+        for r in fps.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert 1 not in by_doc and 3 not in by_doc
+        assert len(by_doc[2]) == 1
