@@ -217,28 +217,31 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     )
 
 
-def dup_clusters(df: DataFrame, id_col: str, text_col: str,
-                 threshold: float = 0.5, n: int = 3,
-                 max_iterations: int = 20) -> DataFrame:
-    """Connected components over the near-duplicate graph: every
-    document labeled with the min id of its duplicate cluster
-    (singletons label themselves). The canonical "keep one per
-    near-dup group" step after pair generation.
+def dup_clusters_from_pairs(pairs: DataFrame, ids: DataFrame,
+                            id_col: str, max_iterations: int = 20,
+                            check_every: int = 2) -> DataFrame:
+    """Connected components over an explicit near-duplicate pair set:
+    every id labeled with the min id of its component (singletons label
+    themselves). ``pairs`` needs columns id_a/id_b; ``ids`` supplies
+    the full vertex set (so untouched docs appear as singletons).
 
     Iterative min-label propagation: label(v) ← min(label(v),
     min_{u~v} label(u)) until fixpoint. Converges in O(component
     diameter) rounds — near-dup clusters are small cliques, so a
     handful. Each round is one join + aggregate; localCheckpoint
-    truncates lineage so plans don't snowball.
+    truncates lineage so plans don't snowball. The convergence probe
+    (a count() action — a full job at cluster scale) runs every
+    ``check_every`` rounds instead of every round; an extra
+    propagation round past the fixpoint is a no-op, so the output is
+    identical, just fewer actions.
     """
-    pairs = jaccard_pairs(df, id_col, text_col, threshold, n)
     edges = (pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
              .unionAll(pairs.select(F.col("id_b").alias("u"),
                                     F.col("id_a").alias("v"))))
     edges = edges.persist()
-    labels = (df.select(F.col(id_col).alias("u"))
+    labels = (ids.select(F.col(id_col).alias("u"))
               .withColumn("label", F.col("u")))
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v")
                        .withColumnRenamed("label", "nlabel"), "v")
@@ -250,14 +253,40 @@ def dup_clusters(df: DataFrame, id_col: str, text_col: str,
                                  F.coalesce(F.col("nmin"), F.col("label")))
                     .alias("label"))
         ).localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "u")
-                   .where(F.col("n.label") != F.col("o.label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+        if it % check_every == check_every - 1 or it == max_iterations - 1:
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "u")
+                       .where(F.col("n.label") != F.col("o.label")).count())
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels.select(F.col("u").alias(id_col),
                          F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(df: DataFrame, id_col: str, text_col: str,
+                 threshold: float = 0.5, n: int = 3,
+                 max_iterations: int = 20) -> DataFrame:
+    """All-pairs-Jaccard clustering BASELINE: exact pair generation
+    (quadratic in hot shingles) feeding dup_clusters_from_pairs. Kept
+    for verification; the scale path is dup_clusters_lsh."""
+    pairs = jaccard_pairs(df, id_col, text_col, threshold, n)
+    return dup_clusters_from_pairs(pairs, df, id_col, max_iterations)
+
+
+def dup_clusters_lsh(df: DataFrame, id_col: str, text_col: str,
+                     threshold: float = 0.5, k: int = 16,
+                     bands: int = 8, rows: int = 2, n: int = 3,
+                     max_iterations: int = 20) -> DataFrame:
+    """The 100 TB clustering path: LSH candidates → exact-Jaccard
+    verify (minhash_lsh_dedup, linear in near-dup pairs) → min-label
+    propagation. No stage is quadratic in corpus size; precision of the
+    edge set is exact (verification step), banding only tunes recall."""
+    pairs = minhash_lsh_dedup(df, id_col, text_col, threshold,
+                              k, bands, rows, n)
+    return dup_clusters_from_pairs(pairs, df, id_col, max_iterations)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,

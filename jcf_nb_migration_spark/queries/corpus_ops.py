@@ -11,7 +11,9 @@ from jcf_nb_migration_spark.functions import dedup as D
 from jcf_nb_migration_spark.functions import similarity as S
 from jcf_nb_migration_spark.functions import text as T
 from jcf_nb_migration_spark.functions.skew import salted_aggregate
-from jcf_nb_migration_spark.queries.text_analysis import _SQL_SH_CTE, _SQL_TOKS
+from jcf_nb_migration_spark.queries.text_analysis import (
+    _SQL_SH_CTE, _SQL_TOKS, _sql_bands_cte, _sql_minhash_sig_cte,
+)
 from jcf_nb_migration_spark.registry import query, spread, sql_dsum, t
 
 
@@ -44,14 +46,67 @@ from jcf_nb_migration_spark.registry import query, spread, sql_dsum, t
     FROM walk GROUP BY node
     """,
     tags=("dedup", "clustering", "iterative"),
+    driver_visible=False,  # all-pairs baseline of dedup_clusters_lsh
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the Jaccard≥0.5 near-dup graph —
-    iterative min-label propagation (the genuinely iterative operator
-    of the suite; the oracle is a recursive CTE computing the same
-    components)."""
+    iterative min-label propagation seeded from the EXACT all-pairs
+    edge set (quadratic baseline; the scale path is
+    dedup_clusters_lsh, which feeds the same propagation from LSH
+    candidate pairs)."""
     docs = t(spark, sf_dir, "documents")
     return D.dup_clusters(docs, "doc_id", "text", threshold=0.5, n=3)
+
+
+@query(
+    "dedup_clusters_lsh",
+    oracle=f"""
+    WITH RECURSIVE {_sql_minhash_sig_cte(16)},
+    {_sql_bands_cte(8, 2)},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM verified
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    walk(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v, w.root FROM walk w JOIN edges e ON e.u = w.node
+    )
+    SELECT node AS doc_id, min(root) AS cluster_id
+    FROM walk GROUP BY node
+    """,
+    tags=("dedup", "clustering", "iterative", "lsh"),
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end linear dedup: banded MinHash LSH candidates →
+    exact-Jaccard verify → min-label-propagation components. The edge
+    set is the minhash_lsh_dedup output, so no stage is quadratic in
+    corpus size — this is the 100 TB clustering path (the oracle
+    replays the identical LSH pipeline, then computes components with
+    a recursive CTE)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.dup_clusters_lsh(docs, "doc_id", "text",
+                              threshold=0.5, k=16, bands=8, rows=2, n=3)
 
 
 @query(
