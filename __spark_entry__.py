@@ -26,11 +26,25 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Exposes the registry's driver-visible subset (≤50 names): the
-    driver hard-checks the first 50 query names alphabetically, so
-    pure-baseline/intermediate queries are kept out of the contract
-    (they remain registered and oracle-tested locally — see
-    registry.Query.driver_visible)."""
+    Exposes the registry's driver-visible subset (exactly 50 names):
+    the driver hard-checks the first 50 query names alphabetically, so
+    the contract is curated to 50 to keep every exposed query inside
+    the checked window. Curation criteria, applied in order:
+
+    1. Every SURVEY §2 operator and every LLM-pipeline component keeps
+       at least one driver-visible query exercising it.
+    2. A query that is a pure baseline or intermediate of a visible
+       query is kept local (e.g. dedup_ngram_jaccard / dedup_clusters
+       are the all-pairs baselines of minhash_lsh_dedup /
+       dedup_clusters_lsh; minhash_signatures feeds them).
+    3. When two queries exercise the same physical pattern, the harder
+       shape stays visible (e.g. streaming_hourly_counts — a real
+       readStream — over the batch-equivalent sliding_window_counts).
+
+    Local queries remain registered and oracle-tested at every pytest
+    run (tests/test_query_oracles.py covers ALL registered queries,
+    visible or not) and by tools/verify_local.py — see
+    registry.Query.driver_visible and COVERAGE.md's driver column."""
     from jcf_nb_migration_spark.registry import driver_queries
     return {name: q.fn for name, q in sorted(driver_queries().items())}
 

@@ -84,9 +84,14 @@ def brute_force_topk_pandas(emb: DataFrame, probe: DataFrame, k: int = 10,
 
     from jcf_nb_migration_spark.registry import spread
 
-    pvec = np.asarray(
-        probe.select(vec_col).head()[0], dtype=np.float64)
+    out_schema = "neighbor_id long, cos_sim double"
+    head = probe.select(vec_col).head(1)
+    if not head:  # empty probe: empty result with the declared schema
+        return emb.sparkSession.createDataFrame([], out_schema)
+    pvec = np.asarray(head[0][0], dtype=np.float64)
     pnorm = float(np.sqrt(pvec @ pvec))
+    if pnorm == 0.0:  # zero-norm probe: every cosine is undefined
+        return emb.sparkSession.createDataFrame([], out_schema)
     sess = emb.sparkSession
     bpvec = sess.sparkContext.broadcast(pvec)
 
@@ -94,8 +99,13 @@ def brute_force_topk_pandas(emb: DataFrame, probe: DataFrame, k: int = 10,
         for pdf in batches:
             m = np.array([np.asarray(v, dtype=np.float64)
                           for v in pdf[vec_col]])
-            sims = (m @ bpvec.value) / (
-                np.sqrt((m * m).sum(axis=1)) * pnorm)
+            # Zero-norm corpus rows produce NaN (0/0) — the same value
+            # the JVM fold path yields, and Spark's descending sort
+            # ranks NaN first in both variants, so semantics match
+            # brute_force_topk instead of silently diverging.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (m @ bpvec.value) / (
+                    np.sqrt((m * m).sum(axis=1)) * pnorm)
             yield pd.DataFrame({"neighbor_id": pdf[id_col],
                                 "cos_sim": sims})
 
@@ -104,48 +114,117 @@ def brute_force_topk_pandas(emb: DataFrame, probe: DataFrame, k: int = 10,
     return out.orderBy(F.desc("cos_sim"), "neighbor_id").limit(k)
 
 
-def ivf_assign(emb: DataFrame, centroids: DataFrame,
+def _centroid_rows(centroids, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Driver-side centroid list [(id, vector), ...], sorted by id.
+    Accepts a DataFrame (collected — K is small by definition: it's the
+    coarse quantizer, control-plane metadata like a broadcast dim) or
+    an already-collected list."""
+    if isinstance(centroids, DataFrame):
+        centroids = [(r[0], r[1])
+                     for r in centroids.select(id_col, vec_col).collect()]
+    return sorted((int(i), [float(x) for x in v]) for i, v in centroids)
+
+
+def _centroid_sims(vec_col: str,
+                   rows: list[tuple[int, list[float]]]) -> Column:
+    """array(struct(sim, neg_id)) over the centroid list — the building
+    block for narrow argmax/top-n centroid selection. Struct ordering
+    is lexicographic, so max = (highest sim, then LOWEST centroid id
+    via the negated id) — the same tie-break as ORDER BY sim DESC,
+    c_id ASC."""
+    structs = []
+    for cid, cvec in rows:
+        lit = F.array(*[F.lit(x) for x in cvec])
+        structs.append(F.struct(
+            cosine(F.col(vec_col), lit).alias("sim"),
+            F.lit(-cid).cast("bigint").alias("neg_id")))
+    return F.array(*structs)
+
+
+def ivf_assign(emb: DataFrame, centroids,
                id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
-    centroid by cosine (broadcast the centroid table; one scan).
-    Deterministic ties broken by centroid id. Adds ``cluster``.
+    centroid by cosine. Deterministic ties broken by lowest centroid
+    id. Adds ``cluster``.
 
-    At 100 TB the output is what you partition/bucket the corpus by;
-    probes then read only their cluster's files."""
-    c = F.broadcast(centroids.select(
-        F.col(id_col).alias("__c_id"), F.col(vec_col).alias("__c_vec")))
-    scored = (
-        emb.crossJoin(c)
-        .withColumn("__sim", cosine(F.col(vec_col), F.col("__c_vec")))
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.col("__c_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(F.col(id_col), F.col(vec_col),
-                F.col("__c_id").alias("cluster"))
-    )
+    The assignment is array_max over array(struct(sim, -id)) built
+    from the driver-held centroid list — a single narrow codegen'd
+    pass per row: no crossJoin row amplification (the old plan
+    materialized N×K rows) and no window shuffle. At 100 TB the output
+    is what you partition/bucket the corpus by; probes then read only
+    their cluster's files."""
+    rows = _centroid_rows(centroids, id_col, vec_col)
+    best = F.array_max(_centroid_sims(vec_col, rows))
+    return emb.select(
+        F.col(id_col), F.col(vec_col),
+        (-best["neg_id"]).cast("bigint").alias("cluster"))
 
 
-def ivf_ann_probe(emb: DataFrame, centroids: DataFrame, probe_id: int,
-                  k: int = 10, id_col: str = "vec_id",
+def kmeans_train(emb: DataFrame, k: int = 8, iters: int = 2,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd iterations over the corpus: seeds are the k
+    lowest-id vectors; each round assigns every vector with the narrow
+    argmax and recomputes per-cluster/per-dimension means. Sums go
+    through DECIMAL(18,12) so the means are order-independent —
+    bit-reproducible across partitionings AND across engines (a DuckDB
+    oracle replaying the same rounds gets the identical centroids).
+    Empty clusters keep their previous centroid. The driver only ever
+    holds the k×dim centroid matrix; each round is one scan + one
+    (cluster, dim) aggregation."""
+    rows = _centroid_rows(emb.where(F.col(id_col) < k), id_col, vec_col)
+    for _ in range(iters):
+        best = F.array_max(_centroid_sims(vec_col, rows))
+        # Two selects, not one: a generator (posexplode) in the same
+        # projection as a struct-field access strips the struct's field
+        # names during analysis (FIELD_NOT_FOUND col1/col2). Catalyst
+        # collapses the adjacent projections, so the plan is identical.
+        means = (
+            emb.select((-best["neg_id"]).alias("cluster"),
+                       as_double(F.col(vec_col)).alias("__v"))
+            .select("cluster",
+                    F.posexplode("__v").alias("dim_idx", "component"))
+            .groupBy("cluster", "dim_idx")
+            .agg((F.sum(F.col("component").cast("decimal(18,12)"))
+                  .cast("double") / F.count(F.lit(1))).alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim_idx"])] = r["m"]
+        rows = [
+            (cid, [by_cluster[cid][d] for d in range(len(old))])
+            if cid in by_cluster else (cid, old)
+            for cid, old in rows
+        ]
+    return rows
+
+
+def ivf_ann_probe(emb: DataFrame, centroids, probe_id: int,
+                  k: int = 10, nprobe: int = 1, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> DataFrame:
-    """IVF probe: rank only the probe's cluster by exact cosine —
-    the coarse-quantization ANN path (nprobe=1). Columns:
-    neighbor_id, cluster, cos_sim."""
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    """IVF probe: rank only the probe's ``nprobe`` nearest clusters by
+    exact cosine — the coarse-quantization ANN path. Multi-probe
+    (nprobe>1) recovers the recall a hard cluster boundary loses: the
+    probe's top-n centroids are selected with the same narrow
+    sort-descending pass, then candidates come from an equi-join on
+    cluster (partition-prunable at scale, never a corpus scan).
+    Columns: neighbor_id, cluster, cos_sim."""
+    rows = _centroid_rows(centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, rows, id_col, vec_col)
+    top_n = F.slice(F.reverse(F.array_sort(_centroid_sims(vec_col, rows))),
+                    1, nprobe)
     probe = F.broadcast(
-        assigned.where(F.col(id_col) == probe_id)
+        emb.where(F.col(id_col) == probe_id)
         .select(F.col(vec_col).alias("__probe_vec"),
-                F.col("cluster").alias("__probe_cluster"))
+                F.explode(top_n).alias("__c"))
+        .select("__probe_vec", (-F.col("__c.neg_id")).alias("cluster"))
     )
     return (
-        assigned.crossJoin(probe)
-        .where((F.col("cluster") == F.col("__probe_cluster"))
-               & (F.col(id_col) != probe_id))
+        assigned.join(probe, "cluster")
+        .where(F.col(id_col) != probe_id)
         .select(F.col(id_col).alias("neighbor_id"), "cluster",
                 cosine(F.col(vec_col), F.col("__probe_vec"))
                 .alias("cos_sim"))
@@ -205,4 +284,42 @@ def lsh_ann_same_bucket(emb: DataFrame, probe_id: int, n_planes: int = 6,
             "bucket",
             cosine(F.col(vec_col), F.col("__probe_vec")).alias("cos_sim"),
         )
+    )
+
+
+def lsh_ann_multiprobe(emb: DataFrame, probe_id: int, n_planes: int = 6,
+                       dim: int = 64, k: int = 10,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe hyperplane LSH: candidates come from the probe's
+    own bucket PLUS every Hamming-1 neighbor (one sign flip) — the
+    standard recall fix for vectors that sit near a hyperplane. The
+    probe row is exploded into its 1+n_planes candidate bucket ids and
+    equi-joined on ``bucket``, so at scale this stays a bucket-pruned
+    read of n_planes+1 buckets, never a corpus scan. Exact cosine
+    ranks the candidate union; top-k returned.
+    Columns: neighbor_id, bucket, cos_sim."""
+    planes = hyperplane_signs(n_planes, dim)
+    with_bucket = emb.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    masks = [0] + [1 << p for p in range(n_planes)]
+    probe = F.broadcast(
+        with_bucket.where(F.col(id_col) == probe_id)
+        .select(F.col(vec_col).alias("__probe_vec"),
+                F.explode(F.array(*[
+                    F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks
+                ])).alias("bucket"))
+    )
+    return (
+        with_bucket.join(probe, "bucket")
+        .where(F.col(id_col) != probe_id)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            "bucket",
+            cosine(F.col(vec_col), F.col("__probe_vec")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "neighbor_id")
+        .limit(k)
     )

@@ -7,7 +7,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions import text as T
-from jcf_nb_migration_spark.functions.similarity import ivf_ann_probe
+from jcf_nb_migration_spark.functions.similarity import (
+    ivf_ann_probe, kmeans_train,
+)
 from jcf_nb_migration_spark.queries.similarity_search import _sql_cos
 from jcf_nb_migration_spark.queries.text_analysis import _SQL_TOKS
 from jcf_nb_migration_spark.registry import query, spread, t
@@ -16,23 +18,70 @@ _SQL_REV = ("CAST(l_extendedprice AS DECIMAL(18,4))"
             " * (1 - CAST(l_discount AS DECIMAL(18,4)))")
 
 
-@query(
-    "ivf_ann_probe",
-    oracle=f"""
-    WITH centroids AS (
-        SELECT vec_id AS c_id, embedding AS c_vec
-        FROM embeddings WHERE vec_id < 8
-    ), scored AS (
+def _sql_kmeans_cte(k: int = 8, iters: int = 2) -> str:
+    """CTE chain replaying functions.similarity.kmeans_train exactly:
+    seeds = the k lowest-id vectors; per round, assign by cosine
+    (ties → lowest centroid id) and recompute per-cluster/per-dim
+    means through DECIMAL(18,12) — the same order-independent
+    arithmetic the Spark side uses, so centroids are bit-identical.
+    Exposes ``c{iters}`` (c_id, c_vec) as the trained centroid CTE."""
+    parts = [f"""c0 AS (
+        SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+        FROM embeddings WHERE vec_id < {k}
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""scored_{i} AS (
         SELECT e.vec_id, e.embedding, c.c_id,
                {_sql_cos('e.embedding', 'c.c_vec')} AS sim
-        FROM embeddings e, centroids c
-    ), assigned AS (
+        FROM embeddings e, c{i - 1} c
+    )""")
+        parts.append(f"""assigned_{i} AS (
+        SELECT vec_id, embedding, c_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+            FROM scored_{i}
+        ) WHERE rn = 1
+    )""")
+        parts.append(f"""means_{i} AS (
+        SELECT cluster, dim_idx,
+               CAST(SUM(CAST(component AS DECIMAL(18,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM (SELECT cluster,
+                     CAST(unnest(range(len(v))) AS INT) AS dim_idx,
+                     unnest(v) AS component
+              FROM (SELECT cluster, embedding::DOUBLE[] AS v
+                    FROM assigned_{i}))
+        GROUP BY cluster, dim_idx
+    )""")
+        parts.append(f"""c{i} AS (
+        SELECT p.c_id, COALESCE(n.v, p.c_vec) AS c_vec
+        FROM c{i - 1} p LEFT JOIN (
+            SELECT cluster AS c_id, list(m ORDER BY dim_idx) AS v
+            FROM means_{i} GROUP BY cluster) n ON n.c_id = p.c_id
+    )""")
+    return ",\n    ".join(parts)
+
+
+_SQL_IVF_ASSIGNED = f"""{_sql_kmeans_cte(8, 2)},
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               {_sql_cos('e.embedding', 'c.c_vec')} AS sim
+        FROM embeddings e, c2 c
+    ),
+    assigned AS (
         SELECT vec_id, embedding, c_id AS cluster FROM (
             SELECT *, ROW_NUMBER() OVER (
                 PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
             FROM scored
         ) WHERE rn = 1
-    ), probe AS (
+    )"""
+
+
+@query(
+    "ivf_ann_probe",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGNED},
+    probe AS (
         SELECT embedding AS pvec, cluster AS pcluster
         FROM assigned WHERE vec_id = 0
     )
@@ -46,13 +95,48 @@ _SQL_REV = ("CAST(l_extendedprice AS DECIMAL(18,4))"
     tags=("similarity", "ann", "ivf"),
 )
 def ivf_ann_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (nprobe=1): vectors coarse-quantized to 8 deterministic
-    centroids (the first 8 vectors — a stand-in for trained k-means);
-    the probe ranks only its own cluster. The cluster column is the
+    """IVF ANN (nprobe=1) with TRAINED centroids: 2 deterministic
+    Lloyd rounds from the 8 lowest-id seeds (decimal-exact means, so
+    the oracle replays training bit-identically), then the probe ranks
+    only its own cluster. Assignment is the narrow argmax pass — no
+    crossJoin fan-out, no window shuffle; the cluster column is the
     partition key the corpus would be written by at scale."""
     emb = spread(t(spark, sf_dir, "embeddings"))
-    centroids = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 8)
+    centroids = kmeans_train(emb, k=8, iters=2)
     return ivf_ann_probe(emb, centroids, probe_id=0, k=10)
+
+
+@query(
+    "ivf_ann_multiprobe",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGNED},
+    pv AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0),
+    pclusters AS (
+        SELECT c_id AS cluster FROM (
+            SELECT c.c_id, ROW_NUMBER() OVER (
+                ORDER BY {_sql_cos('pv.pvec', 'c.c_vec')} DESC, c.c_id
+            ) AS rn
+            FROM pv, c2 c
+        ) WHERE rn <= 2
+    )
+    SELECT a.vec_id AS neighbor_id, a.cluster,
+           {_sql_cos('a.embedding', 'pv.pvec')} AS cos_sim
+    FROM assigned a JOIN pclusters USING (cluster), pv
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, neighbor_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "ivf", "multiprobe"),
+)
+def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (nprobe=2, trained centroids): the probe
+    ranks its TWO nearest clusters, recovering neighbors that fall
+    just across the nearest cluster's boundary — the standard recall
+    fix for coarse quantization. Candidates still come from an
+    equi-join on cluster (partition-prunable), never a corpus scan."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    centroids = kmeans_train(emb, k=8, iters=2)
+    return ivf_ann_probe(emb, centroids, probe_id=0, k=10, nprobe=2)
 
 
 @query(

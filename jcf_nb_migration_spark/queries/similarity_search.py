@@ -155,3 +155,37 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB so bucket probes prune partitions at the source."""
     emb = t(spark, sf_dir, "embeddings")
     return S.lsh_ann_same_bucket(emb, probe_id=0, n_planes=6, dim=64)
+
+
+@query(
+    "ann_lsh_multiprobe",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_sql_lsh_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    probe AS (SELECT embedding AS pvec, bucket AS pbucket
+              FROM bucketed WHERE vec_id = 0),
+    cand_buckets AS (
+        SELECT xor(probe.pbucket, f.flip) AS bucket, probe.pvec
+        FROM probe, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip) f
+    )
+    SELECT b.vec_id AS neighbor_id, b.bucket,
+           {_sql_cos('b.embedding', 'cb.pvec')} AS cos_sim
+    FROM bucketed b JOIN cand_buckets cb ON b.bucket = cb.bucket
+    WHERE b.vec_id <> 0
+    ORDER BY cos_sim DESC, neighbor_id
+    LIMIT 10
+    """,
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH: candidates from the probe's bucket
+    plus all 6 Hamming-1 neighbor buckets (one sign flip each) — the
+    recall fix for vectors near a hyperplane. The probe explodes into
+    its 7 candidate bucket ids and equi-joins on bucket, so at scale
+    this reads 7 buckets, never the corpus. Exact cosine ranks the
+    union; top-10 returned."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.lsh_ann_multiprobe(emb, probe_id=0, n_planes=6, dim=64, k=10)

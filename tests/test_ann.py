@@ -1,0 +1,99 @@
+"""ANN quality tests: trained-IVF determinism and recall@10, and
+multi-probe recall gains for both IVF and hyperplane LSH — measured
+against the exact brute-force top-k on the sf0.001 fixture."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions import similarity as S
+from jcf_nb_migration_spark.registry import t
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return t(spark, SF_SMALL, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact_top10(emb):
+    probe = emb.where(F.col("vec_id") == 0)
+    return [r["neighbor_id"]
+            for r in S.brute_force_topk(emb, probe, k=10).collect()]
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return S.kmeans_train(emb, k=8, iters=2)
+
+
+def _recall(ids, exact):
+    return len(set(ids) & set(exact)) / len(exact)
+
+
+class TestKMeans:
+    def test_training_is_deterministic(self, emb, centroids):
+        again = S.kmeans_train(emb, k=8, iters=2)
+        assert centroids == again  # bit-identical, not approximately
+
+    def test_centroids_moved_from_seeds(self, emb, centroids):
+        seeds = S._centroid_rows(emb.where(F.col("vec_id") < 8))
+        assert [c for c, _ in centroids] == [c for c, _ in seeds]
+        # training actually recenters (means differ from raw seeds)
+        assert any(cv != sv for (_, cv), (_, sv) in zip(centroids, seeds))
+
+    def test_every_vector_assigned_one_cluster(self, emb, centroids):
+        assigned = S.ivf_assign(emb, centroids)
+        assert assigned.count() == emb.count()
+        ids = {c for c, _ in centroids}
+        assert {r["cluster"]
+                for r in assigned.select("cluster").distinct().collect()
+                } <= ids
+
+
+class TestIVFRecall:
+    def test_single_probe_recall(self, emb, centroids, exact_top10):
+        got = [r["neighbor_id"] for r in
+               S.ivf_ann_probe(emb, centroids, 0, k=10, nprobe=1).collect()]
+        assert _recall(got, exact_top10) >= 0.7
+
+    def test_multiprobe_recall_not_worse(self, emb, centroids, exact_top10):
+        p1 = [r["neighbor_id"] for r in
+              S.ivf_ann_probe(emb, centroids, 0, k=10, nprobe=1).collect()]
+        p2 = [r["neighbor_id"] for r in
+              S.ivf_ann_probe(emb, centroids, 0, k=10, nprobe=2).collect()]
+        assert _recall(p2, exact_top10) >= _recall(p1, exact_top10)
+        assert _recall(p2, exact_top10) >= 0.8
+
+
+class TestLSHMultiprobe:
+    def test_candidates_superset_of_same_bucket(self, emb):
+        same = {r["neighbor_id"] for r in
+                S.lsh_ann_same_bucket(emb, 0).collect()}
+        multi = {r["neighbor_id"] for r in
+                 S.lsh_ann_multiprobe(emb, 0, k=10 ** 6).collect()}
+        assert same <= multi
+
+    def test_multiprobe_recall_improves(self, emb, exact_top10):
+        same = [r["neighbor_id"] for r in
+                S.lsh_ann_same_bucket(emb, 0)
+                .orderBy(F.desc("cos_sim"), "neighbor_id")
+                .limit(10).collect()]
+        multi = [r["neighbor_id"] for r in
+                 S.lsh_ann_multiprobe(emb, 0, k=10).collect()]
+        assert _recall(multi, exact_top10) >= _recall(same, exact_top10)
+        assert _recall(multi, exact_top10) >= 0.3
+
+
+class TestPandasGuards:
+    def test_empty_probe_returns_empty_with_schema(self, emb):
+        probe = emb.where(F.col("vec_id") == -1)  # no such row
+        out = S.brute_force_topk_pandas(emb, probe, k=10)
+        assert out.columns == ["neighbor_id", "cos_sim"]
+        assert out.count() == 0
+
+    def test_zero_norm_probe_returns_empty(self, spark, emb):
+        probe = spark.createDataFrame(
+            [(99, [0.0] * 64)], "vec_id long, embedding array<float>")
+        out = S.brute_force_topk_pandas(emb, probe, k=10)
+        assert out.count() == 0
