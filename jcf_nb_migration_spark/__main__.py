@@ -24,6 +24,24 @@ import sys
 DEFAULT_FAITH_COL = "Are you a person of faith?"
 
 
+def safe_filename(name: str) -> str:
+    """STM column names become sink filenames (S5 distinct-value lists);
+    a name containing a path separator or other filesystem-hostile
+    character must not escape the sink directory. The replacement set is
+    minimal — separators, NUL, control chars — so legal-but-odd names
+    like the reference's 'Are you a person of faith?' keep their exact
+    reference filename."""
+    out = []
+    for ch in name:
+        if ch in "/\\\x00" or ord(ch) < 32:
+            out.append("_")
+        else:
+            out.append(ch)
+    cleaned = "".join(out).strip() or "_"
+    # Guard relative-path tokens too ('..' would climb out of the dir).
+    return "_" * len(cleaned) if set(cleaned) == {"."} else cleaned
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m jcf_nb_migration_spark",
@@ -75,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
         load_metadata_from_cache,
     )
     from jcf_nb_migration_spark.io.readers import read_csv
+    from jcf_nb_migration_spark.operators.cleaning import qcol
     from jcf_nb_migration_spark.io.writers import (
         write_sample_csv,
         write_schema_diff_reports,
@@ -138,8 +157,17 @@ def main(argv: list[str] | None = None) -> int:
     # S5: distinct-value lists (already computed post-clean, pre-merge).
     for c, vals in res.distinct_lists.items():
         write_single_csv(
-            vals.orderBy(c),
-            os.path.join(args.output_dir, "customFieldValues", f"{c}.csv"))
+            vals.orderBy(qcol(c)),
+            os.path.join(args.output_dir, "customFieldValues",
+                         f"{safe_filename(c)}.csv"))
+    # Surface dirty lookup sheets (keys with >1 distinct replacement —
+    # resolved with MIN by the join) instead of collapsing them silently.
+    for c, dups in res.lookup_dup_keys.items():
+        n_dirty = dups.count()
+        if n_dirty:
+            print(f"warning: lookup for {c!r}: {n_dirty} key(s) with "
+                  "multiple replacement values (resolved with MIN)",
+                  file=sys.stderr)
     audit = res.merge_report.audit_df()
     if audit is not None:
         write_single_csv(audit,

@@ -170,7 +170,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
 def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.5, k: int = 16,
                       bands: int = 8, rows: int = 2,
-                      n: int = 3) -> DataFrame:
+                      n: int = 3, persisted: list | None = None) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact-Jaccard verify.
     Precision is exact (verification step); banding tunes recall/cost.
     Columns: id_a, id_b, jaccard.
@@ -182,7 +182,12 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     faster than separate signature/size passes at sf0.1, identical
     output. The per-doc table is |docs|×(k+1) — at 100 TB you'd
     materialize it to storage (it's the reusable dedup artifact), which
-    persist() stands in for at verification scale."""
+    persist() stands in for at verification scale.
+
+    Callers that materialize the result and keep the session alive can
+    pass ``persisted`` (a list) to receive the two cached frames and
+    unpersist them once done — dup_clusters_lsh does, so repeated
+    clustering calls don't stack session-lifetime cached data."""
     sh = shingle_index(df, id_col, text_col, n).persist()
     h32 = minhash_base_hash(F.col("shingle"))
     aggs = [
@@ -194,6 +199,8 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
     per_doc = (sh.groupBy(id_col)
                .agg(*aggs, F.count(F.lit(1)).alias("n_sh"))
                .persist())
+    if persisted is not None:
+        persisted.extend([sh, per_doc])
     cands = lsh_candidate_pairs(per_doc, id_col, bands, rows)
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -262,6 +269,10 @@ def dup_clusters_from_pairs(pairs: DataFrame, ids: DataFrame,
                 break
         else:
             labels = new_labels
+    # labels is localCheckpoint'd (eagerly materialized, lineage
+    # truncated), so the edge cache is no longer reachable — release it
+    # instead of holding it for the session lifetime.
+    edges.unpersist()
     return labels.select(F.col("u").alias(id_col),
                          F.col("label").alias("cluster_id"))
 
@@ -284,9 +295,15 @@ def dup_clusters_lsh(df: DataFrame, id_col: str, text_col: str,
     verify (minhash_lsh_dedup, linear in near-dup pairs) → min-label
     propagation. No stage is quadratic in corpus size; precision of the
     edge set is exact (verification step), banding only tunes recall."""
+    cached: list = []
     pairs = minhash_lsh_dedup(df, id_col, text_col, threshold,
-                              k, bands, rows, n)
-    return dup_clusters_from_pairs(pairs, df, id_col, max_iterations)
+                              k, bands, rows, n, persisted=cached)
+    labels = dup_clusters_from_pairs(pairs, df, id_col, max_iterations)
+    # The label table is checkpoint-materialized inside
+    # dup_clusters_from_pairs; the LSH intermediates are dead weight now.
+    for c in cached:
+        c.unpersist()
+    return labels
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str,

@@ -19,6 +19,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def qcol(name: str) -> Column:
+    """Column reference by EXACT name (backtick-quoted). Data and STM
+    column names are arbitrary user strings — '.', '/', even backticks —
+    which F.col() would run through the attribute parser; quoting makes
+    the reference literal so frame-wide operators never crash on a
+    hostile header."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def non_blank(c: Column | str) -> Column:
     """F4: present AND not empty-string (the reference's notna() after
     its fillna('') means exactly this)."""
@@ -45,10 +54,10 @@ def scrub_control_chars(df: DataFrame, columns: Sequence[str] | None = None,
     for c in df.columns:
         if c in cols:
             exprs.append(
-                F.regexp_replace(F.col(c), r"[\t\n\r]|\\t|\\n|\\r",
+                F.regexp_replace(qcol(c), r"[\t\n\r]|\\t|\\n|\\r",
                                  replacement).alias(c))
         else:
-            exprs.append(F.col(c))
+            exprs.append(qcol(c))
     return df.select(*exprs)
 
 

@@ -18,6 +18,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def duplicate_keys(lookup: DataFrame, match_col: str,
+                   replacement_col: str) -> DataFrame:
+    """Keys in a lookup table with more than one distinct replacement
+    value — the rows replace_via_lookup silently resolves with MIN.
+    Returned as (key, n_values) so pipelines can surface how dirty a
+    lookup sheet is instead of hiding the collapse. Lazy: callers
+    count() or write it as part of their audit stage."""
+    return (
+        lookup.groupBy(F.col(match_col).alias("key"))
+        .agg(F.countDistinct(F.col(replacement_col)).alias("n_values"))
+        .where(F.col("n_values") > 1)
+    )
+
+
 def replace_via_lookup(df: DataFrame, col: str, lookup: DataFrame,
                        match_col: str, replacement_col: str,
                        key_col: str | None = None) -> DataFrame:

@@ -25,6 +25,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jcf_nb_migration_spark.operators.cleaning import qcol
+
 
 def _b(c: Column) -> Column:
     """Blank-normalized view (NULL → '') for rule tests — matches the
@@ -52,7 +54,7 @@ def merge_value_expr(target: Column, source: Column) -> Column:
 
 def merge_expr(target: str, source: str) -> Column:
     """Name-based convenience wrapper around merge_value_expr."""
-    return merge_value_expr(F.col(target), F.col(source))
+    return merge_value_expr(qcol(target), qcol(source))
 
 
 def concat_audit_expr(df: DataFrame, target_value: Column, target_name: str,
@@ -62,15 +64,15 @@ def concat_audit_expr(df: DataFrame, target_value: Column, target_name: str,
     (main.py:605-610), as a real DataFrame output. ``target_value`` is
     the (possibly already partially folded) target expression the step
     sees."""
-    t, s = _b(target_value), _b(F.col(source))
+    t, s = _b(target_value), _b(qcol(source))
     return (
         df.where((t != "") & (s != "") & (t != s))
         .select(
-            F.col(key_col).alias("key"),
+            qcol(key_col).alias("key"),
             F.lit(target_name).alias("target_col"),
             F.lit(source).alias("source_col"),
             target_value.alias("target_value"),
-            F.col(source).alias("source_value"),
+            qcol(source).alias("source_value"),
         )
     )
 
@@ -121,13 +123,13 @@ def apply_merge_plan(df: DataFrame, plan: dict[str, list[str]],
         first, rest = sources[0], sources[1:]
         if first != target:
             report.renames.append((first, target))
-        acc = F.col(first)
+        acc = qcol(first)
         consumed.add(first)
         for src in rest:
             if collect_audit:
                 report.audits.append(
                     concat_audit_expr(df, acc, target, src, key_col))
-            acc = merge_value_expr(acc, F.col(src))
+            acc = merge_value_expr(acc, qcol(src))
             consumed.add(src)
             report.merges.append((src, target))
         final_exprs[target] = acc
@@ -137,7 +139,7 @@ def apply_merge_plan(df: DataFrame, plan: dict[str, list[str]],
         if c in final_exprs:
             out_cols.append(final_exprs.pop(c).alias(c))
         elif c not in consumed:
-            out_cols.append(F.col(c))
+            out_cols.append(qcol(c))
         else:
             # first source of a renamed target: emit the folded value
             # at this position under the target name

@@ -16,14 +16,18 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jcf_nb_migration_spark.operators.cleaning import qcol
+
 
 def any_column_contains(columns: Sequence[str], needle: str) -> Column:
     """F2: TRUE iff any listed column, cast to string, contains
     ``needle`` case-insensitively (reference main.py:281-285).
 
     Implemented as exists() over an array of the columns — one codegen
-    stage, short-circuits per row, no row-wise Python."""
-    arr = F.array(*[F.col(c).cast("string") for c in columns])
+    stage, short-circuits per row, no row-wise Python. Column refs are
+    exact-name (qcol): the scan runs over EVERY data column, so a
+    hostile header ('a.b', 'a/b') must not crash the predicate."""
+    arr = F.array(*[qcol(c).cast("string") for c in columns])
     return F.exists(
         arr, lambda x: F.lower(x).contains(needle.lower()) & x.isNotNull())
 
@@ -35,7 +39,7 @@ def purge_predicate(columns: Sequence[str], needle: str = "test",
     'Southampton, Test')."""
     p = any_column_contains(columns, needle)
     for col, value in (exemptions or {}).items():
-        p = p & (F.coalesce(F.col(col), F.lit("")) != value)
+        p = p & (F.coalesce(qcol(col), F.lit("")) != value)
     return p
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.operators import cleaning
 from jcf_nb_migration_spark.operators.lookup import (
+    duplicate_keys,
     replace_many_via_keyed_lookups,
     replace_via_lookup,
 )
@@ -75,6 +76,10 @@ class MigrationResult:
     schema_diff: SchemaDiff
     merge_report: MergeReport
     distinct_lists: dict[str, DataFrame]
+    # col → lazy (key, n_values) frame of lookup keys with >1 distinct
+    # replacement (the ones the join resolves with MIN) — surfaced so a
+    # dirty lookup sheet is visible in the audit instead of silent.
+    lookup_dup_keys: dict[str, DataFrame] = field(default_factory=dict)
 
 
 def run_migration(df: DataFrame, ruleset: RuleSet,
@@ -90,7 +95,7 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
     # in-scope columns (the one manual pruning the reference did that
     # still matters for CSV sources; parquet prunes anyway).
     in_scope = [c for c in ruleset.in_scope_sources() if c in df.columns]
-    df = df.select(*in_scope)
+    df = df.select(*[cleaning.qcol(c) for c in in_scope])
 
     # T3: test-row purge (predicate, not join). Exemptions on columns
     # absent from this extract are vacuous — drop them rather than
@@ -141,19 +146,26 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
         df = fn(df)
 
     # J2: value-remap lookups (religions map): replace, not coalesce.
+    lookup_dup_keys: dict[str, DataFrame] = {}
     for c, (lk, match_col, repl_col) in config.value_lookups.items():
         if c in df.columns:
             df = replace_via_lookup(df, c, lk, match_col, repl_col)
+            lookup_dup_keys[c] = duplicate_keys(lk, match_col, repl_col)
 
     # J3: keyed remaps (repeated-data columns) — broadcast joins on Email.
     if config.keyed_lookup_tables:
         df = replace_many_via_keyed_lookups(
             df, config.key_col, config.keyed_lookup_tables)
+        for c, lk in config.keyed_lookup_tables.items():
+            lookup_dup_keys[c] = duplicate_keys(lk, "Email", c)
 
     # S5: distinct-value lists for multiple-choice columns (pre-merge,
-    # matching the reference's stage order).
+    # matching the reference's stage order). qcol (exact-name) refs:
+    # STM column names may contain '.'/'/' which Spark's attribute
+    # parser rejects in string form.
     distinct_lists = {
-        c: df.select(c).where(cleaning.non_blank(c)).distinct()
+        c: (df.select(cleaning.qcol(c))
+            .where(cleaning.non_blank(cleaning.qcol(c))).distinct())
         for c in ruleset.multiple_choice_sources() if c in df.columns
     }
 
@@ -181,7 +193,7 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
     passthrough = set(ruleset.tag_only_sources())
     keep = [c for c in df.columns
             if c in mapped or c in passthrough or c == config.tags_col]
-    df = df.select(*keep)
+    df = df.select(*[cleaning.qcol(c) for c in keep])
 
     # C10 at the sink boundary: NULL → ''.
     df = cleaning.blank_fill(df)
@@ -192,4 +204,5 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
         schema_diff=schema_diff,
         merge_report=merge_report,
         distinct_lists=distinct_lists,
+        lookup_dup_keys=lookup_dup_keys,
     )

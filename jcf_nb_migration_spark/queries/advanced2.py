@@ -164,8 +164,13 @@ def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-style term weighting (rarity weight N/df — log-free so
     the score is exactly reproducible across engines), top-3 terms per
-    document. df is a broadcast-sized table (vocabulary), so the only
-    big shuffle is the per-doc term count."""
+    document. The document-frequency table is one row per DISTINCT
+    term — heavy-tailed and unbounded at corpus scale (typos, ids,
+    hashes), so it carries NO broadcast hint: AQE broadcasts it while
+    it's small and falls back to a shuffle join when it isn't (a forced
+    broadcast would hit the 8 GB hard limit at 100 TB). A real pipeline
+    would also min_df-threshold the vocabulary before the join; the
+    oracle keeps every term, so the threshold stays out of this query."""
     docs = spread(t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id",
                        F.explode(T.tokens("text")).alias("term"))
@@ -174,7 +179,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .withColumn("score",
                     (F.col("tf") * F.lit(n_docs)).cast("double")
                     / F.col("df"))

@@ -83,6 +83,37 @@ def test_cli_default_pipeline(tmp_path):
     assert (outdir / "concat_audit.csv").exists()
     assert (outdir / "dataColsMissingFromMeta.csv").exists()
 
+def test_hostile_column_name_stays_inside_sink_dir(tmp_path):
+    """S5 sink filenames come from STM column names — a name with a
+    path separator (or '..') must be sanitized, not escape the output
+    directory. Runs main() in-process so the suite's Spark session is
+    reused."""
+    from jcf_nb_migration_spark.__main__ import main, safe_filename
+
+    assert safe_filename("a/b\\c:d") == "a_b_c:d"
+    assert safe_filename("..") == "__"
+    assert safe_filename("ok name?") == "ok name?"   # reference parity
+
+    cache = tmp_path / "meta"
+    cache.mkdir()
+    (cache / "STM.csv").write_text(
+        "fullColName,IN SCOPE,NB TARGET FIELD,Tag?,Tag Name,"
+        "Custom Field Type?\n"
+        "Email,T,email,,,\n"
+        "Evil/../Name,T,evil,,,Multiple Choice\n")
+    data = tmp_path / "crm.csv"
+    data.write_text("Email,Evil/../Name\ne1@x,v1\ne3@x,v2\n")
+    outdir = tmp_path / "out"
+
+    rc = main(["--data", str(data), "--cache-dir", str(cache),
+               "--output-dir", str(outdir)])
+    assert rc == 0
+    written = sorted(p.name for p in (outdir / "customFieldValues").iterdir())
+    assert written == ["Evil_.._Name.csv"]
+    # nothing escaped above the sink dir
+    assert not (tmp_path / "Name.csv").exists()
+
+
 def test_cli_meta_without_gspread_fails_gracefully(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "jcf_nb_migration_spark", "--meta",

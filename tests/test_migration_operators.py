@@ -6,7 +6,10 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.operators import cleaning
-from jcf_nb_migration_spark.operators.lookup import replace_via_lookup
+from jcf_nb_migration_spark.operators.lookup import (
+    duplicate_keys,
+    replace_via_lookup,
+)
 from jcf_nb_migration_spark.operators.merge import apply_merge_plan, merge_expr
 from jcf_nb_migration_spark.operators.purge import purge_test_rows
 from jcf_nb_migration_spark.operators.tags import derive_tags, tag_counts
@@ -205,6 +208,14 @@ class TestLookup:
         # deterministic reducer: duplicate keys resolve to MIN, never
         # partition-order-dependent "first"
         assert rows[0]["c"] == "r1"
+
+    def test_duplicate_keys_audit(self, spark):
+        # Dirty lookup: 'v' maps to two values, 'w' repeats one value
+        # (not dirty), 'x' is clean — exactly one key is surfaced.
+        lk = _df(spark, [("v", "r1"), ("v", "r2"), ("w", "s"),
+                         ("w", "s"), ("x", "t")], "m string, r string")
+        dups = duplicate_keys(lk, "m", "r").collect()
+        assert [(r["key"], r["n_values"]) for r in dups] == [("v", 2)]
 
 
 # ---- T4/T5 validations ----
