@@ -68,6 +68,123 @@ def subword_tokens(c: Column | str) -> Column:
     return F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), 0)
 
 
+# ---- BPE with learned merges ----------------------------------------------
+#
+# Classic byte-pair encoding on top of the BPE-ish pre-tokenizer above:
+# train a deterministic merge table from corpus-wide pretoken
+# frequencies, then apply the merges in rank order. Engine-portable by
+# construction — training argmax ties break on (count DESC, lhs ASC,
+# rhs ASC) over binary string order, and application is a chain of
+# plain (non-regex) string replaces on a delimiter-encoded document,
+# so a DuckDB recursive CTE replays both phases bit-identically (see
+# queries/text_analysis.py::_sql_bpe_ctes).
+#
+# Scale shape: the corpus is touched ONCE (explode pretokens → groupBy
+# count — one shuffle); training then runs over the *pretoken-frequency
+# table*, which is vocabulary-sized (Heaps-law sublinear, and
+# min_count-thresholded), collected driver-side exactly like k-means
+# centroids (functions/similarity.py) — the structure SentencePiece/HF
+# tokenizers use. Application is O(num_merges) codegen'd string
+# replaces per document: embarrassingly parallel, zero shuffles.
+
+BPE_NUM_MERGES = 32   # fixture-sized default; real vocabs use ~30k
+BPE_SYM = "\x01"      # prefix marking the start of every symbol
+BPE_TOK = "\x02"      # pretoken boundary (merges never cross it)
+_BPE_PROT = "\x03"    # scratch char protecting token-leading spaces
+
+
+def strip_ctrl(c: Column | str) -> Column:
+    """Drop control chars the BPE encoding reserves as delimiters
+    (\\x00-\\x08) plus \\x0B (vertical tab — inside Java's \\s but not
+    RE2's, so it must not survive to the whitespace-normalize step)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(col, r"[\x00-\x08\x0B]", "")
+
+
+def bpe_train(docs, text_col: str, num_merges: int = BPE_NUM_MERGES,
+              min_count: int = 1) -> list[tuple[str, str]]:
+    """Learn a BPE merge table from a corpus. Returns the ranked merge
+    list [(lhs, rhs), ...], deterministic for a given corpus: pair
+    counts are exact integers weighted by pretoken frequency, and ties
+    break on (count DESC, lhs ASC, rhs ASC).
+
+    One distributed pass computes pretoken frequencies; the iterative
+    merge learning runs driver-side over that vocabulary table (see
+    module comment for why that is the scale-correct split)."""
+    wc = (
+        docs.select(F.explode(subword_tokens(strip_ctrl(F.col(text_col))))
+                    .alias("w"))
+        .groupBy("w").count()
+        .where(F.col("count") >= min_count)
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]): r["count"] for r in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in vocab.items():
+            for p in zip(syms, syms[1:]):
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        lhs, rhs = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append((lhs, rhs))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):     # greedy left-to-right, non-overlap
+                if (i + 1 < len(syms) and syms[i] == lhs
+                        and syms[i + 1] == rhs):
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def bpe_doc_encode(c: Column | str) -> Column:
+    """Encode a document for merge application: every symbol prefixed
+    with BPE_SYM, every pretoken prefixed with BPE_TOK, inter-token
+    whitespace dropped (a pretoken's single leading space is itself a
+    symbol, GPT-2 style). Merges then apply as plain string replaces of
+    SYM+lhs+SYM+rhs → SYM+lhs+rhs; BPE_TOK interrupts any cross-token
+    match, so no lookaround is needed and Java regex / RE2 / plain
+    replace all agree. All five steps are codegen'd string ops."""
+    col = F.col(c) if isinstance(c, str) else c
+    col = strip_ctrl(col)
+    marked = F.regexp_replace(col, "(" + BPE_ISH_PATTERN + ")",
+                              BPE_TOK + "$1")
+    # Protect token-leading spaces, drop the rest of the whitespace
+    # (chars the pre-tokenizer never captures), restore.
+    protected = F.replace(marked, F.lit(BPE_TOK + " "), F.lit(_BPE_PROT))
+    nospace = F.regexp_replace(protected, r"\s", "")
+    restored = F.replace(nospace, F.lit(_BPE_PROT), F.lit(BPE_TOK + " "))
+    return F.regexp_replace(restored, "([^" + BPE_TOK + "])",
+                            BPE_SYM + "$1")
+
+
+def bpe_apply_merges(enc: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply a learned merge table (in rank order) to a bpe_doc_encode'd
+    document: one plain string replace per merge — left-to-right
+    non-overlapping, which IS the BPE merge semantics."""
+    out = enc
+    for lhs, rhs in merges:
+        out = F.replace(out, F.lit(BPE_SYM + lhs + BPE_SYM + rhs),
+                        F.lit(BPE_SYM + lhs + rhs))
+    return out
+
+
+def count_char(col: Column, ch: str) -> Column:
+    """Occurrences of a single char (symbol/token counting on encoded
+    docs: symbols = count of BPE_SYM, pretokens = count of BPE_TOK)."""
+    return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
+
+
 def token_hash48(tok: Column, salt: str = "") -> Column:
     """Deterministic 48-bit integer hash of a token: first 12 hex chars
     of md5. 48 bits keeps values positive in a signed 64-bit int and is

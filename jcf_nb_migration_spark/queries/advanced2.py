@@ -93,6 +93,8 @@ _SQL_IVF_ASSIGNED = f"""{_sql_kmeans_cte(8, 2)},
     LIMIT 10
     """,
     tags=("similarity", "ann", "ivf"),
+    # single-probe baseline of the multiprobe variant (curation rule 3)
+    driver_visible=False,
 )
 def ivf_ann_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (nprobe=1) with TRAINED centroids: 2 deterministic

@@ -147,6 +147,8 @@ def _sql_lsh_bucket(vec: str, n_planes: int = 6, dim: int = 64) -> str:
     WHERE b.bucket = probe.pbucket AND b.vec_id <> 0
     """,
     tags=("similarity", "ann", "lsh"),
+    # single-probe baseline of the multiprobe variant (curation rule 3)
+    driver_visible=False,
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via deterministic random-hyperplane LSH: the

@@ -135,6 +135,166 @@ def doc_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# BPE with learned merges (training replayed in SQL)
+# --------------------------------------------------------------------------
+
+def _sql_bpe_ctes(num_merges: int = T.BPE_NUM_MERGES) -> str:
+    """Recursive-CTE replay of bpe_train + bpe_doc_encode /
+    bpe_apply_merges (functions/text.py): `tr` iterates the training
+    state (one row per vocab word, encoded with chr(1) symbol prefixes),
+    picking each round's argmax pair with a window SUM + first_value
+    (count DESC, lhs ASC, rhs ASC — binary string order, identical to
+    the Python trainer's tie-break), and applying it with the same plain
+    `replace` the Spark side uses; `ap` folds the merge table over the
+    chr(2)-boundary document encoding in rank order. Bit-identical to
+    the Spark implementation on both phases."""
+    m = num_merges
+    return f"""
+    clean AS (
+      SELECT doc_id, regexp_replace(text, '[\\x00-\\x08\\x0B]', '', 'g')
+             AS text
+      FROM documents
+    ),
+    wc AS (
+      SELECT sw AS word, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest(regexp_extract_all(text, '{_SQL_BPE_PAT}')) AS sw
+            FROM clean)
+      GROUP BY 1
+    ),
+    benc0 AS (
+      SELECT regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS enc, cnt
+      FROM wc
+    ),
+    tr AS (
+      SELECT 0 AS it, enc, cnt, '' AS lhs, '' AS rhs FROM benc0
+      UNION ALL
+      SELECT DISTINCT it + 1,
+             replace(enc, chr(1) || bl || chr(1) || br,
+                     chr(1) || bl || br),
+             cnt, bl, br
+      FROM (
+        SELECT it, enc, cnt,
+               first_value(pl) OVER w AS bl,
+               first_value(pr) OVER w AS br
+        FROM (
+          SELECT it, enc, cnt, p.l AS pl, p.r AS pr,
+                 CASE WHEN p.l IS NULL THEN 0
+                      ELSE sum(cnt) OVER (PARTITION BY p.l, p.r) END AS pc
+          FROM (
+            SELECT it, enc, cnt,
+                   unnest(list_concat(
+                     list_transform(range(1, len(syms)),
+                                    i -> {{'l': syms[i], 'r': syms[i+1]}}),
+                     [{{'l': NULL::VARCHAR, 'r': NULL::VARCHAR}}]
+                   )) AS p
+            FROM (SELECT it, enc, cnt,
+                         string_split(enc, chr(1))[2:] AS syms
+                  FROM tr WHERE it < {m})
+          )
+        )
+        WINDOW w AS (ORDER BY pc DESC, pl ASC NULLS LAST, pr ASC NULLS LAST)
+      )
+      WHERE bl IS NOT NULL
+    ),
+    bpe_merges AS (
+      SELECT DISTINCT it AS merge_rank, lhs, rhs FROM tr WHERE it >= 1
+    ),
+    doc_enc0 AS (
+      SELECT doc_id,
+             regexp_replace(
+               replace(
+                 regexp_replace(
+                   replace(
+                     regexp_replace(text, '({_SQL_BPE_PAT})',
+                                    chr(2) || '\\1', 'g'),
+                     chr(2) || ' ', chr(3)),
+                   '\\s', '', 'g'),
+                 chr(3), chr(2) || ' '),
+               '([^\\x02])', chr(1) || '\\1', 'g') AS enc
+      FROM clean
+    ),
+    ap AS (
+      SELECT doc_id, enc, 0 AS step FROM doc_enc0
+      UNION ALL
+      SELECT a.doc_id,
+             replace(a.enc, chr(1) || m.lhs || chr(1) || m.rhs,
+                     chr(1) || m.lhs || m.rhs),
+             a.step + 1
+      FROM ap a JOIN bpe_merges m ON m.merge_rank = a.step + 1
+    )"""
+
+
+@query(
+    "bpe_merge_table",
+    oracle=f"""
+    WITH RECURSIVE {_sql_bpe_ctes()}
+    SELECT merge_rank, lhs, rhs FROM bpe_merges
+    """,
+    tags=("text", "bpe", "train"),
+)
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table itself (rank, lhs, rhs): one corpus
+    pass for pretoken frequencies, deterministic iterative pair-merge
+    learning over the vocabulary table (functions/text.py::bpe_train).
+    The oracle re-trains from scratch inside DuckDB via a recursive CTE
+    — the comparison covers the full training dynamics, not just the
+    artifact's shape."""
+    docs = t(spark, sf_dir, "documents")
+    merges = T.bpe_train(docs, "text", T.BPE_NUM_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "merge_rank int, lhs string, rhs string")
+
+
+@query(
+    "doc_bpe_stats",
+    oracle=f"""
+    WITH RECURSIVE {_sql_bpe_ctes()},
+    bfinal AS (
+      SELECT doc_id, enc FROM ap
+      WHERE step = (SELECT max(merge_rank) FROM bpe_merges)
+    )
+    SELECT e.doc_id,
+           (length(e.enc) - length(replace(e.enc, chr(2), '')))
+               AS n_pretokens,
+           (length(e.enc) - length(replace(e.enc, chr(1), '')))
+               AS n_init_symbols,
+           (length(f.enc) - length(replace(f.enc, chr(1), '')))
+               AS n_subwords,
+           CAST(length(f.enc) - length(replace(f.enc, chr(1), ''))
+                AS DOUBLE)
+               / NULLIF(length(e.enc) - length(replace(e.enc, chr(2), '')),
+                        0) AS subwords_per_pretoken
+    FROM doc_enc0 e JOIN bfinal f USING (doc_id)
+    """,
+    tags=("text", "bpe", "tokenize"),
+)
+def doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE token counts per document (the corpus-wide token-budget
+    number an LLM data pipeline runs constantly): train the merge table
+    (one corpus pass + driver-side vocab loop), then apply it as a chain
+    of codegen'd string replaces on the boundary-encoded text — no
+    Python, no shuffle in the application pass. n_subwords is the true
+    post-merge BPE count, unlike doc_subword_stats' pre-tokenizer
+    approximation."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    merges = T.bpe_train(docs, "text", T.BPE_NUM_MERGES)
+    e0 = T.bpe_doc_encode("text")
+    enc = docs.select("doc_id", e0.alias("e0"))
+    enc = enc.withColumn("ef", T.bpe_apply_merges(F.col("e0"), merges))
+    n_pre = T.count_char(F.col("e0"), T.BPE_TOK)
+    n_sub = T.count_char(F.col("ef"), T.BPE_SYM)
+    return enc.select(
+        "doc_id",
+        n_pre.alias("n_pretokens"),
+        T.count_char(F.col("e0"), T.BPE_SYM).alias("n_init_symbols"),
+        n_sub.alias("n_subwords"),
+        (n_sub.cast("double") / F.when(n_pre != 0, n_pre))
+            .alias("subwords_per_pretoken"),
+    )
+
+
 @query(
     "doc_lang_id",
     oracle=f"""

@@ -95,6 +95,101 @@ class TestSubwordTokens:
             assert r["joined"] == r["t"]
 
 
+class TestBpe:
+    def _apply_py(self, word, merges):
+        """Reference greedy left-to-right merge application."""
+        syms = list(word)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def test_train_known_corpus(self, spark):
+        # Single pretoken per doc, no leading spaces: 'aab' x3, 'cd' x1.
+        df = _texts(spark, "aab", "aab", "aab", "cd")
+        merges = T.bpe_train(df, "text", num_merges=3)
+        assert merges == [("a", "a"), ("aa", "b"), ("c", "d")]
+
+    def test_apply_greedy_left_nonoverlap(self, spark):
+        # 'aaaa' with merge (a,a): greedy left-to-right -> [aa, aa];
+        # 'aaa' -> [aa, a]
+        df = _texts(spark, "aaaa", "aaa")
+        enc = df.select(
+            "id", T.bpe_apply_merges(
+                T.bpe_doc_encode("text"), [("a", "a")]).alias("e"))
+        out = {r["id"]: r["n"] for r in enc.select(
+            "id", T.count_char(F.col("e"), T.BPE_SYM).alias("n")).collect()}
+        assert out == {0: 2, 1: 2}
+
+    def test_apply_matches_python_reference(self, spark):
+        texts = ["the cat sat on the mat", "a cataract, the theme!",
+                 "it's the cat's hat  -- truly", "zzz", ""]
+        df = _texts(spark, *texts)
+        merges = T.bpe_train(df, "text", num_merges=12)
+        got = {r["id"]: r["n"] for r in df.select(
+            "id", T.count_char(
+                T.bpe_apply_merges(T.bpe_doc_encode("text"), merges),
+                T.BPE_SYM).alias("n")).collect()}
+        import re
+        pat = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+                         r"| ?[^\sA-Za-z0-9]+")
+        for i, txt in enumerate(texts):
+            expect = sum(len(self._apply_py(w, merges))
+                         for w in pat.findall(txt))
+            assert got[i] == expect, (i, txt)
+
+    def test_merges_never_cross_pretoken_boundary(self, spark):
+        # 'ab' then token boundary then 'ba': pair (b,a) exists only
+        # inside 'aba', never across 'ab|ba' boundaries
+        df = _texts(spark, "ab ba", "aba")
+        merges = [("b", "a")]
+        got = {r["id"]: r["n"] for r in df.select(
+            "id", T.count_char(
+                T.bpe_apply_merges(T.bpe_doc_encode("text"), merges),
+                T.BPE_SYM).alias("n")).collect()}
+        # 'ab ba' -> tokens 'ab', ' ba': [a,b] + [' ',b,a]->[' ',ba]
+        assert got[0] == 4
+        # 'aba' -> [a, ba]
+        assert got[1] == 2
+
+    def test_fertility_vs_pretokenizer(self, spark):
+        """Learned merges must strictly improve on the pre-tokenizer
+        approximation: real BPE counts sit between the pretoken count
+        (lower bound) and the initial symbol count, and the merge table
+        actually compresses the fixture corpus."""
+        from jcf_nb_migration_spark.queries.text_analysis import \
+            doc_bpe_stats
+        from tests.conftest import SF_SMALL
+
+        out = doc_bpe_stats(spark, SF_SMALL).collect()
+        assert len(out) > 0
+        assert all(r["n_pretokens"] <= r["n_subwords"]
+                   <= r["n_init_symbols"] for r in out if r["n_pretokens"])
+        # merges fired corpus-wide (strict compression in aggregate)
+        assert (sum(r["n_subwords"] for r in out)
+                < sum(r["n_init_symbols"] for r in out))
+
+    def test_train_deterministic_across_partitionings(self, spark):
+        df = _texts(spark, "the cat sat", "on the mat", "the end")
+        m1 = T.bpe_train(df.repartition(7), "text", num_merges=6)
+        m2 = T.bpe_train(df.coalesce(1), "text", num_merges=6)
+        assert m1 == m2
+
+    def test_train_exhausts_pairs_early(self, spark):
+        # pretokens 'a' x1, ' a' x2: the only pair is (' ','a'); after
+        # merging it every word is a single symbol, so training stops at
+        # 1 merge even though 5 were requested
+        df = _texts(spark, "a a a")
+        assert T.bpe_train(df, "text", num_merges=5) == [(" ", "a")]
+
+
 class TestPandasCosine:
     def test_pandas_topk_matches_fold_ranking(self, spark):
         from jcf_nb_migration_spark.functions import similarity as S
