@@ -48,10 +48,14 @@ def brute_force_topk(emb: DataFrame, probe: DataFrame, k: int = 10,
                      vec_col: str = "embedding") -> DataFrame:
     """Exact top-k cosine neighbors of a single probe vector (broadcast
     the probe; one scan of the corpus; k-row ordered take).
+    A zero-norm (or NULL) probe yields an empty result — the same
+    guard semantics as brute_force_topk_pandas, kept as a lazy filter
+    on the broadcast side so no extra job runs.
     Columns: neighbor_id, cos_sim."""
     from jcf_nb_migration_spark.registry import spread
 
-    p = F.broadcast(probe.select(F.col(vec_col).alias("__probe_vec")))
+    p = F.broadcast(probe.where(norm(F.col(vec_col)) > 0)
+                    .select(F.col(vec_col).alias("__probe_vec")))
     return (
         spread(emb).crossJoin(p)
         .select(
@@ -86,7 +90,8 @@ def brute_force_topk_pandas(emb: DataFrame, probe: DataFrame, k: int = 10,
 
     out_schema = "neighbor_id long, cos_sim double"
     head = probe.select(vec_col).head(1)
-    if not head:  # empty probe: empty result with the declared schema
+    if not head or head[0][0] is None:
+        # empty/NULL probe: empty result with the declared schema
         return emb.sparkSession.createDataFrame([], out_schema)
     pvec = np.asarray(head[0][0], dtype=np.float64)
     pnorm = float(np.sqrt(pvec @ pvec))
@@ -132,7 +137,14 @@ def _centroid_sims(vec_col: str,
     block for narrow argmax/top-n centroid selection. Struct ordering
     is lexicographic, so max = (highest sim, then LOWEST centroid id
     via the negated id) — the same tie-break as ORDER BY sim DESC,
-    c_id ASC."""
+    c_id ASC.
+
+    Small-K regime only: the centroids are compiled into the expression
+    tree as K·dim literals, so analysis/codegen cost grows linearly and
+    becomes impractical beyond a few hundred centroids (coarse
+    quantization is exactly that regime). For real-IVF centroid counts
+    (K in the tens of thousands) use ivf_assign_pandas, which ships the
+    centroid matrix as a broadcast variable instead."""
     structs = []
     for cid, cvec in rows:
         lit = F.array(*[F.lit(x) for x in cvec])
@@ -162,19 +174,67 @@ def ivf_assign(emb: DataFrame, centroids,
         (-best["neg_id"]).cast("bigint").alias("cluster"))
 
 
+def ivf_assign_pandas(emb: DataFrame, centroids,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Large-K variant of ivf_assign: the K×dim centroid matrix ships
+    as a Spark broadcast variable and each Arrow batch is assigned with
+    one BLAS matrix-matrix product + argmax — no literal expression
+    tree, so K is bounded by executor memory (a 65k×1536 float64 matrix
+    is ~800 MB; float32 halves it), not by codegen limits.
+
+    Cutover: prefer ivf_assign below ~a-few-hundred centroids (pure
+    codegen, allocation-free); switch here above that. Ties and
+    zero-norm rows resolve to the LOWEST centroid id in both variants
+    (np.argmax takes the first maximum over the id-sorted matrix; NaN
+    rows hit the first index), though float summation differs (~1e-7),
+    so near-exact ties can diverge — ranking-tested, not hash-compared,
+    same policy as brute_force_topk_pandas. Output schema matches
+    ivf_assign: (id_col, vec_col, cluster)."""
+    import numpy as np
+    import pandas as pd
+
+    from jcf_nb_migration_spark.registry import spread
+
+    rows = _centroid_rows(centroids, id_col, vec_col)
+    cids = np.array([cid for cid, _ in rows], dtype=np.int64)
+    cmat = np.array([v for _, v in rows], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    sess = emb.sparkSession
+    bc = sess.sparkContext.broadcast((cids, cmat, cnorm))
+
+    def assign(batches):
+        ids, mat, norms = bc.value
+        for pdf in batches:
+            m = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (m @ mat.T) / (
+                    np.sqrt((m * m).sum(axis=1))[:, None] * norms[None, :])
+            pdf = pdf[[id_col, vec_col]].copy()
+            pdf["cluster"] = ids[np.argmax(sims, axis=1)]
+            yield pdf
+
+    schema = emb.select(id_col, vec_col).schema.add("cluster", "long")
+    return spread(emb.select(id_col, vec_col)).mapInPandas(
+        assign, schema=schema)
+
+
 def kmeans_train(emb: DataFrame, k: int = 8, iters: int = 2,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd iterations over the corpus: seeds are the k
-    lowest-id vectors; each round assigns every vector with the narrow
-    argmax and recomputes per-cluster/per-dimension means. Sums go
+    lowest-id vectors (ORDER BY id LIMIT k — dense ids not assumed);
+    each round assigns every vector with the narrow argmax and
+    recomputes per-cluster/per-dimension means. Sums go
     through DECIMAL(18,12) so the means are order-independent —
     bit-reproducible across partitionings AND across engines (a DuckDB
     oracle replaying the same rounds gets the identical centroids).
     Empty clusters keep their previous centroid. The driver only ever
     holds the k×dim centroid matrix; each round is one scan + one
     (cluster, dim) aggregation."""
-    rows = _centroid_rows(emb.where(F.col(id_col) < k), id_col, vec_col)
+    rows = _centroid_rows(emb.orderBy(F.col(id_col).asc()).limit(k),
+                          id_col, vec_col)
     for _ in range(iters):
         best = F.array_max(_centroid_sims(vec_col, rows))
         # Two selects, not one: a generator (posexplode) in the same

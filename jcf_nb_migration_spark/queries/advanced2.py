@@ -27,7 +27,7 @@ def _sql_kmeans_cte(k: int = 8, iters: int = 2) -> str:
     Exposes ``c{iters}`` (c_id, c_vec) as the trained centroid CTE."""
     parts = [f"""c0 AS (
         SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
-        FROM embeddings WHERE vec_id < {k}
+        FROM embeddings ORDER BY vec_id LIMIT {k}
     )"""]
     for i in range(1, iters + 1):
         parts.append(f"""scored_{i} AS (

@@ -97,3 +97,46 @@ class TestPandasGuards:
             [(99, [0.0] * 64)], "vec_id long, embedding array<float>")
         out = S.brute_force_topk_pandas(emb, probe, k=10)
         assert out.count() == 0
+
+    def test_zero_norm_probe_jvm_variant_agrees(self, spark, emb):
+        # the JVM fold variant applies the same guard (empty, not k
+        # rows of NaN) so the two implementations don't diverge
+        probe = spark.createDataFrame(
+            [(99, [0.0] * 64)], "vec_id long, embedding array<float>")
+        assert S.brute_force_topk(emb, probe, k=10).count() == 0
+
+
+class TestLargeKAssign:
+    def test_matches_literal_path_at_small_k(self, emb, centroids):
+        lit = {r["vec_id"]: r["cluster"]
+               for r in S.ivf_assign(emb, centroids).collect()}
+        pnd = {r["vec_id"]: r["cluster"]
+               for r in S.ivf_assign_pandas(emb, centroids).collect()}
+        assert lit == pnd
+
+    def test_k256_beyond_literal_tree_ceiling(self, emb):
+        # 256 centroids x 64 dims = 16k literals the expression-tree
+        # path can't reasonably compile; the broadcast path assigns in
+        # one matmul per Arrow batch. Deterministic synthetic centroids.
+        import numpy as np
+        rng = np.random.RandomState(7)
+        cents = [(i, rng.randn(64).tolist()) for i in range(256)]
+        out = S.ivf_assign_pandas(emb, cents)
+        n = emb.count()
+        assert out.count() == n
+        clusters = [r["cluster"] for r in
+                    out.select("cluster").distinct().collect()]
+        assert all(0 <= c < 256 for c in clusters)
+        assert len(clusters) > 1  # not degenerate
+
+    def test_sparse_ids_seed_kmeans(self, spark):
+        # seeds are the k LOWEST ids, not ids < k: with ids starting at
+        # 1000 training must still produce k centroids
+        import numpy as np
+        rng = np.random.RandomState(3)
+        df = spark.createDataFrame(
+            [(1000 + i, rng.randn(8).tolist()) for i in range(40)],
+            "vec_id long, embedding array<double>")
+        cents = S.kmeans_train(df, k=4, iters=1)
+        assert len(cents) == 4
+        assert [c for c, _ in cents] == [1000, 1001, 1002, 1003]
