@@ -9,7 +9,10 @@ which is exactly what the reference's --meta path does (README:41).
 gspread isn't installed in this environment, so the network calls are
 import-gated: everything degrades to the local snapshot cache
 (load_metadata_from_cache), which is also the fast path the reference
-uses on every non---meta run.
+uses on every non---meta run. io/sheets_rest.py provides a
+dependency-free alternative backend (public Sheets REST v4 over
+urllib) with the same S3/S8 semantics, live-tested against a local
+HTTP fixture (tests/test_sheets_rest.py).
 """
 
 from __future__ import annotations
