@@ -395,3 +395,54 @@ def simhash_near_pairs(fps: DataFrame, id_col: str,
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def semdedup_flags(emb: DataFrame, centroids, threshold: float = 0.35,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semantic deduplication (the SemDeDup recipe, Abbas et al. 2023):
+    cluster the embedding space with k-means, then WITHIN each cluster
+    drop every vector that has a lower-id neighbor with cosine ≥
+    ``threshold`` — keeping one representative per semantic near-dup
+    group without ever comparing vectors across clusters.
+
+    Scale shape: assignment is the narrow argmax pass
+    (similarity.ivf_assign — no crossJoin, no window shuffle); the pair
+    search is an equi-join on the cluster id, so the cost is
+    Σ_c |cluster_c|² — SemDeDup's k is chosen to keep clusters small
+    (~corpus_size/k each), which makes the quadratic term bounded per
+    cluster and the whole pass linear-ish in corpus size. Per-vector
+    norms are precomputed once (N folds, not N² — same trick as the
+    blocked embedding near-dup query).
+
+    Returns (id_col, cluster, kept): kept=false marks the dropped
+    near-duplicates.
+    """
+    from jcf_nb_migration_spark.functions.similarity import (
+        dot, ivf_assign, norm,
+    )
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    withn = assigned.select(
+        id_col, vec_col, "cluster", norm(F.col(vec_col)).alias("__nrm"))
+    a = withn.select(F.col("cluster"),
+                     F.col(id_col).alias("__id_a"),
+                     F.col(vec_col).alias("__v_a"),
+                     F.col("__nrm").alias("__n_a"))
+    b = withn.select(F.col("cluster"),
+                     F.col(id_col).alias("__id_b"),
+                     F.col(vec_col).alias("__v_b"),
+                     F.col("__nrm").alias("__n_b"))
+    drops = (
+        a.join(b, "cluster")
+        .where(F.col("__id_a") < F.col("__id_b"))
+        .where(dot(F.col("__v_a"), F.col("__v_b"))
+               / (F.col("__n_a") * F.col("__n_b")) >= threshold)
+        .select(F.col("__id_b").alias("__drop_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(drops, assigned[id_col] == drops["__drop_id"], "left")
+        .select(F.col(id_col), F.col("cluster"),
+                F.col("__drop_id").isNull().alias("kept"))
+    )

@@ -4,6 +4,7 @@ from jcf_nb_migration_spark.queries import (  # noqa: F401
     advanced,
     advanced2,
     corpus_ops,
+    curation_ops,
     migration_ops,
     multimodal_ops,
     pandas_udf_ops,

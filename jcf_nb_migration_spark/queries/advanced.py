@@ -158,6 +158,10 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
     """,
     tags=("set-ops", "except"),
+    # Demoted from the 50-name driver window in r4 to admit the
+    # curation suite; the anti-join/set-difference pattern stays
+    # driver-visible via document_purge (J1).
+    driver_visible=False,
 )
 def high_balance_never_fulfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference (EXCEPT distinct semantics) — high-balance

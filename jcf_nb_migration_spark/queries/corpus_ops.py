@@ -117,6 +117,11 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
           % 10 = 0
     """,
     tags=("sampling", "deterministic"),
+    # Demoted from the 50-name driver window in r4: superseded as the
+    # visible sampling representative by corpus_mixture_sample, which
+    # uses the same hash-mod mechanism inside a harder (budget-rate)
+    # shape — curation rule 3.
+    driver_visible=False,
 )
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 10% sampling by content-stable hash — reruns and
@@ -172,6 +177,10 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM embeddings)
     """,
     tags=("similarity", "normalize", "array"),
+    # Demoted from the 50-name driver window in r4 to admit the
+    # curation suite; embedding-fold arithmetic stays driver-visible
+    # via embedding_dedup_pairs and the ANN queries.
+    driver_visible=False,
 )
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-normalize the embedding column (after which cosine is a

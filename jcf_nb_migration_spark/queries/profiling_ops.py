@@ -26,6 +26,10 @@ from jcf_nb_migration_spark.registry import query, sql_dsum, t
     FROM customer
     """,
     tags=("profiling", "quality"),
+    # Demoted from the 50-name driver window in r4 to admit the
+    # curation suite; profiling stays driver-visible via
+    # approx_distinct_stats and doc_quality_score.
+    driver_visible=False,
 )
 def customer_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (nulls, cardinality, length bounds) — the

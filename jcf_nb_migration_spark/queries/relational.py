@@ -319,6 +319,11 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("window", "running-agg", "lag"),
+    # Demoted from the 50-name driver window in r4 to admit the
+    # curation suite; ordered-window patterns stay driver-visible via
+    # event_sessionization (lag), tfidf_top_terms (row_number), and
+    # user_hourly_resample.
+    driver_visible=False,
 )
 def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum + lag over an ordered per-user window (decimal-exact

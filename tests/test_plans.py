@@ -81,3 +81,34 @@ def test_migration_pipeline_is_narrow(spark):
     assert shuffles <= 1, plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan  # the lookup remap
+
+
+def test_curation_joins_are_equi(spark):
+    """Curation-suite candidate generation must stay equi-join-shaped:
+    decontamination joins on the n-gram string, SemDeDup pairs on the
+    cluster id, repetition stats on (doc_id, gram) — no pairwise
+    nested-loop anywhere."""
+    for q in ("decontaminate_ngrams", "semdedup_prune",
+              "doc_repetition_stats"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_mixture_sample_only_one_row_nested_loop(spark):
+    """corpus_mixture_sample crosses every doc with the ONE-row corpus
+    totals aggregate (broadcast, no row amplification) — that is the
+    only nested-loop allowed; the per-source rate join must be equi."""
+    plan = plan_of(spark, "corpus_mixture_sample")
+    assert "CartesianProduct" not in plan
+    # one physical node = two mentions (tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_pii_scrub_is_narrow(spark):
+    """PII scrubbing is a pure projection: no joins, no aggregation
+    shuffle — the only allowed exchange is the small-input spread()
+    repartition (a no-op on real multi-split inputs)."""
+    plan = plan_of(spark, "pii_scrub_stats")
+    assert "Join" not in plan
+    assert plan.count("+- Exchange") <= 1
