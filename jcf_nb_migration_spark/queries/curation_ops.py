@@ -376,3 +376,85 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("total_tokens").cast("double") / denom)
                  .alias("sample_rate"))
     )
+
+
+LM_SCALE = 1_000_000  # fixed-point resolution for P(w2|w1) terms
+
+
+@query(
+    "doc_bigram_lm_score",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id,
+               unnest({_sql_ngrams(2, distinct=False)}) AS g
+        FROM (SELECT doc_id, {_SQL_TOKS} AS w FROM documents)
+    ),
+    big AS (SELECT g, count(*) AS c_big FROM occ GROUP BY g),
+    uni AS (
+        SELECT w1, count(*) AS c_uni FROM (
+            SELECT split_part(g, ' ', 1) AS w1 FROM occ
+        ) GROUP BY w1
+    ),
+    scored AS (
+        SELECT o.doc_id,
+               (b.c_big * {LM_SCALE}) // u.c_uni AS term
+        FROM occ o
+        JOIN big b ON b.g = o.g
+        JOIN uni u ON u.w1 = split_part(o.g, ' ', 1)
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(SUM(term) AS BIGINT) AS lm_score
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_bigrams, 0) AS n_bigrams,
+           COALESCE(p.lm_score, 0) AS lm_score,
+           CASE WHEN COALESCE(p.n_bigrams, 0) > 0
+                THEN CAST(p.lm_score AS DOUBLE)
+                     / (p.n_bigrams * {LM_SCALE})
+                ELSE 0.0 END AS fluency
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    tags=("curation", "quality", "lm", "ngram"),
+    # kept local to fit the 50-name driver window; the vocabulary-keyed
+    # join pattern is driver-visible via tfidf_top_terms and
+    # decontaminate_ngrams
+    driver_visible=False,
+)
+def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model fluency score — the
+    KenLM-style quality signal (how typical is each document of the
+    corpus), log-free so it is exactly reproducible: each bigram
+    occurrence contributes floor(c(w1 w2)·10^6 / c(w1·)) — a
+    fixed-point P(w2|w1) — and the per-doc mean of those integer terms
+    is the fluency. Training IS the counting (one explode + two
+    groupBys); scoring joins each occurrence to the bigram/prefix
+    count tables on the vocabulary key (heavy-tailed and unbounded, so
+    no broadcast hint — AQE decides, the same policy as tfidf's
+    document-frequency join)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    occ = docs.select(
+        "doc_id",
+        F.explode(T.word_shingles(T.tokens("text"), 2)).alias("g"))
+    occ = occ.withColumn("w1", F.split_part(F.col("g"), F.lit(" "),
+                                            F.lit(1)))
+    big = occ.groupBy("g").agg(F.count(F.lit(1)).alias("c_big"))
+    uni = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
+    per_doc = (
+        occ.join(big, "g").join(uni, "w1")
+        .select("doc_id",
+                F.expr(f"(c_big * {LM_SCALE}) div c_uni").alias("term"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum("term").alias("lm_score"))
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("lm_score"), F.lit(0)).alias("lm_score"),
+        F.when(F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+               F.col("lm_score").cast("double")
+               / (F.col("n_bigrams") * LM_SCALE))
+         .otherwise(F.lit(0.0)).alias("fluency"),
+    )

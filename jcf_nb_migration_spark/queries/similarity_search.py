@@ -191,3 +191,69 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     union; top-10 returned."""
     emb = t(spark, sf_dir, "embeddings")
     return S.lsh_ann_multiprobe(emb, probe_id=0, n_planes=6, dim=64, k=10)
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH dims AS (
+        SELECT vec_id, CAST(unnest(range(len(v))) AS INT) AS dim_idx,
+               unnest(v) AS x
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    ),
+    stats AS (
+        SELECT dim_idx, min(x) AS mn, max(x) AS mx
+        FROM dims GROUP BY dim_idx
+    )
+    SELECT d.vec_id, d.dim_idx,
+           CASE WHEN s.mx > s.mn
+                THEN CAST(least(floor((d.x - s.mn) * 255.0
+                                      / (s.mx - s.mn)), 255.0) AS INT)
+                ELSE 0 END AS q_val,
+           CASE WHEN s.mx > s.mn
+                THEN s.mn + (CAST(least(floor((d.x - s.mn) * 255.0
+                                             / (s.mx - s.mn)), 255.0)
+                                  AS INT) + 0.5)
+                            * ((s.mx - s.mn) / 255.0)
+                ELSE s.mn END AS deq
+    FROM dims d JOIN stats s ON s.dim_idx = d.dim_idx
+    """,
+    tags=("similarity", "quantization", "compression"),
+    # kept local to fit the 50-name driver window; the posexplode +
+    # per-dim-agg pattern is driver-visible via embedding pipelines
+    driver_visible=False,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding column — the 4×
+    index-compression step a vector store applies before ANN: each
+    dimension is mapped to [0, 255] by its corpus-wide min/max, with
+    the midpoint dequantization used for approximate scoring. Two
+    passes: per-dimension min/max (one groupBy on the BOUNDED dim_idx
+    key — dim count is structural, so the stats table broadcasts), then
+    a codegen'd floor/clamp projection. All arithmetic is a fixed IEEE
+    op sequence, so the oracle comparison is bitwise even on doubles.
+    Constant dimensions (mx == mn) quantize to 0 and dequantize to the
+    constant."""
+    from jcf_nb_migration_spark.registry import spread
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(S.as_double(F.col("embedding")))
+         .alias("dim_idx", "x"))
+    stats = dims.groupBy("dim_idx").agg(F.min("x").alias("mn"),
+                                        F.max("x").alias("mx"))
+    scaled = F.least(F.floor((F.col("x") - F.col("mn")) * 255.0
+                             / (F.col("mx") - F.col("mn"))),
+                     F.lit(255.0).cast("bigint"))
+    q_val = F.when(F.col("mx") > F.col("mn"), scaled.cast("int")) \
+             .otherwise(F.lit(0)).alias("q_val")
+    deq = F.when(
+        F.col("mx") > F.col("mn"),
+        F.col("mn") + (scaled.cast("int") + 0.5)
+        * ((F.col("mx") - F.col("mn")) / 255.0),
+    ).otherwise(F.col("mn")).alias("deq")
+    return (
+        dims.join(F.broadcast(stats), "dim_idx")
+        .select("vec_id", "dim_idx", q_val, deq)
+    )

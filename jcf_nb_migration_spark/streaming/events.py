@@ -208,3 +208,23 @@ def running_user_totals_stateful(spark: SparkSession,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, "jcf_user_state_stream", output_mode="update")
+
+
+def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup for at-least-once delivery
+    (dropDuplicatesWithinWatermark): the event stream unioned with
+    itself simulates a source that redelivers every record; the dedup
+    operator keeps one row per event_id, holding each key in state only
+    until the watermark passes it — bounded state, unlike plain
+    dropDuplicates on a stream, which retains keys forever. Duplicate
+    deliveries are byte-identical here, so the surviving row is
+    deterministic and the batch oracle is simply SELECT DISTINCT."""
+    a = events_stream_source(spark, sf_dir)
+    b = events_stream_source(spark, sf_dir)
+    st = a.unionByName(b).withWatermark("ts", "1 hour")
+    dd = st.dropDuplicatesWithinWatermark(["event_id"])
+    out = run_to_memory(dd, "jcf_dedup_stream", output_mode="append")
+    return out.select(
+        "event_id", "user_id", "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        "value")
