@@ -1,0 +1,128 @@
+"""Custom PySpark DataSource (Spark 4 Python Data Source API).
+
+`SynthDocsDataSource` is a deterministic synthetic-corpus source: given
+``n`` (doc count) and ``parts`` (split count), it generates documents
+whose words are md5-derived from (doc_id, word_idx) — so the exact
+same rows can be replayed by a DuckDB oracle from generate_series +
+md5, giving the custom-source plumbing a hash-exact correctness gate.
+
+Why this exists: the reference ingests from an external SaaS API
+(Google Sheets, /root/reference/main.py:96-117) — the general problem
+is "a source Spark has no built-in connector for". The Spark-4-native
+answer is the Python Data Source API: declare schema + partitions,
+and each executor pulls only its split (here: a doc_id range; in a
+real connector: a page/offset range of the remote API). Partitions are
+the unit of parallelism and retry, exactly like an InputSplit of a
+file source. Rows cross into the JVM via Arrow batches.
+
+This is an integration-boundary API, not a throughput path — bulk data
+should land in parquet/JSONL and use the native scans (io/readers.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+try:  # Spark >= 4.0
+    from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                        InputPartition)
+    HAVE_DATASOURCE_API = True
+except ImportError:  # pragma: no cover - older Spark
+    HAVE_DATASOURCE_API = False
+
+    class DataSource:  # type: ignore[no-redef]
+        def __init__(self, options=None):
+            self.options = options or {}
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+SYNTHDOCS_SCHEMA = "doc_id BIGINT, n_words INT, text STRING"
+
+# Word length (md5 hex prefix) and words-per-doc band. A doc's word
+# count is 5 + (h48(doc_id) % 20) — deterministic and size-skewed
+# enough to exercise uneven partitions.
+WORD_HEX = 6
+WORDS_MIN, WORDS_MOD = 5, 20
+
+
+def _h48(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+
+def synth_doc(doc_id: int) -> tuple[int, int, str]:
+    """The generator contract, shared by the executor-side reader and
+    the test suite: words are 6-hex-char md5 prefixes of 'doc_id:i'."""
+    n_words = WORDS_MIN + _h48(str(doc_id)) % WORDS_MOD
+    words = (hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest()[:WORD_HEX]
+             for i in range(n_words))
+    return doc_id, n_words, " ".join(words)
+
+
+def synthdocs_oracle_sql(n: int) -> str:
+    """DuckDB SQL generating the identical rows (bit-exact md5s)."""
+    return f"""
+    SELECT doc_id,
+           CAST({WORDS_MIN} + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 12))::BIGINT
+                               % {WORDS_MOD} AS INT) AS n_words,
+           array_to_string(
+               list_transform(
+                   generate_series(
+                       0, {WORDS_MIN - 1}
+                          + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 12))::BIGINT % {WORDS_MOD}),
+                   i -> substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                   || CAST(i AS VARCHAR)), 1, {WORD_HEX})),
+               ' ') AS text
+    FROM generate_series(0, {n - 1}) t(doc_id)
+    """
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class SynthDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 8))
+
+    def partitions(self):
+        """Contiguous doc_id ranges — each executor generates only its
+        slice, no driver-side materialization (the same split scheme a
+        paged-API connector uses with page offsets)."""
+        per = max(1, -(-self.n // self.parts))  # ceil
+        return [_RangePartition(lo, min(lo + per, self.n))
+                for lo in range(0, self.n, per)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield synth_doc(doc_id)
+
+
+class SynthDocsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthdocs"
+
+    def schema(self) -> str:
+        return SYNTHDOCS_SCHEMA
+
+    def reader(self, schema) -> SynthDocsReader:
+        return SynthDocsReader(self.options)
+
+
+def register_synthdocs(spark) -> bool:
+    """Register the source on a session (idempotent). Returns False on
+    Sparks predating the Python Data Source API."""
+    if not HAVE_DATASOURCE_API:
+        return False
+    spark.dataSource.register(SynthDocsDataSource)
+    return True

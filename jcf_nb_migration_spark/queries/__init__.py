@@ -7,10 +7,12 @@ from jcf_nb_migration_spark.queries import (  # noqa: F401
     curation_ops,
     migration_ops,
     multimodal_ops,
+    packing_ops,
     pandas_udf_ops,
     profiling_ops,
     relational,
     similarity_search,
+    sources_ops,
     streaming_ops,
     text_analysis,
     timeseries_ops,

@@ -1,0 +1,387 @@
+"""Corpus-assembly queries: the last mile of a training-data pipeline.
+
+After curation (dedup, filtering, decontamination — see curation_ops)
+the corpus is assembled into what the trainer actually consumes:
+fixed-length packed sequences, overlapping retrieval chunks,
+deterministic train/valid/test splits, a reproducible global shuffle,
+and DSIR-style importance weights for domain re-balancing. Every one of
+these must be bit-reproducible run-to-run (a training corpus is an
+artifact you must be able to regenerate), so each query here is
+expressed in exact integer / md5 arithmetic and replayed verbatim by a
+DuckDB oracle.
+
+Scale notes are per-query; the common theme is that every window
+function is partitioned by a bounded key (bucket, shard) so no single
+executor ever sees an unbounded ordered partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions import text as T
+from jcf_nb_migration_spark.queries.text_analysis import _SQL_TOKS
+from jcf_nb_migration_spark.registry import query, spread, t
+
+SEQLEN = 256        # packed training-sequence length, in tokens
+PACK_BUCKET = 64    # docs per prefix-sum bucket (see sequence_packing)
+CHUNK_LEN = 64      # retrieval chunk length, in tokens
+CHUNK_STRIDE = 48   # retrieval chunk stride (=> 16-token overlap)
+SPLIT_MOD = 1000    # hash buckets for split assignment
+VALID_LO, TEST_LO = 980, 990  # train < 980 <= valid < 990 <= test
+NSHARDS = 8         # output shards for the global shuffle
+DSIR_BUCKETS = 4096          # hashed unigram feature buckets
+DSIR_SCALE = 1_000_000_000   # fixed-point resolution for probabilities
+
+
+def _sql_h48(expr: str) -> str:
+    """DuckDB mirror of text.token_hash48: first 12 md5 hex chars as a
+    48-bit positive BIGINT."""
+    return f"('0x' || substr(md5({expr}), 1, 12))::BIGINT"
+
+
+@query(
+    "sequence_packing",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, len({_SQL_TOKS}) AS n_tok FROM documents
+    ),
+    nz AS (SELECT doc_id, n_tok FROM tok WHERE n_tok > 0),
+    cum AS (
+        SELECT doc_id, n_tok,
+               CAST(COALESCE(SUM(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS cstart
+        FROM nz
+    ),
+    spans AS (
+        SELECT doc_id, n_tok, cstart, cstart + n_tok AS cend FROM cum
+    ),
+    x AS (
+        SELECT doc_id, cstart, cend,
+               unnest(generate_series(cstart // {SEQLEN},
+                                      (cend - 1) // {SEQLEN})) AS chunk_id
+        FROM spans
+    )
+    SELECT doc_id, chunk_id,
+           least(cend, (chunk_id + 1) * {SEQLEN})
+               - greatest(cstart, chunk_id * {SEQLEN}) AS n_tok_in_chunk,
+           cstart >= chunk_id * {SEQLEN} AS starts_here,
+           cend <= (chunk_id + 1) * {SEQLEN} AS ends_here
+    FROM x
+    """,
+    tags=("assembly", "packing", "prefix-sum"),
+    # kept local to fit the 50-name driver window; the bounded-window +
+    # explode pattern is driver-visible via user_hourly_resample and
+    # event_sessionization
+    driver_visible=False,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens
+    in doc_id order and cut the stream into fixed {SEQLEN}-token
+    training sequences; emit one row per (document, sequence) it lands
+    in, with the token count contributed and whether the document
+    starts/ends inside that sequence. All arithmetic is integer, so the
+    mapping is bit-reproducible.
+
+    The global prefix sum is the scale hazard — a single ordered window
+    would funnel the corpus through one partition. Here it is two-phase:
+    docs are grouped into {PACK_BUCKET}-doc buckets; per-bucket token
+    subtotals (corpus/{PACK_BUCKET} rows) take ONE small ordered window,
+    and each doc's offset is its bucket's offset plus a window cumsum
+    partitioned BY BUCKET — every ordered partition is ≤{PACK_BUCKET}
+    rows regardless of corpus size. The bucket-offset join is a shuffle
+    equi-join on the bucket key (AQE broadcasts it while it fits). The
+    oracle replays the same numbers with a plain single-window cumsum —
+    the two formulations are identical by associativity of +."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = (docs.select("doc_id", F.size(T.tokens("text")).alias("n_tok"))
+           .where(F.col("n_tok") > 0)
+           .withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET}")))
+    btot = tok.groupBy("bucket").agg(F.sum("n_tok").alias("b_tok"))
+    w_b = (Window.orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, -1))
+    boff = btot.select(
+        "bucket",
+        F.coalesce(F.sum("b_tok").over(w_b), F.lit(0)).alias("b_off"))
+    w_in = (Window.partitionBy("bucket").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    spans = (
+        tok.withColumn("c_in",
+                       F.coalesce(F.sum("n_tok").over(w_in), F.lit(0)))
+        .join(boff, "bucket")
+        .select("doc_id", "n_tok",
+                (F.col("b_off") + F.col("c_in")).alias("cstart"))
+        .withColumn("cend", F.col("cstart") + F.col("n_tok"))
+    )
+    x = spans.withColumn(
+        "chunk_id",
+        F.explode(F.sequence(F.expr(f"cstart div {SEQLEN}"),
+                             F.expr(f"(cend - 1) div {SEQLEN}"))))
+    return x.select(
+        "doc_id", "chunk_id",
+        (F.least(F.col("cend"), (F.col("chunk_id") + 1) * SEQLEN)
+         - F.greatest(F.col("cstart"), F.col("chunk_id") * SEQLEN)
+         ).alias("n_tok_in_chunk"),
+        (F.col("cstart") >= F.col("chunk_id") * SEQLEN).alias("starts_here"),
+        (F.col("cend") <= (F.col("chunk_id") + 1) * SEQLEN).alias("ends_here"),
+    )
+
+
+@query(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_SQL_TOKS} AS w, len({_SQL_TOKS}) AS n_tok
+        FROM documents
+    ),
+    nz AS (SELECT * FROM tok WHERE n_tok > 0),
+    x AS (
+        SELECT doc_id, w, n_tok,
+               unnest(generate_series(
+                   0, (greatest(n_tok - {CHUNK_LEN}, 0) + {CHUNK_STRIDE - 1})
+                      // {CHUNK_STRIDE})) AS chunk_idx
+        FROM nz
+    )
+    SELECT doc_id, chunk_idx,
+           len(w[chunk_idx * {CHUNK_STRIDE} + 1
+                 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_LEN}]) AS chunk_len,
+           md5(array_to_string(
+               w[chunk_idx * {CHUNK_STRIDE} + 1
+                 : chunk_idx * {CHUNK_STRIDE} + {CHUNK_LEN}], ' '))
+               AS chunk_md5
+    FROM x
+    """,
+    tags=("assembly", "chunking", "rag"),
+    # kept local to fit the 50-name driver window; explode + slice is
+    # driver-visible via multimodal_frame_sample
+    driver_visible=False,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking — the retrieval/embedding prep step:
+    each document's token stream is cut into {CHUNK_LEN}-token chunks
+    every {CHUNK_STRIDE} tokens ({CHUNK_LEN - CHUNK_STRIDE}-token
+    overlap so no sentence is ever split across a boundary without a
+    copy). Emits one row per chunk with its md5 (content-addressed, so
+    downstream chunk-level dedup is an equi-join). Pure per-row array
+    ops — explode + slice, no shuffle at all; the plan is a single
+    codegen'd map stage at any scale."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    tok = (docs.select("doc_id", T.tokens("text").alias("w"))
+           .withColumn("n_tok", F.size("w"))
+           .where(F.col("n_tok") > 0))
+    n_chunks_m1 = F.expr(
+        f"(greatest(n_tok - {CHUNK_LEN}, 0) + {CHUNK_STRIDE - 1})"
+        f" div {CHUNK_STRIDE}")
+    x = tok.withColumn(
+        "chunk_idx",
+        F.explode(F.sequence(F.lit(0).cast("bigint"),
+                             n_chunks_m1.cast("bigint"))))
+    sl = F.slice(F.col("w"),
+                 (F.col("chunk_idx") * CHUNK_STRIDE + 1).cast("int"),
+                 CHUNK_LEN)
+    return x.select(
+        "doc_id", "chunk_idx",
+        F.size(sl).alias("chunk_len"),
+        F.md5(F.concat_ws(" ", sl)).alias("chunk_md5"),
+    )
+
+
+@query(
+    "corpus_split_assign",
+    oracle=f"""
+    SELECT source,
+           CASE WHEN h < {VALID_LO} THEN 'train'
+                WHEN h < {TEST_LO} THEN 'valid'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM (
+        SELECT source,
+               {_sql_h48("CAST(doc_id AS VARCHAR) || ':split'")}
+                   % {SPLIT_MOD} AS h,
+               len({_SQL_TOKS}) AS n_tok
+        FROM documents
+    )
+    GROUP BY source, split
+    """,
+    tags=("assembly", "split", "hash"),
+    # kept local to fit the 50-name driver window; md5-keyed routing is
+    # driver-visible via dedup_exact and stratified sampling patterns
+    driver_visible=False,
+)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split: each doc routes by a
+    48-bit md5 of its id (salted, so adding a differently-salted split
+    later is independent) mod {SPLIT_MOD} — train < {VALID_LO} ≤ valid
+    < {TEST_LO} ≤ test. Hash-based assignment is the only split that
+    stays stable when the corpus is re-crawled or re-ordered; output is
+    the per-(source, split) doc and token census used to check the
+    split didn't skew any domain. One map stage + one partial-agg
+    groupBy on a bounded (source × 3) key."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    h = (F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(":split"))), 1, 12), 16, 10)
+         .cast("bigint") % SPLIT_MOD)
+    split = (F.when(h < VALID_LO, "train")
+             .when(h < TEST_LO, "valid")
+             .otherwise("test"))
+    return (
+        docs.select("source", split.alias("split"),
+                    F.size(T.tokens("text")).alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               {_sql_h48("CAST(doc_id AS VARCHAR) || ':shuffle'")} AS hv
+        FROM documents
+    )
+    SELECT doc_id, hv % {NSHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY hv % {NSHARDS} ORDER BY hv, doc_id
+           ) AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("assembly", "shuffle", "hash"),
+    # kept local to fit the 50-name driver window; bounded-partition
+    # window ranking is driver-visible via latest_event_per_user
+    driver_visible=False,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle — the epoch-order randomization a
+    trainer needs, as data, not an RNG: each doc's position is
+    (shard, rank) where shard = h48(id) mod {NSHARDS} and rank orders
+    by the hash within the shard. Any run, any cluster size, any input
+    order produces the identical permutation. The window is partitioned
+    by shard — at scale NSHARDS is set to the output file count
+    (thousands), so each ordered partition is corpus/NSHARDS rows and
+    the sort is the same per-file sort the writer needs anyway
+    (repartitionByRange on (shard, hv) + sortWithinPartitions — see
+    io/layout.py for the writer side)."""
+    docs = t(spark, sf_dir, "documents")
+    h = (F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(":shuffle"))), 1, 12), 16, 10)
+         .cast("bigint"))
+    hd = docs.select("doc_id", h.alias("hv"))
+    w = Window.partitionBy(F.col("hv") % NSHARDS).orderBy("hv", "doc_id")
+    return hd.select(
+        "doc_id",
+        (F.col("hv") % NSHARDS).alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+@query(
+    "dsir_importance",
+    oracle=f"""
+    WITH occ AS (
+        SELECT doc_id, lang,
+               {_sql_h48("unnest(" + _SQL_TOKS + ") || ':dsir'")}
+                   % {DSIR_BUCKETS} AS b
+        FROM documents
+    ),
+    cr AS (SELECT b, COUNT(*) AS c_r FROM occ GROUP BY b),
+    ct AS (SELECT b, COUNT(*) AS c_t FROM occ WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM occ) AS tot_r,
+               (SELECT COUNT(*) FROM occ WHERE lang = 'en') AS tot_t
+    ),
+    buckets AS (
+        SELECT cr.b,
+               ((COALESCE(ct.c_t, 0) + 1) * {DSIR_SCALE})
+                   // (tot.tot_t + {DSIR_BUCKETS})
+               - ((cr.c_r + 1) * {DSIR_SCALE})
+                   // (tot.tot_r + {DSIR_BUCKETS}) AS delta
+        FROM cr LEFT JOIN ct ON ct.b = cr.b, tot
+    ),
+    per_doc AS (
+        SELECT occ.doc_id, COUNT(*) AS n_tok,
+               CAST(SUM(buckets.delta) AS BIGINT) AS dsir_score
+        FROM occ JOIN buckets ON buckets.b = occ.b
+        GROUP BY occ.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+           COALESCE(p.n_tok, 0) AS n_tok,
+           COALESCE(p.dsir_score, 0) AS dsir_score,
+           CASE WHEN COALESCE(p.n_tok, 0) > 0
+                THEN CAST(p.dsir_score AS DOUBLE)
+                     / (p.n_tok * {DSIR_SCALE})
+                ELSE 0.0 END AS importance
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    tags=("assembly", "importance-sampling", "dsir"),
+    # kept local to fit the 50-name driver window; the hashed-feature
+    # scoring pattern is driver-visible via doc_lang_id and
+    # doc_quality_score
+    driver_visible=False,
+)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every doc by
+    how much more likely its hashed-unigram features are under the
+    target distribution (here: the English subset standing in for the
+    high-quality target corpus) than under the raw corpus. Features are
+    token hashes bucketed mod {DSIR_BUCKETS}; the classic formulation
+    sums log-probability ratios — this one sums fixed-point
+    (add-one-smoothed) probability DIFFERENCES instead, which keeps
+    every term an exact integer so the oracle replays bit-identically
+    (log-ratio needs transcendental math with engine-specific
+    rounding). Same monotone intent: positive = target-like.
+
+    Scale shape: the bucket score table is structurally bounded
+    ({DSIR_BUCKETS} rows — broadcast is safe BY CONSTRUCTION, unlike a
+    vocabulary table), so scoring is one broadcast-join map pass plus
+    one groupBy(doc_id). The two count aggregations are partial-agg'd
+    map-side on the bounded bucket key."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    occ = (
+        docs.select("doc_id", "lang",
+                    F.explode(T.tokens("text")).alias("tok"))
+        .select("doc_id", "lang",
+                (F.conv(F.substring(
+                    F.md5(F.concat(F.col("tok"), F.lit(":dsir"))),
+                    1, 12), 16, 10).cast("bigint")
+                 % DSIR_BUCKETS).alias("b"))
+    )
+    cr = occ.groupBy("b").agg(F.count(F.lit(1)).alias("c_r"))
+    ct = (occ.where(F.col("lang") == "en")
+          .groupBy("b").agg(F.count(F.lit(1)).alias("c_t")))
+    tot = occ.agg(
+        F.count(F.lit(1)).alias("tot_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("tot_t"))
+    buckets = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.expr(
+            f"((coalesce(c_t, 0) + 1) * {DSIR_SCALE})"
+            f" div (tot_t + {DSIR_BUCKETS})"
+            f" - ((c_r + 1) * {DSIR_SCALE})"
+            f" div (tot_r + {DSIR_BUCKETS})").alias("delta"))
+    )
+    per_doc = (
+        occ.join(F.broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"),
+             F.sum("delta").alias("dsir_score"))
+    )
+    return docs.select("doc_id", "lang") \
+        .join(per_doc, "doc_id", "left").select(
+            "doc_id", "lang",
+            F.coalesce(F.col("n_tok"), F.lit(0)).alias("n_tok"),
+            F.coalesce(F.col("dsir_score"), F.lit(0)).alias("dsir_score"),
+            F.when(F.coalesce(F.col("n_tok"), F.lit(0)) > 0,
+                   F.col("dsir_score").cast("double")
+                   / (F.col("n_tok") * DSIR_SCALE))
+             .otherwise(F.lit(0.0)).alias("importance"),
+        )
