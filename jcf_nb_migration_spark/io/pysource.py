@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 try:  # Spark >= 4.0
     from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                        DataSourceStreamReader,
                                         InputPartition)
     HAVE_DATASOURCE_API = True
 except ImportError:  # pragma: no cover - older Spark
@@ -36,6 +37,9 @@ except ImportError:  # pragma: no cover - older Spark
             self.options = options or {}
 
     class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamReader:  # type: ignore[no-redef]
         pass
 
     class InputPartition:  # type: ignore[no-redef]
@@ -107,6 +111,47 @@ class SynthDocsReader(DataSourceReader):
             yield synth_doc(doc_id)
 
 
+class SynthDocsStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming reader over the same synthetic corpus:
+    the offset is simply the next unread doc_id, serialized as a dict
+    per the API's JSON-offset contract. Each latestOffset() call
+    advances availability by ``batch_rows`` docs (so a bounded corpus
+    drains over ceil(n/batch_rows) micro-batches — the shape a paged
+    API or a Kafka topic with a rate limit produces), and
+    partitions(start, end) splits each micro-batch's range exactly
+    like the batch reader splits the whole corpus. Offsets make the
+    source replayable: a restarted query re-requests the same
+    [start, end) range and gets identical rows."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 4))
+        self.batch_rows = int(options.get("batch_rows", max(1, self.n // 4)))
+        self._available = 0
+
+    def initialOffset(self) -> dict:
+        return {"next_doc": 0}
+
+    def latestOffset(self) -> dict:
+        self._available = min(self._available + self.batch_rows, self.n)
+        return {"next_doc": self._available}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["next_doc"], end["next_doc"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        per = max(1, -(-(hi - lo) // self.parts))
+        return [_RangePartition(a, min(a + per, hi))
+                for a in range(lo, hi, per)]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for doc_id in range(partition.start, partition.end):
+            yield synth_doc(doc_id)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to release; offsets are pure arithmetic
+
+
 class SynthDocsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -117,6 +162,9 @@ class SynthDocsDataSource(DataSource):
 
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
+
+    def streamReader(self, schema) -> SynthDocsStreamReader:
+        return SynthDocsStreamReader(self.options)
 
 
 def register_synthdocs(spark) -> bool:

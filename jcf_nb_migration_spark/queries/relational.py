@@ -705,3 +705,62 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("double").alias("total_acctbal"))
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "sole_failing_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10
+    """,
+    tags=("semi-join", "anti-join", "tpch-q21"),
+    # TPC-H Q21 shape (late→returned, no commit/receipt dates in the
+    # fixture); kept local to fit the 50-name driver window.
+    driver_visible=False,
+)
+def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier with a
+    returned lineitem on a multi-supplier finalized order — a semi-join
+    (some other supplier shipped the order) stacked on an anti-join
+    (no other supplier had a return) with a mixed equi+inequality
+    condition each. Both correlated subqueries become one pass over
+    lineitem shuffled on l_orderkey; the supplier dim broadcasts.
+    Composite (numwait DESC, s_name) sort makes the top-10 cut
+    deterministic under ties."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    l1 = (li.where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("o2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("o3"),
+                  F.col("l_suppkey").alias("s3")))
+    base = (
+        l1.join(orders.where(F.col("o_orderstatus") == "F"),
+                l1.l_orderkey == F.col("o_orderkey"), "left_semi")
+        .join(l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
+              "left_semi")
+        .join(l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3),
+              "left_anti")
+    )
+    return (
+        base.join(F.broadcast(sup),
+                  base.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )

@@ -210,6 +210,61 @@ def running_user_totals_stateful(spark: SparkSession,
     return run_to_memory(out, "jcf_user_state_stream", output_mode="update")
 
 
+def foreach_batch_parquet_sink(spark: SparkSession, sf_dir: str,
+                               out_dir: str) -> list[int]:
+    """Streaming sink via foreachBatch with restart idempotence: each
+    micro-batch lands in its own ``batch_id=N`` subdirectory written
+    with overwrite mode, so a batch replayed after a failure/restart
+    (same batch_id, the contract Structured Streaming guarantees)
+    overwrites its own previous partial output instead of duplicating
+    it — exactly-once file output from an at-least-once callback.
+    foreachBatch is the escape hatch for sinks Spark lacks natively
+    (JDBC upserts, SaaS APIs...); the batch DataFrame inside the
+    callback supports every batch op, unlike direct streaming sinks.
+    Returns the batch ids written."""
+    seen: list[int] = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+        seen.append(batch_id)
+
+    st = (events_stream_source(spark, sf_dir)
+          .select("event_id", "user_id", "event_type", "value"))
+    q = st.writeStream.foreachBatch(write_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return seen
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against a static
+    dimension (customer market segment) and aggregated per segment.
+    The static side is a plain batch DataFrame — Spark re-plans it into
+    each micro-batch, so dimension updates between batches are picked
+    up, no state is kept for the join itself, and the join strategy is
+    whatever the batch planner picks (broadcast for this bounded dim).
+    This is THE standard enrichment topology: facts stream in, slowly
+    changing dims stay a table. Watermarked windowed agg downstream;
+    complete mode makes the driven-to-completion result equal the
+    batch join, which is the oracle."""
+    st = events_stream_source(spark, sf_dir)
+    dim = (t(spark, sf_dir, "customer")
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    agg = (
+        st.withWatermark("ts", "1 hour")
+        .join(dim, "user_id")  # stream-static inner join, stateless
+        .groupBy("segment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+              .alias("total_value"))
+    )
+    return run_to_memory(agg, "jcf_enrich_stream")
+
+
 def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup for at-least-once delivery
     (dropDuplicatesWithinWatermark): the event stream unioned with

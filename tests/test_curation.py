@@ -187,3 +187,30 @@ def test_mixture_sample_is_deterministic_and_budgeted(spark):
     rates = {r["source"]: r["sample_rate"]
              for r in out.select("source", "sample_rate").distinct().collect()}
     assert all(0.0 < v < 1.0 for v in rates.values())
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter incremental dedup
+# ---------------------------------------------------------------------------
+
+def test_bloom_incremental_dedup_no_false_negatives(spark):
+    from jcf_nb_migration_spark.queries.curation_ops import BLOOM_OLD_MAX
+
+    out = _q("bloom_incremental_dedup").fn(spark, SF_SMALL).cache()
+    # a Bloom filter may lie "maybe" but never "no": every known doc
+    # must be flagged
+    assert out.where(F.col("is_known")
+                     & ~F.col("bloom_maybe_dup")).count() == 0
+    # false positives are exactly (maybe ∧ ¬known)
+    assert out.where(F.col("false_positive")
+                     != (F.col("bloom_maybe_dup")
+                         & ~F.col("is_known"))).count() == 0
+    # and stay a small fraction of the genuinely-new docs
+    new = out.where(~F.col("is_known"))
+    n_new = new.count()
+    n_fp = new.where(F.col("false_positive")).count()
+    assert n_new > 0 and n_fp / n_new < 0.15
+    # re-delivered half of the corpus is recognized
+    assert out.where(F.col("is_known")).count() > 0
+    assert out.count() > BLOOM_OLD_MAX
+    out.unpersist()

@@ -143,6 +143,28 @@ def test_foreach_batch_idempotent_sink(spark, tmp_path):
     assert back.count() == t(spark, SF_SMALL, "events").count()
 
 
+def test_foreach_batch_sink_package_api(spark, tmp_path):
+    """The package-level foreachBatch sink (streaming/events.py):
+    writes land under batch_id=N dirs, and replaying a batch (the
+    restart contract) overwrites rather than duplicates."""
+    import os
+
+    out_dir = str(tmp_path / "fb_sink")
+    seen = SE.foreach_batch_parquet_sink(spark, SF_SMALL, out_dir)
+    assert seen, "no micro-batch processed"
+    n_events = t(spark, SF_SMALL, "events").count()
+    first = os.path.join(out_dir, f"batch_id={seen[0]}")
+    assert spark.read.parquet(first).count() == n_events
+    # simulate a restart replaying the same batch id: same dir, same
+    # rows — overwrite semantics keep the output exactly-once
+    again = SE.foreach_batch_parquet_sink(spark, SF_SMALL, out_dir)
+    assert spark.read.parquet(
+        os.path.join(out_dir, f"batch_id={again[0]}")).count() == n_events
+    total = spark.read.option("basePath", out_dir).parquet(
+        out_dir + "/batch_id=*").select("event_id").distinct().count()
+    assert total == n_events
+
+
 def test_multimodal_frame_sample_fanout(spark):
     from jcf_nb_migration_spark.functions.multimodal import sample_frames
 
