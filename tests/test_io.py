@@ -189,3 +189,72 @@ def test_cluster_write_gives_disjoint_file_stats(spark, workdir):
         .fromString("formatted"))
     assert "PushedFilters: [IsNotNull(id), EqualTo(id,54321)]" in plan
     assert back.count() == 1
+
+
+def _file_stats(out_dir, col_names):
+    """Per-file (min, max) for each named column from parquet footers."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    stats = []
+    for f in sorted(glob.glob(os.path.join(out_dir, "part-*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        per_col = {}
+        for c in col_names:
+            ci = names.index(c)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            per_col[c] = (min(mins), max(maxs))
+        stats.append(per_col)
+    return stats
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, workdir):
+    """Z-order vs lexicographic clustering on a 256x256 grid: the
+    lexicographic layout prunes only on the leading column (every file
+    spans the full y domain), while the z-ordered layout gives every
+    file a bounded slice of BOTH dimensions, so a band predicate on
+    either column excludes most files by min/max stats."""
+    from jcf_nb_migration_spark.io.layout import cluster_write, zorder_write
+
+    df = spark.range(256 * 256).selectExpr(
+        "cast(id % 256 as bigint) as x", "cast(id div 256 as bigint) as y")
+    zdir = os.path.join(workdir, "zordered")
+    ldir = os.path.join(workdir, "lexico")
+    zorder_write(df, zdir, ["x", "y"], num_files=16, bits=8)
+    cluster_write(df, ldir, ["x", "y"], num_files=16)
+
+    zstats = _file_stats(zdir, ["x", "y"])
+    lstats = _file_stats(ldir, ["x", "y"])
+    assert len(zstats) >= 8 and len(lstats) >= 8
+
+    def files_hit(stats, col, lo, hi):
+        return sum(1 for s in stats
+                   if not (s[col][1] < lo or s[col][0] > hi))
+
+    # trailing-dimension band y in [0, 31]: lexicographic hits every
+    # file; z-order must exclude at least half
+    assert files_hit(lstats, "y", 0, 31) == len(lstats)
+    assert files_hit(zstats, "y", 0, 31) <= len(zstats) // 2
+    # leading dimension still prunes under z-order too
+    assert files_hit(zstats, "x", 0, 31) <= len(zstats) // 2
+    # and files are tight on average in both dimensions (a file whose
+    # z-range straddles a top-level quadrant boundary can legitimately
+    # span a full dim — Morton curves have O(1) such files per level)
+    for c in ("x", "y"):
+        spans = [s[c][1] - s[c][0] for s in zstats]
+        assert sum(spans) / len(spans) <= 128
+        assert sum(1 for sp in spans if sp > 192) <= 3
+
+    # Spark's scan exploits it: pushed band filter on y
+    back = spark.read.parquet(zdir).where("y between 0 and 31")
+    plan = back._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "GreaterThanOrEqual(y,0)" in plan
+    assert back.count() == 256 * 32
