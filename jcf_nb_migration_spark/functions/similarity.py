@@ -235,14 +235,23 @@ def kmeans_train(emb: DataFrame, k: int = 8, iters: int = 2,
     (cluster, dim) aggregation."""
     rows = _centroid_rows(emb.orderBy(F.col(id_col).asc()).limit(k),
                           id_col, vec_col)
+    return _lloyd_rounds(
+        emb, rows, iters, vec_col,
+        lambda r: -F.array_max(_centroid_sims(vec_col, r))["neg_id"])
+
+
+def _lloyd_rounds(emb: DataFrame, rows, iters: int, vec_col: str,
+                  cluster_of) -> list[tuple[int, list[float]]]:
+    """Shared Lloyd loop: ``cluster_of(rows)`` yields the assignment
+    Column (cosine argmax or L2 argmin); means recompute through
+    DECIMAL(18,12) is identical for both metrics."""
     for _ in range(iters):
-        best = F.array_max(_centroid_sims(vec_col, rows))
         # Two selects, not one: a generator (posexplode) in the same
         # projection as a struct-field access strips the struct's field
         # names during analysis (FIELD_NOT_FOUND col1/col2). Catalyst
         # collapses the adjacent projections, so the plan is identical.
         means = (
-            emb.select((-best["neg_id"]).alias("cluster"),
+            emb.select(cluster_of(rows).alias("cluster"),
                        as_double(F.col(vec_col)).alias("__v"))
             .select("cluster",
                     F.posexplode("__v").alias("dim_idx", "component"))
@@ -260,6 +269,88 @@ def kmeans_train(emb: DataFrame, k: int = 8, iters: int = 2,
             for cid, old in rows
         ]
     return rows
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, computed as dot(a−b, a−b): the diff list is
+    materialized once and fed through the same left-to-right product
+    fold as ``dot``, so DuckDB's ``list_dot_product`` over the same
+    diff list is bit-identical (the property every PQ oracle below
+    rests on)."""
+    d = F.zip_with(as_double(a), as_double(b), lambda x, y: x - y)
+    return dot(d, d)
+
+
+def _centroid_dists(vec: Column,
+                    rows: list[tuple[int, list[float]]]) -> Column:
+    """array(struct(dist, c_id)) over the centroid list; array_min
+    picks (lowest distance, then lowest centroid id) — same tie-break
+    as ORDER BY dist ASC, c_id ASC. Small-K literal-tree regime, like
+    _centroid_sims."""
+    structs = []
+    for cid, cvec in rows:
+        lit = F.array(*[F.lit(x) for x in cvec])
+        structs.append(F.struct(
+            sqdist(vec, lit).alias("dist"),
+            F.lit(cid).cast("bigint").alias("c_id")))
+    return F.array(*structs)
+
+
+def kmeans_train_l2(emb: DataFrame, k: int = 8, iters: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    ) -> list[tuple[int, list[float]]]:
+    """Euclidean variant of kmeans_train (assignment by squared-L2
+    argmin instead of cosine argmax; identical deterministic seeding,
+    decimal-exact means, empty-cluster carry-over). This is the metric
+    product quantization needs: PQ approximates DISTANCES from
+    reconstructed subvectors, so codewords must minimize L2
+    reconstruction error, not angle."""
+    rows = _centroid_rows(emb.orderBy(F.col(id_col).asc()).limit(k),
+                          id_col, vec_col)
+    return _lloyd_rounds(
+        emb, rows, iters, vec_col,
+        lambda r: F.array_min(_centroid_dists(F.col(vec_col), r))["c_id"])
+
+
+def pq_train(emb: DataFrame, m: int = 4, k: int = 8, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             ) -> list[list[tuple[int, list[float]]]]:
+    """Product-quantization codebooks: split the vector into ``m``
+    contiguous subspaces and train an independent L2 k-means codebook
+    per subspace (k codewords each). Returns one centroid list per
+    subspace; total driver-held state is m·k·(dim/m) floats — the same
+    control-plane footprint argument as IVF centroids. m scans of the
+    corpus per iteration round (one per subspace), each a slice
+    projection + the narrow argmin pass."""
+    dim = len(emb.select(vec_col).head()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    books = []
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sd + 1, sd).alias(vec_col))
+        books.append(kmeans_train_l2(sub, k=k, iters=iters,
+                                     id_col=id_col, vec_col=vec_col))
+    return books
+
+
+def pq_encode(emb: DataFrame,
+              codebooks: list[list[tuple[int, list[float]]]],
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> DataFrame:
+    """PQ encoding: each vector becomes ``m`` small codes (argmin-L2
+    codeword per subspace, ties to the lowest code id) — 64 dims of
+    float32 compress to m bytes-ish of codes. One narrow codegen'd
+    projection; adds ``codes`` array<bigint>, keeps id and vector."""
+    sd = len(codebooks[0][0][1])
+    code_cols = []
+    for s, rows in enumerate(codebooks):
+        sub = F.slice(F.col(vec_col), s * sd + 1, sd)
+        code_cols.append(F.array_min(_centroid_dists(sub, rows))["c_id"])
+    return emb.select(F.col(id_col), F.col(vec_col),
+                      F.array(*code_cols).alias("codes"))
 
 
 def ivf_ann_probe(emb: DataFrame, centroids, probe_id: int,

@@ -115,3 +115,49 @@ def order_value_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')},
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    tags=("incremental", "materialized-view", "partial-agg"),
+    driver_visible=False,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance: a standing aggregate state table
+    (two thirds of orders) is refreshed by MERGING the delta batch's
+    partial aggregates — union of two partial-agg tables, one groupBy,
+    re-deriving avg from the merged (count, sum) — never rescanning
+    the base table. count/sum are the mergeable partials (avg is NOT
+    mergeable and must be derived); sums ride DECIMAL(18,4) so the
+    merge is exact and order-independent. The oracle is the full
+    recompute over all orders: passing proves merged-partials ≡
+    recompute, the invariant every incremental rollup pipeline rests
+    on. At 100 TB the state table is key-sized, the delta is
+    day-sized, and the shuffle keys on the group-by column only."""
+    orders = t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,4)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(dec).alias("tot"))
+
+    state = partial(orders.where(F.col("o_orderkey") % 3 != 0))
+    delta = partial(orders.where(F.col("o_orderkey") % 3 == 0))
+    merged = (state.unionByName(delta)
+              .groupBy("o_orderpriority")
+              .agg(F.sum("cnt").alias("n_orders"),
+                   F.sum("tot").alias("tot")))
+    return merged.select(
+        "o_orderpriority", "n_orders",
+        F.col("tot").cast("double").alias("total_price"),
+        (F.col("tot").cast("double") / F.col("n_orders"))
+        .alias("avg_price")).orderBy("o_orderpriority")
