@@ -86,19 +86,35 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to a session-TZ TIMESTAMP
+    regardless of how the fixture encoded it on disk. Generations of
+    the fixture have used TIMESTAMP(NANOS) (readable only as long via
+    the nanosAsLong conf) and TIMESTAMP_NTZ(MICROS); downstream
+    operators (unix_micros, windows, as-of joins) need a plain
+    TIMESTAMP. Session TZ is pinned UTC (ensure_session_confs), so the
+    NTZ→LTZ cast reinterprets the naive value as UTC — identical to
+    what DuckDB's naive TIMESTAMP arithmetic computes on the same file.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # TIMESTAMP(NANOS) read as nanos-since-epoch
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one star-schema table (parquet scan; Catalyst prunes/pushes).
 
-    The events table stores TIMESTAMP(NANOS), which Spark's parquet
-    reader only accepts as long (nanosAsLong conf, set defensively via
-    ensure_session_confs); convert back to a microsecond timestamp here
-    so downstream operators see a real timestamp column. Sub-microsecond
-    truncation matches what DuckDB returns to pandas.
+    The events table's on-disk timestamp encoding varies by fixture
+    generation; normalize_event_ts converts it to a real TIMESTAMP so
+    downstream operators are encoding-agnostic.
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

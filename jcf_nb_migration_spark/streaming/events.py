@@ -32,7 +32,8 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a symlink adapts it (read-only, nothing copied). The nanosec
     timestamp is normalized exactly as the batch reader does
     (registry.t)."""
-    from jcf_nb_migration_spark.registry import ensure_session_confs
+    from jcf_nb_migration_spark.registry import (
+        ensure_session_confs, normalize_event_ts)
 
     ensure_session_confs(spark)
     src_file = os.path.join(sf_dir, "events.parquet")
@@ -42,9 +43,7 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(src_file, link)
     schema = spark.read.parquet(src_file).schema
     st = spark.readStream.schema(schema).format("parquet").load(d)
-    if dict(st.dtypes).get("ts") == "bigint":
-        st = st.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return st
+    return normalize_event_ts(st)
 
 
 def run_to_memory(stream_df: DataFrame, name: str,
