@@ -90,3 +90,25 @@ def zorder_write(df: DataFrame, path: str, cluster_cols: list[str],
        .sortWithinPartitions("__z")
        .drop("__z")
        .write.mode(mode).parquet(path))
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist ``df`` as a BUCKETED catalog table: rows are hashed on
+    ``bucket_cols`` into ``num_buckets`` files, optionally sorted
+    within each bucket.
+
+    This is the co-located-join layout: when two tables are bucketed
+    on their join key with the same bucket count, Spark's planner
+    proves both sides already share the required hash distribution and
+    elides BOTH shuffle exchanges from the SortMergeJoin — at 100 TB
+    that turns every fact⋈fact join on the bucket key into a zero-
+    shuffle zip of bucket pairs, paid for once at write time. Same
+    deal for aggregations grouped on the bucket key. Requires the
+    catalog (``saveAsTable``): bucket metadata lives there, plain
+    ``.parquet(path)`` writes lose it."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

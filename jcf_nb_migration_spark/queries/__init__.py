@@ -11,6 +11,7 @@ from jcf_nb_migration_spark.queries import (  # noqa: F401
     pandas_udf_ops,
     profiling_ops,
     relational,
+    relational2,
     retrieval_ops,
     similarity_search,
     sources_ops,

@@ -578,3 +578,85 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                / (F.col("n_bigrams") * LM_SCALE))
          .otherwise(F.lit(0.0)).alias("fluency"),
     )
+
+
+@query(
+    "curation_funnel",
+    oracle=f"""
+    WITH flags AS (
+        SELECT doc_id,
+               (lang = 'en') AS f_lang,
+               (len(w) >= 60) AS f_len,
+               ((len(w) - len(list_distinct(w))) * 10 < len(w) * 6)
+                   AS f_dup,
+               (len(list_filter(w, x -> list_contains(
+                    ['the','a','of','and','is','to','in'], x))) * 25
+                    >= len(w)) AS f_stop
+        FROM (SELECT doc_id, lang, {_SQL_TOKS} AS w FROM documents)
+    ), agg AS (
+        SELECT COUNT(*) AS n0,
+               COUNT(*) FILTER (f_lang) AS n1,
+               COUNT(*) FILTER (f_lang AND f_len) AS n2,
+               COUNT(*) FILTER (f_lang AND f_len AND f_dup) AS n3,
+               COUNT(*) FILTER (f_lang AND f_len AND f_dup AND f_stop)
+                   AS n4
+        FROM flags
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage_idx, 'lang_en' AS stage,
+               n0 AS n_in, n1 AS n_kept, n0 - n1 AS n_dropped FROM agg
+        UNION ALL
+        SELECT 2, 'min_tokens_60', n1, n2, n1 - n2 FROM agg
+        UNION ALL
+        SELECT 3, 'dup_token_frac_lt_0.6', n2, n3, n2 - n3 FROM agg
+        UNION ALL
+        SELECT 4, 'stopword_ratio_ge_0.04', n3, n4, n3 - n4 FROM agg
+    ) ORDER BY stage_idx
+    """,
+    tags=("curation", "funnel", "quality"),
+    driver_visible=False,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep/drop report a curation pipeline publishes:
+    four staged filters (language, length, repetition, stopword
+    density) with per-stage in/kept/dropped counts. One scan, one
+    single-row aggregate (each stage is a conditional count over
+    per-doc boolean columns — no per-stage jobs, no driver loop), then
+    a 4-row unpivot. Thresholds are integer-exact cross-engine
+    (len·10 < len·6 style), so the oracle comparison is bitwise; at
+    100 TB this is a map-side-combinable aggregate at scan bandwidth."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = T.tokens("text")
+    n_tok = F.size(toks)
+    flags = docs.select(
+        (F.col("lang") == "en").alias("f_lang"),
+        (n_tok >= 60).alias("f_len"),
+        ((n_tok - F.size(F.array_distinct(toks))) * 10 < n_tok * 6)
+            .alias("f_dup"),
+        (T.stopword_hits(toks, "en") * 25 >= n_tok).alias("f_stop"),
+    )
+
+    def cnt(cond, alias):
+        return F.count(F.when(cond, 1)).alias(alias)
+
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        cnt(F.col("f_lang"), "n1"),
+        cnt(F.col("f_lang") & F.col("f_len"), "n2"),
+        cnt(F.col("f_lang") & F.col("f_len") & F.col("f_dup"), "n3"),
+        cnt(F.col("f_lang") & F.col("f_len") & F.col("f_dup")
+            & F.col("f_stop"), "n4"),
+    )
+    stages = [("lang_en", "n0", "n1"), ("min_tokens_60", "n1", "n2"),
+              ("dup_token_frac_lt_0.6", "n2", "n3"),
+              ("stopword_ratio_ge_0.04", "n3", "n4")]
+    # Unpivot the single agg row with inline(array(struct...)) — one
+    # scan, one aggregate, 4 output rows. A unionAll of per-stage
+    # selects would re-plan (and re-scan for) the aggregate per branch.
+    structs = [
+        F.struct(F.lit(i + 1).alias("stage_idx"), F.lit(name).alias("stage"),
+                 F.col(a).alias("n_in"), F.col(b).alias("n_kept"),
+                 (F.col(a) - F.col(b)).alias("n_dropped"))
+        for i, (name, a, b) in enumerate(stages)
+    ]
+    return agg.select(F.inline(F.array(*structs))).orderBy("stage_idx")

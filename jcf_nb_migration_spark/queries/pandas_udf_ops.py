@@ -87,3 +87,75 @@ def grouped_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(fit, "l_returnflag string, n bigint, "
                                 "slope double, intercept double")
             .orderBy("l_returnflag"))
+
+
+@query(
+    "cogroup_asof_pandas",
+    # Identical semantics (and oracle) to asof_click_before_error: for
+    # each error, the latest same-user click at-or-before it, ties on
+    # ts resolved to the highest click event_id.
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id, 1 AS side,
+               CAST(NULL AS BIGINT) AS p_event_id
+        FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT user_id, ts, event_id, 0 AS side, event_id AS p_event_id
+        FROM events WHERE event_type = 'click'
+    ), carried AS (
+        SELECT user_id, ts, event_id, side,
+               LAST_VALUE(p_event_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, side, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS asof_event_id
+        FROM u
+    )
+    SELECT event_id AS error_id, asof_event_id AS click_id
+    FROM carried WHERE side = 1
+    """,
+    tags=("pandas-udf", "cogroup", "asof-join"),
+    driver_visible=False,
+)
+def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via cogrouped applyInPandas — the API surface for
+    group-local two-sided algorithms (pd.merge_asof here; the same
+    shape carries calibration-vs-reference, trade-vs-quote matching).
+    Both sides shuffle once on user_id and arrive as per-key pandas
+    frames; Arrow batches both directions, no driver involvement.
+
+    The relational union+window formulation (asof_click_before_error)
+    is the preferred 100 TB path — a giant user's events all land in
+    one pandas frame here, so this variant is for group-local logic
+    that genuinely needs imperative code. Sharing the oracle with the
+    relational variant proves the two implementations agree row-for-row
+    (merge_asof backward + allow-exact ≡ last_value window with clicks
+    ordered before errors at equal ts)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:  # click-only user: no error rows to emit
+            return pd.DataFrame({"error_id": pd.Series(dtype="Int64"),
+                                 "click_id": pd.Series(dtype="Int64")})
+        left = left.sort_values(["ts", "event_id"])
+        right = right.sort_values(["ts", "event_id"])
+        m = pd.merge_asof(left, right, on="ts",
+                          suffixes=("_err", "_clk"),
+                          direction="backward", allow_exact_matches=True)
+        return pd.DataFrame({
+            "error_id": m["event_id_err"].astype("Int64"),
+            "click_id": m["event_id_clk"].astype("Int64"),
+        })
+
+    return (
+        errors.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, "error_id bigint, click_id bigint")
+    )

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from jcf_nb_migration_spark.functions.upsert import upsert
+from jcf_nb_migration_spark.functions.upsert import scd2_merge, upsert
 from jcf_nb_migration_spark.registry import query, sql_dsum, t
 
 
@@ -161,3 +161,41 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").cast("double").alias("total_price"),
         (F.col("tot").cast("double") / F.col("n_orders"))
         .alias("avg_price")).orderBy("o_orderpriority")
+
+
+@query(
+    "customer_scd2_history",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, c_name, 0.0 AS c_acctbal
+        FROM customer WHERE c_acctbal < 0
+    )
+    SELECT c_custkey, c_acctbal, eff_date, is_current FROM (
+        SELECT c.c_custkey, c.c_acctbal, '2020-01-01' AS eff_date,
+               (c.c_custkey NOT IN (SELECT c_custkey FROM upd))
+                   AS is_current
+        FROM customer c
+        UNION ALL
+        SELECT c_custkey, c_acctbal, '2024-01-01', TRUE FROM upd
+    )
+    """,
+    tags=("scd2", "cdc", "upsert"),
+    driver_visible=False,
+)
+def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 (functions/upsert.scd2_merge):
+    negative-balance customers get a corrected row; the old row is
+    closed out (is_current=false), history kept. The update key set is
+    bounded by the batch size, so the close-out semi/anti joins
+    broadcast it — base never shuffles, which is what makes relational
+    SCD2 viable on a 100 TB dimension without a lakehouse MERGE."""
+    cust = (t(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name", "c_acctbal")
+            .withColumn("eff_date", F.lit("2020-01-01"))
+            .withColumn("is_current", F.lit(True)))
+    updates = (cust.where(F.col("c_acctbal") < 0)
+               .withColumn("c_acctbal", F.lit(0.0)))
+    merged = scd2_merge(cust, updates, "c_custkey",
+                        effective_col="eff_date",
+                        new_effective="2024-01-01")
+    return merged.select("c_custkey", "c_acctbal", "eff_date", "is_current")

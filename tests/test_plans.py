@@ -112,3 +112,24 @@ def test_pii_scrub_is_narrow(spark):
     plan = plan_of(spark, "pii_scrub_stats")
     assert "Join" not in plan
     assert plan.count("+- Exchange") <= 1
+
+
+def test_tpch_shape_plans(spark):
+    """New TPC-H shapes: dims broadcast, no cartesian products, and
+    Q17's decorrelated per-part average joins on the agg key."""
+    for q in ("promo_revenue_share", "nation_trade_volume",
+              "large_volume_customers", "small_quantity_revenue"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+    plan = plan_of(spark, "nation_trade_volume")
+    assert "BroadcastHashJoin" in plan
+    # shipdate range pushed to the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_curation_funnel_single_scan(spark):
+    """The 4-stage funnel is one scan + one aggregate, not one job per
+    stage."""
+    plan = plan_of(spark, "curation_funnel")
+    assert plan.count("Scan parquet") <= 2  # tree + detail sections
