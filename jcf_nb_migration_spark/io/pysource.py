@@ -174,3 +174,99 @@ def register_synthdocs(spark) -> bool:
         return False
     spark.dataSource.register(SynthDocsDataSource)
     return True
+
+
+# --------------------------------------------------------------------------
+# Writer side: a JSONL directory sink with two-phase (task/driver) commit
+# --------------------------------------------------------------------------
+
+try:  # Spark >= 4.0
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+except ImportError:  # pragma: no cover - older Spark
+    class DataSourceWriter:  # type: ignore[no-redef]
+        pass
+
+    class WriterCommitMessage:  # type: ignore[no-redef]
+        pass
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int):
+        self.path, self.n_rows = path, n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Executor-side writer: each task streams its partition's rows to
+    a private ``part-<task-attempt>.jsonl`` file and reports it in a
+    commit message. The driver's commit() publishes a ``_SUCCESS``
+    manifest naming every committed file — readers that honor the
+    manifest never see output from failed/speculative attempts, which
+    is exactly the two-phase commit contract file committers implement.
+    abort() removes the orphan files."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlsink requires a 'path' option")
+
+    def write(self, iterator) -> "_JsonlCommit":
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        fname = os.path.join(
+            self.path, f"part-{ctx.partitionId()}-{ctx.taskAttemptId()}.jsonl")
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(os.path.basename(m.path) for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonlsink").option("path", dir).save()`` —
+    the write-side counterpart of SynthDocsDataSource, completing the
+    custom-connector surface (batch read / stream read / batch write).
+    In a real connector write() would POST its partition to the remote
+    API and commit() would finalize the upload session."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def schema(self) -> str:  # pragma: no cover - required by ABC
+        return SYNTHDOCS_SCHEMA
+
+    def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
+        return JsonlSinkWriter(self.options)
+
+
+def register_jsonlsink(spark) -> bool:
+    if not HAVE_DATASOURCE_API:
+        return False
+    spark.dataSource.register(JsonlSinkDataSource)
+    return True

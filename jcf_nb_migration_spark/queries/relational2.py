@@ -220,3 +220,46 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+@query(
+    "events_variant_extract",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k')
+                AS BIGINT)) AS BIGINT) AS distinct_k
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("json", "variant", "semi-structured"),
+    driver_visible=False,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4): parse the
+    JSON once into variant binary, then typed-path extraction with
+    variant_get — the open-schema path for event payloads whose keys
+    drift over time. Versus per-field get_json_object (the
+    events_json_bucket formulation), the payload is parsed ONCE and
+    every extraction is a binary path lookup, which is the difference
+    that matters when real payloads carry dozens of fields. At scale
+    the variant column is what you'd persist (shredded parquet), making
+    re-parse cost zero for downstream readers."""
+    from jcf_nb_migration_spark.registry import t as _t
+
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id",
+        F.parse_json(F.col("props")).alias("pv"),
+    ).select(
+        "user_id",
+        F.expr("variant_get(pv, '$.k', 'bigint')").alias("k"),
+    )
+    return (
+        v.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("k").alias("sum_k"),
+             F.countDistinct("k").alias("distinct_k"))
+        .orderBy("user_id")
+    )
