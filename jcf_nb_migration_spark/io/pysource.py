@@ -181,9 +181,14 @@ def register_synthdocs(spark) -> bool:
 # --------------------------------------------------------------------------
 
 try:  # Spark >= 4.0
-    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+    from pyspark.sql.datasource import (DataSourceStreamWriter,
+                                        DataSourceWriter,
+                                        WriterCommitMessage)
 except ImportError:  # pragma: no cover - older Spark
     class DataSourceWriter:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamWriter:  # type: ignore[no-redef]
         pass
 
     class WriterCommitMessage:  # type: ignore[no-redef]
@@ -247,6 +252,64 @@ class JsonlSinkWriter(DataSourceWriter):
                 pass
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: same per-task part files, but commit() runs
+    once per micro-batch and publishes ``_SUCCESS-<batchId>`` naming
+    that epoch's files. A restarted query that replays batch N
+    re-commits the same manifest name, so readers keyed on the
+    manifests see each epoch exactly once — the same batch_id-keyed
+    idempotence contract as the foreachBatch parquet sink
+    (streaming/events.py), implemented inside the connector."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlsink requires a 'path' option")
+
+    def write(self, iterator) -> "_JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        fname = os.path.join(
+            self.path,
+            f"part-{ctx.partitionId()}-{uuid.uuid4().hex[:12]}.jsonl")
+        os.makedirs(self.path, exist_ok=True)
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(os.path.basename(m.path)
+                            for m in messages if m is not None),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, f"_SUCCESS-{batchId}"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
 class JsonlSinkDataSource(DataSource):
     """``df.write.format("jsonlsink").option("path", dir).save()`` —
     the write-side counterpart of SynthDocsDataSource, completing the
@@ -263,6 +326,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonlSinkWriter:
         return JsonlSinkWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonlStreamWriter:
+        return JsonlStreamWriter(self.options)
 
 
 def register_jsonlsink(spark) -> bool:

@@ -11,7 +11,7 @@ DuckDB oracle at sf0.01 runs at scan bandwidth on a 100 TB corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions import dedup as D
@@ -660,3 +660,95 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, (name, a, b) in enumerate(stages)
     ]
     return agg.select(F.inline(F.array(*structs))).orderBy("stage_idx")
+
+
+SPAN_L = 8         # minimum duplicated run, in tokens
+SPAN_FREQ_CAP = 100  # grams in more windows than this are boilerplate
+
+
+@query(
+    "duplicate_spans",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[i:i+{SPAN_L - 1}], ' ') AS g
+        FROM w, LATERAL unnest(generate_series(1, len(w)-{SPAN_L - 1})) t(i)
+        WHERE len(w) >= {SPAN_L}
+    ),
+    kept AS (
+        SELECT * FROM grams WHERE g IN (
+            SELECT g FROM grams GROUP BY g
+            HAVING count(*) <= {SPAN_FREQ_CAP})
+    ),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        FROM kept a JOIN kept b USING (g)
+        WHERE a.doc_id < b.doc_id
+    ),
+    runs AS (
+        SELECT da, db, pa, pb, pa - pb AS diag,
+               pa - row_number() OVER (
+                   PARTITION BY da, db, pa - pb ORDER BY pa) AS island
+        FROM pairs
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(min(pa) AS BIGINT) AS start_a,
+           CAST(min(pb) AS BIGINT) AS start_b,
+           CAST(count(*) + {SPAN_L - 1} AS BIGINT) AS run_len
+    FROM runs GROUP BY da, db, diag, island
+    ORDER BY doc_a, doc_b, start_a, start_b
+    """,
+    tags=("curation", "dedup", "substring", "spans"),
+    driver_visible=False,
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring extraction (the Lee et al.
+    'Deduplicating Training Data' operator, windowed): every MAXIMAL
+    run of ≥ {SPAN_L} tokens shared verbatim between two documents,
+    reported as (doc_a, doc_b, start_a, start_b, run_len).
+
+    Spark-first decomposition of what suffix arrays do on one machine:
+    (1) slide an L-token window per doc (codegen'd transform+inline,
+    1-based slices so both engines index identically); (2) drop grams
+    seen in > {SPAN_FREQ_CAP} windows — boilerplate caps the join
+    fan-out, the quadratic guard at 100 TB; (3) self-equi-join on the
+    gram to get aligned window pairs; (4) stitch overlapping windows
+    into maximal runs with the islands trick: along a (doc_a, doc_b)
+    diagonal (pos_a − pos_b constant), consecutive positions share
+    (pos_a − row_number), so one groupBy emits each maximal span once
+    with run_len = windows + L − 1. Every step is an equi-shuffle on
+    bounded keys; nothing is all-pairs."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = T.tokens("text")
+    gram_structs = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (SPAN_L - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(F.slice(w, i, SPAN_L), " ").alias("g")))
+    grams = (docs.where(F.size(w) >= SPAN_L)
+             .select("doc_id", F.inline(gram_structs)))
+    keep = (grams.groupBy("g").count()
+            .where(F.col("count") <= SPAN_FREQ_CAP).select("g"))
+    kept = grams.join(keep, "g", "left_semi")
+    a = kept.select(F.col("doc_id").alias("da"), F.col("pos").alias("pa"),
+                    "g")
+    b = kept.select(F.col("doc_id").alias("db"), F.col("pos").alias("pb"),
+                    "g")
+    pairs = a.join(b, "g").where(F.col("da") < F.col("db"))
+    win = Window.partitionBy("da", "db", F.col("pa") - F.col("pb")) \
+        .orderBy("pa")
+    runs = pairs.select(
+        "da", "db", "pa", "pb",
+        (F.col("pa") - F.col("pb")).alias("diag"),
+        (F.col("pa") - F.row_number().over(win)).alias("island"))
+    return (
+        runs.groupBy("da", "db", "diag", "island")
+        .agg(F.min("pa").cast("bigint").alias("start_a"),
+             F.min("pb").cast("bigint").alias("start_b"),
+             (F.count(F.lit(1)) + (SPAN_L - 1)).cast("bigint")
+             .alias("run_len"))
+        .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"),
+                "start_a", "start_b", "run_len")
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    )

@@ -70,6 +70,10 @@ def customer_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     tags=("upsert", "cdc"),
+    # r4: demoted in favor of customer_scd2_history — the harder shape
+    # of the same CDC/merge pattern stays visible (curation criterion 3,
+    # see __spark_entry__.queries); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def orders_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO emulated relationally (functions/upsert.py): a batch
@@ -180,7 +184,8 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """,
     tags=("scd2", "cdc", "upsert"),
-    driver_visible=False,
+    # driver-visible representative of the CDC/merge pattern (replaced
+    # orders_upsert in r4: criterion 3, harder shape stays visible)
 )
 def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type 2 (functions/upsert.scd2_merge):

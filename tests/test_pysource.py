@@ -119,3 +119,39 @@ def test_jsonl_sink_round_trip(spark, tmp_path):
     # spot-check a payload column survived the Arrow->Row->json trip
     by_id = {r["doc_id"]: r for r in rows}
     assert by_id[9]["text"] == "xxxx" and by_id[9]["n_words"] == 2
+
+
+def test_jsonl_stream_sink_epoch_manifests(spark, tmp_path):
+    """Streaming write through the custom stream writer: the synthetic
+    stream source drains into the jsonl sink; every micro-batch leaves
+    a _SUCCESS-<batchId> manifest, and the union of manifest files
+    holds each doc exactly once."""
+    import glob
+    import json
+    import os
+
+    from jcf_nb_migration_spark.io.pysource import (
+        register_jsonlsink, register_synthdocs)
+
+    assert register_synthdocs(spark) and register_jsonlsink(spark)
+    out = str(tmp_path / "stream_sink")
+    st = (spark.readStream.format("synthdocs")
+          .option("n", 40).option("parts", 2).option("batch_rows", 16)
+          .load())
+    q = (st.writeStream.format("jsonlsink").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    manifests = sorted(glob.glob(os.path.join(out, "_SUCCESS-*")))
+    assert len(manifests) >= 2  # 40 docs drained 16 at a time
+    seen = []
+    for mpath in manifests:
+        m = json.load(open(mpath))
+        for f in m["files"]:
+            seen += [json.loads(line)["doc_id"]
+                     for line in open(os.path.join(out, f))]
+    assert sorted(seen) == list(range(40))
