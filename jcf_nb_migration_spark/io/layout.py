@@ -112,3 +112,40 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def compact(spark, src_path: str, dst_path: str,
+            target_file_bytes: int = 128 * 1024 * 1024,
+            cluster_cols: list[str] | None = None,
+            mode: str = "overwrite") -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ~``target_file_bytes`` files, optionally re-clustering on
+    ``cluster_cols`` while at it. Returns the output file count.
+
+    The operational fix for streaming sinks and over-parallel writes —
+    a 100 TB table accreted in 1 MB files spends more time opening
+    footers than scanning data. File count = ceil(input_bytes /
+    target); input size comes from the file system listing (driver-side
+    metadata, no data read). Without cluster columns the rewrite is
+    coalesce (narrow — no shuffle, existing order kept); with them it
+    is the same repartitionByRange+sort as cluster_write, buying
+    min/max pruning in the same pass."""
+    import math
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(src_path)
+    if cluster_cols:
+        out = (df.repartitionByRange(n_files, *[df[c] for c in cluster_cols])
+                 .sortWithinPartitions(*cluster_cols))
+    else:
+        out = df.coalesce(n_files)
+    out.write.mode(mode).parquet(dst_path)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    return sum(1 for f in fs.listStatus(dst)
+               if f.getPath().getName().endswith(".parquet"))

@@ -159,3 +159,43 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(clicks.groupBy("user_id"))
         .applyInPandas(merge, "error_id bigint, click_id bigint")
     )
+
+
+@query(
+    "arrow_doc_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x != '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    tags=("arrow", "mapInArrow", "vectorized"),
+    driver_visible=False,
+)
+def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token/char/byte counts computed in mapInArrow — the
+    zero-pandas columnar Python surface: batches arrive as Arrow
+    RecordBatches and every operation below is a pyarrow.compute
+    kernel (vectorized C++, no per-row Python, no pandas conversion
+    cost). The right tier when a transform needs a library that speaks
+    Arrow (tokenizers, model runtimes) but not pandas. Counts are
+    integers, so the DuckDB comparison is exact; token = maximal
+    non-whitespace run in both engines."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"),
+                 pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()),
+                 pc.cast(pc.utf8_length(text), pa.int64()),
+                 pc.cast(pc.binary_length(text), pa.int64())],
+                names=["doc_id", "n_tokens", "n_chars", "n_bytes"])
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        stats, "doc_id bigint, n_tokens bigint, n_chars bigint, n_bytes bigint")

@@ -36,3 +36,41 @@ def test_bucketed_join_elides_both_exchanges(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_compact_small_files(spark, tmp_path):
+    """200 tiny files compact to a handful, content-identical; the
+    clustered variant also yields disjoint per-file key ranges."""
+    from jcf_nb_migration_spark.io.layout import compact
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    li = t(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity")
+    src = str(tmp_path / "small")
+    li.repartition(200).write.parquet(src)
+    import glob
+    assert len(glob.glob(src + "/*.parquet")) == 200
+
+    dst = str(tmp_path / "compacted")
+    n = compact(spark, src, dst, target_file_bytes=1 * 1024 * 1024)
+    got = len(glob.glob(dst + "/*.parquet"))
+    assert got == n and n < 20
+    assert (spark.read.parquet(dst).count() == li.count())
+    # clustered compaction: per-file l_orderkey ranges must be disjoint
+    dst2 = str(tmp_path / "clustered")
+    compact(spark, src, dst2, target_file_bytes=256 * 1024,
+            cluster_cols=["l_orderkey"])
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in sorted(glob.glob(dst2 + "/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            los.append(col.statistics.min)
+            his.append(col.statistics.max)
+        ranges.append((min(los), max(his)))
+    ranges.sort()
+    for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
+        assert ahi <= blo
