@@ -214,3 +214,33 @@ def test_bloom_incremental_dedup_no_false_negatives(spark):
     assert out.where(F.col("is_known")).count() > 0
     assert out.count() > BLOOM_OLD_MAX
     out.unpersist()
+
+
+def test_duplicate_spans_planted_run(spark, tmp_path):
+    """Property fixture: two docs sharing exactly one planted 12-token
+    run (disjoint vocabularies otherwise) yield exactly one maximal
+    span with the right positions and length; a third unrelated doc
+    contributes nothing."""
+    import os
+
+    shared = [f"s{i}" for i in range(12)]
+    a = [f"a{i}" for i in range(5)] + shared + [f"a{i}" for i in range(5, 9)]
+    b = [f"b{i}" for i in range(2)] + shared + [f"b{i}" for i in range(2, 10)]
+    c = [f"c{i}" for i in range(30)]
+    df = spark.createDataFrame(
+        [(1, " ".join(a), "en", "srcX", len(" ".join(a))),
+         (2, " ".join(b), "en", "srcX", len(" ".join(b))),
+         (3, " ".join(c), "en", "srcX", len(" ".join(c)))],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "docs")
+    os.makedirs(d, exist_ok=True)
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet"))
+
+    from jcf_nb_migration_spark.registry import all_queries
+    rows = all_queries()["duplicate_spans"].fn(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # 1-based starts: shared run begins at token 6 of doc 1, token 3 of doc 2
+    assert (r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_len) == \
+        (1, 2, 6, 3, 12)
