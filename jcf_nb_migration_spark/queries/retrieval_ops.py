@@ -368,3 +368,120 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                F.coalesce(F.col("n_covered"), F.lit(0)).cast("double")
                / F.col("n_tokens"))
          .otherwise(F.lit(0.0)).alias("coverage_frac"))
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+@query(
+    "rrf_fusion",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    dl AS (SELECT doc_id, len(w) AS dl FROM d),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    occ AS (SELECT doc_id, unnest(w) AS tok FROM d),
+    tf AS (
+        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM occ WHERE tok IN ({_SQL_TERMS}) GROUP BY doc_id, tok
+    ),
+    dfreq AS (
+        SELECT tok, COUNT(DISTINCT doc_id) AS df
+        FROM occ WHERE tok IN ({_SQL_TERMS}) GROUP BY tok
+    ),
+    bm AS (
+        SELECT tf.doc_id,
+               ROUND(SUM(ln(1.0 + (s.n_docs - dfreq.df + 0.5)
+                                  / (dfreq.df + 0.5))
+                         * tf.tf * ({BM25_K1} + 1.0)
+                         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                            + {BM25_B} * dl.dl / s.avgdl))), 9) AS bm25
+        FROM tf JOIN dfreq USING (tok)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    ),
+    list_a AS (
+        SELECT doc_id, rank_a FROM (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_a
+            FROM bm) WHERE rank_a <= 20
+    ),
+    ts AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS tf_sum
+        FROM tf GROUP BY doc_id
+    ),
+    list_b AS (
+        SELECT doc_id, rank_b FROM (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY tf_sum DESC, doc_id) AS BIGINT) AS rank_b
+            FROM ts) WHERE rank_b <= 20
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, rank_a, rank_b,
+           ROUND(COALESCE(1.0 / ({RRF_K} + rank_a), 0.0)
+                 + COALESCE(1.0 / ({RRF_K} + rank_b), 0.0), 9) AS rrf
+    FROM list_a a FULL OUTER JOIN list_b b USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("retrieval", "rrf", "rank-fusion"),
+    driver_visible=False,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) of two retrieval lists
+    for the same query: BM25 top-20 and raw term-frequency top-20,
+    fused as Σ 1/({RRF_K}+rank) — the standard way a hybrid retrieval
+    stack merges heterogeneous scorers without score calibration.
+    Ranks are integers from deterministic (score, doc_id) orderings,
+    so the fusion arithmetic is a fixed IEEE sequence cross-engine.
+    Scale: both lists are top-k (bounded), so ranking is a
+    TakeOrdered and the fusion join is k-vs-k — negligible beside the
+    corpus-sized tf pass it shares with bm25_top_docs."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    dl = toks.select("doc_id", F.size("w").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    occ = (toks.select("doc_id", F.explode("w").alias("tok"))
+           .where(F.col("tok").isin(list(BM25_TERMS))))
+    tf = (occ.groupBy("doc_id", "tok")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = occ.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf") + BM25_K1 * (1.0 - BM25_B
+             + BM25_B * F.col("dl") / F.col("avgdl")))
+    bm = (tf.join(F.broadcast(dfreq), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(F.broadcast(stats))
+          .groupBy("doc_id")
+          .agg(F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom),
+                       9).alias("bm25")))
+    # top-k cut FIRST (orderBy+limit = distributed TakeOrdered), so
+    # the unpartitioned ranking window only ever sees 20 rows — never
+    # the full matched set (the global-window funnel this avoids is
+    # the same one sequence_packing's two-phase design removes)
+    wa = Window.orderBy(F.desc("bm25"), "doc_id")
+    list_a = (bm.orderBy(F.desc("bm25"), "doc_id").limit(20)
+              .select("doc_id",
+                      F.row_number().over(wa).cast("bigint")
+                      .alias("rank_a")))
+    ts = tf.groupBy("doc_id").agg(F.sum("tf").alias("tf_sum"))
+    wb = Window.orderBy(F.desc("tf_sum"), "doc_id")
+    list_b = (ts.orderBy(F.desc("tf_sum"), "doc_id").limit(20)
+              .select("doc_id",
+                      F.row_number().over(wb).cast("bigint")
+                      .alias("rank_b")))
+    fused = (
+        list_a.join(list_b, "doc_id", "full_outer")
+        .select("doc_id", "rank_a", "rank_b",
+                F.round(
+                    F.coalesce(F.lit(1.0) / (RRF_K + F.col("rank_a")),
+                               F.lit(0.0))
+                    + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rank_b")),
+                                 F.lit(0.0)), 9).alias("rrf"))
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
