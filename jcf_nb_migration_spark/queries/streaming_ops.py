@@ -7,6 +7,7 @@ guarantees."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.registry import query, sql_dsum
 from jcf_nb_migration_spark.streaming import events as SE
@@ -144,3 +145,59 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark → dropDuplicatesWithinWatermark(event_id). The oracle is
     the batch distinct — exactly what the dedup must reconstruct."""
     return SE.dedup_stream(spark, sf_dir)
+
+
+@query(
+    "stateful_running_totals",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) * 10000 AS BIGINT)
+                AS DOUBLE) / 10000.0 AS total_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+    driver_visible=False,
+)
+def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful streaming with an EXACT oracle: a per-user
+    (count, sum) kept in applyInPandasWithState across micro-batches.
+    The value column is pre-scaled JVM-side to 4-dp fixed-point int64
+    (decimal cast → ×10000 → bigint), so the Python state accumulates
+    exact integers — pandas' pairwise float summation never touches the
+    data and the final divide-by-10⁴ is one IEEE op in both engines.
+    The single-file fixture drains in one micro-batch, so update-mode
+    output is one row per user — equal to the batch groupBy the oracle
+    runs. At scale state lives in the state store, partitioned by
+    user_id; the pre-scaling trick is the same decimal-exact policy as
+    every batch aggregate (registry.dsum)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from jcf_nb_migration_spark.streaming.events import (
+        events_stream_source, run_to_memory)
+
+    st = events_stream_source(spark, sf_dir).select(
+        "user_id",
+        (F.col("value").cast("decimal(18,4)") * 10000).cast("bigint")
+        .alias("v4"))
+
+    def update(key, pdfs, state: GroupState):
+        n, s4 = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s4 += int(pdf["v4"].sum())
+        state.update((n, s4))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [s4 / 10000.0]})
+
+    out = st.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("user_id bigint, n_events bigint, "
+                          "total_value double"),
+        stateStructType="n bigint, s4 bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return (run_to_memory(out, "jcf_exact_state_stream",
+                          output_mode="update")
+            .orderBy("user_id"))

@@ -74,3 +74,24 @@ def test_compact_small_files(spark, tmp_path):
     ranges.sort()
     for (alo, ahi), (blo, bhi) in zip(ranges, ranges[1:]):
         assert ahi <= blo
+
+
+def test_bucketed_aggregation_elides_exchange(spark):
+    """groupBy on the bucket key of a bucketed table needs no shuffle:
+    the hash distribution required by the aggregate is already proven
+    by the bucket layout."""
+    from jcf_nb_migration_spark.io.layout import write_bucketed
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    li = t(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_li_agg")
+    write_bucketed(li, "b_li_agg", ["l_orderkey"], 8)
+    try:
+        agg = (spark.table("b_li_agg").groupBy("l_orderkey")
+               .agg({"l_quantity": "sum"}))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == li.select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_li_agg")
