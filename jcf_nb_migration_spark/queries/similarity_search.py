@@ -257,3 +257,184 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.join(F.broadcast(stats), "dim_idx")
         .select("vec_id", "dim_idx", q_val, deq)
     )
+
+
+N_BATCH_PROBES = 10
+
+
+@query(
+    "ann_lsh_batch_probes",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_sql_lsh_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS pid, embedding AS pvec, bucket
+        FROM bucketed WHERE vec_id < {N_BATCH_PROBES}
+    ),
+    corpus AS (
+        SELECT vec_id, embedding, bucket
+        FROM bucketed WHERE vec_id >= {N_BATCH_PROBES}
+    ),
+    cand AS (
+        SELECT p.pid, c.vec_id AS nid,
+               {_sql_cos('c.embedding', 'p.pvec')} AS cos_sim
+        FROM corpus c JOIN probes p ON c.bucket = p.bucket
+    ),
+    ranked AS (
+        SELECT pid, nid, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY pid ORDER BY cos_sim DESC, nid)
+                   AS BIGINT) AS rk
+        FROM cand
+    )
+    SELECT pid AS probe_id, nid AS neighbor_id, cos_sim, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY probe_id, rk
+    """,
+    tags=("similarity", "ann", "lsh", "batch"),
+    driver_visible=False,
+)
+def ann_lsh_batch_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched ANN — many probes answered in ONE plan (the
+    batch-inference shape: score a whole query table, not one vector):
+    probes and corpus bucket with the same deterministic hyperplanes,
+    candidates come from a bucket equi-join (each probe reads only its
+    bucket), and per-probe top-5 is a window partitioned by probe id —
+    parallel across probes, never a global sort. At scale the probe
+    side is a table of millions of query vectors and this exact plan
+    (bucket join + partitioned window) holds; contrast with the
+    single-probe variants that broadcast one vector."""
+    emb = t(spark, sf_dir, "embeddings")
+    planes = S.hyperplane_signs(6, 64)
+    bucketed = emb.select(
+        "vec_id", "embedding",
+        S.lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+    probes = (bucketed.where(F.col("vec_id") < N_BATCH_PROBES)
+              .select(F.col("vec_id").alias("pid"),
+                      F.col("embedding").alias("pvec"),
+                      "bucket"))
+    corpus = bucketed.where(F.col("vec_id") >= N_BATCH_PROBES)
+    from pyspark.sql import Window
+    cand = (corpus.join(probes, "bucket")
+            .select("pid", F.col("vec_id").alias("nid"),
+                    S.cosine(F.col("embedding"), F.col("pvec"))
+                    .alias("cos_sim")))
+    w = Window.partitionBy("pid").orderBy(F.desc("cos_sim"), "nid")
+    return (cand.select("pid", "nid", "cos_sim",
+                        F.row_number().over(w).cast("bigint").alias("rk"))
+            .where(F.col("rk") <= 5)
+            .select(F.col("pid").alias("probe_id"),
+                    F.col("nid").alias("neighbor_id"), "cos_sim", "rk")
+            .orderBy("probe_id", "rk"))
+
+
+# ---- product quantization (functions/similarity.pq_train/pq_encode) ----
+
+PQ_M, PQ_K, PQ_ITERS = 4, 8, 2
+_PQ_SD = 64 // PQ_M
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    """DuckDB twin of similarity.sqdist: materialize the diff list,
+    then the same left-to-right product fold (list_dot_product) —
+    bit-identical to dot(a−b, a−b) on the Spark side."""
+    d = (f"list_transform(list_zip({a}::DOUBLE[], {b}::DOUBLE[]),"
+         f" x -> x[1] - x[2])")
+    return f"list_dot_product({d}, {d})"
+
+
+def _sql_kmeans_l2_cte(pfx: str, lo: int, sd: int,
+                       k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """CTE chain replaying kmeans_train_l2 on the [lo, lo+sd) slice of
+    the embedding (1-based inclusive DuckDB slice ≡ F.slice):
+    seeds = k lowest ids, assignment by (sqdist ASC, c_id ASC),
+    means through DECIMAL(18,12) — mirrors _sql_kmeans_cte but with
+    the L2 metric PQ codebooks require. Exposes ``{pfx}sub`` (vec_id,
+    v) and ``{pfx}c{iters}`` (c_id, c_vec)."""
+    hi = lo + sd - 1
+    parts = [f"""{pfx}sub AS (
+        SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v
+        FROM embeddings
+    )""", f"""{pfx}c0 AS (
+        SELECT vec_id AS c_id, v AS c_vec
+        FROM {pfx}sub ORDER BY vec_id LIMIT {k}
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""{pfx}a{i} AS (
+        SELECT vec_id, v, c_id AS cluster FROM (
+            SELECT e.vec_id, e.v, c.c_id, ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_sql_sqdist('e.v', 'c.c_vec')}, c_id) AS rn
+            FROM {pfx}sub e, {pfx}c{i - 1} c
+        ) WHERE rn = 1
+    )""")
+        parts.append(f"""{pfx}m{i} AS (
+        SELECT cluster, dim_idx,
+               CAST(SUM(CAST(component AS DECIMAL(18,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM (SELECT cluster,
+                     CAST(unnest(range(len(v))) AS INT) AS dim_idx,
+                     unnest(v) AS component
+              FROM {pfx}a{i})
+        GROUP BY cluster, dim_idx
+    )""")
+        parts.append(f"""{pfx}c{i} AS (
+        SELECT p.c_id, COALESCE(n.v, p.c_vec) AS c_vec
+        FROM {pfx}c{i - 1} p LEFT JOIN (
+            SELECT cluster AS c_id, list(m ORDER BY dim_idx) AS v
+            FROM {pfx}m{i} GROUP BY cluster) n ON n.c_id = p.c_id
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _sql_pq_oracle() -> str:
+    chains, encs = [], []
+    for s in range(PQ_M):
+        pfx = f"s{s}_"
+        chains.append(_sql_kmeans_l2_cte(pfx, s * _PQ_SD + 1, _PQ_SD))
+        encs.append(f"""{pfx}enc AS (
+        SELECT vec_id, c_id AS code_{s} FROM (
+            SELECT e.vec_id, c.c_id, ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_sql_sqdist('e.v', 'c.c_vec')}, c_id) AS rn
+            FROM {pfx}sub e, {pfx}c{PQ_ITERS} c
+        ) WHERE rn = 1
+    )""")
+    joins = " ".join(
+        f"JOIN s{s}_enc USING (vec_id)" for s in range(1, PQ_M))
+    cols = ", ".join(f"code_{s}" for s in range(PQ_M))
+    body = ",\n    ".join(chains + encs)
+    return f"""
+    WITH {body}
+    SELECT vec_id, {cols}
+    FROM s0_enc {joins}
+    ORDER BY vec_id
+    """
+
+
+@query(
+    "pq_codes",
+    oracle=_sql_pq_oracle(),
+    tags=("similarity", "quantization", "pq"),
+    driver_visible=False,
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end: train {PQ_M} independent L2
+    codebooks ({PQ_K} codewords, {PQ_ITERS} Lloyd rounds) on contiguous
+    subspaces and encode every vector as {PQ_M} small codes — the
+    memory-side compression an IVF-PQ index pairs with the coarse
+    quantizer (ivf_ann_probe). Training is the deterministic
+    decimal-exact Lloyd loop (codebooks replayed bit-identically by the
+    oracle's CTE chain); encoding is one narrow codegen'd projection,
+    no shuffle. At 100 TB: codebooks are driver-held control plane
+    (m·k·subdim floats), the encode pass is scan-bandwidth."""
+    emb = t(spark, sf_dir, "embeddings")
+    books = S.pq_train(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    enc = S.pq_encode(emb, books)
+    return enc.select(
+        "vec_id",
+        *[F.col("codes")[s].alias(f"code_{s}") for s in range(PQ_M)]
+    ).orderBy("vec_id")

@@ -140,3 +140,21 @@ class TestLargeKAssign:
         cents = S.kmeans_train(df, k=4, iters=1)
         assert len(cents) == 4
         assert [c for c, _ in cents] == [1000, 1001, 1002, 1003]
+
+
+def test_pq_codes_semantics(spark):
+    """PQ codes: every code is a valid codeword id, each subspace uses
+    more than one codeword on real data, and encoding is deterministic
+    across runs (codebook training is seeded by lowest ids)."""
+    from jcf_nb_migration_spark.queries.similarity_search import (
+        PQ_K, PQ_M, pq_codes)
+    from tests.conftest import SF_SMALL
+
+    rows = pq_codes(spark, SF_SMALL).collect()
+    assert rows, "no codes produced"
+    for s in range(PQ_M):
+        vals = {r[f"code_{s}"] for r in rows}
+        assert vals <= set(range(PQ_K)), f"subspace {s} out of range"
+        assert len(vals) > 1, f"subspace {s} collapsed to one codeword"
+    again = pq_codes(spark, SF_SMALL).collect()
+    assert rows == again

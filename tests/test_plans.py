@@ -133,3 +133,40 @@ def test_curation_funnel_single_scan(spark):
     stage."""
     plan = plan_of(spark, "curation_funnel")
     assert plan.count("Scan parquet") <= 2  # tree + detail sections
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The session's AQE skew-join confs actually fire: a 90%-one-key
+    join is re-planned at runtime with SortMergeJoin(skew=true) and a
+    'coalesced and skewed' AQEShuffleRead — the no-code-change answer
+    to hot keys that salting (functions/skew.py) handles manually.
+    Thresholds are lowered to make a test-sized input register as
+    skewed; at real scale the defaults (256 MB partitions) play the
+    same role."""
+    from pyspark.sql import functions as F
+
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in lowered}
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, 0).otherwise(F.col("id"))
+             .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("p"))
+        dim = spark.range(0, 20_000).select(
+            F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id"))
+            .alias("d"))
+        j = fact.join(dim, "k")
+        assert len(j.collect()) == 182_000  # executes THIS plan instance
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
