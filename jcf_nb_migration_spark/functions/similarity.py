@@ -474,3 +474,64 @@ def lsh_ann_multiprobe(emb: DataFrame, probe_id: int, n_planes: int = 6,
         .orderBy(F.desc("cos_sim"), "neighbor_id")
         .limit(k)
     )
+
+
+def ivfpq_ann_probe(emb: DataFrame, centroids, codebooks, probe_id: int,
+                    k: int = 10, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """The full FAISS-style IVF-PQ read path: coarse-quantize the
+    corpus (IVF cluster), PQ-encode it, and answer a probe by scanning
+    ONLY its cluster's codes with asymmetric distance (ADC): for each
+    subspace the probe's slice is compared against the candidate's
+    CODEWORD (not its raw vector), so the scan touches m bytes-ish per
+    candidate instead of the full vector.
+
+    ADC = Σ_s sqdist(probe_sub_s, codeword_s[code_s]), computed by
+    indexing an array of per-codeword distances with the candidate's
+    code — the m·k distance-table lookup FAISS precomputes, expressed
+    as element_at over a codegen'd literal-array expression (same
+    small-K regime as _centroid_sims). Exact cosine to the raw vector
+    is returned beside the ADC for re-ranking.
+    Columns: neighbor_id, cluster, adc, cos_exact (ranked by ADC)."""
+    rows = _centroid_rows(centroids, id_col, vec_col)
+    sd = len(codebooks[0][0][1])
+    assigned = ivf_assign(emb, rows, id_col, vec_col)
+    encoded = pq_encode(emb, codebooks, id_col, vec_col)
+    corpus = assigned.join(
+        encoded.select(id_col, "codes"), id_col)
+
+    probe = F.broadcast(
+        emb.where(F.col(id_col) == probe_id)
+        .select(F.col(vec_col).alias("__probe_vec"))
+    )
+    pcluster = F.broadcast(
+        ivf_assign(emb.where(F.col(id_col) == probe_id), rows,
+                   id_col, vec_col)
+        .select(F.col("cluster")))
+
+    def sub(vec: Column, s: int) -> Column:
+        return F.slice(vec, s * sd + 1, sd)
+
+    adc_terms = []
+    for s, book in enumerate(codebooks):
+        dists = F.array(*[
+            sqdist(sub(F.col("__probe_vec"), s),
+                   F.array(*[F.lit(x) for x in cvec]))
+            for _cid, cvec in book
+        ])
+        adc_terms.append(F.element_at(dists, (F.col("codes")[s] + 1).cast("int")))
+    adc = adc_terms[0]
+    for term in adc_terms[1:]:
+        adc = adc + term
+
+    return (
+        corpus.join(pcluster, "cluster")
+        .crossJoin(probe)
+        .where(F.col(id_col) != probe_id)
+        .select(F.col(id_col).alias("neighbor_id"), "cluster",
+                adc.alias("adc"),
+                cosine(F.col(vec_col), F.col("__probe_vec"))
+                .alias("cos_exact"))
+        .orderBy("adc", "neighbor_id")
+        .limit(k)
+    )

@@ -337,3 +337,73 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+def _sql_ivfpq_oracle() -> str:
+    from jcf_nb_migration_spark.queries.similarity_search import (
+        _PQ_SD, PQ_ITERS, PQ_M, _sql_kmeans_l2_cte, _sql_sqdist)
+
+    chains, encs, dists, joins = [], [], [], []
+    for s in range(PQ_M):
+        pfx = f"s{s}_"
+        lo = s * _PQ_SD + 1
+        chains.append(_sql_kmeans_l2_cte(pfx, lo, _PQ_SD))
+        encs.append(f"""{pfx}enc AS (
+        SELECT vec_id, c_id AS code_{s} FROM (
+            SELECT e.vec_id, c.c_id, ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_sql_sqdist('e.v', 'c.c_vec')}, c_id) AS rn
+            FROM {pfx}sub e, {pfx}c{PQ_ITERS} c
+        ) WHERE rn = 1
+    )""")
+        dists.append(f"""ds{s} AS (
+        SELECT e.vec_id, {_sql_sqdist('p.v', 'c.c_vec')} AS d
+        FROM {pfx}enc e
+        JOIN {pfx}c{PQ_ITERS} c ON c.c_id = e.code_{s}
+        CROSS JOIN (SELECT v FROM {pfx}sub WHERE vec_id = 0) p
+    )""")
+        joins.append(f"JOIN ds{s} USING (vec_id)")
+    body = ",\n    ".join([_SQL_IVF_ASSIGNED] + chains + encs + dists)
+    return f"""
+    WITH {body},
+    probe AS (
+        SELECT embedding AS pvec, cluster AS pcluster
+        FROM assigned WHERE vec_id = 0
+    )
+    SELECT a.vec_id AS neighbor_id, a.cluster,
+           ((ds0.d + ds1.d) + ds2.d) + ds3.d AS adc,
+           {_sql_cos('a.embedding', 'probe.pvec')} AS cos_exact
+    FROM assigned a {' '.join(joins)} CROSS JOIN probe
+    WHERE a.cluster = probe.pcluster AND a.vec_id <> 0
+    ORDER BY adc, neighbor_id
+    LIMIT 10
+    """
+
+
+@query(
+    "ivfpq_ann_probe",
+    oracle=_sql_ivfpq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "adc"),
+    driver_visible=False,
+)
+def ivfpq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the composed FAISS read path: trained coarse quantizer
+    (cosine k-means, bit-exact oracle replay) routes the probe to one
+    cluster; candidates in that cluster are scored by ASYMMETRIC
+    DISTANCE — probe subvector vs the candidate's PQ codeword, an
+    element_at into a per-subspace distance table — instead of their
+    raw vectors; exact cosine rides along for re-ranking. At scale the
+    cluster is a partition (pruned read), the code table is m
+    bytes-ish per vector (the only thing the ADC scan touches), and
+    the distance tables are m·k codegen'd literals. Every stage —
+    coarse training, codebooks, encoding, ADC — is replayed
+    bit-identically by the oracle."""
+    from jcf_nb_migration_spark.functions.similarity import (
+        ivfpq_ann_probe as _ivfpq, pq_train)
+    from jcf_nb_migration_spark.queries.similarity_search import (
+        PQ_ITERS, PQ_K, PQ_M)
+
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = kmeans_train(emb, k=8, iters=2)
+    books = pq_train(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    return _ivfpq(emb, centroids, books, probe_id=0, k=10)

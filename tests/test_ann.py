@@ -158,3 +158,26 @@ def test_pq_codes_semantics(spark):
         assert len(vals) > 1, f"subspace {s} collapsed to one codeword"
     again = pq_codes(spark, SF_SMALL).collect()
     assert rows == again
+
+
+def test_ivfpq_adc_recall(spark):
+    """ADC ranking is a real approximation of exact similarity: the
+    IVF-PQ top-10 must share candidates with the brute-force top-10
+    (recall@10 > 0 on the clustered fixture), and every returned
+    neighbor must come from the probe's coarse cluster."""
+    from jcf_nb_migration_spark.queries.advanced2 import ivfpq_ann_probe
+    from tests.conftest import SF_SMALL
+
+    approx = ivfpq_ann_probe(spark, SF_SMALL).collect()
+    assert len(approx) == 10
+    assert len({r.cluster for r in approx}) == 1  # one coarse cluster
+    adcs = [r.adc for r in approx]
+    assert adcs == sorted(adcs)  # ranked by ADC ascending
+    # judge ADC against the exact-cosine ranking WITHIN the same
+    # coarse cluster (ivf_ann_probe) — isolates code-quality loss from
+    # the cluster-restriction loss both variants share
+    from jcf_nb_migration_spark.registry import all_queries
+    ivf_ids = {r.neighbor_id for r in
+               all_queries()["ivf_ann_probe"].fn(spark, SF_SMALL).collect()}
+    hit = len({r.neighbor_id for r in approx} & ivf_ids)
+    assert hit >= 3, f"ADC recall vs in-cluster exact collapsed: {hit}/10"
