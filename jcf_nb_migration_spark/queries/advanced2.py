@@ -384,7 +384,8 @@ def _sql_ivfpq_oracle() -> str:
     "ivfpq_ann_probe",
     oracle=_sql_ivfpq_oracle(),
     tags=("similarity", "ann", "ivf", "pq", "adc"),
-    driver_visible=False,
+    # driver-visible: the composed IVF-PQ read path (replaced
+    # ann_lsh_multiprobe in r4 — harder shape, criterion 3)
 )
 def ivfpq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ, the composed FAISS read path: trained coarse quantizer

@@ -181,6 +181,10 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("similarity", "ann", "lsh", "multiprobe"),
+    # r4: demoted to admit ivfpq_ann_probe — multi-probe recall stays
+    # driver-visible via ivf_ann_multiprobe (same probe-explode +
+    # bucket equi-join pattern); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe hyperplane LSH: candidates from the probe's bucket
