@@ -204,3 +204,50 @@ def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                         effective_col="eff_date",
                         new_effective="2024-01-01")
     return merged.select("c_custkey", "c_acctbal", "eff_date", "is_current")
+
+
+@query(
+    "hll_sketch_union",
+    oracle="""
+    SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct,
+           TRUE AS est_in_bound
+    FROM documents GROUP BY source
+    UNION ALL
+    SELECT '__ALL__', CAST(COUNT(DISTINCT text) AS BIGINT), TRUE
+    FROM documents
+    ORDER BY source
+    """,
+    tags=("approx", "hll", "sketch-merge"),
+    driver_visible=False,
+)
+def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL,
+    Spark 4 hll_sketch_agg/hll_union_agg): one sketch per source, then
+    the GLOBAL estimate comes from unioning the per-source sketches —
+    never re-reading the data. That merge property is the entire
+    at-scale story: partial sketches build map-side per partition, a
+    daily job unions yesterday's sketches with today's, and a rollup
+    across any grouping is a union, not a rescan. Like
+    approx_distinct_stats, the oracle checks the ACCURACY claim: every
+    estimate (per-source and merged-global) must land within ±5 % of
+    the exact distinct count it approximates, and the exact values are
+    compared bitwise."""
+    from jcf_nb_migration_spark.registry import t as _t
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("exact_distinct"),
+        F.hll_sketch_agg("text").alias("sk"))
+    per_rows = per.select(
+        "source", "exact_distinct",
+        (F.abs(F.hll_sketch_estimate("sk") - F.col("exact_distinct"))
+         <= 0.05 * F.col("exact_distinct")).alias("est_in_bound"))
+    exact_all = docs.agg(
+        F.countDistinct("text").alias("exact_distinct"))
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    total_row = (exact_all.crossJoin(merged).select(
+        F.lit("__ALL__").alias("source"), "exact_distinct",
+        (F.abs(F.col("est") - F.col("exact_distinct"))
+         <= 0.05 * F.col("exact_distinct")).alias("est_in_bound")))
+    return per_rows.unionAll(total_row).orderBy("source")
