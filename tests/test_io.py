@@ -258,3 +258,29 @@ def test_zorder_write_prunes_on_both_dimensions(spark, workdir):
         .fromString("formatted"))
     assert "GreaterThanOrEqual(y,0)" in plan
     assert back.count() == 256 * 32
+
+
+def test_variant_parquet_round_trip(spark, tmp_path):
+    """VARIANT persists through parquet: parse once, write, read back
+    as variant (not string), typed-extract without re-parsing — the
+    persist-the-parsed-payload pattern events_variant_extract's
+    docstring promises for downstream readers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = os.path.join(str(tmp_path), "var")
+    src = spark.range(10).select(
+        "id",
+        F.parse_json(F.concat(F.lit('{"k": '), F.col("id"),
+                              F.lit(', "tag": "t'), F.col("id") % 3,
+                              F.lit('"}'))).alias("v"))
+    src.write.parquet(d)
+    back = spark.read.parquet(d)
+    assert dict(back.dtypes)["v"] == "variant"
+    got = (back.selectExpr(
+        "variant_get(v, '$.k', 'bigint') AS k",
+        "variant_get(v, '$.tag', 'string') AS tag")
+        .orderBy("k").collect())
+    assert [r.k for r in got] == list(range(10))
+    assert got[4].tag == "t1"
