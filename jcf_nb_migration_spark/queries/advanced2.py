@@ -17,6 +17,30 @@ from jcf_nb_migration_spark.registry import query, spread, t
 _SQL_REV = ("CAST(l_extendedprice AS DECIMAL(18,4))"
             " * (1 - CAST(l_discount AS DECIMAL(18,4)))")
 
+# Deterministic-training memo: kmeans_train / pq_train are seeded and
+# decimal-exact, so their output is a pure function of (fixture dir,
+# hyperparams) — six registered queries retrain the same models per
+# session otherwise (2 driver-side Lloyd collects each). Keyed by
+# sf_dir: a regenerated fixture mid-session would need a new process,
+# which is how the driver and pytest both run.
+_TRAIN_CACHE: dict = {}
+
+
+def cached_kmeans(emb, sf_dir: str, k: int = 8, iters: int = 2):
+    key = ("kmeans", sf_dir, k, iters)
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = kmeans_train(emb, k=k, iters=iters)
+    return _TRAIN_CACHE[key]
+
+
+def cached_pq_books(emb, sf_dir: str, m: int, k: int, iters: int):
+    from jcf_nb_migration_spark.functions.similarity import pq_train
+
+    key = ("pq", sf_dir, m, k, iters)
+    if key not in _TRAIN_CACHE:
+        _TRAIN_CACHE[key] = pq_train(emb, m=m, k=k, iters=iters)
+    return _TRAIN_CACHE[key]
+
 
 def _sql_kmeans_cte(k: int = 8, iters: int = 2) -> str:
     """CTE chain replaying functions.similarity.kmeans_train exactly:
@@ -104,7 +128,7 @@ def ivf_ann_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin fan-out, no window shuffle; the cluster column is the
     partition key the corpus would be written by at scale."""
     emb = spread(t(spark, sf_dir, "embeddings"))
-    centroids = kmeans_train(emb, k=8, iters=2)
+    centroids = cached_kmeans(emb, sf_dir)
     return ivf_ann_probe(emb, centroids, probe_id=0, k=10)
 
 
@@ -137,7 +161,7 @@ def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     fix for coarse quantization. Candidates still come from an
     equi-join on cluster (partition-prunable), never a corpus scan."""
     emb = spread(t(spark, sf_dir, "embeddings"))
-    centroids = kmeans_train(emb, k=8, iters=2)
+    centroids = cached_kmeans(emb, sf_dir)
     return ivf_ann_probe(emb, centroids, probe_id=0, k=10, nprobe=2)
 
 
@@ -400,11 +424,11 @@ def ivfpq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse training, codebooks, encoding, ADC — is replayed
     bit-identically by the oracle."""
     from jcf_nb_migration_spark.functions.similarity import (
-        ivfpq_ann_probe as _ivfpq, pq_train)
+        ivfpq_ann_probe as _ivfpq)
     from jcf_nb_migration_spark.queries.similarity_search import (
         PQ_ITERS, PQ_K, PQ_M)
 
     emb = t(spark, sf_dir, "embeddings")
-    centroids = kmeans_train(emb, k=8, iters=2)
-    books = pq_train(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    centroids = cached_kmeans(emb, sf_dir)
+    books = cached_pq_books(emb, sf_dir, PQ_M, PQ_K, PQ_ITERS)
     return _ivfpq(emb, centroids, books, probe_id=0, k=10)

@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from jcf_nb_migration_spark.functions import dedup as D
 from jcf_nb_migration_spark.functions import pii as P
 from jcf_nb_migration_spark.functions import text as T
-from jcf_nb_migration_spark.functions.similarity import kmeans_train
 from jcf_nb_migration_spark.queries.advanced2 import _SQL_IVF_ASSIGNED
 from jcf_nb_migration_spark.queries.similarity_search import _sql_cos
 from jcf_nb_migration_spark.queries.text_analysis import _SQL_TOKS
@@ -243,7 +242,8 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept/dropped flag — the downstream corpus filter is a semi-join on
     kept ids."""
     emb = spread(t(spark, sf_dir, "embeddings"))
-    centroids = kmeans_train(emb, k=8, iters=2)
+    from jcf_nb_migration_spark.queries.advanced2 import cached_kmeans
+    centroids = cached_kmeans(emb, sf_dir)
     return D.semdedup_flags(emb, centroids, threshold=SEMDEDUP_TAU)
 
 

@@ -436,7 +436,8 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle. At 100 TB: codebooks are driver-held control plane
     (m·k·subdim floats), the encode pass is scan-bandwidth."""
     emb = t(spark, sf_dir, "embeddings")
-    books = S.pq_train(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    from jcf_nb_migration_spark.queries.advanced2 import cached_pq_books
+    books = cached_pq_books(emb, sf_dir, PQ_M, PQ_K, PQ_ITERS)
     enc = S.pq_encode(emb, books)
     return enc.select(
         "vec_id",
