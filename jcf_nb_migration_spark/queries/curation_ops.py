@@ -752,3 +752,82 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "start_a", "start_b", "run_len")
         .orderBy("doc_a", "doc_b", "start_a", "start_b")
     )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents
+    ),
+    feat AS (
+        SELECT doc_id,
+               len(w) AS n_words,
+               list_sum(list_transform(w, x -> length(x))) AS tot_chars,
+               len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+                   AS n_alpha_words,
+               length(text) - length(replace(text, '#', '')) AS n_hash,
+               (length(text) - length(replace(text, '...', '')))
+                   / 3 AS n_ellipsis,
+               len(list_filter(w, x -> list_contains(
+                   ['the','a','of','and','is','to','in'], x))) AS n_stop
+        FROM base
+    )
+    SELECT doc_id,
+           (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+           (3 * n_words <= tot_chars AND tot_chars <= 10 * n_words)
+               AS ok_mean_word_len,
+           (10 * (n_hash + n_ellipsis) <= n_words) AS ok_symbol_ratio,
+           (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_words,
+           (n_stop >= 2) AS ok_stopwords,
+           ((n_words BETWEEN 50 AND 100000)
+            AND (3 * n_words <= tot_chars AND tot_chars <= 10 * n_words)
+            AND (10 * (n_hash + n_ellipsis) <= n_words)
+            AND (5 * n_alpha_words >= 4 * n_words)
+            AND (n_stop >= 2)) AS keep
+    FROM feat ORDER BY doc_id
+    """,
+    tags=("curation", "quality", "gopher"),
+    driver_visible=False,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher/MassiveText document-level quality rules as exact
+    boolean flags: word-count bounds, mean-word-length bounds (as the
+    integer cross-product 3n ≤ Σlen ≤ 10n — no float division),
+    symbol-to-word ratio (#/ellipsis), ≥80 % alphabetic words
+    (5·alpha ≥ 4·n), ≥2 stopwords; `keep` is their conjunction.
+    Complements doc_repetition_stats (the repetition half of the rule
+    set) and curation_funnel (the staged-drop report). One scan, all
+    codegen'd array/regex expressions, integer-exact cross-engine."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = T.tokens("text")
+    n_words = F.size(w)
+    tot_chars = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-zA-Z]")))
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"),
+                                                  F.lit("#"), F.lit("")))
+    n_ellipsis = ((F.length("text")
+                   - F.length(F.replace(F.col("text"), F.lit("..."),
+                                        F.lit("")))) / 3).cast("bigint")
+    n_stop = T.stopword_hits(w, "en")
+    feat = docs.select(
+        "doc_id", n_words.alias("n_words"), tot_chars.alias("tot_chars"),
+        n_alpha.alias("n_alpha_words"), n_hash.alias("n_hash"),
+        n_ellipsis.alias("n_ellipsis"), n_stop.alias("n_stop"))
+    ok_wc = F.col("n_words").between(50, 100000)
+    ok_mwl = ((3 * F.col("n_words") <= F.col("tot_chars"))
+              & (F.col("tot_chars") <= 10 * F.col("n_words")))
+    ok_sym = (10 * (F.col("n_hash") + F.col("n_ellipsis"))
+              <= F.col("n_words"))
+    ok_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    ok_stop = F.col("n_stop") >= 2
+    return feat.select(
+        "doc_id",
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    ).orderBy("doc_id")
