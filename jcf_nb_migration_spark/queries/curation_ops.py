@@ -831,3 +831,72 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
     ).orderBy("doc_id")
+
+
+@query(
+    "source_report_card",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, text, {_SQL_TOKS} AS w FROM documents
+    ),
+    flags AS (
+        SELECT doc_id, source,
+               len(w) AS n_tokens,
+               (len(w) BETWEEN 50 AND 100000
+                AND 3 * len(w) <= list_sum(list_transform(w,
+                                           x -> length(x)))
+                AND list_sum(list_transform(w, x -> length(x)))
+                    <= 10 * len(w)
+                AND len(list_filter(w, x -> list_contains(
+                    ['the','a','of','and','is','to','in'], x))) >= 2)
+                   AS keeps
+        FROM base
+    ),
+    dup AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+        FROM base
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(f.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) FILTER (f.keeps) AS BIGINT) AS n_quality_keep,
+           CAST(COUNT(*) FILTER (d.is_dup) AS BIGINT) AS n_exact_dups
+    FROM flags f JOIN dup d USING (doc_id)
+    GROUP BY f.source ORDER BY f.source
+    """,
+    tags=("curation", "report", "rollup"),
+    driver_visible=False,
+)
+def source_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source corpus report a curation pipeline publishes at
+    the end of a run: document and token counts, how many docs pass the
+    core quality gate, and how many are exact duplicates (non-survivor
+    copies under the min-doc_id rule). Two passes composed — a quality
+    scan and a fingerprint window — joined on doc_id and rolled up by
+    source; every metric is an integer so the oracle comparison is
+    bitwise. The table that answers 'which source do we renegotiate or
+    drop' at 100 TB, produced without any per-source driver loop."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = T.tokens("text")
+    tot_chars = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
+    n_words = F.size(w)
+    keeps = (n_words.between(50, 100000)
+             & (3 * n_words <= tot_chars) & (tot_chars <= 10 * n_words)
+             & (T.stopword_hits(w, "en") >= 2))
+    flags = docs.select("doc_id", "source", n_words.alias("n_tokens"),
+                        keeps.alias("keeps"))
+    dw = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    dup = docs.select(
+        "doc_id", (F.row_number().over(dw) > 1).alias("is_dup"))
+    return (
+        flags.join(dup, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.count(F.when(F.col("keeps"), 1)).alias("n_quality_keep"),
+             F.count(F.when(F.col("is_dup"), 1)).alias("n_exact_dups"))
+        .orderBy("source")
+    )
