@@ -162,9 +162,10 @@ def test_jsonl_stream_sink_restart_exactly_once(spark, tmp_path):
     the same checkpoint, drain. The offset log resumes where commit
     left off and manifests are keyed by batchId, so readers that honor
     the _SUCCESS-<batchId> manifests see every doc exactly once — the
-    end-to-end restart contract, not a simulation. (Run 1 uses a slow
-    trigger so the stop lands between batches; killing MID-batch is
-    exercised by Spark's own WAL replay and is out of scope here.)"""
+    end-to-end restart contract, not a simulation. (Run 1 uses
+    Trigger.Once so exactly one batch commits and the query terminates
+    itself; killing MID-batch is exercised by Spark's own WAL replay
+    and is out of scope here.)"""
     import glob
     import json
     import os
@@ -197,14 +198,13 @@ def test_jsonl_stream_sink_restart_exactly_once(spark, tmp_path):
                          for line in open(os.path.join(out, f))]
         return total, seen
 
-    # run 1: 10 s between triggers — the first batch commits, then the
-    # query idles, so stop() lands cleanly between batches
-    q1 = start({"processingTime": "10 seconds"})
-    deadline = time.time() + 60
-    while not glob.glob(os.path.join(out, "_SUCCESS-0")):
-        assert time.time() < deadline, "first micro-batch never committed"
-        time.sleep(0.2)
-    q1.stop()
+    # run 1: Trigger.Once — exactly one micro-batch, then the query
+    # terminates itself; no stop() race with a second batch (a
+    # processingTime trigger was flaky under full-suite load: batch 0
+    # could take longer than the interval and the stop landed
+    # mid-batch-1)
+    q1 = start({"once": True})
+    q1.awaitTermination(120)
     assert manifest_rows()[0] == 12  # only batch 0 landed
 
     # run 2: fast triggers; the rate-limited source needs several
