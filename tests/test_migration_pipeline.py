@@ -167,3 +167,32 @@ def test_distinct_lists(result):
     vals = {r["Faith"] for r in result.distinct_lists["Faith"].collect()}
     # computed post-cleaning: lookup already applied, e2 purged
     assert vals == {"Christianity"}
+
+
+def test_pipeline_observe_metrics_single_action(spark):
+    """Data-quality metrics ride the pipeline's OWN action via the
+    Observation API — no second scan: row count, null keys, and value
+    bounds arrive as a side effect of the one materializing pass. At
+    100 TB this is the difference between free QA metrics and doubling
+    the job."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    li = t(spark, SF_SMALL, "lineitem")
+    obs = Observation("qa")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_orderkey").isNull().cast("int")).alias("null_keys"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"))
+    # one action drives both the "pipeline" and the metrics
+    out_rows = observed.where(F.col("l_quantity") > 25).count()
+    m = obs.get
+    assert m["n_rows"] == li.count()
+    assert m["null_keys"] == 0
+    assert 0 < m["min_qty"] <= 25 < m["max_qty"]
+    assert 0 < out_rows < m["n_rows"]
