@@ -529,7 +529,12 @@ def ivfpq_ann_probe(emb: DataFrame, centroids, codebooks, probe_id: int,
         .crossJoin(probe)
         .where(F.col(id_col) != probe_id)
         .select(F.col(id_col).alias("neighbor_id"), "cluster",
-                adc.alias("adc"),
+                # round to 9 dp: ADC inherits the codeword means'
+                # decimal->double conversion, which can differ by 1 ulp
+                # across engines once cluster sums carry ~16+ digits
+                # (verify SKILL gotchas); argmins (codes) survive that,
+                # raw distances don't
+                F.round(adc, 9).alias("adc"),
                 cosine(F.col(vec_col), F.col("__probe_vec"))
                 .alias("cos_exact"))
         .orderBy("adc", "neighbor_id")

@@ -395,7 +395,7 @@ def _sql_ivfpq_oracle() -> str:
         FROM assigned WHERE vec_id = 0
     )
     SELECT a.vec_id AS neighbor_id, a.cluster,
-           ((ds0.d + ds1.d) + ds2.d) + ds3.d AS adc,
+           ROUND(((ds0.d + ds1.d) + ds2.d) + ds3.d, 9) AS adc,
            {_sql_cos('a.embedding', 'probe.pvec')} AS cos_exact
     FROM assigned a {' '.join(joins)} CROSS JOIN probe
     WHERE a.cluster = probe.pcluster AND a.vec_id <> 0
