@@ -95,3 +95,31 @@ def test_bucketed_aggregation_elides_exchange(spark):
         assert agg.count() == li.select("l_orderkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_li_agg")
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A partitioned fact joined to a selectively-filtered dim gets a
+    dynamicpruningexpression in its PartitionFilters: the fact scan
+    reads only the partitions the dim's filter survives — at 100 TB,
+    the difference between scanning one event_type directory and all
+    of them. (Requires a Filter on the dim side; an unfiltered literal
+    dim does not trigger DPP's selectivity heuristic.)"""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    d = str(tmp_path / "part_ev")
+    ev = t(spark, SF_SMALL, "events")
+    ev.write.partitionBy("event_type").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.createDataFrame(
+        [("error", 2), ("click", 1), ("view", 3), ("purchase", 4)],
+        "event_type string, w int").where(F.col("w") == 2)
+    j = fact.join(dim, "event_type").agg(F.sum("value").alias("s"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan, plan
+    # and the result is the filtered-partition aggregate
+    expected = (ev.where(F.col("event_type") == "error")
+                .agg(F.sum("value")).head()[0])
+    assert abs(j.head()["s"] - expected) < 1e-6
