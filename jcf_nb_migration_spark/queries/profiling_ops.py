@@ -251,3 +251,132 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("est") - F.col("exact_distinct"))
          <= 0.05 * F.col("exact_distinct")).alias("est_in_bound")))
     return per_rows.unionAll(total_row).orderBy("source")
+
+
+@query(
+    "orders_pit_customer_join",
+    oracle="""
+    WITH hist AS (
+        SELECT c_custkey, c_acctbal, TIMESTAMP '1995-01-01' AS eff_ts,
+               1 AS version
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, c_acctbal + 1000, TIMESTAMP '1998-01-01', 2
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    ranked AS (
+        SELECT o.o_orderkey, h.version, h.c_acctbal,
+               row_number() OVER (
+                   PARTITION BY o.o_orderkey
+                   ORDER BY h.eff_ts DESC) AS rn
+        FROM orders o JOIN hist h
+          ON h.c_custkey = o.o_custkey AND h.eff_ts <= o.o_orderdate
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_bal
+    FROM ranked WHERE rn = 1
+    GROUP BY version ORDER BY version
+    """,
+    tags=("scd2", "point-in-time", "temporal-join"),
+    driver_visible=False,
+)
+def orders_pit_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each order picks the dimension VERSION that
+    was effective at its order date (the temporal-correctness join
+    every SCD2 warehouse runs; also exactly how a feature store serves
+    training rows without leakage). Synthetic history: every customer
+    has a 1995 version; every third customer gains a 1998 version.
+    Implementation is the as-of pattern on the validity start: range
+    join on eff_ts ≤ o_orderdate, latest version per order via one
+    window — at scale the history table is versions-per-key small, so
+    AQE broadcasts it; no interval explosion."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v1 = cust.select(
+        "c_custkey", "c_acctbal",
+        F.lit("1995-01-01").cast("timestamp").alias("eff_ts"),
+        F.lit(1).alias("version"))
+    v2 = (cust.where(F.col("c_custkey") % 3 == 0)
+          .select("c_custkey", (F.col("c_acctbal") + 1000).alias("c_acctbal"),
+                  F.lit("1998-01-01").cast("timestamp").alias("eff_ts"),
+                  F.lit(2).alias("version")))
+    hist = v1.unionByName(v2)
+    joined = orders.join(
+        hist, (hist.c_custkey == orders.o_custkey)
+        & (hist.eff_ts <= orders.o_orderdate))
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("eff_ts"))
+    pit = (joined.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1))
+    return (pit.groupBy(F.col("version").cast("bigint").alias("version"))
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+                 .cast("double").alias("total_bal"))
+            .orderBy("version"))
+
+
+@query(
+    "orders_snapshot_diff",
+    oracle="""
+    WITH snap2 AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 1.1
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        WHERE o_orderkey % 10 <> 7
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        FROM orders WHERE o_orderkey % 10 = 1
+    )
+    SELECT op, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT CASE
+            WHEN b.o_orderkey IS NULL THEN 'I'
+            WHEN s.o_orderkey IS NULL THEN 'D'
+            ELSE 'U' END AS op
+        FROM orders b FULL OUTER JOIN snap2 s USING (o_orderkey)
+        WHERE b.o_orderkey IS NULL OR s.o_orderkey IS NULL
+           OR b.o_totalprice <> s.o_totalprice
+    ) GROUP BY op ORDER BY op
+    """,
+    tags=("cdc", "snapshot-diff", "full-outer"),
+    driver_visible=False,
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data derivation by snapshot diff — how you bootstrap CDC
+    when the source system has none: full outer join of yesterday's
+    and today's snapshots on the key, classify each row
+    insert/update/delete, drop unchanged. Synthetic today-snapshot:
+    keys ≡7 (mod 10) deleted, ≡3 repriced ×1.1, ≡1 re-inserted under
+    new keys. One co-partitioned shuffle on the key (or zero if both
+    snapshots are bucketed — io/layout.write_bucketed); the unchanged
+    majority is filtered before it ever leaves the join."""
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    snap2 = (
+        orders.where(F.col("o_orderkey") % 10 != 7)
+        .withColumn("o_totalprice",
+                    F.when(F.col("o_orderkey") % 10 == 3,
+                           F.col("o_totalprice") * 1.1)
+                    .otherwise(F.col("o_totalprice")))
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 10 == 1)
+            .select((F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                    "o_custkey", "o_totalprice"))
+    )
+    b = orders.alias("b")
+    s = snap2.alias("s")
+    j = b.join(s, F.col("b.o_orderkey") == F.col("s.o_orderkey"),
+               "full_outer")
+    op = (F.when(F.col("b.o_orderkey").isNull(), "I")
+          .when(F.col("s.o_orderkey").isNull(), "D")
+          .otherwise("U"))
+    changed = j.where(
+        F.col("b.o_orderkey").isNull() | F.col("s.o_orderkey").isNull()
+        | (F.col("b.o_totalprice") != F.col("s.o_totalprice")))
+    return (changed.select(op.alias("op"))
+            .groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("op"))
