@@ -263,3 +263,47 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("k").alias("distinct_k"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "nation_metrics_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   AS total_bal,
+               CAST(COUNT(*) FILTER (c_acctbal < 0) AS DOUBLE)
+                   AS n_negative
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, metric, value FROM (
+        SELECT c_nationkey, 'n_customers' AS metric,
+               n_customers AS value FROM wide
+        UNION ALL
+        SELECT c_nationkey, 'total_bal', total_bal FROM wide
+        UNION ALL
+        SELECT c_nationkey, 'n_negative', n_negative FROM wide
+    ) ORDER BY c_nationkey, metric
+    """,
+    tags=("unpivot", "melt", "reshape"),
+    driver_visible=False,
+)
+def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape with the native unpivot (melt) operator: a
+    per-nation metrics table unpivots to (nation, metric, value) — the
+    shape metric stores and plotting layers want. unpivot is a
+    zero-shuffle projection (each input row fans out to one row per
+    measure column in place), unlike the UNION-of-selects formulation
+    the oracle uses, which would re-plan the aggregate per arm without
+    a subquery. order_status_pivot is the inverse surface."""
+    cust = t(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        F.count(F.when(F.col("c_acctbal") < 0, 1)).cast("double")
+         .alias("n_negative"))
+    return (wide.unpivot(
+        "c_nationkey", ["n_customers", "total_bal", "n_negative"],
+        "metric", "value")
+        .orderBy("c_nationkey", "metric"))
