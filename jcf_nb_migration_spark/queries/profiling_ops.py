@@ -380,3 +380,99 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (changed.select(op.alias("op"))
             .groupBy("op").agg(F.count(F.lit(1)).alias("n"))
             .orderBy("op"))
+
+
+@query(
+    "source_embedding_drift",
+    oracle="""
+    WITH j AS (
+        SELECT d.source, e.embedding::DOUBLE[] AS v
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    ex AS (
+        SELECT source,
+               CAST(unnest(range(len(v))) AS INT) AS pos,
+               unnest(v) AS val
+        FROM j
+    ),
+    base AS (
+        SELECT source, pos,
+               SUM(CAST(val AS DECIMAL(28,12))) AS ssum,
+               COUNT(*) AS cnt
+        FROM ex GROUP BY source, pos
+    ),
+    enr AS (
+        SELECT source, pos, cnt,
+               CAST(ssum AS DOUBLE) / cnt AS ms,
+               CAST(SUM(ssum) OVER (PARTITION BY pos) AS DOUBLE)
+                   / SUM(cnt) OVER (PARTITION BY pos) AS mg
+        FROM base
+    ),
+    dots AS (
+        SELECT source,
+               MAX(CASE WHEN pos = 0 THEN cnt END) AS n_vecs,
+               CAST(SUM(CAST(ms * mg AS DECIMAL(28,16))) AS DOUBLE) AS sg,
+               CAST(SUM(CAST(ms * ms AS DECIMAL(28,16))) AS DOUBLE) AS ss,
+               CAST(SUM(CAST(mg * mg AS DECIMAL(28,16))) AS DOUBLE) AS gg
+        FROM enr GROUP BY source
+    )
+    SELECT source, n_vecs,
+           ROUND(sg / (sqrt(ss) * sqrt(gg)), 9) AS drift_cos
+    FROM dots
+    ORDER BY source
+    """,
+    tags=("profiling", "quality", "embedding"),
+    driver_visible=False,
+)
+def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding drift: cosine of each source's centroid
+    against the global corpus centroid — the distribution-shift monitor
+    a training-data pipeline runs on every ingest batch (a source whose
+    centroid swings away from the corpus signals a scrape change,
+    language shift, or spam influx before any model sees it).
+
+    Scale shape: ONE corpus pass — an id-equi-join (documents x
+    embeddings, co-partition or bucket by id at 100 TB), one
+    posexplode, then a single partial-agg shuffle keyed (source, dim)
+    whose output is bounded by |sources| x dim rows — kilobytes,
+    regardless of corpus size. The global centroid is derived from
+    those per-source decimal sums with a window over dim (decimal
+    addition is associative, so this equals the direct global sum
+    bit-for-bit), NOT by re-aggregating the corpus: the naive
+    three-branch formulation (source means, global means, counts as
+    separate aggregates over the same join) triples the scan, and the
+    plan audit showed exactly that before this restructure. Component
+    sums go through DECIMAL so aggregation order can't perturb the
+    means; the final cosine is rounded to 9 decimals (same
+    cross-engine guard as ivfpq_ann_probe, NOTES.md r4 ADC entry)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", "embedding")
+    ex = j.select(
+        "source",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+         .alias("pos", "val"))
+    base = ex.groupBy("source", "pos").agg(
+        F.sum(F.col("val").cast("decimal(28,12)")).alias("ssum"),
+        F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("pos")
+    enr = base.select(
+        "source", "pos", "cnt",
+        (F.col("ssum").cast("double") / F.col("cnt")).alias("ms"),
+        (F.sum("ssum").over(w).cast("double")
+         / F.sum("cnt").over(w)).alias("mg"))
+    dots = enr.groupBy("source").agg(
+        F.max(F.when(F.col("pos") == 0, F.col("cnt"))).alias("n_vecs"),
+        F.sum((F.col("ms") * F.col("mg")).cast("decimal(28,16)"))
+         .cast("double").alias("sg"),
+        F.sum((F.col("ms") * F.col("ms")).cast("decimal(28,16)"))
+         .cast("double").alias("ss"),
+        F.sum((F.col("mg") * F.col("mg")).cast("decimal(28,16)"))
+         .cast("double").alias("gg"))
+    return (
+        dots.select(
+            "source", "n_vecs",
+            F.round(F.col("sg") / (F.sqrt("ss") * F.sqrt("gg")), 9)
+             .alias("drift_cos"))
+        .orderBy("source"))
