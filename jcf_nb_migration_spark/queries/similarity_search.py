@@ -10,7 +10,7 @@ are md5-derived and re-generated identically in the oracle SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions import similarity as S
@@ -443,3 +443,80 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.col("codes")[s].alias(f"code_{s}") for s in range(PQ_M)]
     ).orderBy("vec_id")
+
+
+@query(
+    "knn_label_propagation",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pvec, label AS true_label
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT p.probe_id, p.true_label, c.label, c.vec_id AS neighbor_id,
+               {_sql_cos('c.embedding', 'p.pvec')} AS cos_sim
+        FROM embeddings c, probes p
+        WHERE c.vec_id >= 10
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= 15
+    ),
+    vts AS (
+        SELECT probe_id, true_label, label AS pred_label,
+               COUNT(*) AS votes
+        FROM topk GROUP BY probe_id, true_label, label
+    )
+    SELECT probe_id, true_label, pred_label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY probe_id
+            ORDER BY votes DESC, pred_label) AS rk
+        FROM vts
+    ) WHERE rk = 1
+    ORDER BY probe_id
+    """,
+    tags=("similarity", "knn", "classification"),
+    driver_visible=False,
+)
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label propagation: classify each probe vector
+    (vec_id < 10) by the most common label among its 15 nearest
+    neighbors in the rest of the corpus — the weak-supervision step
+    that spreads a small set of trusted labels onto unlabeled data.
+    Ties break deterministically (more votes, then lower label; nearer
+    neighbor, then lower id inside the top-k cut).
+
+    Scale shape: the probe set is broadcast (it is small by
+    definition — the labeled seed), the corpus is scanned once, and
+    the per-probe top-k is a window keyed by probe. At a 100 TB corpus
+    the candidate set should come from the ANN index instead of the
+    full scan — compose ivf_ann_multiprobe / ann_lsh_multiprobe as the
+    candidate generator feeding the same vote; the exact formulation
+    here is the recall baseline those variants are judged against."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pvec"),
+        F.col("label").alias("true_label"))
+    corpus = emb.where(F.col("vec_id") >= 10)
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "probe_id", "true_label", "label",
+        F.col("vec_id").alias("neighbor_id"),
+        S.cosine(F.col("embedding"), F.col("pvec")).alias("cos_sim"))
+    w_near = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id")
+    topk = (scored.withColumn("rn", F.row_number().over(w_near))
+            .where(F.col("rn") <= 15))
+    vts = topk.groupBy("probe_id", "true_label",
+                       F.col("label").alias("pred_label")).agg(
+        F.count(F.lit(1)).alias("votes"))
+    w_vote = Window.partitionBy("probe_id").orderBy(
+        F.desc("votes"), "pred_label")
+    return (vts.withColumn("rk", F.row_number().over(w_vote))
+            .where(F.col("rk") == 1)
+            .select("probe_id", "true_label", "pred_label", "votes")
+            .orderBy("probe_id"))
