@@ -170,3 +170,15 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_source_embedding_drift_single_corpus_pass(spark):
+    """The drift monitor must read each input ONCE: the global
+    centroid is derived from the per-source sums by a window, not by
+    re-aggregating the corpus in a second branch (the original
+    three-branch formulation showed 3 scan+explode subtrees)."""
+    plan = plan_of(spark, "source_embedding_drift")
+    # formatted plans list each scan in tree + detail sections -> /2
+    assert plan.count("Scan parquet") // 2 == 2   # embeddings + documents
+    assert plan.count("Generate") // 2 == 1       # one posexplode
+    assert "CartesianProduct" not in plan
