@@ -520,3 +520,64 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rk") == 1)
             .select("probe_id", "true_label", "pred_label", "votes")
             .orderBy("probe_id"))
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pvec, label AS plabel
+        FROM embeddings WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT p.probe_id, c.vec_id AS neighbor_id,
+               c.label AS neighbor_label,
+               {_sql_cos('c.embedding', 'p.pvec')} AS cos_sim
+        FROM embeddings c, probes p
+        WHERE c.vec_id >= 10 AND c.label <> p.plabel
+    )
+    SELECT probe_id, neighbor_id, neighbor_label, cos_sim,
+           CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY probe_id
+            ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    ORDER BY probe_id, rank
+    """,
+    tags=("similarity", "contrastive", "mining"),
+    driver_visible=False,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each probe,
+    the 5 corpus vectors MOST similar to it that carry a DIFFERENT
+    label — the near-miss examples an embedding model learns the most
+    from (easy negatives are already far away; hard ones define the
+    decision boundary). Deterministic ties: higher cosine, then lower
+    neighbor id.
+
+    Same scale shape as knn_label_propagation: broadcast seed probes,
+    one corpus scan, per-probe window; at corpus scale the candidate
+    stream comes from the ANN index (multiprobe queries) with the
+    label-mismatch filter applied before the top-k cut."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pvec"),
+        F.col("label").alias("plabel"))
+    corpus = emb.where(F.col("vec_id") >= 10)
+    scored = (corpus.crossJoin(F.broadcast(probes))
+              .where(F.col("label") != F.col("plabel"))
+              .select(
+                  "probe_id",
+                  F.col("vec_id").alias("neighbor_id"),
+                  F.col("label").alias("neighbor_label"),
+                  S.cosine(F.col("embedding"), F.col("pvec"))
+                   .alias("cos_sim")))
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .withColumn("rank", F.col("rank").cast("int"))
+            .orderBy("probe_id", "rank"))
