@@ -78,3 +78,26 @@ def test_knn_planted_clusters(spark, tmp_path):
     # true_label passes through untouched — it plays no role in the vote
     assert out[0].true_label == 99
     assert out[1].true_label == 98
+
+
+def test_hard_negatives_skip_own_label_cluster(spark, tmp_path):
+    """A probe labeled like its own nearest cluster must mine ALL its
+    hard negatives from the other cluster — the label filter, not
+    plain similarity, decides."""
+    d = str(tmp_path / "sf")
+    rows = [(0, [1.0, 0.0, 0.0], 7)]    # probe shares cluster A's label
+    for i in range(20):
+        rows.append((10 + i, [1.0, 0.001 * i, 0.0], 7))   # same label
+        rows.append((30 + i, [0.5, 1.0, 0.001 * i], 3))   # negatives
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    _write(emb, d, "embeddings")
+
+    out = all_queries()["hard_negative_mining"].fn(spark, d).collect()
+    assert len(out) == 5
+    assert all(r.neighbor_label == 3 for r in out)
+    assert all(30 <= r.neighbor_id < 50 for r in out)
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+    # the 0.001*i tilt only adds off-axis magnitude, so cosine to the
+    # probe falls as i grows: rank 1 is the untilted vector, id 30
+    assert out[0].neighbor_id == 30
