@@ -211,3 +211,60 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     but a hot user's rows split across 16 reducers in phase 1."""
     ev = t(spark, sf_dir, "events")
     return salted_aggregate(ev, "user_id", "value", n_salts=16)
+
+@query(
+    "source_sampling_weights",
+    oracle=f"""
+    WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(CAST(sqrt(n_tokens) AS DECIMAL(28,12)))
+                    AS DOUBLE) AS z,
+               CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+        FROM per_source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(sqrt(n_tokens) / z, 9) AS weight,
+           ROUND((sqrt(n_tokens) / z)
+                 / (CAST(n_tokens AS DOUBLE) / tok_total), 9)
+               AS oversample_factor
+    FROM per_source, tot
+    ORDER BY source
+    """,
+    tags=("corpus", "sampling", "mixture"),
+    driver_visible=False,
+)
+def source_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Square-root temperature sampling weights per source: the
+    multilingual-training reweighting (weight_i proportional to
+    sqrt(tokens_i)) that boosts small sources and damps the head, plus
+    each source's oversample factor vs natural token share. Companion
+    to corpus_mixture_sample, which draws rows given weights — this is
+    where the weights come from.
+
+    One corpus pass to (source, counts) — bounded at |sources| rows —
+    then a scalar total joined back (broadcast of one row). sqrt is
+    IEEE-correctly-rounded in both engines and the weight denominator
+    goes through DECIMAL, so the oracle matches bit-for-bit before the
+    9-decimal display rounding."""
+    docs = t(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).cast("bigint").alias("n_tokens"))
+    tot = per_source.agg(
+        F.sum(F.sqrt("n_tokens").cast("decimal(28,12)"))
+         .cast("double").alias("z"),
+        F.sum("n_tokens").cast("bigint").alias("tok_total"))
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.sqrt("n_tokens") / F.col("z"), 9).alias("weight"),
+            F.round((F.sqrt("n_tokens") / F.col("z"))
+                    / (F.col("n_tokens").cast("double")
+                       / F.col("tok_total")), 9)
+             .alias("oversample_factor"))
+        .orderBy("source"))
