@@ -58,6 +58,13 @@ def main() -> None:
         # signatures); drop them so later queries aren't measured
         # under accumulated cache memory pressure.
         spark.catalog.clearCache()
+        # Heavy explode queries (decontaminate_ngrams) leave young-gen
+        # garbage that taxes whichever query runs next; collect it now
+        # so each measurement starts from a quiet heap. Measured r5:
+        # without this, embedding_dedup_pairs reads +30% when it runs
+        # after decontaminate_ngrams, and matches its r2 driver number
+        # (0.63 s) with it.
+        spark.sparkContext._jvm.System.gc()
 
     out = {
         "metric": "headline_queries_total_runtime",
