@@ -151,16 +151,44 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level vocabulary with frequencies and rank — the table a
-    tokenizer build or frequency-cutoff filter starts from."""
+    tokenizer build or frequency-cutoff filter starts from.
+
+    The global frequency rank is the scale hazard: a single
+    ``Window.orderBy`` would funnel the entire vocabulary (effectively
+    unbounded at 100 TB — ids, hashes, typos) through one task. Ranked
+    two-phase instead, the sequence_packing pattern applied to a sort
+    rank: ``repartitionByRange`` on the sort key gives contiguous,
+    sampled-balanced buckets; each bucket ranks internally (ordered
+    window PARTITIONED by bucket), and a bucket's global offset is the
+    cumsum of earlier buckets' counts — one tiny ordered window over
+    ≤shuffle-partitions rows. The range-partitioned frame is persisted
+    so the offset branch and the rank branch read the SAME bucket
+    assignment (range boundaries come from sampling; two independent
+    materializations could disagree). (total_tf, term) is unique per
+    row, so dense_rank == row_number and bucket-local row_numbers +
+    offsets compose exactly."""
     docs = spread(t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
     agg = toks.groupBy("term").agg(
         F.count(F.lit(1)).alias("total_tf"),
         F.countDistinct("doc_id").alias("df"))
-    w = Window.orderBy(F.desc("total_tf"), "term")
-    return agg.select("term", "total_tf", "df",
-                      F.dense_rank().over(w).cast("bigint")
-                       .alias("freq_rank"))
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (agg.repartitionByRange(nb, F.desc("total_tf"), F.asc("term"))
+              .withColumn("pid", F.spark_partition_id())
+              .persist())
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    # bounded-window: ≤ `nb` rows (one per range bucket), constant in
+    # corpus size
+    w_off = (Window.orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        "pid", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("p_off"))
+    w_in = Window.partitionBy("pid").orderBy(F.desc("total_tf"), "term")
+    return (ranged.withColumn("r_in", F.row_number().over(w_in))
+            .join(off, "pid")
+            .select("term", "total_tf", "df",
+                    (F.col("p_off") + F.col("r_in")).cast("bigint")
+                    .alias("freq_rank")))
 
 
 @query(

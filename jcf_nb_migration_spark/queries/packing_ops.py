@@ -101,6 +101,8 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
            .where(F.col("n_tok") > 0)
            .withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET}")))
     btot = tok.groupBy("bucket").agg(F.sum("n_tok").alias("b_tok"))
+    # bounded-window: bucket subtotals — corpus/{PACK_BUCKET} rows,
+    # 3000× smaller than the doc stream
     w_b = (Window.orderBy("bucket")
            .rowsBetween(Window.unboundedPreceding, -1))
     boff = btot.select(

@@ -178,7 +178,35 @@ def test_source_embedding_drift_single_corpus_pass(spark):
     re-aggregating the corpus in a second branch (the original
     three-branch formulation showed 3 scan+explode subtrees)."""
     plan = plan_of(spark, "source_embedding_drift")
-    # formatted plans list each scan in tree + detail sections -> /2
-    assert plan.count("Scan parquet") // 2 == 2   # embeddings + documents
-    assert plan.count("Generate") // 2 == 1       # one posexplode
+    # formatted plans list each scan in tree + detail sections, so an
+    # N-scan plan shows exactly 2N occurrences (exact match: floor
+    # division would let an odd count slip through)
+    assert plan.count("Scan parquet") == 4        # embeddings + documents
+    assert plan.count("Generate") == 2            # one posexplode
     assert "CartesianProduct" not in plan
+
+
+def test_no_unmarked_unpartitioned_windows():
+    """Every unpartitioned ``Window.orderBy`` in queries/ funnels its
+    whole input through ONE task — a scale killer unless the input is
+    provably bounded (post-``limit`` frames, per-bucket subtotals).
+    Each such site must carry a ``# bounded-window:`` comment within
+    the 3 preceding lines stating the bound; this guard fails on any
+    new unmarked site (the fix is two-phase ranking, see
+    corpus_vocabulary / sequence_packing, not a marker)."""
+    import pathlib
+
+    qdir = (pathlib.Path(__file__).resolve().parent.parent
+            / "jcf_nb_migration_spark")
+    unmarked = []
+    for py in sorted(qdir.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if "Window.orderBy(" not in line or line.lstrip().startswith("#"):
+                continue
+            ctx = "\n".join(lines[max(0, i - 3):i + 1])
+            if "# bounded-window:" not in ctx:
+                unmarked.append(f"{py.name}:{i + 1}")
+    assert not unmarked, (
+        "unpartitioned Window.orderBy without a '# bounded-window:' "
+        f"justification: {unmarked}")
