@@ -156,7 +156,8 @@ def _centroid_sims(vec_col: str,
 
 def ivf_assign(emb: DataFrame, centroids,
                id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding",
+               extra_cols: tuple = ()) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid by cosine. Deterministic ties broken by lowest centroid
     id. Adds ``cluster``.
@@ -171,7 +172,29 @@ def ivf_assign(emb: DataFrame, centroids,
     best = F.array_max(_centroid_sims(vec_col, rows))
     return emb.select(
         F.col(id_col), F.col(vec_col),
+        *[F.col(c) for c in extra_cols],
         (-best["neg_id"]).cast("bigint").alias("cluster"))
+
+
+def ivf_probe_clusters(probes: DataFrame, centroids,
+                       vec_col: str = "pvec",
+                       nprobe: int = 2) -> DataFrame:
+    """Per-probe cluster shortlist: explode each probe row into its
+    ``nprobe`` nearest centroids (same narrow sort-descending pass as
+    ivf_ann_probe, same ties — higher cosine then lower centroid id).
+    Adds ``cluster``; one output row per (probe, probed cluster).
+
+    This is the multi-probe generalization of ivf_ann_probe's
+    single-probe shortlist: broadcast the result against the assigned
+    corpus and the candidate set for a whole PROBE BATCH comes from
+    one equi-join on cluster — the composition knn/hard-negative
+    mining need to stop scanning the corpus per batch."""
+    rows = _centroid_rows(centroids)
+    top_n = F.slice(F.reverse(F.array_sort(_centroid_sims(vec_col, rows))),
+                    1, nprobe)
+    return (probes.withColumn("__c", F.explode(top_n))
+            .withColumn("cluster", (-F.col("__c.neg_id")).cast("bigint"))
+            .drop("__c"))
 
 
 def ivf_assign_pandas(emb: DataFrame, centroids,

@@ -30,6 +30,11 @@ from jcf_nb_migration_spark.registry import dsum, query, sql_dsum, t
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     tags=("pivot",),
+    # Demoted from the 50-name driver window in r5 to admit the
+    # ANN-composed knn/hard-negative queries: pivot's physical shape
+    # (groupBy + conditional wide agg) stays visible via lineitem_cube,
+    # the strictly harder grouping-analytics query — curation rule 3.
+    driver_visible=False,
 )
 def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupBy().pivot() with explicit pivot values (never let Spark

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions import text as T
 from jcf_nb_migration_spark.functions.similarity import (
-    ivf_ann_probe, kmeans_train,
+    cosine, ivf_ann_probe, ivf_assign, ivf_probe_clusters, kmeans_train,
 )
 from jcf_nb_migration_spark.queries.similarity_search import _sql_cos
 from jcf_nb_migration_spark.queries.text_analysis import _SQL_TOKS
@@ -153,6 +153,12 @@ def ivf_ann_probe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     tags=("similarity", "ann", "ivf", "multiprobe"),
+    # Demoted from the 50-name driver window in r5: the nprobe=2
+    # shortlist + cluster equi-join shape is now driver-visible via
+    # the strictly harder compositions knn_ann_label_propagation and
+    # hard_negative_mining_ann (whole probe BATCH through the same
+    # index), plus ivfpq_ann_probe — curation rule 3.
+    driver_visible=False,
 )
 def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN (nprobe=2, trained centroids): the probe
@@ -163,6 +169,144 @@ def ivf_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(t(spark, sf_dir, "embeddings"))
     centroids = cached_kmeans(emb, sf_dir)
     return ivf_ann_probe(emb, centroids, probe_id=0, k=10, nprobe=2)
+
+
+_SQL_PROBE_CLUSTERS = f"""probes AS (
+        SELECT vec_id AS probe_id, embedding AS pvec, label AS true_label
+        FROM embeddings WHERE vec_id < 10
+    ),
+    pcl AS (
+        SELECT probe_id, pvec, true_label, c_id AS cluster FROM (
+            SELECT p.probe_id, p.pvec, p.true_label, c.c_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.probe_id
+                       ORDER BY {_sql_cos('p.pvec', 'c.c_vec')} DESC,
+                                c.c_id) AS rn
+            FROM probes p, c2 c
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT pc.probe_id, pc.true_label, e.label, a.vec_id AS neighbor_id,
+               {_sql_cos('a.embedding', 'pc.pvec')} AS cos_sim
+        FROM assigned a
+        JOIN pcl pc USING (cluster)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id >= 10
+    )"""
+
+
+def _ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate generator for the ANN-composed queries below:
+    IVF-assign the corpus, shortlist nprobe=2 clusters per seed probe
+    (vec_id < 10), and take candidates from a broadcast equi-join on
+    cluster — at 100 TB, with the corpus partitioned by cluster
+    (io/layout.py), this reads only the probed clusters' files instead
+    of scanning the corpus per probe batch. Columns: probe_id,
+    true_label, label, neighbor_id, cos_sim."""
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    centroids = cached_kmeans(emb, sf_dir)
+    assigned = ivf_assign(emb, centroids, extra_cols=("label",))
+    probes = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pvec"),
+        F.col("label").alias("true_label"))
+    pcl = ivf_probe_clusters(probes, centroids, vec_col="pvec", nprobe=2)
+    return (assigned.join(F.broadcast(pcl), "cluster")
+            .where(F.col("vec_id") >= 10)
+            .select("probe_id", "true_label", "label",
+                    F.col("vec_id").alias("neighbor_id"),
+                    cosine(F.col("embedding"), F.col("pvec"))
+                    .alias("cos_sim")))
+
+
+@query(
+    "knn_ann_label_propagation",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGNED},
+    {_SQL_PROBE_CLUSTERS},
+    topk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY probe_id
+                ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM cand
+        ) WHERE rn <= 15
+    ),
+    vts AS (
+        SELECT probe_id, true_label, label AS pred_label,
+               COUNT(*) AS votes
+        FROM topk GROUP BY probe_id, true_label, label
+    )
+    SELECT probe_id, true_label, pred_label, votes FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY probe_id
+            ORDER BY votes DESC, pred_label) AS rk
+        FROM vts
+    ) WHERE rk = 1
+    ORDER BY probe_id
+    """,
+    tags=("similarity", "knn", "ann", "composed"),
+)
+def knn_ann_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation fed by the IVF ANN index instead of a
+    corpus scan: candidates for ALL seed probes come from ONE equi-join
+    between the cluster-assigned corpus and each probe's nprobe=2
+    cluster shortlist, then the same 15-NN majority vote as
+    knn_label_propagation (the exact-recall baseline this is tested
+    against in tests/test_ann.py). This is the composition the exact
+    query's docstring promises at 100 TB: probe batches touch only
+    their clusters' partitions, never the whole corpus."""
+    cand = _ann_candidates(spark, sf_dir)
+    w_near = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id")
+    topk = (cand.withColumn("rn", F.row_number().over(w_near))
+            .where(F.col("rn") <= 15))
+    vts = topk.groupBy("probe_id", "true_label",
+                       F.col("label").alias("pred_label")).agg(
+        F.count(F.lit(1)).alias("votes"))
+    w_vote = Window.partitionBy("probe_id").orderBy(
+        F.desc("votes"), "pred_label")
+    return (vts.withColumn("rk", F.row_number().over(w_vote))
+            .where(F.col("rk") == 1)
+            .select("probe_id", "true_label", "pred_label", "votes")
+            .orderBy("probe_id"))
+
+
+@query(
+    "hard_negative_mining_ann",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGNED},
+    {_SQL_PROBE_CLUSTERS}
+    SELECT probe_id, neighbor_id, neighbor_label, cos_sim,
+           CAST(rn AS INT) AS rank
+    FROM (
+        SELECT probe_id, neighbor_id, label AS neighbor_label, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+        FROM cand WHERE label <> true_label
+    ) WHERE rn <= 5
+    ORDER BY probe_id, rank
+    """,
+    tags=("similarity", "contrastive", "mining", "ann", "composed"),
+)
+def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining fed by the IVF ANN index: the 5 most
+    similar WRONG-label candidates per probe, drawn from the probe's
+    nprobe=2 clusters via one broadcast equi-join — the near-misses an
+    ANN index surfaces are exactly the hard negatives contrastive
+    training wants, so the index IS the miner at scale. Exact-scan
+    twin: hard_negative_mining (similarity_search.py); overlap
+    asserted in tests/test_ann.py."""
+    cand = _ann_candidates(spark, sf_dir)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id")
+    return (cand.where(F.col("label") != F.col("true_label"))
+            .select("probe_id", "neighbor_id",
+                    F.col("label").alias("neighbor_label"), "cos_sim")
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= 5)
+            .orderBy("probe_id", "rank"))
 
 
 @query(

@@ -181,3 +181,51 @@ def test_ivfpq_adc_recall(spark):
                all_queries()["ivf_ann_probe"].fn(spark, SF_SMALL).collect()}
     hit = len({r.neighbor_id for r in approx} & ivf_ids)
     assert hit >= 3, f"ADC recall vs in-cluster exact collapsed: {hit}/10"
+
+
+class TestANNComposedQueries:
+    """The ANN-fed compositions (VERDICT r4 item 3): candidates for
+    knn_ann_label_propagation / hard_negative_mining_ann come from the
+    IVF cluster equi-join, never a corpus scan — these tests pin both
+    the recall vs the exact-scan twins and the plan shape."""
+
+    @pytest.fixture(scope="class")
+    def q(self):
+        from jcf_nb_migration_spark.registry import get
+        return get
+
+    def test_knn_vote_agrees_with_exact(self, spark, q):
+        ex = {r["probe_id"]: r["pred_label"]
+              for r in q("knn_label_propagation").fn(spark, SF_SMALL)
+              .collect()}
+        an = {r["probe_id"]: r["pred_label"]
+              for r in q("knn_ann_label_propagation").fn(spark, SF_SMALL)
+              .collect()}
+        assert set(an) == set(ex)          # every probe gets a vote
+        agree = sum(ex[p] == an[p] for p in ex) / len(ex)
+        # measured 0.70 at sf0.001 with k=8 / nprobe=2; exact ties are
+        # not expected from a 2-of-8-cluster candidate set
+        assert agree >= 0.6
+
+    def test_hard_negative_recall_vs_exact(self, spark, q):
+        def sets(name):
+            out = {}
+            for r in q(name).fn(spark, SF_SMALL).collect():
+                out.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+            return out
+        ex, an = sets("hard_negative_mining"), sets("hard_negative_mining_ann")
+        recalls = [len(ex[p] & an.get(p, set())) / len(ex[p]) for p in ex]
+        # measured mean 0.84 at sf0.001 (min single-probe 0.4 — one
+        # probe's hard negatives straddle a cluster boundary)
+        assert sum(recalls) / len(recalls) >= 0.7
+
+    def test_candidates_come_from_cluster_join_not_scan(self, spark, q):
+        from tests.test_plans import plan_of
+        for name in ("knn_ann_label_propagation", "hard_negative_mining_ann"):
+            plan = plan_of(spark, name)
+            # the exact twins use crossJoin(broadcast(probes)) → a
+            # nested-loop; the composed path must be a hash equi-join
+            # on cluster with zero nested-loop / cartesian operators
+            assert "NestedLoop" not in plan
+            assert "CartesianProduct" not in plan
+            assert "BroadcastHashJoin" in plan
