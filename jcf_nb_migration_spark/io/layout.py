@@ -149,3 +149,66 @@ def compact(spark, src_path: str, dst_path: str,
     dst = jvm.org.apache.hadoop.fs.Path(dst_path)
     return sum(1 for f in fs.listStatus(dst)
                if f.getPath().getName().endswith(".parquet"))
+
+
+def ivf_index_write(emb: DataFrame, centroids, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    extra_cols: tuple = (), mode: str = "overwrite") -> None:
+    """Materialize the IVF ANN index as a CLUSTER-PARTITIONED parquet
+    layout: assign every vector to its nearest centroid
+    (functions.similarity.ivf_assign — narrow, codegen'd, no shuffle)
+    and write with ``partitionBy("cluster")``, one hive-style directory
+    per inverted list.
+
+    This is the storage half of the IVF scale story: the probe-side
+    cluster shortlist becomes a PARTITION filter, so a probe physically
+    reads only its ``nprobe`` clusters' files — the other K−nprobe
+    directories are never opened (pruned at file-listing time, proven
+    in tests/test_layout.py). Rewrite the index when centroids are
+    retrained; within a partition, files stay row-group-prunable on
+    ``id_col`` if you pass it via sortWithinPartitions downstream."""
+    from jcf_nb_migration_spark.functions.similarity import ivf_assign
+
+    assigned = ivf_assign(emb, centroids, id_col, vec_col, extra_cols)
+    assigned.write.mode(mode).partitionBy("cluster").parquet(path)
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Left-to-right float64 cosine — the same IEEE operation order as
+    the JVM aggregate fold (functions.similarity.cosine), so a
+    driver-side centroid shortlist is bit-identical to the in-plan
+    one."""
+    dot = na = nb = 0.0
+    for x, y in zip(a, b):
+        dot = dot + x * y
+        na = na + x * x
+        nb = nb + y * y
+    return dot / (na ** 0.5 * nb ** 0.5)
+
+
+def ivf_index_probe(spark, path: str, centroids, probe_vec: list[float],
+                    k: int = 10, nprobe: int = 2,
+                    exclude_id: int | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Probe a materialized IVF index (ivf_index_write layout): rank
+    centroids driver-side (they are control-plane metadata, already on
+    the driver), then read the index with ``cluster IN shortlist`` —
+    partition pruning turns the filter into a directory listing of
+    only the probed inverted lists. Exact cosine re-rank over those
+    candidates, same tie-breaks as ivf_ann_probe (higher cosine, then
+    lower id). Columns: neighbor_id, cluster, cos_sim."""
+    from jcf_nb_migration_spark.functions import similarity as S
+
+    rows = S._centroid_rows(centroids)
+    pv = [float(x) for x in probe_vec]
+    ranked = sorted(((-_py_cosine(pv, cvec), cid) for cid, cvec in rows))
+    shortlist = [cid for _, cid in ranked[:nprobe]]
+    idx = spark.read.parquet(path).where(F.col("cluster").isin(shortlist))
+    if exclude_id is not None:
+        idx = idx.where(F.col(id_col) != exclude_id)
+    plit = F.array(*[F.lit(x) for x in pv])
+    return (idx.select(F.col(id_col).alias("neighbor_id"), "cluster",
+                       S.cosine(F.col(vec_col), plit).alias("cos_sim"))
+            .orderBy(F.desc("cos_sim"), "neighbor_id")
+            .limit(k))

@@ -123,3 +123,65 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     expected = (ev.where(F.col("event_type") == "error")
                 .agg(F.sum("value")).head()[0])
     assert abs(j.head()["s"] - expected) < 1e-6
+
+
+def test_ivf_index_partition_prunes_to_probed_clusters(spark, tmp_path):
+    """The materialized IVF index (ivf_index_write: one hive directory
+    per cluster) must turn a probe's cluster shortlist into a
+    PARTITION filter — the scan's partition count equals nprobe, the
+    other K−nprobe inverted lists are never listed or opened. This is
+    the storage-layer proof of the similarity.py scale claim: probes
+    read buckets, never the corpus."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.io.layout import (
+        ivf_index_probe, ivf_index_write,
+    )
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    centroids = S.kmeans_train(emb, k=8, iters=2)
+    path = str(tmp_path / "ivf_index")
+    ivf_index_write(emb, centroids, path, extra_cols=("label",))
+
+    # layout: one hive-style directory per non-empty inverted list
+    dirs = {p.name for p in (tmp_path / "ivf_index").iterdir()
+            if p.name.startswith("cluster=")}
+    assert 1 < len(dirs) <= 8
+
+    pvec = emb.where(F.col("vec_id") == 0).head()["embedding"]
+    res = ivf_index_probe(spark, path, centroids, list(pvec),
+                          k=10, nprobe=2, exclude_id=0)
+    # parity first (this also executes the plan, populating metrics):
+    # same candidates as the on-the-fly IVF probe — identical shortlist
+    # by bit-identical driver-side cosine, identical re-rank
+    expect = [(r["neighbor_id"], r["cos_sim"]) for r in
+              S.ivf_ann_probe(emb, centroids, 0, k=10, nprobe=2).collect()]
+    got = [(r["neighbor_id"], r["cos_sim"]) for r in res.collect()]
+    assert got == expect
+
+    plan = res._jdf.queryExecution().executedPlan()
+    # the shortlist must land in PartitionFilters (pruned at listing
+    # time), not PushedFilters/post-scan Filter
+    txt = plan.toString()
+    pf = [ln for ln in txt.splitlines() if "PartitionFilters" in ln]
+    assert pf and "cluster" in pf[0], txt
+
+    # executed scan metrics: exactly nprobe partition directories (and
+    # their files) were read — the other K−nprobe lists never opened
+    def scan_metrics(node, out):
+        if "Scan" in node.nodeName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                out[kv._1()] = kv._2().value()
+        ch = node.children().iterator()
+        while ch.hasNext():
+            scan_metrics(ch.next(), out)
+        return out
+
+    m = scan_metrics(plan, {})
+    assert m["numPartitions"] == 2, m
+    assert m["numFiles"] == 2, m
