@@ -257,7 +257,7 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, n_docs, n_tokens,
            ROUND(sqrt(n_tokens) / z, 9) AS weight,
            ROUND((sqrt(n_tokens) / z)
-                 / (CAST(n_tokens AS DOUBLE) / tok_total), 9)
+                 / NULLIF(CAST(n_tokens AS DOUBLE) / tok_total, 0), 9)
                AS oversample_factor
     FROM per_source, tot
     ORDER BY source
@@ -274,25 +274,32 @@ def source_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the weights come from.
 
     One corpus pass to (source, counts) — bounded at |sources| rows —
-    then a scalar total joined back (broadcast of one row). sqrt is
-    IEEE-correctly-rounded in both engines and the weight denominator
-    goes through DECIMAL, so the oracle matches bit-for-bit before the
-    9-decimal display rounding."""
+    then the totals come from a GLOBAL WINDOW over that bounded frame
+    (the source_embedding_drift idiom: one lineage, so the single scan
+    is structural, not dependent on exchange reuse — pinned in
+    tests/test_plans.py). A source whose documents are all empty has
+    n_tokens = 0; its natural token share is 0, so the oversample
+    factor is NULL (guarded by NULLIF in both engines), not NaN —
+    NaN propagation differs across engines and would break the oracle.
+    sqrt is IEEE-correctly-rounded in both engines and the weight
+    denominator goes through DECIMAL, so the oracle matches
+    bit-for-bit before the 9-decimal display rounding."""
     docs = t(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size(T.tokens("text"))).cast("bigint").alias("n_tokens"))
-    tot = per_source.agg(
-        F.sum(F.sqrt("n_tokens").cast("decimal(28,12)"))
-         .cast("double").alias("z"),
-        F.sum("n_tokens").cast("bigint").alias("tok_total"))
+    # global window over |sources| rows — bounded; decimal addition is
+    # exact/associative so the windowed total equals the direct agg
+    w_all = Window.partitionBy()
+    z = (F.sum(F.sqrt("n_tokens").cast("decimal(28,12)")).over(w_all)
+         .cast("double"))
+    tok_total = F.sum("n_tokens").over(w_all).cast("bigint")
+    natural = F.col("n_tokens").cast("double") / tok_total
     return (
-        per_source.crossJoin(F.broadcast(tot))
-        .select(
+        per_source.select(
             "source", "n_docs", "n_tokens",
-            F.round(F.sqrt("n_tokens") / F.col("z"), 9).alias("weight"),
-            F.round((F.sqrt("n_tokens") / F.col("z"))
-                    / (F.col("n_tokens").cast("double")
-                       / F.col("tok_total")), 9)
+            F.round(F.sqrt("n_tokens") / z, 9).alias("weight"),
+            F.round((F.sqrt("n_tokens") / z)
+                    / F.nullif(natural, F.lit(0.0)), 9)
              .alias("oversample_factor"))
         .orderBy("source"))

@@ -244,3 +244,27 @@ def test_duplicate_spans_planted_run(spark, tmp_path):
     # 1-based starts: shared run begins at token 6 of doc 1, token 3 of doc 2
     assert (r.doc_a, r.doc_b, r.start_a, r.start_b, r.run_len) == \
         (1, 2, 6, 3, 12)
+
+
+def test_source_sampling_weights_zero_token_source_is_null(spark, tmp_path):
+    """A source whose documents are all empty/whitespace has zero
+    tokens: its weight is 0 and its oversample factor NULL (0/0 would
+    be NaN, whose propagation and hash treatment differ across
+    engines), while non-empty sources are unaffected."""
+    from jcf_nb_migration_spark.registry import get
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "web", 16),
+         (2, "delta epsilon", "en", "web", 13),
+         (3, "", "en", "empty_src", 0),
+         (4, "   ", "en", "empty_src", 3)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["source"]: r for r in
+            get("source_sampling_weights").fn(spark, str(tmp_path))
+            .collect()}
+    assert rows["empty_src"]["n_tokens"] == 0
+    assert rows["empty_src"]["weight"] == 0.0
+    assert rows["empty_src"]["oversample_factor"] is None
+    assert rows["web"]["oversample_factor"] is not None

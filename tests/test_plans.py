@@ -210,3 +210,14 @@ def test_no_unmarked_unpartitioned_windows():
     assert not unmarked, (
         "unpartitioned Window.orderBy without a '# bounded-window:' "
         f"justification: {unmarked}")
+
+
+def test_source_sampling_weights_single_corpus_pass(spark):
+    """The totals (z, tok_total) must come from the global window over
+    the bounded per-source frame, not a second aggregate branch over
+    documents — one lineage means the single scan is structural, not
+    an exchange-reuse accident (the AQE-dependence ADVICE r4 flagged
+    in the crossJoin formulation)."""
+    plan = plan_of(spark, "source_sampling_weights")
+    assert plan.count("Scan parquet") == 2   # documents, once
+    assert "CartesianProduct" not in plan
