@@ -138,13 +138,14 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str,
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
-                        bands: int = 8, rows: int = 2) -> DataFrame:
-    """Candidate pairs from banded minhash signatures: docs agreeing on
-    all ``rows`` hashes of any band collide. The band table is exploded
-    (bands rows per doc) and self-joined on (band_idx, band_hash) — an
-    equi-join, so it shuffles instead of cross-joining.
-    Columns: id_a, id_b (distinct)."""
+def band_table(sigs: DataFrame, id_col: str,
+               bands: int = 8, rows: int = 2) -> DataFrame:
+    """Banded LSH table from minhash signatures: ``bands`` rows per
+    doc, each hashing ``rows`` consecutive signature values. This IS
+    the standing near-dup index — at scale you materialize it
+    (cluster_write on band_idx/band_hash so an incoming batch's probe
+    join partition-prunes) and append accepted docs' bands after each
+    ingest. Columns: id, band_idx, band_hash."""
     band_cols = []
     for bi in range(bands):
         hs = [F.col(f"h{bi * rows + ri}") for ri in range(rows)]
@@ -152,9 +153,19 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
             F.struct(F.lit(bi).alias("band_idx"),
                      F.md5(F.concat_ws(",", *hs)).alias("band_hash"))
         )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
     ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
+                        bands: int = 8, rows: int = 2) -> DataFrame:
+    """Candidate pairs from banded minhash signatures: docs agreeing on
+    all ``rows`` hashes of any band collide. The band table is exploded
+    (bands rows per doc) and self-joined on (band_idx, band_hash) — an
+    equi-join, so it shuffles instead of cross-joining.
+    Columns: id_a, id_b (distinct)."""
+    banded = band_table(sigs, id_col, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -221,6 +232,88 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str, text_col: str,
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_lsh_dedup(old: DataFrame, new: DataFrame, id_col: str,
+                          text_col: str, threshold: float = 0.5,
+                          k: int = 16, bands: int = 8, rows: int = 2,
+                          n: int = 3,
+                          persisted: list | None = None) -> DataFrame:
+    """Incremental-ingest near-dup dedup: probe an incoming batch
+    against the STANDING corpus index instead of re-deduping the whole
+    corpus per delivery (minhash_lsh_dedup's all-pairs-of-corpus shape).
+    Candidates come from the batch's band table equi-joined to the
+    standing band table; only colliding (new, old) pairs pay the exact
+    Jaccard verification, and each new doc reports its best standing
+    match. Bloom (bloom_incremental_dedup) answers exact membership for
+    this ingest shape; this answers NEAR-duplication.
+
+    At 100 TB the standing side is a materialized artifact, not a
+    recomputation: ``band_table`` output cluster_written on
+    (band_idx, band_hash) — so the probe join partition-prunes to the
+    batch's bands — plus the per-doc (signature, n_sh) and shingle
+    tables the verification step reads. Batch-side work is
+    O(|batch|); standing-side reads are bounded by band collisions.
+    The merge step is an append of the accepted (non-dup) docs' rows
+    to those artifacts — no rewrite.
+
+    Columns: doc_id (new ids), is_dup, match_id, match_jaccard —
+    deterministic best match (highest Jaccard, then lowest old id).
+    """
+    h32 = minhash_base_hash(F.col("shingle"))
+    aggs = [
+        F.min((F.lit(minhash_coef(i, "a")) * h32
+               + F.lit(minhash_coef(i, "b"))) % F.lit(MINHASH_P))
+         .alias(f"h{i}")
+        for i in range(k)
+    ]
+    sides = {}
+    for name, side in (("old", old), ("new", new)):
+        sh = shingle_index(side, id_col, text_col, n).persist()
+        per_doc = (sh.groupBy(id_col)
+                   .agg(*aggs, F.count(F.lit(1)).alias("n_sh"))
+                   .persist())
+        if persisted is not None:
+            persisted.extend([sh, per_doc])
+        sides[name] = (sh, per_doc)
+    sh_o, per_o = sides["old"]
+    sh_n, per_n = sides["new"]
+    bo = (band_table(per_o, id_col, bands, rows)
+          .select(F.col(id_col).alias("old_id"), "band_idx", "band_hash"))
+    bn = (band_table(per_n, id_col, bands, rows)
+          .select(F.col(id_col).alias("new_id"), "band_idx", "band_hash"))
+    cand = (bn.join(bo, ["band_idx", "band_hash"])
+            .select("new_id", "old_id").distinct())
+    common = (
+        cand.join(sh_n.select(F.col(id_col).alias("new_id"), "shingle"),
+                  "new_id")
+        .join(sh_o.select(F.col(id_col).alias("old_id"), "shingle"),
+              ["old_id", "shingle"])
+        .groupBy("new_id", "old_id").agg(F.count(F.lit(1)).alias("common"))
+    )
+    scored = (
+        common
+        .join(per_n.select(F.col(id_col).alias("new_id"),
+                           F.col("n_sh").alias("n_new")), "new_id")
+        .join(per_o.select(F.col(id_col).alias("old_id"),
+                           F.col("n_sh").alias("n_old")), "old_id")
+        .withColumn("jaccard",
+                    F.col("common").cast("double")
+                    / (F.col("n_new") + F.col("n_old") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), "old_id")
+    best = (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("new_id", "old_id", "jaccard"))
+    return (
+        new.select(F.col(id_col).alias("doc_id"))
+        .join(best, F.col("doc_id") == F.col("new_id"), "left")
+        .select("doc_id",
+                F.col("new_id").isNotNull().alias("is_dup"),
+                F.col("old_id").alias("match_id"),
+                F.col("jaccard").alias("match_jaccard"))
     )
 
 

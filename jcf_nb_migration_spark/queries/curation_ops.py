@@ -19,7 +19,9 @@ from jcf_nb_migration_spark.functions import pii as P
 from jcf_nb_migration_spark.functions import text as T
 from jcf_nb_migration_spark.queries.advanced2 import _SQL_IVF_ASSIGNED
 from jcf_nb_migration_spark.queries.similarity_search import _sql_cos
-from jcf_nb_migration_spark.queries.text_analysis import _SQL_TOKS
+from jcf_nb_migration_spark.queries.text_analysis import (
+    _SQL_TOKS, _sql_bands_cte, _sql_minhash_sig_cte,
+)
 from jcf_nb_migration_spark.registry import query, spread, t
 
 # Which documents play the held-out eval benchmark in the
@@ -499,6 +501,77 @@ def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("__known").isNotNull().alias("is_known"),
                     (maybe & F.col("__known").isNull())
                     .alias("false_positive")))
+
+
+LSH_OLD_MAX = 250  # doc_id < this = the standing (already-indexed) corpus
+
+
+@query(
+    "lsh_incremental_dedup",
+    oracle=f"""
+    WITH {_sql_minhash_sig_cte(16)},
+    {_sql_bands_cte(8, 2)},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    cand AS (
+        SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+        FROM bands nb JOIN bands ob
+          ON ob.band_idx = nb.band_idx AND ob.band_hash = nb.band_hash
+        WHERE nb.doc_id >= {LSH_OLD_MAX} AND ob.doc_id < {LSH_OLD_MAX}
+    ),
+    cm AS (
+        SELECT c.new_id, c.old_id, COUNT(*) AS common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.new_id
+        JOIN sh b ON b.doc_id = c.old_id AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT cm.new_id, cm.old_id,
+               CAST(cm.common AS DOUBLE)
+                   / (sn.n_sh + so.n_sh - cm.common) AS jaccard
+        FROM cm
+        JOIN sizes sn ON sn.doc_id = cm.new_id
+        JOIN sizes so ON so.doc_id = cm.old_id
+        WHERE CAST(cm.common AS DOUBLE)
+                  / (sn.n_sh + so.n_sh - cm.common) >= 0.5
+    ),
+    best AS (
+        SELECT new_id, old_id, jaccard FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY new_id
+                ORDER BY jaccard DESC, old_id) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    )
+    SELECT d.doc_id, b.new_id IS NOT NULL AS is_dup,
+           b.old_id AS match_id, b.jaccard AS match_jaccard
+    FROM documents d LEFT JOIN best b ON b.new_id = d.doc_id
+    WHERE d.doc_id >= {LSH_OLD_MAX}
+    ORDER BY d.doc_id
+    """,
+    tags=("curation", "dedup", "lsh", "incremental"),
+    # kept local to fit the 50-name driver window; the band-table
+    # equi-join + exact-verify physical shape is driver-visible via
+    # minhash_lsh_dedup (whole-corpus variant of the same index)
+    driver_visible=False,
+)
+def lsh_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest NEAR-dup dedup against the standing MinHash
+    LSH index (functions.dedup.incremental_lsh_dedup): docs with
+    doc_id < {LSH_OLD_MAX} are the already-indexed corpus, the rest
+    arrive as a batch; each batch doc probes the standing band table
+    by equi-join, colliding pairs are exact-Jaccard verified, and
+    every batch doc reports (is_dup, best standing match). The
+    production ingest shape next to bloom_incremental_dedup — Bloom
+    answers exact membership, this answers near-duplication — and the
+    batch-vs-index half of minhash_lsh_dedup's corpus-wide dedup."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    old = docs.where(F.col("doc_id") < LSH_OLD_MAX)
+    new = docs.where(F.col("doc_id") >= LSH_OLD_MAX)
+    return (D.incremental_lsh_dedup(old, new, "doc_id", "text",
+                                    threshold=0.5, k=16, bands=8,
+                                    rows=2, n=3)
+            .orderBy("doc_id"))
 
 
 @query(

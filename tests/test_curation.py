@@ -268,3 +268,33 @@ def test_source_sampling_weights_zero_token_source_is_null(spark, tmp_path):
     assert rows["empty_src"]["weight"] == 0.0
     assert rows["empty_src"]["oversample_factor"] is None
     assert rows["web"]["oversample_factor"] is not None
+
+
+def test_lsh_incremental_dedup_planted(spark, tmp_path):
+    """Planted truth for the incremental-ingest shape: a batch doc
+    that is a near-copy of a standing doc must match it (and only
+    it); a distinct batch doc must come back clean."""
+    from jcf_nb_migration_spark.queries.curation_ops import LSH_OLD_MAX
+    from jcf_nb_migration_spark.registry import get
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight")
+    near = base + " again"          # one extra shingle — high Jaccard
+    other = ("completely different content about spark partitions "
+             "and shuffle boundaries with no overlap whatsoever here")
+    docs = spark.createDataFrame(
+        [(1, base, "en", "web", len(base)),
+         (2, other, "en", "web", len(other)),
+         (LSH_OLD_MAX + 1, near, "en", "web", len(near)),
+         (LSH_OLD_MAX + 2, "tiny unrelated note", "en", "web", 19)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    rows = {r["doc_id"]: r for r in
+            get("lsh_incremental_dedup").fn(spark, str(tmp_path)).collect()}
+    assert set(rows) == {LSH_OLD_MAX + 1, LSH_OLD_MAX + 2}
+    hit = rows[LSH_OLD_MAX + 1]
+    assert hit["is_dup"] and hit["match_id"] == 1
+    assert hit["match_jaccard"] > 0.5
+    clean = rows[LSH_OLD_MAX + 2]
+    assert not clean["is_dup"] and clean["match_id"] is None
