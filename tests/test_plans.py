@@ -221,3 +221,60 @@ def test_source_sampling_weights_single_corpus_pass(spark):
     plan = plan_of(spark, "source_sampling_weights")
     assert plan.count("Scan parquet") == 2   # documents, once
     assert "CartesianProduct" not in plan
+
+
+def test_wide_migration_plan_stays_fused_at_reference_width(spark):
+    """Codegen-audit guard at the reference's 297-column shape
+    (NOTES.md 'Wide-projection codegen audit'): the 40 two-source
+    merges and ~240-column output must stay folded into a HANDFUL of
+    Project nodes over one pass — a refactor back to per-merge
+    projections would show ~40 Projects and a deep analysis tree.
+    Also pins filter placement (the purge/scope Filter runs on the
+    narrow source, below the wide projection) and a generous wall
+    ceiling that catches catastrophic regressions (projection
+    explosion, Janino retry storms) without flaking on load."""
+    import importlib.util
+    import pathlib
+    import re
+    import time
+
+    from jcf_nb_migration_spark.pipeline import MigrationConfig, run_migration
+
+    tool = (pathlib.Path(__file__).resolve().parent.parent
+            / "tools" / "scale_migration_bench.py")
+    spec = importlib.util.spec_from_file_location("smb", tool)
+    smb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(smb)
+
+    df = smb.build_frame(spark, 3000, 297)
+    rules = smb.build_rules(297)
+    religions = spark.createDataFrame(
+        [("christian", "Christianity"), ("muslim", "Islam")],
+        "`Values in Data` string, `Replacement Values` string")
+    cfg = MigrationConfig(
+        key_col="Email", date_cols=("Join Date",),
+        value_lookups={"Faith": (religions, "Values in Data",
+                                 "Replacement Values")})
+    t0 = time.time()
+    res = run_migration(df, rules, cfg)
+    plan = res.output._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    res.output.write.format("noop").mode("overwrite").save()
+    elapsed = time.time() - t0
+
+    tree = plan.split("\n\n")[0]
+    # merge fold intact: a few Projects (fact chain + join output),
+    # not one per merge pair (tree section only — details repeat them)
+    assert tree.count("Project") <= 6, tree
+    # purge/scope filter evaluates on the narrow source, directly above
+    # the leaf — not hoisted above the 240-column projection
+    assert re.search(r"Filter \(\d+\)\s*\n[^\n]*\+- (Range|Scan)", tree), tree
+    # pipeline adds at most one shuffle (the tiny lookup-dedup feeding
+    # a broadcast); the other Exchange belongs to the synthetic
+    # generator's repartition, not the pipeline
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 2, tree
+    assert "SortMergeJoin" not in tree
+    # catastrophic-regression ceiling: steady-state measures ~10 s cold
+    # on this box at 5k rows; 90 s trips only on real pathology
+    assert elapsed < 90, elapsed
