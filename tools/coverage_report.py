@@ -1,14 +1,18 @@
 """Generate COVERAGE.md: every registered query with its operator
-tags, oracle status, and headline flag — the machine-readable
-complement to README's SURVEY §2 mapping.
+tags, oracle status, headline flag, and — for local-only queries —
+which driver-visible query covers its physical plan pattern
+(jcf_nb_migration_spark/coverage_map.py; VERDICT r4 item 8).
 
-Usage: PYTHONPATH=. python tools/coverage_report.py
+Usage: PYTHONPATH=. python tools/coverage_report.py [--stdout]
 """
 
 from __future__ import annotations
 
+import sys
 
-def main() -> int:
+
+def render() -> str:
+    from jcf_nb_migration_spark.coverage_map import COVERED_BY
     from jcf_nb_migration_spark.registry import all_queries
 
     qs = all_queries()
@@ -25,25 +29,38 @@ def main() -> int:
         "contract (__spark_entry__.py) so the driver's 50-query window "
         "hard-checks every one; the rest are baselines/intermediates "
         "of exposed queries, kept registered and oracle-tested locally "
-        "(tests/test_query_oracles.py runs all of them).",
+        "(tests/test_query_oracles.py runs all of them). The `covered "
+        "by` column names, per local-only query, the driver-visible "
+        "query exercising the same physical plan pattern (coverage_map"
+        ".py, CI-checked by tests/test_coverage_map.py); `pytest:` "
+        "entries are surfaces with no possible visible twin, pinned by "
+        "the named test instead.",
         "",
-        "| query | tags | oracle | driver | bench | summary |",
-        "|---|---|---|---|---|---|",
+        "| query | tags | oracle | driver | covered by | bench | summary |",
+        "|---|---|---|---|---|---|---|",
     ]
     for name, q in sorted(qs.items()):
         doc = q.doc.split(".")[0].replace("\n", " ").replace("|", "/")
+        cover = "—" if q.driver_visible else COVERED_BY.get(name, "??")
         lines.append(
             f"| {name} | {', '.join(q.tags)} | "
             f"{'exact' if q.oracle else 'rows-only'} | "
             f"{'yes' if q.driver_visible else 'local-only'} | "
+            f"{cover} | "
             f"{'yes' if q.headline else ''} | {doc}. |")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> int:
+    text = render()
+    if "--stdout" in sys.argv:
+        sys.stdout.write(text)
+        return 0
     with open("COVERAGE.md", "w") as fh:
-        fh.write("\n".join(lines) + "\n")
-    print(f"wrote COVERAGE.md: {len(qs)} queries")
+        fh.write(text)
+    print(f"wrote COVERAGE.md ({len(text.splitlines())} lines)")
     return 0
 
 
 if __name__ == "__main__":
-    import sys
-
     sys.exit(main())
