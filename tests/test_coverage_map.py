@@ -56,6 +56,15 @@ def test_scale_md_header_count_matches_registry():
     assert int(m.group(1)) == n and int(m.group(2)) == n
 
 
+def test_readme_query_count_matches_registry():
+    import re
+    text = (REPO / "README.md").read_text()
+    counts = re.findall(r"(\d+) registered queries", text)
+    assert counts, "README query-count sentence not found"
+    n = len(registry.all_queries())
+    assert all(int(c) == n for c in counts), counts
+
+
 def test_coverage_md_is_regenerated_from_the_map(tmp_path):
     """COVERAGE.md == fresh tools/coverage_report.py output."""
     out = subprocess.run(
