@@ -1,7 +1,7 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 79 of the 129 registered queries are marked
+contract queries, so 81 of the 131 registered queries are marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
@@ -39,6 +39,9 @@ COVERED_BY: dict[str, str] = {
     "part_name_fuzzy_pairs": "embedding_dedup_pairs",
     # --- dedup -----------------------------------------------------------
     "dedup_clusters": "dedup_clusters_lsh",
+    # iterative equi-join+groupBy power iteration, frequency-capped
+    # gram edges — both patterns in dedup_clusters_lsh / decontaminate:
+    "linkgraph_pagerank": "dedup_clusters_lsh",
     "dedup_ngram_jaccard": "minhash_lsh_dedup",
     "minhash_signatures": "minhash_lsh_dedup",
     "simhash_fingerprints": "simhash_near_pairs",
@@ -71,6 +74,7 @@ COVERED_BY: dict[str, str] = {
         "bucket-subtotal + per-bucket window shape is plan-guarded)",
     # --- profiling / sketches -------------------------------------------
     "heavy_hitters_topk": "approx_distinct_stats",
+    "cms_token_counts": "approx_distinct_stats",
     "hll_sketch_union": "approx_distinct_stats",
     "customer_column_profile": "table_counts",
     "source_embedding_drift": "pricing_summary",

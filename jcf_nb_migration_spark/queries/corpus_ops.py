@@ -303,3 +303,119 @@ def source_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.nullif(natural, F.lit(0.0)), 9)
              .alias("oversample_factor"))
         .orderBy("source"))
+
+
+# --- link-graph PageRank -------------------------------------------------
+# Importance weighting over a document link graph (the CommonCrawl
+# host-rank idea: rank sources/pages by link structure and use the
+# rank as a curation quality prior). The fixture tables carry no
+# hyperlinks, so the graph is derived deterministically from content:
+# two documents are linked iff they share a "rare" 4-gram (shared by
+# 2..PR_CAP docs). The frequency cap is the quadratic fuse — each kept
+# gram yields at most PR_CAP*(PR_CAP-1) directed edges, so edge
+# generation is an equi-join on the gram key, linear in corpus size
+# (same fuse as duplicate_spans / doc_boilerplate_coverage).
+PR_N = 4          # n-gram order for link derivation
+PR_CAP = 4        # max docs sharing a gram for it to count as a link
+PR_ITERS = 5      # fixed power iterations (unrolled in the oracle)
+PR_SCALE = 1_000_000   # fixed-point rank scale
+PR_BASE = 150_000      # 0.15 * PR_SCALE teleport mass
+
+
+def _sql_pr_ngrams() -> str:
+    # lazy import avoids ordering sensitivity in queries/__init__
+    from jcf_nb_migration_spark.queries.curation_ops import _sql_ngrams
+    return _sql_ngrams(PR_N, distinct=True)
+
+
+def _sql_pagerank_iters() -> str:
+    """Unrolled r1..rK CTE bodies: each iteration is the same
+    join-aggregate. SUM(BIGINT) is HUGEINT in DuckDB — cast back."""
+    steps = []
+    for k in range(1, PR_ITERS + 1):
+        steps.append(
+            f"r{k} AS (SELECT e.v AS node, {PR_BASE} + CAST(SUM("
+            f"(r.pr * 85) // (100 * d.outdeg)) AS BIGINT) AS pr "
+            f"FROM edges e JOIN r{k-1} r ON r.node = e.u "
+            f"JOIN deg d ON d.u = e.u GROUP BY e.v)")
+    return ",\n    ".join(steps)
+
+
+@query(
+    "linkgraph_pagerank",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    gr AS (SELECT doc_id, unnest({_sql_pr_ngrams()}) AS g FROM toks),
+    rare AS (SELECT g FROM gr GROUP BY g
+             HAVING count(*) BETWEEN 2 AND {PR_CAP}),
+    pg AS (SELECT gr.doc_id, gr.g FROM gr JOIN rare USING (g)),
+    pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+    edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+    deg AS (SELECT u, count(*) AS outdeg FROM edges GROUP BY u),
+    r0 AS (SELECT u AS node, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg),
+    {_sql_pagerank_iters()}
+    SELECT r.node AS doc_id, d.outdeg, r.pr AS rank_fp
+    FROM r{PR_ITERS} r JOIN deg d ON d.u = r.node
+    ORDER BY rank_fp DESC, doc_id LIMIT 20
+    """,
+    tags=("graph", "pagerank", "iterative"),
+    driver_visible=False,  # iterative join-agg pattern covered by
+    #                        dedup_clusters_lsh in the driver window
+)
+def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the shared-rare-4-gram document link graph —
+    link-structure importance as a curation prior (the host-level
+    PageRank CommonCrawl-derived corpora use for quality weighting),
+    with {PR_ITERS} power iterations in exact fixed-point arithmetic
+    so the oracle's unrolled CTE chain replays every iteration
+    bit-identically.
+
+    Physical shape: edge derivation is explode → frequency-capped
+    equi-join on the gram (the duplicate_spans fuse — never all-pairs);
+    each iteration is one equi-join rank⋈edges plus one groupBy on the
+    destination — the classic distributed PageRank step, linear in
+    |edges| per iteration with shuffles only on doc_id keys. The edge
+    table (with out-degrees) is persisted once and reused by all
+    {PR_ITERS} iterations. Ranks are BIGINT micro-units
+    (scale {PR_SCALE}); share = (pr * 85) div (100 * outdeg) uses
+    integer floor division, identical in Spark (`div`) and DuckDB
+    (`//`) for the positive operands here, so cross-engine equality is
+    exact — no float tolerance. At production scale the loop would
+    localCheckpoint every few iterations to truncate lineage (the
+    dup_clusters idiom); {PR_ITERS} unrolled joins need no
+    truncation."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            T.word_shingles(T.tokens("text"), PR_N))).alias("g"))
+    rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= PR_CAP))
+            .select("g"))
+    pg = grams.join(rare, "g", "left_semi")
+    a, b = pg.alias("a"), pg.alias("b")
+    pairs = (a.join(b, (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("u"),
+                     F.col("b.doc_id").alias("v"))
+             .distinct())
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    # one persisted (u, v, outdeg) table feeds every iteration
+    ed = edges.join(deg, "u").persist()
+    ranks = deg.select(F.col("u").alias("node"),
+                       F.lit(PR_SCALE).cast("long").alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = ed.join(ranks, ed["u"] == ranks["node"]).select(
+            F.col("v"),
+            F.expr("(pr * 85) div (100 * outdeg)").alias("share"))
+        ranks = (contrib.groupBy("v")
+                 .agg(F.sum("share").alias("s"))
+                 .select(F.col("v").alias("node"),
+                         (F.lit(PR_BASE) + F.col("s")).alias("pr")))
+    return (ranks.join(deg, ranks["node"] == deg["u"])
+            .select(F.col("node").alias("doc_id"), "outdeg",
+                    F.col("pr").alias("rank_fp"))
+            .orderBy(F.desc("rank_fp"), "doc_id").limit(20))

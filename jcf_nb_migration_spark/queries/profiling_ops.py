@@ -6,7 +6,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions.upsert import scd2_merge, upsert
-from jcf_nb_migration_spark.registry import query, sql_dsum, t
+from jcf_nb_migration_spark.queries.text_analysis import _SQL_TOKS
+from jcf_nb_migration_spark.registry import query, spread, sql_dsum, t
 
 
 @query(
@@ -476,3 +477,103 @@ def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("sg") / (F.sqrt("ss") * F.sqrt("gg")), 9)
              .alias("drift_cos"))
         .orderBy("source"))
+
+
+# --- count-min sketch ----------------------------------------------------
+# The third classic mergeable sketch beside HLL (approx_distinct_stats,
+# hll_sketch_union) and the quantile sketch (price_quantiles): a
+# (depth x width) counter table answering point frequency queries with
+# one-sided error (estimate >= truth, over by at most eps*N w.h.p.).
+# As data it is a bounded groupBy result — shards build sub-sketches
+# independently and union+sum merges them, the same mergeability
+# argument as hll_sketch_union.
+CMS_D = 4     # independent hash rows
+CMS_W = 256   # counters per row
+CMS_TOPK = 20
+
+
+def _sql_cms_bucket(tok_expr: str, j: str) -> str:
+    """DuckDB twin of text.token_hash48(tok, salt=f'cms{j}') % CMS_W."""
+    return (f"('0x' || substr(md5('cms' || {j} || ':' || {tok_expr}),"
+            f" 1, 12))::BIGINT % {CMS_W}")
+
+
+@query(
+    "cms_token_counts",
+    oracle=f"""
+    WITH toks AS (SELECT {_SQL_TOKS} AS w FROM documents),
+    occ AS (SELECT unnest(w) AS tok FROM toks),
+    tokc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+             FROM occ GROUP BY tok),
+    hashes AS (SELECT unnest(range(0, {CMS_D})) AS j),
+    entries AS (SELECT j, {_sql_cms_bucket('tok', 'j')} AS b, cnt
+                FROM tokc CROSS JOIN hashes),
+    sketch AS (SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS c
+               FROM entries GROUP BY j, b),
+    probes AS (SELECT tok, cnt FROM tokc
+               ORDER BY cnt DESC, tok LIMIT {CMS_TOPK}),
+    pe AS (SELECT p.tok, p.cnt, j, {_sql_cms_bucket('p.tok', 'j')} AS b
+           FROM probes p CROSS JOIN hashes)
+    SELECT p.tok AS token, p.cnt AS exact_count,
+           MIN(s.c) AS cms_estimate,
+           MIN(s.c) - p.cnt AS overestimate
+    FROM pe p JOIN sketch s ON s.j = p.j AND s.b = p.b
+    GROUP BY p.tok, p.cnt
+    ORDER BY exact_count DESC, token
+    """,
+    tags=("approx", "sketch", "count-min", "mergeable"),
+    driver_visible=False,  # sketch-as-bounded-groupBy pattern covered
+    #                        by approx_distinct_stats in the window
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus token frequencies, checked against
+    exact counts: build a {CMS_D}x{CMS_W} counter table (ONE bounded
+    groupBy — every shard could build its own and a union+sum would
+    merge them, the mergeable-sketch contract), then answer the top-
+    {CMS_TOPK} tokens' frequencies from the sketch alone. Output pins
+    the CMS guarantee as data: overestimate = estimate - exact is
+    always >= 0, and small for heavy hitters.
+
+    Scale shape: token counting is the usual explode + one shuffle on
+    the token; the sketch derives from the (distinct-token, count)
+    table — {CMS_D} rows per DISTINCT token, not per occurrence — and
+    collapses to {CMS_D}*{CMS_W} rows, broadcast-size by construction
+    for the probe join (same geometry argument as the Bloom filter's
+    word table). The exact top-k cut is a TakeOrdered, not a global
+    window. The hash family is md5-salted (token_hash48), bit-equal in
+    both engines, so the oracle replays the sketch exactly."""
+    from jcf_nb_migration_spark.functions import text as T
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    tokc = (docs.select(F.explode(T.tokens("text")).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+            .persist())
+    hashes = [(F.lit(j),
+               (T.token_hash48(F.col("tok"), salt=f"cms{j}") % CMS_W))
+              for j in range(CMS_D)]
+    entries = tokc.select(
+        "cnt",
+        F.explode(F.array(*[
+            F.struct(j.alias("j"), b.alias("b")) for j, b in hashes
+        ])).alias("e")).select(F.col("e.j").alias("j"),
+                               F.col("e.b").alias("b"), "cnt")
+    sketch = entries.groupBy("j", "b").agg(F.sum("cnt").alias("c"))
+    probes = (tokc.orderBy(F.desc("cnt"), "tok").limit(CMS_TOPK)
+              .withColumnRenamed("tok", "ptok")
+              .withColumnRenamed("cnt", "exact_count"))
+    pe = probes.select(
+        "ptok", "exact_count",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     (T.token_hash48(F.col("ptok"), salt=f"cms{j}")
+                      % CMS_W).alias("b"))
+            for j in range(CMS_D)])).alias("e")) \
+        .select("ptok", "exact_count", "e.j", "e.b")
+    est = (pe.join(F.broadcast(sketch), ["j", "b"])
+           .groupBy("ptok", "exact_count")
+           .agg(F.min("c").alias("cms_estimate")))
+    return (est.select(F.col("ptok").alias("token"), "exact_count",
+                       "cms_estimate",
+                       (F.col("cms_estimate") - F.col("exact_count"))
+                       .alias("overestimate"))
+            .orderBy(F.desc("exact_count"), "token"))
