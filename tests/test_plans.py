@@ -278,3 +278,25 @@ def test_wide_migration_plan_stays_fused_at_reference_width(spark):
     # catastrophic-regression ceiling: steady-state measures ~10 s cold
     # on this box at 5k rows; 90 s trips only on real pathology
     assert elapsed < 90, elapsed
+
+
+def test_linkgraph_pagerank_no_cartesian_and_bounded_joins(spark):
+    """PageRank's edge derivation must stay a frequency-capped
+    equi-join (never all-pairs) and every power iteration an equi-join
+    + hash aggregate on doc_id keys."""
+    plan = plan_of(spark, "linkgraph_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the persisted edge table is reused by all 5 iterations
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    # final cut is TakeOrdered, not a global-window rank
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_token_counts_broadcasts_the_sketch(spark):
+    """The 4x256 sketch is bounded by construction — the probe join
+    must broadcast it, and no plan node may be all-pairs."""
+    plan = plan_of(spark, "cms_token_counts")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # exact top-k cut
