@@ -1,7 +1,7 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 81 of the 131 registered queries are marked
+contract queries, so 82 of the 132 registered queries are marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
@@ -58,6 +58,7 @@ COVERED_BY: dict[str, str] = {
     "doc_quality_linear_model": "decontaminate_ngrams",
     "gopher_quality_flags": "doc_quality_score",
     "curation_funnel": "doc_quality_score",
+    "source_quota_cap": "tfidf_top_terms",  # per-group top-k window
     # --- retrieval -------------------------------------------------------
     "bm25_top_docs": "tfidf_top_terms",
     "inverted_index_postings": "tfidf_top_terms",

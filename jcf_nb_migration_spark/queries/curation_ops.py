@@ -973,3 +973,45 @@ def source_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.when(F.col("is_dup"), 1)).alias("n_exact_dups"))
         .orderBy("source")
     )
+
+
+# Per-source document quota: keep at most SRC_CAP docs per source,
+# preferring the "best" by a pluggable quality key (here n_chars desc
+# — swap in doc_quality_score / the linear model without changing the
+# plan shape). The per-domain cap every crawl-derived corpus applies
+# so no single domain dominates the mixture.
+SRC_CAP = 15
+
+
+@query(
+    "source_quota_cap",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, CAST(rn AS INT) AS src_rank
+    FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= {SRC_CAP}
+    ORDER BY source, src_rank
+    """,
+    tags=("curation", "quota", "per-group-topk"),
+    driver_visible=False,  # per-group top-k window pattern covered by
+    #                        tfidf_top_terms in the driver window
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota (the per-domain cap crawl corpora
+    apply so no domain dominates): keep the top {SRC_CAP} documents of
+    each source by a quality key. Physical shape: ONE window
+    partitioned by source — parallel across sources, no global sort;
+    at 100 TB a pathologically hot source is the only skew risk and
+    splits with the same salting used in salted_user_totals (rank
+    within salted sub-groups, keep rank <= cap after re-ranking the
+    cap*n_salt survivors — bounded second phase)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    return (docs.withColumn("src_rank",
+                            F.row_number().over(w).cast("int"))
+            .where(F.col("src_rank") <= SRC_CAP)
+            .select("doc_id", "source", "n_chars", "src_rank")
+            .orderBy("source", "src_rank"))

@@ -185,3 +185,32 @@ def test_ivf_index_partition_prunes_to_probed_clusters(spark, tmp_path):
     m = scan_metrics(plan, {})
     assert m["numPartitions"] == 2, m
     assert m["numFiles"] == 2, m
+
+
+def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively (the
+    jars are in the distro; Avro's connector jar is not — NOTES r5).
+    The engine's scan discipline must carry over: a filtered read of
+    an ORC table pushes the predicate into the scan and prunes unread
+    columns, exactly like the parquet paths PLANS.md documents."""
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    docs = t(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+
+    back = spark.read.orc(path)
+    q = back.where(back.n_chars > 200).select("doc_id", "source")
+    plan = q._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Scan orc" in plan
+    assert "GreaterThan(n_chars,200)" in plan          # pushed filter
+    assert "text" not in plan                          # column pruned
+    # round-trip equality on the filtered projection
+    exp = sorted((r.doc_id, r.source) for r in
+                 docs.where(docs.n_chars > 200)
+                     .select("doc_id", "source").collect())
+    got = sorted((r.doc_id, r.source) for r in q.collect())
+    assert got == exp and len(got) > 0
