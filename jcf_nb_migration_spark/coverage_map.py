@@ -1,7 +1,7 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 82 of the 132 registered queries are marked
+contract queries, so 85 of the 135 registered queries are marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
@@ -92,6 +92,9 @@ COVERED_BY: dict[str, str] = {
     "nation_trade_volume": "local_supplier_volume",
     "regional_customer_distribution": "local_supplier_volume",
     "large_volume_customers": "returned_item_report",
+    "customer_order_distribution": "returned_item_report",
+    "top_supplier_revenue": "local_supplier_volume",
+    "nation_market_share": "local_supplier_volume",
     "promo_revenue_share": "returned_item_report",
     "small_quantity_revenue": "returned_item_report",
     "top_revenue_customers": "returned_item_report",

@@ -12,6 +12,7 @@ helpers so the DuckDB oracle comparison is bitwise.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.registry import (
@@ -307,3 +308,169 @@ def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_nationkey", ["n_customers", "total_bal", "n_negative"],
         "metric", "value")
         .orderBy("c_nationkey", "metric"))
+
+
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("tpch-shape", "outer-join", "double-agg", "tpch-q13"),
+    driver_visible=False,  # join+agg pattern covered by
+    #                        returned_item_report; the stacked second
+    #                        agg is a bounded-domain groupBy
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts —
+    the one classic shape where the FILTER lives in the JOIN CONDITION
+    of an outer join (customers with zero qualifying orders must
+    survive with c_count = 0, so the predicate cannot be pushed below
+    the join as a WHERE). Two stacked aggregations: the first shuffles
+    on c_custkey (hash-uniform), the second groups the bounded
+    c_count domain — the histogram reduction is broadcast-sized."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left")
+    per_cust = joined.groupBy(cust.c_custkey).agg(
+        F.count(orders.o_orderkey).alias("c_count"))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@query(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {sql_dsum("l_extendedprice * (1 - l_discount)",
+                         "total_revenue")}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("tpch-shape", "scalar-subquery", "view-max", "tpch-q15"),
+    driver_visible=False,  # agg + broadcast-dim join covered by
+    #                        local_supplier_volume; see plan note
+)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
+    the maximum over all suppliers (the revenue "view" + scalar-max
+    filter). The naive formulation scans lineitem twice (once for rev,
+    once for its max); here the max is a window over the BOUNDED
+    per-supplier rev frame, so the plan reads lineitem ONCE
+    structurally — the source_sampling_weights idiom. Revenue goes
+    through decimal, so the equality join on the max is exact in both
+    engines."""
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    rev = (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "total_revenue")))
+    # bounded-window: rev has one row per supplier (dimension-sized)
+    mx = F.max("total_revenue").over(W.partitionBy(F.lit(1)))
+    best = (rev.withColumn("mx", mx)
+            .where(F.col("total_revenue") == F.col("mx")))
+    return (best.join(supp, best.l_suppkey == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+@query(
+    "nation_market_share",
+    oracle=f"""
+    WITH allrev AS (
+        SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(18,4)) AS volume,
+               sn.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN region r ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_2'
+                         THEN volume ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 9) AS mkt_share
+    FROM allrev GROUP BY o_year ORDER BY o_year
+    """,
+    tags=("tpch-shape", "multi-join", "conditional-share", "tpch-q8"),
+    driver_visible=False,  # broadcast-dim star join covered by
+    #                        local_supplier_volume
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_2's share of ASIA's PROMO-part market by
+    order year — the ratio-of-conditional-aggregates over a seven-table
+    star join. All dimension sides (nation x2, region, part filter,
+    supplier, customer) are bounded and broadcast-eligible; the only
+    big shuffle is lineitem⋈orders on the orderkey. Numerator and
+    denominator come from ONE aggregation pass (conditional sum), and
+    both go through decimal before one final double division + round —
+    exact cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part")
+    cn = nat.alias("cn")
+    sn = nat.alias("sn")
+    joined = (
+        li.join(orders.where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
+            li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
+        .join(F.broadcast(reg.where(F.col("r_name") == "ASIA")),
+              F.col("cn.n_regionkey") == reg.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), supp.s_nationkey == F.col("sn.n_nationkey"))
+        .join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+              li.l_partkey == part.p_partkey))
+    vol = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    yearly = (joined
+              .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                      vol.alias("volume"),
+                      F.col("sn.n_name").alias("supp_nation"))
+              .groupBy("o_year")
+              .agg(F.sum(F.when(F.col("supp_nation") == "NATION_2",
+                                F.col("volume")).otherwise(
+                   F.lit(0).cast("decimal(18,4)"))).cast("double")
+                   .alias("num"),
+                   F.sum("volume").cast("double").alias("den")))
+    return (yearly.select(
+        "o_year",
+        F.round(F.col("num") / F.col("den"), 9).alias("mkt_share"))
+        .orderBy("o_year"))
