@@ -328,6 +328,38 @@ def _sql_pr_ngrams() -> str:
     return _sql_ngrams(PR_N, distinct=True)
 
 
+def _sql_pg_pairs() -> str:
+    """Shared CTE chain deriving the undirected rare-gram pair set
+    (u < v) — used by linkgraph_pagerank and linkgraph_triangles."""
+    return f"""toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    gr AS (SELECT doc_id, unnest({_sql_pr_ngrams()}) AS g FROM toks),
+    rare AS (SELECT g FROM gr GROUP BY g
+             HAVING count(*) BETWEEN 2 AND {PR_CAP}),
+    pg AS (SELECT gr.doc_id, gr.g FROM gr JOIN rare USING (g)),
+    pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id)"""
+
+
+def _rare_gram_pairs(docs: DataFrame) -> DataFrame:
+    """Spark twin of _sql_pg_pairs: distinct (u < v) doc pairs sharing
+    a rare {PR_N}-gram (2..{PR_CAP} docs per gram — the quadratic
+    fuse)."""
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(
+            T.word_shingles(T.tokens("text"), PR_N))).alias("g"))
+    rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+            .where((F.col("df") >= 2) & (F.col("df") <= PR_CAP))
+            .select("g"))
+    pg = grams.join(rare, "g", "left_semi")
+    a, b = pg.alias("a"), pg.alias("b")
+    return (a.join(b, (F.col("a.g") == F.col("b.g"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("u"),
+                    F.col("b.doc_id").alias("v"))
+            .distinct())
+
+
 def _sql_pagerank_iters() -> str:
     """Unrolled r1..rK CTE bodies: each iteration is the same
     join-aggregate. SUM(BIGINT) is HUGEINT in DuckDB — cast back."""
@@ -344,13 +376,7 @@ def _sql_pagerank_iters() -> str:
 @query(
     "linkgraph_pagerank",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
-    gr AS (SELECT doc_id, unnest({_sql_pr_ngrams()}) AS g FROM toks),
-    rare AS (SELECT g FROM gr GROUP BY g
-             HAVING count(*) BETWEEN 2 AND {PR_CAP}),
-    pg AS (SELECT gr.doc_id, gr.g FROM gr JOIN rare USING (g)),
-    pairs AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-              FROM pg a JOIN pg b ON a.g = b.g AND a.doc_id < b.doc_id),
+    WITH {_sql_pg_pairs()},
     edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
     deg AS (SELECT u, count(*) AS outdeg FROM edges GROUP BY u),
     r0 AS (SELECT u AS node, CAST({PR_SCALE} AS BIGINT) AS pr FROM deg),
@@ -386,20 +412,7 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_clusters idiom); {PR_ITERS} unrolled joins need no
     truncation."""
     docs = spread(t(spark, sf_dir, "documents"))
-    grams = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(
-            T.word_shingles(T.tokens("text"), PR_N))).alias("g"))
-    rare = (grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-            .where((F.col("df") >= 2) & (F.col("df") <= PR_CAP))
-            .select("g"))
-    pg = grams.join(rare, "g", "left_semi")
-    a, b = pg.alias("a"), pg.alias("b")
-    pairs = (a.join(b, (F.col("a.g") == F.col("b.g"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("u"),
-                     F.col("b.doc_id").alias("v"))
-             .distinct())
+    pairs = _rare_gram_pairs(docs)
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -419,3 +432,63 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("node").alias("doc_id"), "outdeg",
                     F.col("pr").alias("rank_fp"))
             .orderBy(F.desc("rank_fp"), "doc_id").limit(20))
+
+
+@query(
+    "linkgraph_triangles",
+    oracle=f"""
+    WITH {_sql_pg_pairs()},
+    deg AS (
+        SELECT u, count(*) AS d FROM (
+            SELECT u FROM pairs UNION ALL SELECT v FROM pairs
+        ) GROUP BY u
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM pairs ab
+        JOIN pairs bc ON bc.u = ab.v
+        JOIN pairs ac ON ac.u = ab.u AND ac.v = bc.v
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           ROUND(3.0 * (SELECT n_triangles FROM tri)
+                 / (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT)
+                    FROM deg), 9) AS global_clustering
+    """,
+    tags=("graph", "triangles", "clustering-coefficient"),
+    driver_visible=False,  # gram-fused equi-join pattern covered by
+    #                        decontaminate_ngrams / dedup_clusters_lsh
+)
+def linkgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the
+    rare-gram link graph — the standard distributed-graph statistic
+    (cohesion of the near-dup neighborhood; a corpus whose link graph
+    closes many triangles has template/boilerplate families, not
+    chance collisions). Physical shape: the classic two-equi-join
+    triangle enumeration over ORDERED edges (u < v < w), so every
+    triangle is counted exactly once and the join fan-out is bounded
+    by the rare-gram degree cap; wedges come from the degree table
+    (sum d*(d-1)/2), never an enumeration. One summary row; the only
+    double is the final clustering ratio (round 9)."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    pairs = _rare_gram_pairs(docs).persist()
+    deg = (pairs.select("u").unionByName(
+        pairs.select(F.col("v").alias("u")))
+        .groupBy("u").agg(F.count(F.lit(1)).alias("d")))
+    ab, bc, ac = pairs.alias("ab"), pairs.alias("bc"), pairs.alias("ac")
+    tri = (ab.join(bc, F.col("bc.u") == F.col("ab.v"))
+           .join(ac, (F.col("ac.u") == F.col("ab.u"))
+                 & (F.col("ac.v") == F.col("bc.v")))
+           .agg(F.count(F.lit(1)).alias("n_triangles")))
+    summary = (deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(tri))
+    return summary.select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles",
+        F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 9)
+        .alias("global_clustering"))

@@ -155,3 +155,174 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.select("flag",
                     F.round(corr, 9).alias("corr_qty_price")).orderBy("flag")
+
+
+@query(
+    "user_rolling_7d",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+                   AS v
+        FROM events GROUP BY user_id, day_idx
+    )
+    SELECT user_id, day_idx,
+           CAST(v AS DOUBLE) AS daily_value,
+           CAST(SUM(v) OVER w AS DOUBLE) AS rolling_7d_sum,
+           COUNT(*) OVER w AS n_days_in_window
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day_idx
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, day_idx
+    """,
+    tags=("timeseries", "range-window", "rolling"),
+    driver_visible=False,  # per-user ordered window covered by
+    #                        user_hourly_resample; RANGE frame is the
+    #                        new surface, pinned here + in pytest
+)
+def user_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling sum per user via a RANGE-frame window — the frame
+    is defined by the ORDER-BY VALUE (day_idx within 6), not by row
+    count, so gaps in activity shrink the window honestly (a rows-
+    frame would silently reach back weeks for sparse users —
+    n_days_in_window exposes exactly that difference). Daily totals go
+    through decimal, and the window SUM accumulates decimal, so the
+    rolling values are bit-equal cross-engine. One shuffle on
+    (user_id, day) for the pre-aggregation, then a user-partitioned
+    window — parallel across users."""
+    ev = t(spark, sf_dir, "events")
+    day_idx = F.expr("unix_micros(ts) div 86400000000")
+    daily = (ev.groupBy("user_id", day_idx.alias("day_idx"))
+             .agg(F.sum(F.col("value").cast("decimal(18,4)"))
+                  .cast("decimal(18,4)").alias("v")))
+    w = (Window.partitionBy("user_id").orderBy("day_idx")
+         .rangeBetween(-6, 0))
+    return (daily.select(
+        "user_id", "day_idx",
+        F.col("v").cast("double").alias("daily_value"),
+        F.sum("v").over(w).cast("double").alias("rolling_7d_sum"),
+        F.count(F.lit(1)).over(w).alias("n_days_in_window"))
+        .orderBy("user_id", "day_idx"))
+
+
+@query(
+    "event_funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+          JOIN v ON v.user_id = e.user_id AND e.ts > v.tv
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+          JOIN c ON c.user_id = e.user_id AND e.ts > c.tc
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+    s AS (SELECT (SELECT count(*) FROM v) AS nv,
+                 (SELECT count(*) FROM c) AS nc,
+                 (SELECT count(*) FROM p) AS np)
+    SELECT stage, n_users, ROUND(1.0 * n_users / prev, 9) AS conv_from_prev
+    FROM (
+        SELECT '1_view' AS stage, nv AS n_users, nv AS prev FROM s
+        UNION ALL
+        SELECT '2_view_click', nc, nv FROM s
+        UNION ALL
+        SELECT '3_view_click_purchase', np, nc FROM s
+    ) ORDER BY stage
+    """,
+    tags=("funnel", "sequential-pattern", "conversion"),
+    driver_visible=False,  # chained user-keyed join+min-agg; pattern
+    #                        covered by asof_click_before_error +
+    #                        event_sessionization
+)
+def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> later click -> later
+    purchase): each stage keeps users whose first qualifying event
+    strictly follows their previous stage's first event — the product-
+    analytics sequential pattern. Physical shape: three user-keyed
+    min-aggregations chained by equi-joins on user_id (hash-uniform;
+    each stage's frame only shrinks), then three scalar counts stacked
+    into the funnel report. No window over the full event stream."""
+    ev = t(spark, sf_dir, "events")
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("tv")))
+    c = (ev.where(F.col("event_type") == "click").alias("e")
+         .join(v, "user_id").where(F.col("e.ts") > F.col("tv"))
+         .groupBy("user_id").agg(F.min("ts").alias("tc")))
+    p = (ev.where(F.col("event_type") == "purchase").alias("e")
+         .join(c, "user_id").where(F.col("e.ts") > F.col("tc"))
+         .groupBy("user_id").agg(F.min("ts").alias("tp")))
+    s = (v.agg(F.count(F.lit(1)).alias("nv"))
+         .crossJoin(c.agg(F.count(F.lit(1)).alias("nc")))
+         .crossJoin(p.agg(F.count(F.lit(1)).alias("np"))))
+    stacked = s.select(F.expr(
+        "stack(3, '1_view', nv, nv,"
+        " '2_view_click', nc, nv,"
+        " '3_view_click_purchase', np, nc)"
+        " AS (stage, n_users, prev)"))
+    return (stacked.select(
+        "stage", "n_users",
+        F.round(F.lit(1.0) * F.col("n_users") / F.col("prev"), 9)
+        .alias("conv_from_prev"))
+        .orderBy("stage"))
+
+
+@query(
+    "user_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               epoch_us(min(ts)) // 86400000000 // 7 AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts) // 86400000000 // 7 AS week_idx
+        FROM events
+    ),
+    cohort_sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size
+        FROM firsts GROUP BY cohort_week
+    ),
+    ret AS (
+        SELECT f.cohort_week, a.week_idx - f.cohort_week AS week_offset,
+               count(*) AS n_users
+        FROM active a JOIN firsts f ON f.user_id = a.user_id
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset, r.n_users,
+           ROUND(1.0 * r.n_users / cs.cohort_size, 9) AS retention_pct
+    FROM ret r JOIN cohort_sizes cs ON cs.cohort_week = r.cohort_week
+    ORDER BY r.cohort_week, r.week_offset
+    """,
+    tags=("cohort", "retention", "double-agg"),
+    driver_visible=False,  # user-keyed agg + join-back; pattern
+    #                        covered by latest_event_per_user +
+    #                        customer_order_distribution family
+)
+def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucket into the absolute week of
+    their first event, and each later active week counts them at
+    offset = week - cohort_week; retention is the share of the cohort
+    still active. The classic growth-analytics triangle. Physical
+    shape: two user-keyed aggregations (first-event, distinct active
+    weeks) joined on user_id, reduced to the bounded
+    (cohort, offset) grid, then a bounded join against cohort sizes —
+    nothing wider than a user shuffle touches raw events."""
+    ev = t(spark, sf_dir, "events")
+    week_idx = F.expr("unix_micros(ts) div 86400000000 div 7")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.expr("min(unix_micros(ts)) div 86400000000 div 7")
+                   .alias("cohort_week")))
+    active = ev.select("user_id", week_idx.alias("week_idx")).distinct()
+    sizes = (firsts.groupBy("cohort_week")
+             .agg(F.count(F.lit(1)).alias("cohort_size")))
+    ret = (active.join(firsts, "user_id")
+           .groupBy("cohort_week",
+                    (F.col("week_idx") - F.col("cohort_week"))
+                    .alias("week_offset"))
+           .agg(F.count(F.lit(1)).alias("n_users")))
+    return (ret.join(sizes, "cohort_week")
+            .select("cohort_week", "week_offset", "n_users",
+                    F.round(F.lit(1.0) * F.col("n_users")
+                            / F.col("cohort_size"), 9)
+                    .alias("retention_pct"))
+            .orderBy("cohort_week", "week_offset"))
