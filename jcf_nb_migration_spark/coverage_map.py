@@ -1,7 +1,7 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 89 of the 139 registered queries are marked
+contract queries, so 90 of the 140 registered queries are marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
@@ -80,6 +80,7 @@ COVERED_BY: dict[str, str] = {
     "cms_token_counts": "approx_distinct_stats",
     "hll_sketch_union": "approx_distinct_stats",
     "customer_column_profile": "table_counts",
+    "dq_expectations": "table_counts",  # fused conditional-agg report
     "source_embedding_drift": "pricing_summary",
     "source_report_card": "pricing_summary",
     "price_histogram": "price_quantiles",

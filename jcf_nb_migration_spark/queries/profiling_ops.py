@@ -577,3 +577,104 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        (F.col("cms_estimate") - F.col("exact_count"))
                        .alias("overestimate"))
             .orderBy(F.desc("exact_count"), "token"))
+
+
+# --- declarative data-quality expectations -------------------------------
+# The dbt-test / Great-Expectations shape, done the way the reference
+# port does its STM rules (SURVEY §1.1): the expectation suite is
+# CONTROL PLANE — a bounded driver-side rule list compiled into ONE
+# conditional-aggregate pass per table — and the report is data. Rules
+# are (column, rule_name, violation predicate); registering a new rule
+# adds a when/sum pair to the same single scan, never a second pass.
+_DQ_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE",
+                "HOUSEHOLD", "MACHINERY")
+
+
+def _dq_rules():
+    """table -> [(column, rule, spark_violation, sql_violation)]"""
+    from pyspark.sql import functions as F
+    return {
+        "customer": [
+            ("c_name", "not_null",
+             F.col("c_name").isNull(), "c_name IS NULL"),
+            ("c_acctbal", "non_negative",
+             F.col("c_acctbal") < 0, "c_acctbal < 0"),
+            ("c_mktsegment", "in_allowed_set",
+             ~F.col("c_mktsegment").isin(*_DQ_SEGMENTS),
+             "c_mktsegment NOT IN ('" + "','".join(_DQ_SEGMENTS) + "')"),
+        ],
+        "orders": [
+            ("o_orderstatus", "in_allowed_set",
+             ~F.col("o_orderstatus").isin("F", "O", "P"),
+             "o_orderstatus NOT IN ('F','O','P')"),
+            ("o_totalprice", "positive",
+             F.col("o_totalprice") <= 0, "o_totalprice <= 0"),
+        ],
+        "lineitem": [
+            ("l_discount", "max_discount_5pct",
+             F.col("l_discount") > 0.05, "l_discount > 0.05"),
+            ("l_quantity", "positive",
+             F.col("l_quantity") <= 0, "l_quantity <= 0"),
+        ],
+    }
+
+
+def _sql_dq() -> str:
+    parts = []
+    for table, rules in _dq_rules().items():
+        sums = ", ".join(
+            f"CAST(SUM(CASE WHEN {sql} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS v{i}" for i, (_, _, _, sql) in enumerate(rules))
+        rows = " UNION ALL ".join(
+            f"SELECT '{table}' AS table_name, '{col}' AS column_name,"
+            f" '{rule}' AS rule, n_rows, v{i} AS n_violations,"
+            f" v{i} = 0 AS passed FROM {table}_agg"
+            for i, (col, rule, _, _) in enumerate(rules))
+        parts.append(
+            f"{table}_agg AS (SELECT COUNT(*) AS n_rows, {sums}"
+            f" FROM {table})")
+        parts.append(f"{table}_rows AS ({rows})")
+    ctes = ",\n    ".join(parts)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM {tbl}_rows" for tbl in _dq_rules())
+    return (f"WITH {ctes}\n    SELECT * FROM ({union})"
+            " ORDER BY table_name, column_name, rule")
+
+
+@query(
+    "dq_expectations",
+    oracle=_sql_dq(),
+    tags=("data-quality", "expectations", "control-plane"),
+    driver_visible=False,  # fused conditional-agg pass per table —
+    #                        the table_counts / pricing_summary pattern
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the dbt-test /
+    Great-Expectations shape) evaluated the way the reference's STM
+    rules run (SURVEY §1.1 control plane vs data plane): the rule list
+    is bounded driver-side metadata compiled into ONE conditional-
+    aggregate scan per table — N expectations on a table cost the same
+    single pass as one, and the suite's report (per-rule row counts,
+    violation counts, pass flag) is itself data a pipeline can gate
+    on. The fixture suite includes genuinely failing rules
+    (c_acctbal non_negative, l_discount max 5%) so both report states
+    are exercised."""
+    out = None
+    for table, rules in _dq_rules().items():
+        df = t(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(viol, 1).otherwise(0)).alias(f"v{i}")
+            for i, (_, _, viol, _) in enumerate(rules)]
+        agg = df.agg(*aggs)
+        stack_args = ", ".join(
+            f"'{col}', '{rule}', v{i}"
+            for i, (col, rule, _, _) in enumerate(rules))
+        rows = agg.select(
+            F.lit(table).alias("table_name"), "n_rows",
+            F.expr(f"stack({len(rules)}, {stack_args})"
+                   " AS (column_name, rule, n_violations)"))
+        out = rows if out is None else out.unionByName(rows)
+    return (out.select("table_name", "column_name", "rule", "n_rows",
+                       "n_violations",
+                       (F.col("n_violations") == 0).alias("passed"))
+            .orderBy("table_name", "column_name", "rule"))
