@@ -590,33 +590,31 @@ _DQ_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE",
                 "HOUSEHOLD", "MACHINERY")
 
 
+# table -> [(column, rule, violation predicate)] — the predicate is a
+# plain SQL boolean, valid verbatim in BOTH Spark SQL (via F.expr) and
+# DuckDB, so the suite is pure metadata with no session dependency at
+# import time.
+_DQ_RULES = {
+    "customer": [
+        ("c_name", "not_null", "c_name IS NULL"),
+        ("c_acctbal", "non_negative", "c_acctbal < 0"),
+        ("c_mktsegment", "in_allowed_set",
+         "c_mktsegment NOT IN ('" + "','".join(_DQ_SEGMENTS) + "')"),
+    ],
+    "orders": [
+        ("o_orderstatus", "in_allowed_set",
+         "o_orderstatus NOT IN ('F','O','P')"),
+        ("o_totalprice", "positive", "o_totalprice <= 0"),
+    ],
+    "lineitem": [
+        ("l_discount", "max_discount_5pct", "l_discount > 0.05"),
+        ("l_quantity", "positive", "l_quantity <= 0"),
+    ],
+}
+
+
 def _dq_rules():
-    """table -> [(column, rule, spark_violation, sql_violation)]"""
-    from pyspark.sql import functions as F
-    return {
-        "customer": [
-            ("c_name", "not_null",
-             F.col("c_name").isNull(), "c_name IS NULL"),
-            ("c_acctbal", "non_negative",
-             F.col("c_acctbal") < 0, "c_acctbal < 0"),
-            ("c_mktsegment", "in_allowed_set",
-             ~F.col("c_mktsegment").isin(*_DQ_SEGMENTS),
-             "c_mktsegment NOT IN ('" + "','".join(_DQ_SEGMENTS) + "')"),
-        ],
-        "orders": [
-            ("o_orderstatus", "in_allowed_set",
-             ~F.col("o_orderstatus").isin("F", "O", "P"),
-             "o_orderstatus NOT IN ('F','O','P')"),
-            ("o_totalprice", "positive",
-             F.col("o_totalprice") <= 0, "o_totalprice <= 0"),
-        ],
-        "lineitem": [
-            ("l_discount", "max_discount_5pct",
-             F.col("l_discount") > 0.05, "l_discount > 0.05"),
-            ("l_quantity", "positive",
-             F.col("l_quantity") <= 0, "l_quantity <= 0"),
-        ],
-    }
+    return _DQ_RULES
 
 
 def _sql_dq() -> str:
@@ -624,12 +622,12 @@ def _sql_dq() -> str:
     for table, rules in _dq_rules().items():
         sums = ", ".join(
             f"CAST(SUM(CASE WHEN {sql} THEN 1 ELSE 0 END) AS BIGINT)"
-            f" AS v{i}" for i, (_, _, _, sql) in enumerate(rules))
+            f" AS v{i}" for i, (_, _, sql) in enumerate(rules))
         rows = " UNION ALL ".join(
             f"SELECT '{table}' AS table_name, '{col}' AS column_name,"
             f" '{rule}' AS rule, n_rows, v{i} AS n_violations,"
             f" v{i} = 0 AS passed FROM {table}_agg"
-            for i, (col, rule, _, _) in enumerate(rules))
+            for i, (col, rule, _) in enumerate(rules))
         parts.append(
             f"{table}_agg AS (SELECT COUNT(*) AS n_rows, {sums}"
             f" FROM {table})")
@@ -663,12 +661,12 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for table, rules in _dq_rules().items():
         df = t(spark, sf_dir, table)
         aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-            F.sum(F.when(viol, 1).otherwise(0)).alias(f"v{i}")
-            for i, (_, _, viol, _) in enumerate(rules)]
+            F.sum(F.when(F.expr(viol), 1).otherwise(0)).alias(f"v{i}")
+            for i, (_, _, viol) in enumerate(rules)]
         agg = df.agg(*aggs)
         stack_args = ", ".join(
             f"'{col}', '{rule}', v{i}"
-            for i, (col, rule, _, _) in enumerate(rules))
+            for i, (col, rule, _) in enumerate(rules))
         rows = agg.select(
             F.lit(table).alias("table_name"), "n_rows",
             F.expr(f"stack({len(rules)}, {stack_args})"
