@@ -1,7 +1,7 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 90 of the 140 registered queries are marked
+contract queries, so 91 of the 141 registered queries are marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
@@ -123,6 +123,8 @@ COVERED_BY: dict[str, str] = {
     "sliding_window_counts": "streaming_hourly_counts",
     "stream_static_enrich": "streaming_hourly_counts",
     "streaming_dedup": "streaming_hourly_counts",
+    "streaming_interval_join": "range_join_error_click",  # stream twin
+    #   of the driver-visible batch interval join; real readStream
     "stateful_running_totals":
         "pytest:test_streaming applyInPandasWithState (no visible "
         "twin; exact-oracle + checkpoint-restart tests pin it)",

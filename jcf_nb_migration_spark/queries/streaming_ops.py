@@ -201,3 +201,37 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (run_to_memory(out, "jcf_exact_state_stream",
                           output_mode="update")
             .orderBy("user_id"))
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+           (epoch_us(c.ts) - epoch_us(e.ts)) / 1000000.0 AS dt_sec
+    FROM events e JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL 120 SECONDS
+                  AND e.ts + INTERVAL 120 SECONDS
+    WHERE e.event_type = 'error'
+    """,
+    tags=("streaming", "stream-stream-join", "interval"),
+    # real readStream; kept local to fit the 50-name driver window —
+    # the batch interval-join physical pattern is driver-visible via
+    # range_join_error_click
+    driver_visible=False,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join executed as an ACTUAL streaming
+    query (two watermarked readStream branches, append mode, driven to
+    completion into a memory sink): every error joined to same-user
+    clicks within ±120 s. The watermark + time-bounded condition is
+    what lets Spark drop expired join state — the requirement for
+    unbounded stream-stream joins; the oracle is the batch non-equi
+    join the stream must reproduce exactly. dt_sec derives from
+    integer epoch micros divided by 1e6 — one deterministic FP op per
+    row, exact cross-engine (the epoch-math rule from the verify trap
+    list)."""
+    from jcf_nb_migration_spark.streaming import events as SE
+
+    return SE.interval_join_stream(spark, sf_dir, gap_seconds=120)
