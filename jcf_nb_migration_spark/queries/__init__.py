@@ -5,6 +5,7 @@ from jcf_nb_migration_spark.queries import (  # noqa: F401
     advanced2,
     corpus_ops,
     curation_ops,
+    fuzzy_ops,
     migration_ops,
     multimodal_ops,
     packing_ops,
@@ -13,6 +14,7 @@ from jcf_nb_migration_spark.queries import (  # noqa: F401
     relational,
     relational2,
     retrieval_ops,
+    semistructured_ops,
     similarity_search,
     sources_ops,
     streaming_ops,

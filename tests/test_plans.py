@@ -43,7 +43,8 @@ def test_dimension_joins_broadcast(spark):
 
 def test_blocked_pair_joins_are_not_cartesian(spark):
     for q in ("embedding_dedup_pairs", "part_name_fuzzy_pairs",
-              "dedup_ngram_jaccard", "simhash_near_pairs"):
+              "dedup_ngram_jaccard", "simhash_near_pairs",
+              "fuzzy_name_matches"):
         plan = plan_of(spark, q)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
