@@ -282,3 +282,78 @@ def dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         "value")
+
+
+def _tws_protobuf_available() -> bool:
+    """transformWithStateInPandas drives a Python state-server protocol
+    encoded with protobuf; pyspark does not vendor it. Absent in this
+    sandbox (no installs), so the operator is gated the same way as the
+    PIL/ffmpeg codecs in functions/multimodal.py."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type profile via transformWithStateInPandas — the
+    Spark 4 successor to applyInPandasWithState (running_user_totals_
+    stateful above): a StatefulProcessor object with typed, composable
+    state handles instead of one tuple-shaped GroupState. MapState
+    here: event_type -> running count, a keyed sub-map the old API
+    could only fake by packing into the single value tuple. Requires
+    the RocksDB state store provider (virtual column families back
+    each state variable) and the protobuf wire protocol for the Python
+    state server — raises NotImplementedError where protobuf is absent
+    (tests/test_streaming_multimodal.py gates on availability).
+
+    Output per user: distinct type count, total events, and the
+    dominant type (max count, ties to the lexicographically LARGEST
+    type — matches the oracle's ORDER BY n DESC, event_type DESC)."""
+    if not _tws_protobuf_available():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(python state-server protocol); not present in this "
+            "environment")
+    import pandas as pd
+    from pyspark.sql.streaming import (StatefulProcessor,
+                                       StatefulProcessorHandle)
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.counts = handle.getMapState(
+                "counts", "etype string", "n bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            for pdf in rows:
+                for et, n in pdf.groupby("event_type").size().items():
+                    cur = (self.counts.getValue((et,))[0]
+                           if self.counts.containsKey((et,)) else 0)
+                    self.counts.updateValue((et,), (cur + int(n),))
+            items = [(k[0], v[0]) for k, v in self.counts.iterator()]
+            total = sum(v for _, v in items)
+            top = max(items, key=lambda kv: (kv[1], kv[0]))[0]
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_event_types": [len(items)],
+                 "n_events": [total], "top_type": [top]})
+
+        def close(self) -> None:
+            pass
+
+    st = events_stream_source(spark, sf_dir).select("user_id",
+                                                    "event_type")
+    out = st.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType=("user_id bigint, n_event_types bigint, "
+                          "n_events bigint, top_type string"),
+        outputMode="Update",
+        timeMode="None",
+    )
+    return (run_to_memory(out, "jcf_tws_stream", output_mode="update")
+            .orderBy("user_id"))

@@ -202,3 +202,28 @@ def test_multimodal_feature_extract(spark):
 
     with pytest.raises(NotImplementedError):
         extract_features(attach_payload(docs), fake=False)
+
+
+def test_transform_with_state_gated_or_equals_batch(spark):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor + MapState)
+    needs the protobuf python package for its state-server protocol;
+    absent here, the operator must raise the honest guard. Where
+    protobuf IS available the same test drives the stream and compares
+    to the batch groupBy truth."""
+    from jcf_nb_migration_spark.streaming import events as SE
+
+    if not SE._tws_protobuf_available():
+        with pytest.raises(NotImplementedError):
+            SE.type_counts_tws(spark, SF_SMALL)
+        return
+    got = SE.type_counts_tws(spark, SF_SMALL).toPandas()
+    ev = t(spark, SF_SMALL, "events").toPandas()
+    per = (ev.groupby(["user_id", "event_type"]).size()
+           .reset_index(name="n"))
+    for _, row in got.iterrows():
+        sub = per[per.user_id == row.user_id]
+        assert row.n_event_types == len(sub)
+        assert row.n_events == sub.n.sum()
+        best = sub.sort_values(["n", "event_type"],
+                               ascending=False).iloc[0]
+        assert row.top_type == best.event_type
