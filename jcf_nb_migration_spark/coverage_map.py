@@ -1,7 +1,7 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 93 of the 143 registered queries are marked
+contract queries, so 94 of the 144 registered queries are marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
@@ -57,6 +57,8 @@ COVERED_BY: dict[str, str] = {
     "doc_boilerplate_coverage": "decontaminate_ngrams",
     # --- text / curation -------------------------------------------------
     "corpus_vocabulary": "bpe_merge_table",
+    "logreg_gd_training": "bpe_merge_table",  # iterate: one
+    #   agg scan per round + bounded driver-side update loop
     "doc_subword_stats": "doc_bpe_stats",
     "doc_winnow_fingerprints": "doc_token_stats",
     "doc_bigram_lm_score": "decontaminate_ngrams",

@@ -7,6 +7,7 @@ from jcf_nb_migration_spark.queries import (  # noqa: F401
     curation_ops,
     fuzzy_ops,
     migration_ops,
+    ml_ops,
     multimodal_ops,
     packing_ops,
     pandas_udf_ops,
