@@ -1,7 +1,7 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 94 of the 144 registered queries are marked
+contract queries, so 95 of the 145 registered queries are marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
@@ -137,6 +137,8 @@ COVERED_BY: dict[str, str] = {
         "twin; exact-oracle + checkpoint-restart tests pin it)",
     # --- python surfaces -------------------------------------------------
     "arrow_doc_stats": "multimodal_decode",
+    "doc_chunk_spans_udtf": "multimodal_frame_sample",  # python
+    #   row fan-out surface (UDTF generator vs mapInPandas)
     "grouped_price_model": "multimodal_decode",
     "pysource_synthdocs":
         "pytest:test_pysource Python DataSource batch reader (no "

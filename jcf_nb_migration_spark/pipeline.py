@@ -16,9 +16,11 @@ parts that become single codegen'd passes here.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import reduce
+from operator import add
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.operators import cleaning
@@ -80,6 +82,10 @@ class MigrationResult:
     # replacement (the ones the join resolves with MIN) — surfaced so a
     # dirty lookup sheet is visible in the audit instead of silent.
     lookup_dup_keys: dict[str, DataFrame] = field(default_factory=dict)
+    # Observation attached to `output`: metrics (n_rows, n_untagged,
+    # n_blank_cells) captured by the FIRST action the caller runs on
+    # it — no extra scan. Read via `metrics.get` after writing.
+    metrics: Observation | None = None
 
 
 def run_migration(df: DataFrame, ruleset: RuleSet,
@@ -198,6 +204,23 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
     # C10 at the sink boundary: NULL → ''.
     df = cleaning.blank_fill(df)
 
+    # Observed audit metrics: piggyback on whatever action the caller
+    # runs against the output (the sink write), so the shape/blank/tag
+    # counters the reference recomputed with extra passes
+    # (/root/reference/main.py shape prints) cost ZERO additional
+    # scans. Populated in result.metrics.get after the first action.
+    obs = Observation("jcf_migration_metrics")
+    blank_cells = reduce(
+        add, [F.when(cleaning.qcol(c) == "", 1).otherwise(0)
+              for c in df.columns])
+    df = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col(config.tags_col) == "", 1).otherwise(0))
+         .alias("n_untagged"),
+        F.sum(blank_cells).alias("n_blank_cells"),
+    )
+
     return MigrationResult(
         output=df,
         purge=purge,
@@ -205,4 +228,5 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
         merge_report=merge_report,
         distinct_lists=distinct_lists,
         lookup_dup_keys=lookup_dup_keys,
+        metrics=obs,
     )

@@ -199,3 +199,73 @@ def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(
         stats, "doc_id bigint, n_tokens bigint, n_chars bigint, n_bytes bigint")
+
+
+CHUNK = 100  # chars per chunk for the UDTF demo
+
+# Python UDTF (Spark 4, Arrow-optimized): one input row -> N output
+# rows from an imperative generator. This is the lane for row fan-out
+# logic that genuinely needs Python (a real tokenizer, a parser); for
+# plain fixed-width chunking the declarative twin (doc_chunk_overlap's
+# sequence+substring) is the 100 TB path — this query exists to cover
+# and oracle-gate the UDTF execution surface itself.
+try:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=("chunk_idx int, start_pos int, end_pos int, "
+                      "chunk string"),
+          useArrow=True)
+    class _ChunkSpans:
+        def eval(self, text, size: int):
+            if text is None:
+                return
+            n = len(text)
+            i = 0
+            idx = 0
+            while i < n:
+                j = min(i + size, n)
+                yield idx, i, j, text[i:j]
+                idx += 1
+                i = j
+except ImportError:  # pragma: no cover - Spark < 3.5
+    _ChunkSpans = None
+
+
+@query(
+    "doc_chunk_spans_udtf",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           CAST(i * {CHUNK} AS INT) AS start_pos,
+           CAST(LEAST(i * {CHUNK} + {CHUNK}, n) AS INT) AS end_pos,
+           md5(substr(text, CAST(i * {CHUNK} + 1 AS INT), {CHUNK}))
+               AS chunk_md5
+    FROM (SELECT doc_id, text, length(text) AS n FROM documents),
+         LATERAL (SELECT unnest(range(0,
+                      CAST(CEIL(n / {CHUNK}.0) AS BIGINT))) AS i)
+    ORDER BY doc_id, chunk_idx
+    """,
+    tags=("udtf", "python-surface", "chunking"),
+    driver_visible=False,
+)
+def doc_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width document chunk spans produced by a Python UDTF in a
+    LATERAL join — the row-generator execution surface (eval yields N
+    rows per doc; Arrow-batched transfer). The chunk digest is computed
+    JVM-side (md5 over utf-8 bytes) so only spans and text cross the
+    boundary; empty/null docs yield no rows in both engines. The
+    DuckDB oracle regenerates identical spans declaratively
+    (generate-series + substr), hash-gating the UDTF plumbing end to
+    end."""
+    if _ChunkSpans is None:  # pragma: no cover
+        raise NotImplementedError("Python UDTF requires Spark >= 3.5")
+    spark.udtf.register("jcf_chunk_spans", _ChunkSpans)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_idx, c.start_pos, c.end_pos,
+               md5(encode(c.chunk, 'utf-8')) AS chunk_md5
+        FROM {{d}} d, LATERAL jcf_chunk_spans(d.text, {CHUNK}) c
+        """,
+        d=docs,
+    ).orderBy("doc_id", "chunk_idx")

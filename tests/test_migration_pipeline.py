@@ -196,3 +196,18 @@ def test_pipeline_observe_metrics_single_action(spark):
     assert m["null_keys"] == 0
     assert 0 < m["min_qty"] <= 25 < m["max_qty"]
     assert 0 < out_rows < m["n_rows"]
+
+
+def test_observed_metrics_piggyback_on_the_sink_action(result):
+    """result.metrics is an Observation attached to the output frame:
+    the counters materialize with the caller's OWN action (here a
+    count(), in production the CSV write) — no second scan — and must
+    equal independently recomputed aggregates."""
+    out = result.output
+    out.count()  # the caller's action; metrics capture alongside it
+    got = result.metrics.get
+    rows = out.collect()
+    assert got["n_rows"] == len(rows)
+    assert got["n_untagged"] == sum(1 for r in rows if r["tags"] == "")
+    assert got["n_blank_cells"] == sum(
+        1 for r in rows for c in out.columns if r[c] == "")
