@@ -227,3 +227,40 @@ def test_transform_with_state_gated_or_equals_batch(spark):
         best = sub.sort_values(["n", "event_type"],
                                ascending=False).iloc[0]
         assert row.top_type == best.event_type
+
+
+def test_statestore_reader_inspects_checkpoint_offline(spark, tmp_path):
+    """Operational surface: the statestore / state-metadata batch
+    readers open a streaming checkpoint OFFLINE and expose the
+    operator's keyed state as DataFrames — how you audit or debug
+    streaming state without replaying the stream. The per-user counts
+    recovered from the checkpoint must equal the batch groupBy truth,
+    and state-metadata must describe the agg operator."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.streaming.events import (
+        events_stream_source)
+
+    cp = str(tmp_path / "ckpt")
+    st = events_stream_source(spark, SF_SMALL)
+    agg = st.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (agg.writeStream.outputMode("update").format("memory")
+         .queryName("jcf_state_inspect")
+         .option("checkpointLocation", cp).start())
+    q.processAllAvailable()
+    q.stop()
+
+    # the state value struct carries the aggregate buffer under its
+    # function name ("count"), not the output alias
+    state = (spark.read.format("statestore").load(cp)
+             .select(F.col("key.user_id").alias("user_id"),
+                     F.col("value.count").alias("n")).toPandas())
+    truth = (t(spark, SF_SMALL, "events").groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n")).toPandas())
+    got = dict(zip(state.user_id, state.n))
+    want = dict(zip(truth.user_id, truth.n))
+    assert got == want
+
+    md = spark.read.format("state-metadata").load(cp).toPandas()
+    assert len(md) == 1
+    assert md.operatorName[0] == "stateStoreSave"
