@@ -1,7 +1,7 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 95 of the 145 registered queries are marked
+contract queries, so 96 of the 146 registered queries are marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
@@ -45,6 +45,8 @@ COVERED_BY: dict[str, str] = {
     # iterative equi-join+groupBy power iteration, frequency-capped
     # gram edges — both patterns in dedup_clusters_lsh / decontaminate:
     "linkgraph_pagerank": "dedup_clusters_lsh",
+    "linkgraph_bfs_reachability": "dedup_clusters_lsh",  # per-level
+    #   frontier equi-join (WITH RECURSIVE declarative twin)
     "linkgraph_triangles": "dedup_clusters_lsh",  # ordered-edge
     #   two-equi-join enumeration over the same capped gram graph
     "dedup_ngram_jaccard": "minhash_lsh_dedup",

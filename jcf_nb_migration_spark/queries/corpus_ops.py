@@ -492,3 +492,72 @@ def linkgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nodes", "n_edges", "n_wedges", "n_triangles",
         F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 9)
         .alias("global_clustering"))
+
+
+BFS_DEPTH = 3  # recursion bound (levels); frontier-dedup'd per level
+
+
+@query(
+    "linkgraph_bfs_reachability",
+    oracle=f"""
+    WITH RECURSIVE {_sql_pg_pairs()},
+    edges AS (
+        SELECT u, v FROM pairs
+        UNION ALL
+        SELECT v AS u, u AS v FROM pairs
+    ),
+    reach(node, dist) AS (
+        SELECT min(u) AS node, 0 AS dist FROM edges
+        UNION ALL
+        SELECT DISTINCT e.v AS node, r.dist + 1 AS dist
+        FROM reach r JOIN edges e ON e.u = r.node
+        WHERE r.dist < {BFS_DEPTH}
+    ),
+    best AS (
+        SELECT node, min(dist) AS dist FROM reach GROUP BY node
+    )
+    SELECT dist, count(*) AS n_nodes,
+           CAST(sum(node) AS BIGINT) AS sum_doc_id
+    FROM best GROUP BY dist ORDER BY dist
+    """,
+    tags=("graph", "recursive-cte", "bfs"),
+    driver_visible=False,  # iterative frontier join covered by
+    #                        dedup_clusters_lsh in the driver window
+)
+def linkgraph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability from the lexicographically first
+    linked document, expressed with Spark 4's native WITH RECURSIVE —
+    the declarative twin of the hand-rolled iterative joins in
+    dedup_clusters / linkgraph_pagerank. Each recursion level is one
+    frontier⋈edges equi-join; ``SELECT DISTINCT`` inside the recursive
+    member dedups the frontier per level (Spark's recursive CTE allows
+    only UNION ALL — plain UNION raises UNION_NOT_SUPPORTED_IN_
+    RECURSIVE_CTE — so without the DISTINCT a cyclic graph would
+    multiply paths exponentially), and the depth bound {BFS_DEPTH}
+    terminates cycles; min(dist) per node then collapses late
+    rediscoveries. Rows are bounded by nodes x depth, never by path
+    count. The DuckDB oracle runs the IDENTICAL recursive SQL over the
+    same rare-gram edges. Per-level output: node count + exact sum of
+    doc ids, so a single wrong frontier hop flips the hash."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    pairs = _rare_gram_pairs(docs)
+    edges = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return spark.sql(
+        f"""
+        WITH RECURSIVE reach(node, dist) AS (
+            SELECT min(u) AS node, 0 AS dist FROM {{e}}
+            UNION ALL
+            SELECT DISTINCT e.v AS node, r.dist + 1 AS dist
+            FROM reach r JOIN {{e}} e ON e.u = r.node
+            WHERE r.dist < {BFS_DEPTH}
+        ),
+        best AS (
+            SELECT node, min(dist) AS dist FROM reach GROUP BY node
+        )
+        SELECT dist, count(*) AS n_nodes,
+               CAST(sum(node) AS BIGINT) AS sum_doc_id
+        FROM best GROUP BY dist ORDER BY dist
+        """,
+        e=edges,
+    )
