@@ -70,8 +70,16 @@ def read_csv(spark: SparkSession, path: str,
     return normalize_headers(reader.csv(path))
 
 
-def read_parquet(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_parquet(spark: SparkSession, path: str,
+                 merge_schema: bool = False) -> DataFrame:
+    """merge_schema=True unions the schemas of every file footer
+    (schema evolution: a corpus whose later shards added columns reads
+    as one frame, old shards yielding NULL for the new columns).
+    Off by default — merging reads every footer up front, and for
+    schema-stable tables the single sampled footer is the cheap,
+    correct path."""
+    return (spark.read.option("mergeSchema", str(merge_schema).lower())
+            .parquet(path))
 
 
 def read_jsonl(spark: SparkSession, path: str,

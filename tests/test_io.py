@@ -284,3 +284,25 @@ def test_variant_parquet_round_trip(spark, tmp_path):
         .orderBy("k").collect())
     assert [r.k for r in got] == list(range(10))
     assert got[4].tag == "t1"
+
+
+def test_parquet_merge_schema_reads_evolved_shards(spark, tmp_path):
+    """Schema evolution: a later shard added a column; mergeSchema
+    unions the footers so both shards read as one frame, with NULLs
+    where the old shard predates the column — and the default
+    (no merge) keeps the cheap single-footer behavior."""
+    import os
+
+    from jcf_nb_migration_spark.io.readers import read_parquet
+
+    d = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id bigint, name string") \
+        .write.parquet(os.path.join(d, "shard=old"))
+    spark.createDataFrame([(2, "b", 9.5)],
+                          "id bigint, name string, score double") \
+        .write.parquet(os.path.join(d, "shard=new"))
+
+    merged = read_parquet(spark, d, merge_schema=True)
+    assert set(merged.columns) == {"id", "name", "score", "shard"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
