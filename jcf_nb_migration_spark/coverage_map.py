@@ -1,7 +1,7 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 96 of the 146 registered queries are marked
+contract queries, so 97 of the 147 registered queries are marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
@@ -68,6 +68,9 @@ COVERED_BY: dict[str, str] = {
     "gopher_quality_flags": "doc_quality_score",
     "curation_funnel": "doc_quality_score",
     "source_quota_cap": "tfidf_top_terms",  # per-group top-k window
+    "cluster_balanced_sample": "semdedup_prune",  # trained-kmeans
+    #   assignment + per-cluster top-k (topic-balance quota)
+
     # --- retrieval -------------------------------------------------------
     "bm25_top_docs": "tfidf_top_terms",
     "inverted_index_postings": "tfidf_top_terms",

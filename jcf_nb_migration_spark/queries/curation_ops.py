@@ -1015,3 +1015,52 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("src_rank") <= SRC_CAP)
             .select("doc_id", "source", "n_chars", "src_rank")
             .orderBy("source", "src_rank"))
+
+
+CLUSTER_CAP = 20  # kept vectors per semantic cluster (topic balancing)
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH {{IVF}},
+    ranked AS (
+        SELECT vec_id, cluster,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY cluster
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   AS INT) AS samp_rank
+        FROM assigned
+    )
+    SELECT vec_id, cluster, samp_rank FROM ranked
+    WHERE samp_rank <= {CLUSTER_CAP}
+    ORDER BY cluster, samp_rank
+    """.replace("{IVF}", _SQL_IVF_ASSIGNED),
+    tags=("curation", "sampling", "kmeans", "topic-balance"),
+    driver_visible=False,  # composes two driver-visible patterns:
+    #   semdedup_prune's trained assignment + tfidf's per-group top-k
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-balanced corpus sampling: cap how much any one SEMANTIC
+    cluster contributes (the embedding-space analogue of the
+    per-domain quota in source_quota_cap — dominant topics get
+    down-weighted instead of dominant domains). Assignment reuses the
+    trained k-means (bit-identical oracle replay, memoized across
+    queries); within each cluster the keep order is the md5 of the
+    vector id — content-stable, so reruns/retries/repartitions select
+    the SAME sample (the corpus_mixture_sample rule). One narrow
+    assignment pass + one window partitioned by cluster — parallel
+    across clusters, no global sort; a hot cluster splits with the
+    salted two-phase idiom if needed."""
+    from jcf_nb_migration_spark.queries.advanced2 import cached_kmeans
+    from jcf_nb_migration_spark.functions.similarity import ivf_assign
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    assigned = ivf_assign(emb, cached_kmeans(emb, sf_dir))
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id")
+    return (assigned
+            .withColumn("samp_rank", F.row_number().over(w).cast("int"))
+            .where(F.col("samp_rank") <= CLUSTER_CAP)
+            .select("vec_id", "cluster", "samp_rank")
+            .orderBy("cluster", "samp_rank"))
