@@ -37,9 +37,6 @@ COVERED_BY: dict[str, str] = {
     "embedding_norm_stats": "ann_brute_force_topk",
     "embedding_normalize": "ann_brute_force_topk",
     "part_name_fuzzy_pairs": "embedding_dedup_pairs",
-    # lossless deletion-neighborhood blocking: explode -> bounded-key
-    # equi-join -> exact verify, the minhash_lsh_dedup physical shape:
-    "fuzzy_name_matches": "minhash_lsh_dedup",
     # --- dedup -----------------------------------------------------------
     "dedup_clusters": "dedup_clusters_lsh",
     # iterative equi-join+groupBy power iteration, frequency-capped
@@ -59,13 +56,15 @@ COVERED_BY: dict[str, str] = {
     "doc_boilerplate_coverage": "decontaminate_ngrams",
     # --- text / curation -------------------------------------------------
     "corpus_vocabulary": "bpe_merge_table",
-    "logreg_gd_training": "bpe_merge_table",  # iterate: one
-    #   agg scan per round + bounded driver-side update loop
     "doc_subword_stats": "doc_bpe_stats",
     "doc_winnow_fingerprints": "doc_token_stats",
     "doc_bigram_lm_score": "decontaminate_ngrams",
     "doc_quality_linear_model": "decontaminate_ngrams",
     "gopher_quality_flags": "doc_quality_score",
+    "doc_lang_id": "doc_quality_score",  # narrow text-stat scan
+    #   (rotated out of the window r5 for fuzzy_name_matches)
+    "doc_repetition_stats": "decontaminate_ngrams",  # gram-explode agg
+    #   (rotated out of the window r5 for logreg_gd_training)
     "curation_funnel": "doc_quality_score",
     "source_quota_cap": "tfidf_top_terms",  # per-group top-k window
     "cluster_balanced_sample": "semdedup_prune",  # trained-kmeans

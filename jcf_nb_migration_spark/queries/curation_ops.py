@@ -162,6 +162,10 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN a5 ON a5.doc_id = b.doc_id
     """,
     tags=("curation", "quality", "repetition"),
+    # rotated out of the driver window r5 (gram-explode agg pattern is
+    # witnessed by decontaminate_ngrams) to make room for the
+    # fuzzy-join and GD-training marquee ops; oracle-run by every pytest
+    driver_visible=False,
 )
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals (the Gopher/MassiveText rules):

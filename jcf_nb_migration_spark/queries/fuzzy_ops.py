@@ -62,10 +62,8 @@ _DELETES = (
     ORDER BY c.c_custkey
     """,
     tags=("fuzzy-join", "entity-resolution", "blocking"),
-    # local-only: the 50-name driver window is full; physical pattern
-    # (explode -> bounded-key equi-join -> exact verify) is the one
-    # minhash_lsh_dedup exposes to the driver (see coverage_map).
-    driver_visible=False,
+    # driver-visible (rotated in r5, displacing doc_lang_id whose
+    # narrow-scan pattern doc_quality_score still witnesses)
 )
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate self-join: for every customer, how many other

@@ -97,9 +97,8 @@ _SQL_ROWS = " UNION ALL ".join(
     SELECT * FROM ({_SQL_ROWS}) ORDER BY iter
     """,
     tags=("ml", "training", "iterative", "gradient-descent"),
-    # local-only (50-name driver window full); the iterate-aggregate-
-    # update control-plane pattern is driver-visible via bpe_merge_table
-    driver_visible=False,
+    # driver-visible (rotated in r5, displacing doc_repetition_stats
+    # whose gram-explode pattern decontaminate_ngrams still witnesses)
 )
 def logreg_gd_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a linear classifier (is this document English?) on three

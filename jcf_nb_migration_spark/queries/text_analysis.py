@@ -306,6 +306,10 @@ def doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents)
     """,
     tags=("text", "lang-id"),
+    # rotated out of the driver window r5 (narrow text-stat scan is
+    # witnessed by doc_quality_score) to make room for the fuzzy-join
+    # and GD-training marquee ops; still oracle-run by every pytest
+    driver_visible=False,
 )
 def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-profile argmax). The synthetic
