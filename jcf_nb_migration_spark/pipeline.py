@@ -16,8 +16,6 @@ parts that become single codegen'd passes here.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import reduce
-from operator import add
 from typing import Any
 
 from pyspark.sql import DataFrame, Observation
@@ -82,9 +80,9 @@ class MigrationResult:
     # replacement (the ones the join resolves with MIN) — surfaced so a
     # dirty lookup sheet is visible in the audit instead of silent.
     lookup_dup_keys: dict[str, DataFrame] = field(default_factory=dict)
-    # Observation attached to `output`: metrics (n_rows, n_untagged,
-    # n_blank_cells) captured by the FIRST action the caller runs on
-    # it — no extra scan. Read via `metrics.get` after writing.
+    # Observation attached to `output`: metrics (n_rows, n_untagged)
+    # captured by the FIRST action the caller runs on it — no extra
+    # scan. Read via `metrics.get` after writing.
     metrics: Observation | None = None
 
 
@@ -205,20 +203,20 @@ def run_migration(df: DataFrame, ruleset: RuleSet,
     df = cleaning.blank_fill(df)
 
     # Observed audit metrics: piggyback on whatever action the caller
-    # runs against the output (the sink write), so the shape/blank/tag
+    # runs against the output (the sink write), so the shape/tag
     # counters the reference recomputed with extra passes
     # (/root/reference/main.py shape prints) cost ZERO additional
     # scans. Populated in result.metrics.get after the first action.
+    # Deliberately narrow: a per-cell blank profile would add a
+    # width-proportional conditional chain to every sink row (239
+    # terms at the reference shape) — that profile is dq_expectations'
+    # job, run as its own deliberate scan.
     obs = Observation("jcf_migration_metrics")
-    blank_cells = reduce(
-        add, [F.when(cleaning.qcol(c) == "", 1).otherwise(0)
-              for c in df.columns])
     df = df.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col(config.tags_col) == "", 1).otherwise(0))
          .alias("n_untagged"),
-        F.sum(blank_cells).alias("n_blank_cells"),
     )
 
     return MigrationResult(

@@ -209,5 +209,3 @@ def test_observed_metrics_piggyback_on_the_sink_action(result):
     rows = out.collect()
     assert got["n_rows"] == len(rows)
     assert got["n_untagged"] == sum(1 for r in rows if r["tags"] == "")
-    assert got["n_blank_cells"] == sum(
-        1 for r in rows for c in out.columns if r[c] == "")
