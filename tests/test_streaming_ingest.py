@@ -1,0 +1,70 @@
+"""Production ingest composition: a document stream deduplicated
+micro-batch by micro-batch against a STANDING near-dup index via
+foreachBatch — the shape a 100 TB corpus actually ingests with
+(nothing re-dedups the whole corpus per delivery; each batch probes
+the standing band table, survivors append to it). Composes the
+streaming surface with functions.dedup.incremental_lsh_dedup, which
+the batch query lsh_incremental_dedup oracle-gates."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _distinct_text(i):
+    # shingle-disjoint texts: every token carries the doc number
+    return " ".join(f"w{i}t{j}" for j in range(12))
+
+
+def test_stream_ingest_dedups_against_standing_index(spark, tmp_path):
+    from jcf_nb_migration_spark.functions.dedup import (
+        incremental_lsh_dedup)
+
+    src = str(tmp_path / "incoming")
+    standing_dir = str(tmp_path / "standing")
+    os.makedirs(src, exist_ok=True)
+
+    # standing store bootstrap: empty parquet with the docs schema
+    _mk_docs(spark, []).write.parquet(standing_dir)
+
+    decisions = []
+
+    def ingest(batch_df, batch_id):
+        standing = spark.read.parquet(standing_dir)
+        report = incremental_lsh_dedup(
+            standing, batch_df, "doc_id", "text",
+            threshold=0.5, k=16, bands=8, rows=2, n=3)
+        dup_ids = [r.doc_id for r in
+                   report.where(F.col("is_dup")).collect()]
+        decisions.append((batch_id, sorted(dup_ids)))
+        survivors = batch_df.join(
+            spark.createDataFrame([(i,) for i in dup_ids],
+                                  "doc_id bigint"),
+            "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(standing_dir)
+
+    schema = "doc_id bigint, text string"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream.writeStream.foreachBatch(ingest).start()
+    try:
+        # micro-batch 1: ten distinct docs — all survive
+        _mk_docs(spark, [(i, _distinct_text(i)) for i in range(10)]) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # micro-batch 2: three fresh docs + three exact near-dups of
+        # batch-1 docs — the dups must be caught by the STANDING index
+        rows = ([(10 + i, _distinct_text(10 + i)) for i in range(3)]
+                + [(20 + i, _distinct_text(i)) for i in range(3)])
+        _mk_docs(spark, rows).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert decisions[0][1] == []            # batch 1: nothing standing
+    assert decisions[1][1] == [20, 21, 22]  # batch 2: copies flagged
+    final = {r.doc_id for r in spark.read.parquet(standing_dir).collect()}
+    assert final == set(range(10)) | {10, 11, 12}
