@@ -1,0 +1,66 @@
+"""Approximate string joins by deletion-neighborhood blocking
+(SymSpell, Garbe 2012 — public domain algorithm).
+
+Candidate-generation property: if levenshtein(a, b) <= k then the
+k-deletion neighborhoods D_k(a) and D_k(b) intersect (delete the <= k
+differing positions from each side), so an equi-join on neighborhood
+keys is a LOSSLESS candidate generator for edit distance <= k —
+verified empirically against brute-force all-pairs in
+tests/test_fuzzy_ml.py's property test. Neighborhood size is
+O(len^k): ~len+1 keys per string at k=1, ~(len+1)^2 at k=2 — still a
+linear explode, versus the O(N^2) all-pairs comparison it replaces.
+Candidates are verified with the exact JVM ``levenshtein``, so the
+result is exact; the blocking only bounds WHERE the comparisons run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _deletions(expr: str) -> str:
+    """SQL array of all single-character deletions of ``expr``."""
+    return (f"transform(sequence(1, length({expr})), i ->"
+            f" concat(substring({expr}, 1, i - 1),"
+            f" substring({expr}, i + 1)))")
+
+
+def deletion_keys(col: str, max_ed: int = 1) -> Column:
+    """All strings reachable from ``col`` by deleting 0..max_ed
+    characters (distinct). max_ed in (1, 2)."""
+    if max_ed == 1:
+        return F.array_union(F.array(F.col(col)),
+                             F.expr(_deletions(col)))
+    if max_ed == 2:
+        # D2 = D1 ∪ { deletions of every d ∈ D1 }; nested lambda with
+        # a distinct variable name (s) to avoid shadowing.
+        d1 = f"array_union(array({col}), {_deletions(col)})"
+        return F.expr(
+            f"array_distinct(flatten(transform({d1}, s ->"
+            f" array_union(array(s), {_deletions('s')}))))")
+    raise ValueError("max_ed must be 1 or 2")
+
+
+def fuzzy_self_join_pairs(df: DataFrame, id_col: str, str_col: str,
+                          max_ed: int = 1) -> DataFrame:
+    """All (id_a < id_b) pairs whose ``str_col`` values are within
+    Levenshtein distance ``max_ed`` — exact result, deletion-blocked
+    candidate generation (module docstring). Columns: id_a, name_a,
+    id_b, name_b, edit_dist."""
+    keys = df.select(
+        F.col(id_col), F.col(str_col),
+        F.explode(deletion_keys(str_col, max_ed)).alias("key"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
+        a.join(b, (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"a.{str_col}").alias("name_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col(f"b.{str_col}").alias("name_b"))
+        .distinct()
+    )
+    return (cand
+            .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+            .where(F.col("edit_dist") <= max_ed))

@@ -5,15 +5,10 @@ The reference fixes typos with exact literal replacements
 (/root/reference/main.py:175-233, one hand-written `replace` per bad
 value); the general-purpose engine answer is an approximate join that
 FINDS the near-matches. The classic scale trap is the O(N²) all-pairs
-edit-distance comparison; the scalable formulation here is SymSpell-
-style deletion blocking (Garbe 2012, public domain): for edit distance
-<= 1, two strings match only if their {self} ∪ {single-char-deletions}
-neighborhoods intersect — a *lossless* candidate generator (substitute:
-delete the differing char from both; insert/delete: the shorter string
-IS a deletion of the longer), the same pigeonhole style as the SimHash
-banding in functions/dedup.py. That turns the quadratic problem into a
-linear explode (len+1 keys per string) + one equi-join on the key +
-exact Levenshtein verification of candidates only.
+edit-distance comparison; the scalable formulation lives in
+functions/fuzzy.py (SymSpell deletion blocking — lossless candidate
+generation + exact Levenshtein verification, same pigeonhole style as
+the SimHash banding in functions/dedup.py).
 """
 
 from __future__ import annotations
@@ -21,13 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jcf_nb_migration_spark.functions.fuzzy import fuzzy_self_join_pairs
 from jcf_nb_migration_spark.registry import query, t
-
-# One deletion key per character position, plus the string itself.
-_DELETES = (
-    "transform(sequence(1, length(c_name)), i ->"
-    " concat(substring(c_name, 1, i - 1), substring(c_name, i + 1)))"
-)
 
 
 @query(
@@ -70,13 +60,14 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers' names are within Levenshtein distance 1 (typo
     detection / entity resolution over an id-like column).
 
-    Plan: explode each name into its deletion neighborhood (len+1
-    keys, all codegen'd `transform`/`substring` — no Python), equi-join
-    the neighborhood with itself on the key, `distinct` the candidate
-    pairs (two strings can share several keys), then verify the exact
-    edit distance with the JVM `levenshtein` — computed only on
-    candidates, never all pairs. Aggregated to a per-customer match
-    count (bounded by table size) so the result hash pins every pair.
+    Plan (functions/fuzzy.py): explode each name into its deletion
+    neighborhood (len+1 keys, all codegen'd `transform`/`substring` —
+    no Python), equi-join the neighborhood with itself on the key,
+    `distinct` the candidate pairs (two strings can share several
+    keys), then verify the exact edit distance with the JVM
+    `levenshtein` — computed only on candidates, never all pairs.
+    Aggregated to a per-customer match count (bounded by table size)
+    so the result hash pins every pair.
 
     Scale: linear — data volume ×(len+1) through one equi-join whose
     key buckets are tiny by construction (a bucket holds only strings
@@ -84,25 +75,12 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     split by AQE). At 100 TB the verify step uses the thresholded
     `levenshtein(a, b, 1)` early-exit form; the un-thresholded call
     here keeps the oracle expression identical. No O(N²) stage exists
-    in the plan (tests/test_plans.py guards no CartesianProduct)."""
+    in the plan (tests/test_plans.py guards no CartesianProduct).
+    max_ed=2 is available in functions/fuzzy.py (neighborhood
+    O(len²), still linear in rows) with its losslessness
+    property-tested against brute force."""
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    keys = c.select(
-        "c_custkey", "c_name",
-        F.explode(
-            F.array_union(F.array(F.col("c_name")), F.expr(_DELETES))
-        ).alias("key"),
-    )
-    a, b = keys.alias("a"), keys.alias("b")
-    cand = (
-        a.join(b, (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.c_custkey") < F.col("b.c_custkey")))
-        .select(F.col("a.c_custkey").alias("id_a"),
-                F.col("a.c_name").alias("name_a"),
-                F.col("b.c_custkey").alias("id_b"),
-                F.col("b.c_name").alias("name_b"))
-        .distinct()
-    )
-    hits = cand.where(F.levenshtein("name_a", "name_b") <= 1)
+    hits = fuzzy_self_join_pairs(c, "c_custkey", "c_name", max_ed=1)
     per_id = (
         hits.select(F.col("id_a").alias("c_custkey"))
         .unionAll(hits.select(F.col("id_b").alias("c_custkey")))

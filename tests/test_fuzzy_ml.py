@@ -8,27 +8,12 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_SMALL
 
 
-def _fuzzy_counts(spark, rows):
-    """Run fuzzy_name_matches' pipeline on a synthetic customer frame
-    by monkey-free substitution: same code path via a temp view is
-    overkill — rebuild the tiny pipeline inline from the module's
-    building blocks instead."""
-    from jcf_nb_migration_spark.queries.fuzzy_ops import _DELETES
+def _fuzzy_counts(spark, rows, max_ed=1):
+    from jcf_nb_migration_spark.functions.fuzzy import (
+        fuzzy_self_join_pairs)
 
     c = spark.createDataFrame(rows, "c_custkey bigint, c_name string")
-    keys = c.select(
-        "c_custkey", "c_name",
-        F.explode(F.array_union(F.array(F.col("c_name")),
-                                F.expr(_DELETES))).alias("key"))
-    a, b = keys.alias("a"), keys.alias("b")
-    cand = (a.join(b, (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.c_custkey") < F.col("b.c_custkey")))
-            .select(F.col("a.c_custkey").alias("id_a"),
-                    F.col("a.c_name").alias("name_a"),
-                    F.col("b.c_custkey").alias("id_b"),
-                    F.col("b.c_name").alias("name_b"))
-            .distinct())
-    hits = cand.where(F.levenshtein("name_a", "name_b") <= 1)
+    hits = fuzzy_self_join_pairs(c, "c_custkey", "c_name", max_ed)
     return {(r.id_a, r.id_b) for r in hits.collect()}
 
 
@@ -70,3 +55,29 @@ def test_logreg_training_loss_is_monotone_decreasing(spark):
     assert all(b < a for a, b in zip(sses, sses[1:])), sses
     # and the final weights are finite, non-degenerate
     assert pdf[["w0", "w1", "w2", "w3"]].notna().all().all()
+
+
+def test_deletion_blocking_lossless_vs_brute_force_k2(spark):
+    """Property check of the SymSpell claim at k=2: over a vocabulary
+    dense in near-misses, the deletion-blocked join returns EXACTLY
+    the brute-force all-pairs result for levenshtein <= 2."""
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    base = ["abcde", "abde", "abxde", "xbcde", "abcdx", "aXcYe",
+            "vwxyz", "vwxy", "zyxwv", "abc", "ab", "a", "qqqqq",
+            "abfde", "fbcde", "abcfe"]
+    rows = list(enumerate(base))
+    want = {(i, j) for (i, sa), (j, sb)
+            in itertools.combinations(rows, 2) if lev(sa, sb) <= 2}
+    got = _fuzzy_counts(spark, rows, max_ed=2)
+    assert got == want
