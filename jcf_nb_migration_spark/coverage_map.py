@@ -110,6 +110,12 @@ COVERED_BY: dict[str, str] = {
     "top_supplier_revenue": "local_supplier_volume",
     "nation_market_share": "local_supplier_volume",
     "promo_revenue_share": "returned_item_report",
+    "profit_by_nation_year": "local_supplier_volume",  # same star-join
+    #   + broadcast-dim graph, regex dim filter pushed to the part scan
+    "important_supplier_share": "forecast_revenue",  # scalar-agg
+    #   broadcast-back pattern (idle_rich_customers chain)
+    "part_supplier_variety": "mktsegment_distinct",  # two-phase
+    #   distinct aggregate; broadcast anti join via document_purge
     "small_quantity_revenue": "returned_item_report",
     "top_revenue_customers": "returned_item_report",
     "priority_shipmode_report": "late_shipment_priority_count",

@@ -14,6 +14,7 @@ from jcf_nb_migration_spark.queries import (  # noqa: F401
     profiling_ops,
     relational,
     relational2,
+    relational3,
     retrieval_ops,
     semistructured_ops,
     similarity_search,

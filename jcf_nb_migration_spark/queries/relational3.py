@@ -1,0 +1,173 @@
+"""Remaining classic warehouse shapes: multi-dim profit rollup with a
+regex dimension filter (Q9), HAVING against a global-scalar fraction
+(Q11), and COUNT(DISTINCT) with a NOT-IN dimension exclusion (Q16).
+
+The fixture has no partsupp table, so each shape is adapted to the
+available star schema (cost proxy = 10% of p_retailprice; supplier
+exclusion = negative account balance) — the *optimizer pattern* each
+query exists to exercise (join graph, scalar-subquery decorrelation,
+distinct-aggregate expansion) is exactly the TPC-H one. All aggregates
+go through the registry's decimal-exact helpers so the DuckDB oracle
+comparison is bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.registry import dec, query, t
+
+
+@query(
+    "profit_by_nation_year",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - CAST(0.1 AS DOUBLE) * (p_retailprice * l_quantity)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2 DESC
+    """,
+    tags=("tpch-shape", "multi-join", "regex-dim-filter", "tpch-q9"),
+    # star join + broadcast dims is driver-visible via
+    # local_supplier_volume; the regex dim filter via part_clean_chain
+    driver_visible=False,
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per (supplier nation, order year) over a
+    5-way join with a substring filter on the part dimension. The
+    fixture has no partsupp, so cost is proxied as 10% of retail price
+    — the join graph (fact ⋈ 3 dims ⋈ orders) and the name filter are
+    Q9's. Scale notes: the `p_name LIKE '%gear%'` predicate prunes the
+    part dim BEFORE the join (Catalyst pushes it to the scan), so the
+    fact table is filtered by the join itself — at 100 TB the part
+    side after the filter is a fraction of the dim and AQE broadcasts
+    it; nation is broadcast; orders joins on the fact's own key
+    (l_orderkey) so both sides co-shuffle once. Profit is summed in
+    decimal (order-independent) from an arithmetic tree written
+    identically in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").where(F.col("p_name").contains("gear"))
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                 - 0.1 * (F.col("p_retailprice") * F.col("l_quantity")))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "important_supplier_share",
+    oracle="""
+    WITH srev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))) AS rev_d
+        FROM lineitem GROUP BY l_suppkey
+    ), tot AS (
+        SELECT CAST(SUM(rev_d) AS DOUBLE) AS total FROM srev
+    )
+    SELECT s_name,
+           CAST(rev_d AS DOUBLE) AS supplier_revenue,
+           ROUND(CAST(rev_d AS DOUBLE) / total, 9) AS revenue_share
+    FROM srev JOIN supplier ON s_suppkey = l_suppkey, tot
+    WHERE CAST(rev_d AS DOUBLE) > total * CAST(0.02 AS DOUBLE)
+    ORDER BY supplier_revenue DESC, s_name
+    """,
+    tags=("tpch-shape", "scalar-subquery", "having", "tpch-q11"),
+    # scalar-aggregate-as-1-row-broadcast-join is driver-visible via
+    # idle_rich_customers (avg_bal crossJoin); per-key agg via
+    # top_revenue_customers
+    driver_visible=False,
+)
+def important_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: suppliers whose revenue exceeds a FRACTION of
+    the corpus-wide total — the HAVING-against-a-global-scalar pattern
+    (Q11 filters partsupp value > 0.0001·total; here lineitem revenue
+    > 2%·total). Scale notes: the per-supplier aggregate is one
+    shuffle; the global total is then one more partial-agg over the
+    (supplier-cardinality-sized) aggregate — NOT a second scan of the
+    fact table — and joins back as a broadcast single-row frame, never
+    a collected Python literal, so the whole query is one job. The
+    threshold comparison and the reported share are double ops applied
+    to decimal-exact sums, identical in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    srev = (li.groupBy("l_suppkey")
+            .agg(F.sum(dec(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount")))).alias("rev_d")))
+    tot = srev.agg(F.sum("rev_d").cast("double").alias("total"))
+    return (
+        srev.join(sup, srev.l_suppkey == sup.s_suppkey)
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("rev_d").cast("double") > F.col("total") * 0.02)
+        .select("s_name",
+                F.col("rev_d").cast("double").alias("supplier_revenue"),
+                F.round(F.col("rev_d").cast("double") / F.col("total"), 9)
+                 .alias("revenue_share"))
+        .orderBy(F.desc("supplier_revenue"), "s_name")
+    )
+
+
+@query(
+    "part_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    tags=("tpch-shape", "count-distinct", "not-in", "tpch-q16"),
+    # distinct-aggregate two-phase expansion is driver-visible via
+    # mktsegment_distinct; anti join via document_purge /
+    # customers_without_orders twin chain
+    driver_visible=False,
+)
+def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers serve each (brand,
+    type, size) bucket, excluding a NOT-IN dimension subset (Q16
+    excludes complaint suppliers; the fixture's supplier has no
+    comment column, so the exclusion is negative account balance).
+    Scale notes: the NOT IN becomes a LEFT ANTI join against a
+    filtered dimension — tiny, broadcast, and null-safe by
+    construction (s_suppkey is a key, so the NOT-IN NULL trap is
+    structurally absent and the anti join IS the correct plan);
+    COUNT(DISTINCT) runs as Spark's two-phase distinct aggregate
+    (partial distinct on (group, suppkey), then count) — no
+    single-point funnel at any width."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (t(spark, sf_dir, "part")
+            .where(F.col("p_brand") != "Brand#1")
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    bad = (t(spark, sf_dir, "supplier")
+           .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey,
+                "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
