@@ -47,6 +47,10 @@ COVERED_BY: dict[str, str] = {
     "linkgraph_triangles": "dedup_clusters_lsh",  # ordered-edge
     #   two-equi-join enumeration over the same capped gram graph
     "dedup_ngram_jaccard": "minhash_lsh_dedup",
+    "doc_containment_pairs": "minhash_lsh_dedup",  # rare-shingle
+    #   candidate equi-join + full-set verify, asymmetric metric
+    "paragraph_dedup": "dedup_exact",  # md5-window survivor pick
+    #   after a decontaminate-style explode
     "minhash_signatures": "minhash_lsh_dedup",
     "simhash_fingerprints": "simhash_near_pairs",
     "lsh_incremental_dedup": "minhash_lsh_dedup",

@@ -111,6 +111,57 @@ def jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      threshold: float = 0.8, n: int = 3,
+                      max_df: int = 20) -> DataFrame:
+    """Asymmetric near-duplicate detection: shingle-set CONTAINMENT
+    ``|A∩B| / |A|`` (or ``/ |B|``) ≥ threshold in either direction —
+    the metric that catches a short document embedded inside a long
+    one, which Jaccard (and therefore MinHash LSH, which approximates
+    Jaccard) structurally misses when the size ratio is large.
+
+    Candidate generation uses RARE shingles only (document frequency
+    ≤ ``max_df``): a contained document shares ALL of its shingles
+    with its container, so any one non-ubiquitous shingle of the
+    smaller side surfaces the pair, while the df cap bounds the
+    inverted-index self-join fan-out to max_df² rows per shingle —
+    linear corpus scaling, the same frequency-cap trick as
+    duplicate_spans. Verification then counts common shingles over
+    the FULL shingle sets (exact), for candidates only.
+    Columns: id_a, id_b, common, contain_a, contain_b."""
+    sh = shingle_index(df, id_col, text_col, n).persist()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = (sh.join(freq.where(F.col("df") <= max_df), "shingle")
+            .select(id_col, "shingle"))
+    ra = rare.select(F.col(id_col).alias("id_a"), "shingle")
+    rb = rare.select(F.col(id_col).alias("id_b"), "shingle")
+    cands = (ra.join(rb, ["shingle"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    fa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    fb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cands.join(fa, "id_a").join(fb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("common"))
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sizes.select(F.col(id_col).alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("contain_a",
+                    F.round(F.col("common").cast("double")
+                            / F.col("n_a"), 9))
+        .withColumn("contain_b",
+                    F.round(F.col("common").cast("double")
+                            / F.col("n_b"), 9))
+        .where(F.greatest("contain_a", "contain_b") >= threshold)
+        .select("id_a", "id_b", "common", "contain_a", "contain_b")
+    )
+
+
 def minhash_base_hash(c: Column) -> Column:
     """32-bit md5-prefix base hash feeding the affine family."""
     return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")

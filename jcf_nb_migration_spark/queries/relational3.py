@@ -82,13 +82,15 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AS DECIMAL(18,4))) AS rev_d
         FROM lineitem GROUP BY l_suppkey
     ), tot AS (
-        SELECT CAST(SUM(rev_d) AS DOUBLE) AS total FROM srev
+        SELECT CAST(SUM(rev_d) AS DOUBLE) AS total,
+               COUNT(*) AS n_sup
+        FROM srev
     )
     SELECT s_name,
            CAST(rev_d AS DOUBLE) AS supplier_revenue,
            ROUND(CAST(rev_d AS DOUBLE) / total, 9) AS revenue_share
     FROM srev JOIN supplier ON s_suppkey = l_suppkey, tot
-    WHERE CAST(rev_d AS DOUBLE) > total * CAST(0.02 AS DOUBLE)
+    WHERE CAST(rev_d AS DOUBLE) > (total / n_sup) * CAST(1.05 AS DOUBLE)
     ORDER BY supplier_revenue DESC, s_name
     """,
     tags=("tpch-shape", "scalar-subquery", "having", "tpch-q11"),
@@ -98,10 +100,14 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver_visible=False,
 )
 def important_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: suppliers whose revenue exceeds a FRACTION of
-    the corpus-wide total — the HAVING-against-a-global-scalar pattern
-    (Q11 filters partsupp value > 0.0001·total; here lineitem revenue
-    > 2%·total). Scale notes: the per-supplier aggregate is one
+    """TPC-H Q11 shape: suppliers whose revenue exceeds a scalar
+    derived from the corpus-wide total — the HAVING-against-a-
+    global-scalar pattern (Q11 filters partsupp value > 0.0001·total;
+    here revenue > 1.05× the per-supplier mean, which is
+    scale-invariant so the query is non-trivial at every SF — the
+    fixture's revenue spread is only ±15% around the mean, so any
+    fixed share empties at 10× supplier count).
+    Scale notes: the per-supplier aggregate is one
     shuffle; the global total is then one more partial-agg over the
     (supplier-cardinality-sized) aggregate — NOT a second scan of the
     fact table — and joins back as a broadcast single-row frame, never
@@ -113,11 +119,13 @@ def important_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     srev = (li.groupBy("l_suppkey")
             .agg(F.sum(dec(F.col("l_extendedprice")
                            * (1 - F.col("l_discount")))).alias("rev_d")))
-    tot = srev.agg(F.sum("rev_d").cast("double").alias("total"))
+    tot = srev.agg(F.sum("rev_d").cast("double").alias("total"),
+                   F.count(F.lit(1)).alias("n_sup"))
     return (
         srev.join(sup, srev.l_suppkey == sup.s_suppkey)
         .crossJoin(F.broadcast(tot))
-        .where(F.col("rev_d").cast("double") > F.col("total") * 0.02)
+        .where(F.col("rev_d").cast("double")
+               > (F.col("total") / F.col("n_sup")) * 1.05)
         .select("s_name",
                 F.col("rev_d").cast("double").alias("supplier_revenue"),
                 F.round(F.col("rev_d").cast("double") / F.col("total"), 9)

@@ -597,3 +597,148 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     fps = D.simhash(docs, "doc_id", "text")
     return D.simhash_near_pairs(fps, "doc_id", max_hamming=10)
+
+
+PARA_W = 10  # words per pseudo-paragraph (the fixture text has no
+#              newlines, so "paragraphs" are fixed 10-word chunks)
+
+
+@query(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0,
+                   CAST((len(w) - 1) // {PARA_W} AS INT))) AS chunk_idx
+        FROM d WHERE len(w) > 0
+    ),
+    ch AS (
+        SELECT doc_id, chunk_idx,
+               array_to_string(
+                   w[chunk_idx*{PARA_W}+1 : chunk_idx*{PARA_W}+{PARA_W}],
+                   ' ') AS chunk
+        FROM idx
+    ),
+    marked AS (
+        SELECT doc_id, chunk_idx, chunk,
+               doc_id * 1000000 + chunk_idx AS packed,
+               MIN(doc_id * 1000000 + chunk_idx)
+                   OVER (PARTITION BY md5(chunk)) AS first_packed
+        FROM ch
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN packed <> first_packed THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_chunks,
+           COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                        FILTER (WHERE packed = first_packed),
+                    '') AS kept_text
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    tags=("dedup", "paragraph", "c4"),
+    # explode → hash-partitioned window → per-doc agg: the same
+    # shuffle graph as dedup_exact (md5-window survivor pick) plus
+    # decontaminate_ngrams' explode; both driver-visible
+    driver_visible=False,
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style paragraph-level exact dedup: every document is split
+    into fixed {PARA_W}-word chunks (the fixture has no newlines, so
+    chunks stand in for paragraphs/lines), each chunk's md5 keeps only
+    its GLOBALLY FIRST occurrence (min (doc_id, chunk_idx)), and each
+    document is re-assembled from its surviving chunks in original
+    order. This removes boilerplate repeated across documents AND
+    repeated chunks within one document — the corpus-level line dedup
+    C4/RefinedWeb apply before training.
+
+    Scale shape: one explode (linear), one window partitioned by the
+    chunk hash (hash-partitioned shuffle — never a global sort), one
+    per-doc aggregation (second shuffle). Survivor choice is the
+    deterministic min of a packed (doc_id, chunk_idx) key, so reruns
+    and repartitions keep the same chunks."""
+    docs = t(spark, sf_dir, "documents")
+    d = (spread(docs)
+         .select("doc_id", T.tokens("text").alias("w"))
+         .where(F.size("w") > 0))
+    ch = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, (size(w)-1) div {PARA_W}),"
+            f" i -> array_join(slice(w, i*{PARA_W}+1, {PARA_W}), ' '))"
+        )).alias("chunk_idx", "chunk"))
+    from pyspark.sql import Window as W
+    packed = F.col("doc_id") * 1000000 + F.col("chunk_idx")
+    marked = ch.select(
+        "doc_id", "chunk_idx", "chunk", packed.alias("packed"),
+        F.min(packed).over(W.partitionBy(F.md5("chunk")))
+         .alias("first_packed"))
+    kept = F.when(F.col("packed") == F.col("first_packed"),
+                  F.struct("chunk_idx", "chunk"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(F.when(F.col("packed") != F.col("first_packed"), 1)
+                   .otherwise(0)).alias("n_dup_chunks"),
+             F.array_join(
+                 F.transform(F.array_sort(F.collect_list(kept)),
+                             lambda x: x.chunk),
+                 " ").alias("kept_text"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+    WITH {_SQL_SH_CTE},
+    freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    rare AS (
+        SELECT s.doc_id, s.shingle
+        FROM sh s JOIN freq f ON s.shingle = f.shingle
+        WHERE f.df <= 20
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT c.id_a, c.id_b, count(*) AS common
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, common,
+           ROUND(CAST(common AS DOUBLE) / sa.n_sh, 9) AS contain_a,
+           ROUND(CAST(common AS DOUBLE) / sb.n_sh, 9) AS contain_b
+    FROM verified
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE GREATEST(ROUND(CAST(common AS DOUBLE) / sa.n_sh, 9),
+                   ROUND(CAST(common AS DOUBLE) / sb.n_sh, 9)) >= 0.8
+    ORDER BY id_a, id_b
+    """,
+    tags=("dedup", "containment", "asymmetric"),
+    # rare-shingle candidate equi-join + full-set verify is the
+    # minhash_lsh_dedup shuffle graph (driver-visible)
+    driver_visible=False,
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle-set CONTAINMENT ≥ 0.8 —
+    catches a short document embedded in a longer one, which Jaccard
+    (and MinHash LSH, its approximation) misses at large size ratios.
+    Candidates from rare shingles only (df ≤ 20 cap bounds the
+    inverted-index join — a contained doc shares ALL its shingles, so
+    one rare shingle suffices to surface the pair); verification
+    counts common shingles over the full sets, exactly, for candidates
+    only. See functions/dedup.py:containment_pairs for the 100 TB
+    scaling argument."""
+    docs = t(spark, sf_dir, "documents")
+    return (D.containment_pairs(docs, "doc_id", "text",
+                                threshold=0.8, n=3, max_df=20)
+            .orderBy("id_a", "id_b"))
