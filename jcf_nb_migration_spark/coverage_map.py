@@ -60,6 +60,8 @@ COVERED_BY: dict[str, str] = {
     "doc_boilerplate_coverage": "decontaminate_ngrams",
     # --- text / curation -------------------------------------------------
     "corpus_vocabulary": "bpe_merge_table",
+    "trigram_backoff_score": "decontaminate_ngrams",  # vocabulary-
+    #   keyed left-join chain (doc_bigram_lm_score's pattern, 3 tiers)
     "doc_subword_stats": "doc_bpe_stats",
     "doc_winnow_fingerprints": "doc_token_stats",
     "doc_bigram_lm_score": "decontaminate_ngrams",

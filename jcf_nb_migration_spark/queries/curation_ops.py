@@ -1068,3 +1068,165 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("samp_rank") <= CLUSTER_CAP)
             .select("vec_id", "cluster", "samp_rank")
             .orderBy("cluster", "samp_rank"))
+
+
+LM_REF_SOURCES = ("src1", "src2")  # held-out "reference corpus" the
+#   trigram LM is trained on; every document (all sources) is scored
+#   against it — the CCNet shape (LM trained on Wikipedia, applied to
+#   the crawl), which is what makes backoff non-degenerate: scored
+#   trigrams genuinely missing from the reference fall back.
+
+
+@query(
+    "trigram_backoff_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, {_SQL_TOKS} AS w FROM documents
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest({_sql_ngrams(3, distinct=False)}) AS g
+        FROM toks
+    ),
+    split AS (
+        SELECT doc_id, g,
+               split_part(g, ' ', 1) AS w1,
+               split_part(g, ' ', 2) AS w2,
+               split_part(g, ' ', 3) AS w3
+        FROM occ
+    ),
+    ref AS (SELECT w FROM toks
+            WHERE source IN ('{LM_REF_SOURCES[0]}', '{LM_REF_SOURCES[1]}')),
+    ref_tri AS (
+        SELECT g, count(*) AS c3 FROM (
+            SELECT unnest({_sql_ngrams(3, distinct=False)}) AS g FROM ref
+        ) GROUP BY g
+    ),
+    ref_big AS (
+        SELECT g, count(*) AS c2 FROM (
+            SELECT unnest({_sql_ngrams(2, distinct=False)}) AS g FROM ref
+        ) GROUP BY g
+    ),
+    ref_uni AS (
+        SELECT t, count(*) AS c1 FROM (
+            SELECT unnest(w) AS t FROM ref
+        ) GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok FROM ref_uni),
+    scored AS (
+        SELECT s.doc_id,
+               CASE
+                 WHEN tri.c3 IS NOT NULL
+                   THEN (tri.c3 * {LM_SCALE}) // ctx.c2
+                 WHEN bo.c2 IS NOT NULL
+                   THEN (((bo.c2 * {LM_SCALE}) // u2.c1) * 4) // 10
+                 WHEN u3.c1 IS NOT NULL
+                   THEN (((u3.c1 * {LM_SCALE}) // tot.n_tok) * 16) // 100
+                 ELSE 0
+               END AS term
+        FROM split s
+        LEFT JOIN ref_tri tri ON tri.g = s.g
+        LEFT JOIN ref_big ctx ON ctx.g = s.w1 || ' ' || s.w2
+        LEFT JOIN ref_big bo  ON bo.g  = s.w2 || ' ' || s.w3
+        LEFT JOIN ref_uni u2  ON u2.t  = s.w2
+        LEFT JOIN ref_uni u3  ON u3.t  = s.w3
+        CROSS JOIN tot
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_trigrams,
+               CAST(SUM(term) AS BIGINT) AS lm_score
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_trigrams, 0) AS n_trigrams,
+           COALESCE(p.lm_score, 0) AS lm_score,
+           CASE WHEN COALESCE(p.n_trigrams, 0) > 0
+                THEN CAST(p.lm_score AS DOUBLE)
+                     / (p.n_trigrams * {LM_SCALE})
+                ELSE 0.0 END AS fluency
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    tags=("curation", "quality", "lm", "backoff"),
+    # vocabulary-keyed left-join chain — the doc_bigram_lm_score /
+    # tfidf pattern; driver-visible via decontaminate_ngrams
+    driver_visible=False,
+)
+def trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff language-model score against a HELD-OUT
+    reference corpus (sources {LM_REF_SOURCES}) — the CCNet/KenLM
+    quality signal: P(w3|w1 w2) from the reference where observed,
+    backing off to 0.4·P(w3|w2), then 0.4²·P(w3), else 0. Training on
+    a reference (not the scored corpus itself) is what makes backoff
+    real — self-trained LMs never back off. All probabilities are
+    fixed-point integers (floor((c·10^6)/ctx), backoff ×0.4 as
+    ·4//10), so both engines compute bit-identical scores — no
+    logs, no float accumulation.
+
+    Scale shape: count tables are one explode + groupBy each over the
+    REFERENCE (a bounded quality subset — broadcast-able when small,
+    AQE decides); scoring is a chain of equi left-joins on vocabulary
+    keys (heavy-tailed, unbounded — never force-broadcast, same policy
+    as tfidf/bigram); the reference token total is a 1-row broadcast.
+    One corpus explode, per-doc agg — linear end to end."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", "source", T.tokens("text").alias("w"))
+    S = LM_SCALE
+    occ = (toks.select(
+        "doc_id", F.explode(T.word_shingles(F.col("w"), 3)).alias("g"))
+        .select("doc_id", "g",
+                F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+                F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+                F.split_part(F.col("g"), F.lit(" "), F.lit(3)).alias("w3")))
+    ref = toks.where(F.col("source").isin(*LM_REF_SOURCES))
+    ref_tri = (ref.select(F.explode(T.word_shingles(F.col("w"), 3))
+                          .alias("g"))
+               .groupBy("g").agg(F.count(F.lit(1)).alias("c3")))
+    ref_big = (ref.select(F.explode(T.word_shingles(F.col("w"), 2))
+                          .alias("g"))
+               .groupBy("g").agg(F.count(F.lit(1)).alias("c2")))
+    ref_uni = (ref.select(F.explode("w").alias("t"))
+               .groupBy("t").agg(F.count(F.lit(1)).alias("c1")))
+    tot = ref_uni.agg(F.sum("c1").alias("n_tok"))
+    scored = (
+        occ
+        .join(ref_tri.select(F.col("g").alias("g_tri"), "c3"),
+              F.col("g") == F.col("g_tri"), "left")
+        .join(ref_big.select(F.col("g").alias("g_ctx"),
+                             F.col("c2").alias("c_ctx")),
+              F.concat_ws(" ", "w1", "w2") == F.col("g_ctx"), "left")
+        .join(ref_big.select(F.col("g").alias("g_bo"),
+                             F.col("c2").alias("c_bo")),
+              F.concat_ws(" ", "w2", "w3") == F.col("g_bo"), "left")
+        .join(ref_uni.select(F.col("t").alias("t2"),
+                             F.col("c1").alias("c_w2")),
+              F.col("w2") == F.col("t2"), "left")
+        .join(ref_uni.select(F.col("t").alias("t3"),
+                             F.col("c1").alias("c_w3")),
+              F.col("w3") == F.col("t3"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.expr(f"""
+            CASE
+              WHEN c3 IS NOT NULL THEN (c3 * {S}) div c_ctx
+              WHEN c_bo IS NOT NULL
+                THEN (((c_bo * {S}) div c_w2) * 4) div 10
+              WHEN c_w3 IS NOT NULL
+                THEN (((c_w3 * {S}) div n_tok) * 16) div 100
+              ELSE 0
+            END""").alias("term"))
+    )
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_trigrams"),
+                    F.sum("term").alias("lm_score")))
+    return (
+        docs.select("doc_id").join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).alias("n_trigrams"),
+            F.coalesce("lm_score", F.lit(0)).alias("lm_score"),
+            F.when(F.coalesce("n_trigrams", F.lit(0)) > 0,
+                   F.col("lm_score").cast("double")
+                   / (F.col("n_trigrams") * S))
+             .otherwise(F.lit(0.0)).alias("fluency"))
+        .orderBy("doc_id")
+    )
