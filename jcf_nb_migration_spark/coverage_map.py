@@ -34,6 +34,9 @@ COVERED_BY: dict[str, str] = {
     "hard_negative_mining": "hard_negative_mining_ann",
     "pq_codes": "ivfpq_ann_probe",
     "embedding_quantize_int8": "ivfpq_ann_probe",
+    "quantized_rerank_topk": "ivfpq_ann_probe",  # compressed-first
+    #   scoring + exact re-rank (ADC sibling); coarse scan via
+    #   ann_brute_force_topk
     "embedding_norm_stats": "ann_brute_force_topk",
     "embedding_normalize": "ann_brute_force_topk",
     "part_name_fuzzy_pairs": "embedding_dedup_pairs",

@@ -581,3 +581,118 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= 5)
             .withColumn("rank", F.col("rank").cast("int"))
             .orderBy("probe_id", "rank"))
+
+
+RERANK_COARSE_N = 50  # candidates kept from the compressed-index pass
+
+
+@query(
+    "quantized_rerank_topk",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    dims AS (
+        SELECT vec_id, CAST(unnest(range(len(v))) AS INT) AS dim_idx,
+               unnest(v) AS x
+        FROM v
+    ),
+    stats AS (
+        SELECT dim_idx, min(x) AS mn, max(x) AS mx
+        FROM dims GROUP BY dim_idx
+    ),
+    deqt AS (
+        SELECT d.vec_id, d.dim_idx,
+               CASE WHEN s.mx > s.mn
+                    THEN s.mn + (CAST(least(floor((d.x - s.mn) * 255.0
+                                                  / (s.mx - s.mn)), 255.0)
+                                      AS INT) + 0.5)
+                                * ((s.mx - s.mn) / 255.0)
+                    ELSE s.mn END AS deq
+        FROM dims d JOIN stats s USING (dim_idx)
+    ),
+    dv AS (
+        SELECT vec_id, list(deq ORDER BY dim_idx) AS dv
+        FROM deqt GROUP BY vec_id
+    ),
+    probe AS (SELECT v AS pv FROM v WHERE vec_id = 0),
+    coarse AS (
+        SELECT d.vec_id,
+               list_dot_product(d.dv, p.pv)
+               / (sqrt(list_dot_product(d.dv, d.dv))
+                  * sqrt(list_dot_product(p.pv, p.pv))) AS coarse_cos
+        FROM dv d, probe p WHERE d.vec_id <> 0
+    ),
+    top_coarse AS (
+        SELECT vec_id, coarse_cos FROM coarse
+        ORDER BY coarse_cos DESC, vec_id LIMIT {RERANK_COARSE_N}
+    )
+    SELECT t.vec_id AS neighbor_id, t.coarse_cos,
+           list_dot_product(b.v, p.pv)
+           / (sqrt(list_dot_product(b.v, b.v))
+              * sqrt(list_dot_product(p.pv, p.pv))) AS exact_cos
+    FROM top_coarse t JOIN v b USING (vec_id) CROSS JOIN probe p
+    ORDER BY exact_cos DESC, neighbor_id
+    LIMIT 10
+    """,
+    tags=("similarity", "quantization", "rerank", "ann", "composed"),
+    # compressed-first scoring + exact re-rank composes the int8 and
+    # brute-force pieces; coarse scan twin = ann_brute_force_topk,
+    # quantization twin = ivfpq_ann_probe (both driver-visible)
+    driver_visible=False,
+)
+def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-index read path every production vector store
+    runs: score ALL candidates against the probe using the 4×-smaller
+    int8-dequantized vectors (midpoint dequantization — the identical
+    arithmetic embedding_quantize_int8 commits to disk), keep the top
+    {RERANK_COARSE_N} by coarse cosine, then re-rank just those
+    against their RAW vectors for the exact top-10. At 100 TB the
+    coarse pass reads a quarter of the bytes (int8 vs float32) and
+    the exact pass reads {RERANK_COARSE_N} rows — the raw corpus is
+    never fully scanned at query time; compose with the IVF router
+    (ivfpq_ann_probe) to also skip most of the compressed scan.
+
+    Exactness: dequantized values are a fixed IEEE op sequence per
+    element; both engines fold the dot product left-to-right, so
+    coarse scores — and therefore the coarse cut — are bit-identical,
+    no ranking ambiguity."""
+    from jcf_nb_migration_spark.registry import spread
+
+    emb = spread(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", S.as_double(F.col("embedding")).alias("v"))
+    dims = emb.select("vec_id",
+                      F.posexplode(F.col("v")).alias("dim_idx", "x"))
+    stats = dims.groupBy("dim_idx").agg(F.min("x").alias("mn"),
+                                        F.max("x").alias("mx"))
+    scaled = F.least(F.floor((F.col("x") - F.col("mn")) * 255.0
+                             / (F.col("mx") - F.col("mn"))),
+                     F.lit(255.0).cast("bigint"))
+    deq = F.when(
+        F.col("mx") > F.col("mn"),
+        F.col("mn") + (scaled.cast("int") + 0.5)
+        * ((F.col("mx") - F.col("mn")) / 255.0),
+    ).otherwise(F.col("mn")).alias("deq")
+    dv = (dims.join(F.broadcast(stats), "dim_idx")
+          .select("vec_id", "dim_idx", deq)
+          .groupBy("vec_id")
+          .agg(F.transform(
+              F.array_sort(F.collect_list(F.struct("dim_idx", "deq"))),
+              lambda s: s.deq).alias("dv")))
+    probe = F.broadcast(emb.where(F.col("vec_id") == 0)
+                        .select(F.col("v").alias("pv")))
+    coarse = (dv.where(F.col("vec_id") != 0).crossJoin(probe)
+              .select("vec_id",
+                      S.cosine(F.col("dv"), F.col("pv"))
+                       .alias("coarse_cos"),
+                      "pv")
+              .orderBy(F.desc("coarse_cos"), "vec_id")
+              .limit(RERANK_COARSE_N))
+    raw = emb.select("vec_id", "v")
+    return (
+        coarse.join(raw, "vec_id")
+        .select(F.col("vec_id").alias("neighbor_id"), "coarse_cos",
+                S.cosine(F.col("v"), F.col("pv")).alias("exact_cos"))
+        .orderBy(F.desc("exact_cos"), "neighbor_id")
+        .limit(10)
+    )
