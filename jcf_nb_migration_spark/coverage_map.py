@@ -125,6 +125,12 @@ COVERED_BY: dict[str, str] = {
     #   broadcast-back pattern (idle_rich_customers chain)
     "part_supplier_variety": "mktsegment_distinct",  # two-phase
     #   distinct aggregate; broadcast anti join via document_purge
+    "lateral_top_customers": "latest_event_per_user",  # decorrelated
+    #   lateral = per-key ranked take (window twin)
+    "nullsafe_cohort_compare": "customer_tags",  # nullable-key
+    #   full-outer hash join (EqualNullSafe stays an equi-key)
+    "customer_set_ops": "customers_without_orders",  # INTERSECT/
+    #   EXCEPT plan as the same semi/anti joins
     "small_quantity_revenue": "returned_item_report",
     "top_revenue_customers": "returned_item_report",
     "priority_shipmode_report": "late_shipment_priority_count",

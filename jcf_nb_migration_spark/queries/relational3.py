@@ -179,3 +179,160 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+@query(
+    "lateral_top_customers",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+    ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+    """,
+    tags=("lateral", "correlated-subquery", "topn"),
+    # per-group ordered take — physical twin of latest_event_per_user
+    # (window rank) and shipping_priority (ordered limit)
+    driver_visible=False,
+)
+def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: per nation, the top-2 customers by
+    account balance — the SQL:2016 lateral-join formulation of top-N-
+    per-group, run through ``spark.sql`` to exercise the engine's
+    lateral decorrelation (Catalyst rewrites the correlated ordered-
+    limit into a DomainJoin + per-key ranking; DuckDB runs the same
+    query natively, so the semantics are pinned cross-engine). At
+    scale this plans like the window-function formulation: one shuffle
+    on the correlation key, per-key ordered take — no per-outer-row
+    re-execution."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("lat_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    return spark.sql("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM lat_nation n,
+        LATERAL (
+            SELECT c_name, c_acctbal FROM lat_customer
+            WHERE c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name
+    """)
+
+
+@query(
+    "nullsafe_cohort_compare",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_id,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS INT)
+                         % 7 = 0
+                    THEN NULL
+                    ELSE CAST(json_extract_string(props, '$.k') AS INT)
+                         % 7 END AS category,
+               event_id % 2 AS cohort
+        FROM events
+    ),
+    a AS (SELECT category, COUNT(*) AS cnt_a FROM keyed
+          WHERE cohort = 0 GROUP BY category),
+    b AS (SELECT category, COUNT(*) AS cnt_b FROM keyed
+          WHERE cohort = 1 GROUP BY category)
+    SELECT COALESCE(a.category, b.category) AS category,
+           COALESCE(cnt_a, 0) AS cnt_a,
+           COALESCE(cnt_b, 0) AS cnt_b
+    FROM a FULL OUTER JOIN b
+      ON a.category IS NOT DISTINCT FROM b.category
+    ORDER BY category NULLS FIRST
+    """,
+    tags=("join", "null-safe", "full-outer"),
+    # full-outer equi-join with a nullable key — hash-join planned via
+    # EqualNullSafe; outer-join twin = customer_order_distribution
+    driver_visible=False,
+)
+def nullsafe_cohort_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe full-outer join: compare per-category event counts
+    between two cohorts where the category key is NULLABLE (a sparse
+    attribute — here category 0 is mapped to NULL to model 'missing'),
+    and the missing-category buckets must MATCH each other rather than
+    fall out of the join. Spark's ``eqNullSafe`` (`<=>`) compiles to
+    EqualNullSafe, which stays a hash-joinable equi-key — the plan is
+    a regular shuffled hash/sort-merge join, not a nested loop; DuckDB
+    expresses the same with IS NOT DISTINCT FROM. The classic
+    correctness trap this pins: a plain `=` join would silently drop
+    both NULL groups."""
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int") % 7
+    keyed = ev.select(
+        F.when(k == 0, F.lit(None).cast("int")).otherwise(k)
+         .alias("category"),
+        (F.col("event_id") % 2).alias("cohort"))
+    a = (keyed.where(F.col("cohort") == 0).groupBy("category")
+         .agg(F.count(F.lit(1)).alias("cnt_a"))
+         .withColumnRenamed("category", "cat_a"))
+    b = (keyed.where(F.col("cohort") == 1).groupBy("category")
+         .agg(F.count(F.lit(1)).alias("cnt_b"))
+         .withColumnRenamed("category", "cat_b"))
+    return (
+        a.join(b, F.col("cat_a").eqNullSafe(F.col("cat_b")), "full_outer")
+        .select(F.coalesce("cat_a", "cat_b").alias("category"),
+                F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"))
+        .orderBy(F.asc_nulls_first("category"))
+    )
+
+
+@query(
+    "customer_set_ops",
+    oracle="""
+    WITH building AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    urgent AS (
+        SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT
+        (SELECT COUNT(*) FROM (SELECT * FROM building
+                               INTERSECT SELECT * FROM urgent))
+            AS n_both,
+        (SELECT COUNT(*) FROM (SELECT * FROM building
+                               EXCEPT SELECT * FROM urgent))
+            AS n_building_only,
+        (SELECT COUNT(*) FROM (SELECT * FROM urgent
+                               EXCEPT SELECT * FROM building))
+            AS n_urgent_only,
+        (SELECT COUNT(*) FROM (SELECT * FROM building
+                               UNION SELECT * FROM urgent))
+            AS n_either
+    """,
+    tags=("set-ops", "intersect", "except"),
+    # INTERSECT/EXCEPT plan as left-semi/left-anti aggregates — the
+    # same join kinds driver-visible via customers_without_orders /
+    # customers_with_urgent_orders
+    driver_visible=False,
+)
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI set operations as audit counts: BUILDING-segment customers
+    vs customers with urgent orders — INTERSECT, both EXCEPT
+    directions, and UNION (distinct). Catalyst plans INTERSECT as a
+    left-semi join and EXCEPT as a left-anti join over distinct
+    inputs, so each count is one co-partitioned shuffle — the
+    set-operator surface reduces to the join machinery already proven
+    at scale, and this query pins that equivalence cross-engine."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    building = (cust.where(F.col("c_mktsegment") == "BUILDING")
+                .select("c_custkey"))
+    urgent = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")).distinct())
+    n_both = building.intersect(urgent).count()
+    n_b_only = building.subtract(urgent).count()
+    n_u_only = urgent.subtract(building).count()
+    n_either = building.union(urgent).distinct().count()
+    spark_ = cust.sparkSession
+    return spark_.createDataFrame(
+        [(n_both, n_b_only, n_u_only, n_either)],
+        "n_both bigint, n_building_only bigint, "
+        "n_urgent_only bigint, n_either bigint")
