@@ -129,7 +129,7 @@ COVERED_BY: dict[str, str] = {
     #   lateral = per-key ranked take (window twin)
     "nullsafe_cohort_compare": "customer_tags",  # nullable-key
     #   full-outer hash join (EqualNullSafe stays an equi-key)
-    "customer_set_ops": "customers_without_orders",  # INTERSECT/
+    "customer_set_ops": "document_purge",  # INTERSECT/
     #   EXCEPT plan as the same semi/anti joins
     "small_quantity_revenue": "returned_item_report",
     "top_revenue_customers": "returned_item_report",
