@@ -301,3 +301,54 @@ def test_cms_token_counts_broadcasts_the_sketch(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # exact top-k cut
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark):
+    """The LATERAL ordered-limit subquery must decorrelate into a
+    per-key ranked take (WindowGroupLimit pushes the top-2 cut below
+    the shuffle) — never a per-outer-row re-execution or a nested
+    loop."""
+    plan = plan_of(spark, "lateral_top_customers")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nullsafe_join_stays_equi_join(spark):
+    """eqNullSafe must compile to a hash-partitionable key
+    (coalesce+isnull expansion) — a regression to
+    BroadcastNestedLoopJoin would be quadratic at scale."""
+    plan = plan_of(spark, "nullsafe_cohort_compare")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_new_dedup_shapes_not_cartesian(spark):
+    """Containment candidates come from the rare-shingle equi-join;
+    paragraph dedup is explode → hash window → agg; trigram scoring
+    is a vocabulary-keyed left-join chain. None may plan a cartesian
+    or nested-loop join (the only allowed BroadcastNestedLoopJoin is
+    a 1-row scalar crossJoin, which these queries don't use)."""
+    for q in ("doc_containment_pairs", "paragraph_dedup"):
+        plan = plan_of(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+    # trigram's only nested-loop is the broadcast 1-row token total
+    # (formatted plans list each node twice: tree + detail section)
+    plan = plan_of(spark, "trigram_backoff_score")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_quantized_rerank_broadcasts_probe_and_stats(spark):
+    """The coarse pass must broadcast the per-dim stats (bounded by
+    dimensionality) and the 1-row probe; the corpus side must never
+    shuffle into a cartesian."""
+    plan = plan_of(spark, "quantized_rerank_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan          # stats join on dim_idx
+    # the broadcast 1-row probe is the only nested-loop (×2: formatted
+    # plans list each node in both the tree and the detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
