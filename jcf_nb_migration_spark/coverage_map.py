@@ -140,6 +140,12 @@ COVERED_BY: dict[str, str] = {
     "order_value_ranks": "latest_event_per_user",
     "user_running_value": "user_hourly_resample",
     "incremental_agg_merge": "pricing_summary",
+    "retractable_agg_merge": "pricing_summary",  # signed-partial
+    #   union + merge groupBy (incremental_agg_merge with retraction)
+    "corpus_novelty_curve": "dedup_exact",  # min-per-gram survivor
+    #   + join-back over decontaminate's gram explode
+    "event_sequence_pattern": "event_sessionization",  # per-key
+    #   ordered collect + codegen'd regex
     # --- CDC / temporal --------------------------------------------------
     "orders_upsert": "customer_scd2_history",
     "orders_pit_customer_join": "customer_scd2_history",

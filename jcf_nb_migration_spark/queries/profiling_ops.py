@@ -676,3 +676,71 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                        "n_violations",
                        (F.col("n_violations") == 0).alias("passed"))
             .orderBy("table_name", "column_name", "rule"))
+
+
+@query(
+    "retractable_agg_merge",
+    oracle=f"""
+    WITH cur AS (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN o_totalprice * CAST(0.9 AS DOUBLE)
+                    ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('price', 'total_price')},
+           CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+    FROM cur GROUP BY o_orderpriority
+    HAVING COUNT(*) > 0
+    ORDER BY o_orderpriority
+    """,
+    tags=("incremental", "materialized-view", "retraction", "cdc"),
+    driver_visible=False,
+)
+def retractable_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retraction-capable materialized-view maintenance — the Flink
+    retract-stream idea in batch form. The standing state holds
+    partial aggregates over ALL orders; a CDC batch then UPDATES
+    every 5th order (price ×0.9) and DELETES every 7th. Instead of
+    rescanning the base table, the delta is expressed as SIGNED
+    partials: each update/delete contributes a −1-weighted row with
+    its OLD values, each update also a +1-weighted row with its NEW
+    values; merging is one union + one groupBy over signed
+    (count, sum) — groups whose merged count reaches 0 drop out.
+    count/sum retract cleanly (min/max would not — they need the
+    full-rescan path); avg is derived post-merge. Sums ride
+    DECIMAL(18,4) so retraction is exact: state − old + new is
+    algebraically identical to recomputing over the changed table,
+    which is precisely what the oracle does. At 100 TB the state is
+    key-sized, the delta is batch-sized, and the only shuffle keys on
+    the group-by column."""
+    orders = t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    dec_old = F.col("o_totalprice").cast("decimal(18,4)")
+    dec_new = (F.col("o_totalprice") * 0.9).cast("decimal(18,4)")
+
+    state = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum(dec_old).alias("tot"))
+    changed = orders.where((key % 5 == 0) | (key % 7 == 0))
+    retract = changed.select(
+        "o_orderpriority", F.lit(-1).alias("w"),
+        (-dec_old).alias("wtot"))
+    insert = (orders.where((key % 5 == 0) & (key % 7 != 0))
+              .select("o_orderpriority", F.lit(1).alias("w"),
+                      dec_new.alias("wtot")))
+    delta = (retract.unionByName(insert)
+             .groupBy("o_orderpriority")
+             .agg(F.sum("w").alias("cnt"), F.sum("wtot").alias("tot")))
+    merged = (state.unionByName(delta)
+              .groupBy("o_orderpriority")
+              .agg(F.sum("cnt").alias("n_orders"),
+                   F.sum("tot").alias("tot"))
+              .where(F.col("n_orders") > 0))
+    return merged.select(
+        "o_orderpriority", "n_orders",
+        F.col("tot").cast("double").alias("total_price"),
+        (F.col("tot").cast("double") / F.col("n_orders"))
+        .alias("avg_price")).orderBy("o_orderpriority")

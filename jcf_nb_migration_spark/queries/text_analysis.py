@@ -742,3 +742,65 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (D.containment_pairs(docs, "doc_id", "text",
                                 threshold=0.8, n=3, max_df=20)
             .orderBy("id_a", "id_b"))
+
+
+@query(
+    "corpus_novelty_curve",
+    oracle=f"""
+    WITH {_SQL_SH_CTE},
+    firsts AS (
+        SELECT shingle, MIN(doc_id) AS first_doc
+        FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+        SELECT s.doc_id, count(*) AS n_grams,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM sh s JOIN firsts f ON f.shingle = s.shingle
+        GROUP BY s.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(p.n_novel) AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(p.n_novel) AS DOUBLE) / SUM(p.n_grams), 9)
+               AS novelty
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    GROUP BY d.source ORDER BY d.source
+    """,
+    tags=("curation", "novelty", "dedup-diagnostic"),
+    # min-per-gram + join-back is dedup_exact's survivor pattern over
+    # decontaminate's gram explode (both driver-visible)
+    driver_visible=False,
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source novelty: what fraction of a source's 3-gram shingle
+    occurrences are the corpus-wide FIRST occurrence of that shingle
+    (first = min doc_id, the same deterministic survivor rule the
+    dedup family uses). This is the marginal-value diagnostic a
+    curation pipeline runs before paying to ingest more of a source —
+    a source whose novelty has collapsed is re-crawling what the
+    corpus already holds. Shape: one explode, one groupBy(shingle)
+    min, one join-back on shingle (co-partitioned — same key as the
+    groupBy), one per-doc agg, one broadcast-ish per-source rollup;
+    linear, no corpus-wide funnel. The novelty ratio is one
+    BIGINT/BIGINT double division, deterministic cross-engine."""
+    docs = t(spark, sf_dir, "documents")
+    sh = D.shingle_index(docs, "doc_id", "text", 3)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (sh.join(firsts, "shingle")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                          .otherwise(0)).alias("n_novel")))
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_grams").alias("n_grams"),
+             F.sum("n_novel").alias("n_novel"))
+        .select("source", "n_docs", "n_grams", "n_novel",
+                F.round(F.col("n_novel").cast("double")
+                        / F.col("n_grams"), 9).alias("novelty"))
+        .orderBy("source")
+    )

@@ -326,3 +326,49 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("cohort_size"), 9)
                     .alias("retention_pct"))
             .orderBy("cohort_week", "week_offset"))
+
+
+FUNNEL_PATTERN = "view.*click.*purchase"  # MATCH_RECOGNIZE-lite regex
+
+
+@query(
+    "event_sequence_pattern",
+    oracle=f"""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts) AS seq,
+           regexp_matches(string_agg(event_type, '>' ORDER BY ts),
+                          '{FUNNEL_PATTERN}') AS matched
+    FROM events
+    GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("timeseries", "pattern-match", "sequence"),
+    # ordered per-key collect + codegen'd regex — the sessionization /
+    # funnel family's physical shape (event_sessionization visible)
+    driver_visible=False,
+)
+def event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (MATCH_RECOGNIZE-lite): each
+    user's event types are assembled into one ordered sequence string
+    and matched against the funnel regex '{FUNNEL_PATTERN}' — the
+    declarative way to ask "did a view eventually lead to a click and
+    then a purchase, in that order, with anything in between". One
+    shuffle on user_id; the per-user ordered assembly is a grouped
+    collect (bounded by per-user event counts — at 100 TB you'd
+    window it per session first, which event_sessionization provides);
+    the regex runs codegen'd per user, not per event. (user_id, ts)
+    is unique in the fixture, so the assembled order — and therefore
+    the match — is deterministic in both engines."""
+    ev = t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_type"))),
+            lambda x: x.event_type),
+        ">")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), seq.alias("seq"))
+        .select("user_id", "n_events", "seq",
+                F.col("seq").rlike(FUNNEL_PATTERN).alias("matched"))
+        .orderBy("user_id")
+    )
