@@ -165,6 +165,9 @@ COVERED_BY: dict[str, str] = {
     "streaming_dedup": "streaming_hourly_counts",
     "streaming_interval_join": "range_join_error_click",  # stream twin
     #   of the driver-visible batch interval join; real readStream
+    "streaming_interval_join_louter": "range_join_error_click",
+    #   left-outer variant; watermark-gated NULL emission encoded
+    #   exactly in its oracle
     "stateful_running_totals":
         "pytest:test_streaming applyInPandasWithState (no visible "
         "twin; exact-oracle + checkpoint-restart tests pin it)",

@@ -235,3 +235,65 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jcf_nb_migration_spark.streaming import events as SE
 
     return SE.interval_join_stream(spark, sf_dir, gap_seconds=120)
+
+
+@query(
+    "streaming_interval_join_louter",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, ts AS e_ts, event_id AS error_id
+        FROM events WHERE event_type = 'error'
+    ),
+    c AS (
+        SELECT user_id AS c_user_id, ts AS c_ts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    wm AS (
+        SELECT least((SELECT max(e_ts) FROM e),
+                     (SELECT max(c_ts) FROM c))
+               - INTERVAL 1 HOUR AS w
+    ),
+    m AS (
+        SELECT e.user_id, e.error_id, c.click_id,
+               (epoch_us(c.c_ts) - epoch_us(e.e_ts)) / 1000000.0 AS dt_sec
+        FROM e JOIN c
+          ON e.user_id = c.c_user_id
+         AND c.c_ts BETWEEN e.e_ts - INTERVAL 120 SECONDS
+                        AND e.e_ts + INTERVAL 120 SECONDS
+    ),
+    um AS (
+        SELECT e.user_id, e.error_id,
+               CAST(NULL AS BIGINT) AS click_id,
+               CAST(NULL AS DOUBLE) AS dt_sec
+        FROM e, wm
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c
+            WHERE c.c_user_id = e.user_id
+              AND c.c_ts BETWEEN e.e_ts - INTERVAL 120 SECONDS
+                             AND e.e_ts + INTERVAL 120 SECONDS)
+          AND e.e_ts + INTERVAL 120 SECONDS < wm.w
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM um
+    """,
+    tags=("streaming", "stream-stream-join", "left-outer", "watermark"),
+    # real readStream; the distinctive semantics (watermark-gated NULL
+    # emission) are exactly encoded in the oracle; inner-join twin
+    # streaming_interval_join / range_join_error_click
+    driver_visible=False,
+)
+def streaming_interval_join_louter(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join as an actual streaming
+    query: matched (error, click) pairs emit as they join; an error
+    with no click within ±120 s emits ONE NULL row only after the
+    watermark proves no match can still arrive (wm > e_ts + gap).
+    The oracle encodes that emission rule in batch SQL — matched
+    pairs unconditionally, NULL rows gated on the final watermark
+    (min of both sides' max event time − 1 h) — so the comparison is
+    exact including WHICH trailing errors remain unemitted in state.
+    This is the semantic case that separates streaming outer joins
+    from batch ones: emission timing is part of the contract, not an
+    implementation detail."""
+    from jcf_nb_migration_spark.streaming import events as SE
+
+    return SE.interval_join_stream_louter(spark, sf_dir, gap_seconds=120)

@@ -357,3 +357,41 @@ def type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (run_to_memory(out, "jcf_tws_stream", output_mode="update")
             .orderBy("user_id"))
+
+
+def interval_join_stream_louter(spark: SparkSession, sf_dir: str,
+                                gap_seconds: int = 120) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every error emits — with
+    its matching clicks when they exist, or ONCE with NULLs after the
+    watermark proves no match can still arrive. Matched rows emit in
+    the micro-batch that joins them (no watermark needed to emit, only
+    to evict); an unmatched error's NULL row emits only when the join
+    watermark passes e_ts + gap (before that, a matching click could
+    still be in flight). Errors too close to the end of the stream
+    (e_ts + gap ≥ final watermark = min(max event time per side) −
+    the 1 h delay) stay in state forever — inherent to streaming
+    outer joins, and encoded exactly in the query's batch oracle."""
+    errors = (events_stream_source(spark, sf_dir)
+              .where(F.col("event_type") == "error")
+              .select("user_id", F.col("ts").alias("e_ts"),
+                      F.col("event_id").alias("error_id"))
+              .withWatermark("e_ts", "1 hour"))
+    clicks = (events_stream_source(spark, sf_dir)
+              .where(F.col("event_type") == "click")
+              .select(F.col("user_id").alias("c_user_id"),
+                      F.col("ts").alias("c_ts"),
+                      F.col("event_id").alias("click_id"))
+              .withWatermark("c_ts", "1 hour"))
+    joined = errors.join(
+        clicks,
+        F.expr(f"""
+            user_id = c_user_id AND
+            c_ts BETWEEN e_ts - INTERVAL {gap_seconds} SECONDS
+                     AND e_ts + INTERVAL {gap_seconds} SECONDS
+        """),
+        "left_outer",
+    ).select("user_id", "error_id", "click_id",
+             ((F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("e_ts")))
+              / 1_000_000.0).alias("dt_sec"))
+    return run_to_memory(joined, "jcf_interval_join_louter_stream",
+                         output_mode="append")
