@@ -77,6 +77,9 @@ COVERED_BY: dict[str, str] = {
     "doc_repetition_stats": "decontaminate_ngrams",  # gram-explode agg
     #   (rotated out of the window r5 for logreg_gd_training)
     "curation_funnel": "doc_quality_score",
+    "curation_pipeline_e2e": "minhash_lsh_dedup",  # chains the
+    #   driver-visible heavy stages (dedup_exact + minhash_lsh_dedup
+    #   + decontaminate_ngrams) into the dataset-card funnel
     "source_quota_cap": "tfidf_top_terms",  # per-group top-k window
     "cluster_balanced_sample": "semdedup_prune",  # trained-kmeans
     #   assignment + per-cluster top-k (topic-balance quota)

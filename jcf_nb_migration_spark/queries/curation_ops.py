@@ -1230,3 +1230,168 @@ def trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise(F.lit(0.0)).alias("fluency"))
         .orderBy("doc_id")
     )
+
+
+PIPE_KEEP_PCT = 80  # content-stable final sampling rate (percent)
+
+
+@query(
+    "curation_pipeline_e2e",
+    oracle=f"""
+    WITH {_sql_minhash_sig_cte(16)},
+    {_sql_bands_cte(8, 2)},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    near_dups AS (
+        SELECT DISTINCT id_b AS doc_id FROM (
+            SELECT c.id_a, c.id_b, count(*) AS common
+            FROM cands c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        ) v
+        JOIN sizes sa ON sa.doc_id = v.id_a
+        JOIN sizes sb ON sb.doc_id = v.id_b
+        WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common)
+              >= 0.5
+    ),
+    exact_keep AS (
+        SELECT doc_id FROM (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                                '\\s+', ' ', 'g'))
+                ORDER BY doc_id) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    ),
+    g AS (
+        SELECT doc_id, source,
+               unnest({_sql_ngrams(DECON_N, distinct=True)}) AS ngram
+        FROM (SELECT doc_id, source, {_SQL_TOKS} AS w FROM documents)
+    ),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM g
+        JOIN (SELECT DISTINCT ngram FROM g
+              WHERE source = '{BENCH_SOURCE}') b USING (ngram)
+        WHERE g.source <> '{BENCH_SOURCE}'
+    ),
+    flags AS (
+        SELECT d.doc_id,
+               (d.source <> '{BENCH_SOURCE}') AS f1,
+               (d.lang = 'en') AS f2,
+               (e.doc_id IS NOT NULL) AS f3,
+               (n.doc_id IS NULL) AS f4,
+               (c.doc_id IS NULL) AS f5,
+               (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12))
+                    ::BIGINT % 100 < {PIPE_KEEP_PCT}) AS f6
+        FROM documents d
+        LEFT JOIN exact_keep e ON e.doc_id = d.doc_id
+        LEFT JOIN near_dups n ON n.doc_id = d.doc_id
+        LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+    ),
+    agg AS (
+        SELECT COUNT(*) AS n0,
+               COUNT(*) FILTER (f1) AS n1,
+               COUNT(*) FILTER (f1 AND f2) AS n2,
+               COUNT(*) FILTER (f1 AND f2 AND f3) AS n3,
+               COUNT(*) FILTER (f1 AND f2 AND f3 AND f4) AS n4,
+               COUNT(*) FILTER (f1 AND f2 AND f3 AND f4 AND f5) AS n5,
+               COUNT(*) FILTER (f1 AND f2 AND f3 AND f4 AND f5 AND f6)
+                   AS n6
+        FROM flags
+    )
+    SELECT * FROM (
+        SELECT 0 AS stage, 'total' AS label, n0 AS n_docs FROM agg
+        UNION ALL SELECT 1, 'non_bench', n1 FROM agg
+        UNION ALL SELECT 2, 'lang_en', n2 FROM agg
+        UNION ALL SELECT 3, 'exact_dedup', n3 FROM agg
+        UNION ALL SELECT 4, 'near_dedup', n4 FROM agg
+        UNION ALL SELECT 5, 'decontaminated', n5 FROM agg
+        UNION ALL SELECT 6, 'sampled', n6 FROM agg
+    ) ORDER BY stage
+    """,
+    tags=("curation", "pipeline", "e2e", "funnel"),
+    # composes the driver-visible heavy stages themselves:
+    # dedup_exact + minhash_lsh_dedup + decontaminate_ngrams
+    driver_visible=False,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END training-data curation funnel with the REAL
+    heavy stages chained (curation_funnel uses only cheap per-doc
+    flags): benchmark holdout removal → language filter → exact dedup
+    (md5 min-survivor) → MinHash-LSH near-dedup (drop the larger id of
+    every verified ≥0.5-Jaccard pair) → n-gram benchmark
+    decontamination → content-stable {PIPE_KEEP_PCT}% sample. Each
+    stage's survivor set is defined against the full corpus (the same
+    definition the standalone queries use), and the funnel reports
+    cumulative survivor counts per stage — the dataset-card numbers a
+    curation run publishes.
+
+    Scale shape: the three heavy stages are the same linear plans the
+    standalone queries run (one md5 window; banded LSH candidates +
+    verify; gram equi-join); their survivor sets come back as doc_id
+    frames that LEFT-join the corpus — all equi-joins on doc_id, one
+    final single-row aggregate, unpivoted to 7 rows. Nothing here is
+    quadratic; at 100 TB the whole funnel is a handful of
+    hash-partitioned passes."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    exact_keep = (D.exact_dedup(docs, "text", "doc_id")
+                  .select("doc_id").withColumn("__e", F.lit(1)))
+    near_dups = (D.minhash_lsh_dedup(docs, "doc_id", "text",
+                                     threshold=0.5, k=16, bands=8,
+                                     rows=2, n=3)
+                 .select(F.col("id_b").alias("doc_id")).distinct()
+                 .withColumn("__n", F.lit(1)))
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(
+            T.word_shingles(T.tokens("text"), DECON_N))).alias("ngram"))
+    bench = (grams.where(F.col("source") == BENCH_SOURCE)
+             .select("ngram").distinct())
+    contaminated = (grams.where(F.col("source") != BENCH_SOURCE)
+                    .join(bench, "ngram")
+                    .select("doc_id").distinct()
+                    .withColumn("__c", F.lit(1)))
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                16, 10).cast("bigint") % 100)
+    flags = (
+        docs.select("doc_id", "source", "lang")
+        .join(exact_keep, "doc_id", "left")
+        .join(near_dups, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            (F.col("source") != BENCH_SOURCE).alias("f1"),
+            (F.col("lang") == "en").alias("f2"),
+            F.col("__e").isNotNull().alias("f3"),
+            F.col("__n").isNull().alias("f4"),
+            F.col("__c").isNull().alias("f5"),
+            (h < PIPE_KEEP_PCT).alias("f6"))
+    )
+    c = F.count(F.lit(1))
+
+    def upto(*fs):
+        cond = F.lit(True)
+        for f in fs:
+            cond = cond & F.col(f)
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    agg = flags.agg(
+        c.alias("n0"),
+        upto("f1").alias("n1"),
+        upto("f1", "f2").alias("n2"),
+        upto("f1", "f2", "f3").alias("n3"),
+        upto("f1", "f2", "f3", "f4").alias("n4"),
+        upto("f1", "f2", "f3", "f4", "f5").alias("n5"),
+        upto("f1", "f2", "f3", "f4", "f5", "f6").alias("n6"))
+    labels = ["total", "non_bench", "lang_en", "exact_dedup",
+              "near_dedup", "decontaminated", "sampled"]
+    stack_args = ", ".join(
+        f"{i}, '{lab}', n{i}" for i, lab in enumerate(labels))
+    return (agg.selectExpr(
+        f"stack(7, {stack_args}) AS (stage, label, n_docs)")
+        .orderBy("stage"))
