@@ -103,6 +103,10 @@ COVERED_BY: dict[str, str] = {
     "cms_token_counts": "approx_distinct_stats",
     "hll_sketch_union": "approx_distinct_stats",
     "customer_column_profile": "table_counts",
+    "k_anonymity_audit": "table_counts",  # quasi-id groupBy +
+    #   one-row rollup (privacy audit)
+    "user_active_streaks": "latest_event_per_user",  # per-key window
+    #   + key-reusing groupBys (gaps-and-islands)
     "dq_expectations": "table_counts",  # fused conditional-agg report
     "source_embedding_drift": "pricing_summary",
     "source_report_card": "pricing_summary",

@@ -744,3 +744,63 @@ def retractable_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").cast("double").alias("total_price"),
         (F.col("tot").cast("double") / F.col("n_orders"))
         .alias("avg_price")).orderBy("o_orderpriority")
+
+
+K_ANON = 5  # suppression threshold: groups smaller than this leak
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT c_custkey,
+               c_mktsegment,
+               c_nationkey,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    groups AS (
+        SELECT c_mktsegment, c_nationkey, bal_band,
+               COUNT(*) AS group_size
+        FROM quasi GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) FILTER (group_size < {K_ANON}) AS BIGINT)
+               AS n_small_groups,
+           CAST(MIN(group_size) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN group_size < {K_ANON}
+                         THEN group_size ELSE 0 END) AS BIGINT)
+               AS n_rows_to_suppress,
+           CAST(SUM(group_size) AS BIGINT) AS n_rows
+    FROM groups
+    """,
+    tags=("privacy", "k-anonymity", "audit"),
+    # quasi-identifier groupBy + one-row rollup — the
+    # customer_column_profile / table_counts physical family
+    driver_visible=False,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (segment,
+    nation, $1000 balance band): how many equivalence classes exist,
+    how many fall below k={K_ANON} (re-identifiable), and how many
+    rows a suppression pass would have to drop — the check a privacy
+    pipeline runs BEFORE releasing a training extract containing
+    indirect identifiers (the PII scrub handles direct ones;
+    pii_scrub_stats). One groupBy on the quasi tuple + a single-row
+    rollup; the banding floor is integer-exact cross-engine."""
+    cust = t(spark, sf_dir, "customer")
+    quasi = cust.select(
+        "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint")
+         .alias("bal_band"))
+    groups = (quasi.groupBy("c_mktsegment", "c_nationkey", "bal_band")
+              .agg(F.count(F.lit(1)).alias("group_size")))
+    small = F.col("group_size") < K_ANON
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("bigint")
+         .alias("n_small_groups"),
+        F.min("group_size").alias("min_group_size"),
+        F.sum(F.when(small, F.col("group_size")).otherwise(0))
+         .cast("bigint").alias("n_rows_to_suppress"),
+        F.sum("group_size").alias("n_rows"))

@@ -372,3 +372,60 @@ def event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("seq").rlike(FUNNEL_PATTERN).alias("matched"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "user_active_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INT)
+                   AS grp
+        FROM days
+    ),
+    streaks AS (
+        SELECT user_id, grp, COUNT(*) AS len,
+               MIN(day) AS streak_start
+        FROM isl GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MIN(streak_start) AS VARCHAR) AS first_active_day
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("timeseries", "gaps-and-islands", "streak"),
+    # per-key window + double groupBy — latest_event_per_user /
+    # sessionization physical family
+    driver_visible=False,
+)
+def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, runs of CONSECUTIVE active days
+    (longest streak, streak count, total active days) via the
+    day − row_number() island key — the canonical SQL formulation,
+    identical in both engines. Sessionization (event_sessionization)
+    splits on time gaps within a day; this is its calendar-grain
+    sibling. One shuffle on user_id (window + both groupBys share the
+    key, so Catalyst reuses the partitioning); dates render as
+    strings for cross-engine hash parity."""
+    ev = t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id", "day",
+        F.date_sub("day", F.row_number().over(w)).alias("grp"))
+    streaks = (isl.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("len"),
+                    F.min("day").alias("streak_start")))
+    return (streaks.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_streaks"),
+                 F.max("len").alias("longest_streak"),
+                 F.sum("len").alias("n_active_days"),
+                 F.min("streak_start").cast("string")
+                  .alias("first_active_day"))
+            .orderBy("user_id"))
