@@ -173,6 +173,8 @@ COVERED_BY: dict[str, str] = {
     "streaming_interval_join": "range_join_error_click",  # stream twin
     #   of the driver-visible batch interval join; real readStream
     "streaming_interval_join_louter": "range_join_error_click",
+    "streaming_pit_enrich": "customer_scd2_history",  # stream-static
+    #   SCD2 range join, stateless — batch twin orders_pit_customer_join
     #   left-outer variant; watermark-gated NULL emission encoded
     #   exactly in its oracle
     "stateful_running_totals":

@@ -297,3 +297,44 @@ def streaming_interval_join_louter(spark: SparkSession,
     from jcf_nb_migration_spark.streaming import events as SE
 
     return SE.interval_join_stream_louter(spark, sf_dir, gap_seconds=120)
+
+
+@query(
+    "streaming_pit_enrich",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_acctbal AS bal,
+               TIMESTAMP '1995-01-01' AS eff,
+               CASE WHEN c_acctbal < 0 THEN TIMESTAMP '1998-01-01'
+                    END AS eff_end
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, 0.0, TIMESTAMP '1998-01-01', NULL
+        FROM customer WHERE c_acctbal < 0
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           d.bal AS acctbal_at_order,
+           strftime(d.eff, '%Y-%m-%d') AS version_eff
+    FROM orders o JOIN dim d
+      ON o.o_custkey = d.c_custkey
+     AND o.o_orderdate >= d.eff
+     AND (d.eff_end IS NULL OR o.o_orderdate < d.eff_end)
+    """,
+    tags=("streaming", "stream-static-join", "scd2", "point-in-time"),
+    # real readStream; batch PIT twin = orders_pit_customer_join
+    # (customer_scd2_history family, driver-visible)
+    driver_visible=False,
+)
+def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 enrichment of a STREAM: each streaming order
+    joins the customer-balance version in effect on its own
+    o_orderdate (negative-balance customers get a corrected version
+    effective 1998-01-01, so orders genuinely split across versions).
+    Stream-static with a validity-range residual — stateless, exact,
+    no watermark; the feature-store pattern that prevents
+    future-leakage when building training features from facts +
+    slowly-changing dimensions. Batch twin:
+    orders_pit_customer_join."""
+    from jcf_nb_migration_spark.streaming import events as SE
+
+    return SE.pit_enrich_stream(spark, sf_dir)

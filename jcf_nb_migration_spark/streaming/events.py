@@ -395,3 +395,56 @@ def interval_join_stream_louter(spark: SparkSession, sf_dir: str,
               / 1_000_000.0).alias("dt_sec"))
     return run_to_memory(joined, "jcf_interval_join_louter_stream",
                          output_mode="append")
+
+
+def table_stream_source(spark: SparkSession, sf_dir: str,
+                        table: str) -> DataFrame:
+    """readStream over any fixture table (same symlink-dir adapter as
+    events_stream_source; events additionally gets its timestamp
+    normalized there — other tables pass through)."""
+    from jcf_nb_migration_spark.registry import ensure_session_confs
+
+    ensure_session_confs(spark)
+    src_file = os.path.join(sf_dir, f"{table}.parquet")
+    d = tempfile.mkdtemp(prefix=f"jcf_{table}_stream_")
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(src_file, link)
+    schema = spark.read.parquet(src_file).schema
+    return spark.readStream.schema(schema).format("parquet").load(d)
+
+
+def pit_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream enriched against an SCD2 dimension AS-OF each fact's own
+    event time (point-in-time correctness): streaming orders join the
+    customer balance VERSION that was in effect on o_orderdate — not
+    today's row, which is how training pipelines leak the future into
+    features. The dimension is a batch SCD2 table (validity ranges);
+    the join is stream-static with a range residual — STATELESS, so
+    every micro-batch re-plans the dim side and every matched row
+    emits immediately; no watermark is involved, which is why the
+    batch oracle is exact with no emission gating (contrast
+    interval_join_stream_louter)."""
+    orders = table_stream_source(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey", F.col("c_acctbal").alias("bal"),
+        F.lit("1995-01-01").cast("timestamp").alias("eff"),
+        F.when(F.col("c_acctbal") < 0,
+               F.lit("1998-01-01").cast("timestamp")).alias("eff_end"))
+    v2 = (cust.where(F.col("c_acctbal") < 0)
+          .select("c_custkey", F.lit(0.0).alias("bal"),
+                  F.lit("1998-01-01").cast("timestamp").alias("eff"),
+                  F.lit(None).cast("timestamp").alias("eff_end")))
+    dim = v1.unionByName(v2)
+    joined = orders.join(
+        dim,
+        (orders.o_custkey == dim.c_custkey)
+        & (orders.o_orderdate >= dim.eff)
+        & (dim.eff_end.isNull() | (orders.o_orderdate < dim.eff_end)),
+        "inner",
+    ).select("o_orderkey", "o_custkey",
+             F.col("bal").alias("acctbal_at_order"),
+             F.date_format("eff", "yyyy-MM-dd").alias("version_eff"))
+    return run_to_memory(joined, "jcf_pit_enrich_stream",
+                         output_mode="append")
