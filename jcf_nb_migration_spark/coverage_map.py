@@ -1,7 +1,8 @@
 """Driver-window coverage map (VERDICT r4 item 8).
 
 The external driver hard-checks only the first 50 (alphabetical)
-contract queries, so 98 of the 148 registered queries are marked
+contract queries, so the non-window remainder of the registry (see COVERAGE.md
+for the current count) is marked
 ``driver_visible=False``.  Every local-only query still runs against
 its exact DuckDB oracle in tests/test_query_oracles.py; this map
 additionally records, for each one, WHICH driver-visible query
