@@ -352,3 +352,12 @@ def test_quantized_rerank_broadcasts_probe_and_stats(spark):
     # the broadcast 1-row probe is the only nested-loop (×2: formatted
     # plans list each node in both the tree and the detail section)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_profit_star_join_broadcasts_dims_no_cartesian(spark):
+    """Q9 shape: the regex-filtered part dim and nation must join
+    without a cartesian; at least one dimension broadcast-joins."""
+    plan = plan_of(spark, "profit_by_nation_year")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
