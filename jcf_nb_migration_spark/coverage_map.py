@@ -113,6 +113,10 @@ COVERED_BY: dict[str, str] = {
     "source_report_card": "pricing_summary",
     "price_histogram": "price_quantiles",
     "quantity_price_correlation": "pricing_summary",
+    "join_key_skew_profile": "table_counts",  # per-key count +
+    #   one-row rollup per candidate key (salting decision input)
+    "daily_new_users": "latest_event_per_user",  # first-occurrence
+    #   attribution + calendar-bounded running sum
     # --- relational / TPC-H shapes --------------------------------------
     "customers_with_urgent_orders": "customer_scd2_history",
     "customers_without_orders": "customer_scd2_history",

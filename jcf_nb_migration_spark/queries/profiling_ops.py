@@ -804,3 +804,57 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(small, F.col("group_size")).otherwise(0))
          .cast("bigint").alias("n_rows_to_suppress"),
         F.sum("group_size").alias("n_rows"))
+
+
+def _skew_profile_sql(col: str) -> str:
+    return f"""
+        SELECT '{col}' AS join_key,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MAX(c) AS BIGINT) AS max_key_rows,
+               ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 9) AS top_share,
+               ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 9)
+                   AS skew_factor
+        FROM (SELECT {col}, COUNT(*) AS c FROM lineitem GROUP BY 1)"""
+
+
+@query(
+    "join_key_skew_profile",
+    oracle=(" UNION ALL ".join(_skew_profile_sql(c) for c in
+                               ("l_orderkey", "l_partkey", "l_suppkey"))
+            + " ORDER BY join_key"),
+    tags=("profiling", "skew", "diagnostics"),
+    # per-key count + one-row rollup per candidate key; the
+    # table_counts / customer_column_profile physical family
+    driver_visible=False,
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — the profile that DECIDES between
+    plain hash join, AQE skew handling, and manual salting
+    (functions/skew.py): for each candidate lineitem join key, the
+    distinct-key count, the hottest key's row count, its share of the
+    table, and the skew factor (hot key as a multiple of the mean
+    key). skew_factor ≈ 1 → uniform, shuffle freely;  ≫ 1 → the
+    hottest partition is that many times the average and needs
+    salting or AQE skew-split. One column-pruned scan + per-key
+    count + single-row rollup per key, unioned — each branch is the
+    map-side-combining two-phase aggregate, nothing key-unbounded is
+    collected."""
+    li = t(spark, sf_dir, "lineitem")
+    outs = []
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        per_key = (li.select(col).groupBy(col)
+                   .agg(F.count(F.lit(1)).alias("c")))
+        outs.append(per_key.agg(
+            F.lit(col).alias("join_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_key_rows"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 9)
+             .alias("top_share"),
+            F.round(F.max("c").cast("double") * F.count(F.lit(1))
+                    / F.sum("c"), 9).alias("skew_factor")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("join_key")

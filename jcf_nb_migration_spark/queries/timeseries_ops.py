@@ -429,3 +429,56 @@ def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("streak_start").cast("string")
                   .alias("first_active_day"))
             .orderBy("user_id"))
+
+
+@query(
+    "daily_new_users",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day
+    ),
+    alldays AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           COALESCE(n.new_users, 0) AS new_users,
+           CAST(SUM(COALESCE(n.new_users, 0))
+                    OVER (ORDER BY d.day) AS BIGINT) AS cum_users
+    FROM alldays d LEFT JOIN daily n ON n.day = d.day
+    ORDER BY day
+    """,
+    tags=("timeseries", "cumulative-distinct", "growth"),
+    # first-occurrence flag + running sum = the standard rewrite of
+    # COUNT(DISTINCT) OVER (which Spark correctly refuses); window
+    # twin latest_event_per_user
+    driver_visible=False,
+)
+def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve query.
+    COUNT(DISTINCT) OVER a growing window is not directly executable
+    (Spark rejects it; engines that accept it pay quadratic state);
+    the scalable rewrite is first-occurrence attribution: each user
+    counts once on their first active day, and the cumulative curve
+    is a running SUM over the per-day new-user counts. Two
+    key-partitioned shuffles (user_id, then day); the final running
+    sum is an unpartitioned window over CALENDAR DAYS — bounded by
+    the date range, not the data (the same bounded-window argument
+    as user_hourly_resample's grid)."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    firsts = (ev.select("user_id", F.to_date("ts").alias("day"))
+              .groupBy("user_id").agg(F.min("day").alias("day")))
+    daily = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    alldays = ev.select(F.to_date("ts").alias("day")).distinct()
+    # bounded-window: ordered by calendar day — cardinality is the
+    # date range of the corpus, not its row count
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (alldays.join(daily, "day", "left")
+            .select("day",
+                    F.coalesce("new_users", F.lit(0)).alias("new_users"))
+            .select(F.col("day").cast("string").alias("day"), "new_users",
+                    F.sum("new_users").over(w).alias("cum_users"))
+            .orderBy("day"))
