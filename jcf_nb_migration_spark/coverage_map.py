@@ -34,6 +34,8 @@ COVERED_BY: dict[str, str] = {
     "knn_label_propagation": "knn_ann_label_propagation",
     "hard_negative_mining": "hard_negative_mining_ann",
     "pq_codes": "ivfpq_ann_probe",
+    "ivfpq_residual_codes": "ivfpq_ann_probe",  # IVFADC-proper:
+    #   PQ trained on residuals vs the coarse centroid
     "embedding_quantize_int8": "ivfpq_ann_probe",
     "quantized_rerank_topk": "ivfpq_ann_probe",  # compressed-first
     #   scoring + exact re-rank (ADC sibling); coarse scan via

@@ -10,7 +10,8 @@ from jcf_nb_migration_spark.functions import text as T
 from jcf_nb_migration_spark.functions.similarity import (
     cosine, ivf_ann_probe, ivf_assign, ivf_probe_clusters, kmeans_train,
 )
-from jcf_nb_migration_spark.queries.similarity_search import _sql_cos
+from jcf_nb_migration_spark.queries.similarity_search import (
+    _SQL_IVF_ASSIGNED, _sql_cos, _sql_kmeans_cte)
 from jcf_nb_migration_spark.queries.text_analysis import _SQL_TOKS
 from jcf_nb_migration_spark.registry import query, spread, t
 
@@ -42,63 +43,9 @@ def cached_pq_books(emb, sf_dir: str, m: int, k: int, iters: int):
     return _TRAIN_CACHE[key]
 
 
-def _sql_kmeans_cte(k: int = 8, iters: int = 2) -> str:
-    """CTE chain replaying functions.similarity.kmeans_train exactly:
-    seeds = the k lowest-id vectors; per round, assign by cosine
-    (ties → lowest centroid id) and recompute per-cluster/per-dim
-    means through DECIMAL(18,12) — the same order-independent
-    arithmetic the Spark side uses, so centroids are bit-identical.
-    Exposes ``c{iters}`` (c_id, c_vec) as the trained centroid CTE."""
-    parts = [f"""c0 AS (
-        SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
-        FROM embeddings ORDER BY vec_id LIMIT {k}
-    )"""]
-    for i in range(1, iters + 1):
-        parts.append(f"""scored_{i} AS (
-        SELECT e.vec_id, e.embedding, c.c_id,
-               {_sql_cos('e.embedding', 'c.c_vec')} AS sim
-        FROM embeddings e, c{i - 1} c
-    )""")
-        parts.append(f"""assigned_{i} AS (
-        SELECT vec_id, embedding, c_id AS cluster FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
-            FROM scored_{i}
-        ) WHERE rn = 1
-    )""")
-        parts.append(f"""means_{i} AS (
-        SELECT cluster, dim_idx,
-               CAST(SUM(CAST(component AS DECIMAL(18,12))) AS DOUBLE)
-                   / COUNT(*) AS m
-        FROM (SELECT cluster,
-                     CAST(unnest(range(len(v))) AS INT) AS dim_idx,
-                     unnest(v) AS component
-              FROM (SELECT cluster, embedding::DOUBLE[] AS v
-                    FROM assigned_{i}))
-        GROUP BY cluster, dim_idx
-    )""")
-        parts.append(f"""c{i} AS (
-        SELECT p.c_id, COALESCE(n.v, p.c_vec) AS c_vec
-        FROM c{i - 1} p LEFT JOIN (
-            SELECT cluster AS c_id, list(m ORDER BY dim_idx) AS v
-            FROM means_{i} GROUP BY cluster) n ON n.c_id = p.c_id
-    )""")
-    return ",\n    ".join(parts)
-
-
-_SQL_IVF_ASSIGNED = f"""{_sql_kmeans_cte(8, 2)},
-    scored AS (
-        SELECT e.vec_id, e.embedding, c.c_id,
-               {_sql_cos('e.embedding', 'c.c_vec')} AS sim
-        FROM embeddings e, c2 c
-    ),
-    assigned AS (
-        SELECT vec_id, embedding, c_id AS cluster FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
-            FROM scored
-        ) WHERE rn = 1
-    )"""
+# _sql_kmeans_cte / _SQL_IVF_ASSIGNED moved to
+# queries.similarity_search (residual-PQ oracle composes them there);
+# re-imported above for this module's oracles and curation_ops.
 
 
 @query(

@@ -22,6 +22,67 @@ def _sql_cos(a: str, b: str) -> str:
             f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))")
 
 
+def _sql_kmeans_cte(k: int = 8, iters: int = 2) -> str:
+    """CTE chain replaying functions.similarity.kmeans_train exactly:
+    seeds = the k lowest-id vectors; per round, assign by cosine
+    (ties → lowest centroid id) and recompute per-cluster/per-dim
+    means through DECIMAL(18,12) — the same order-independent
+    arithmetic the Spark side uses, so centroids are bit-identical.
+    Exposes ``c{iters}`` (c_id, c_vec) as the trained centroid CTE.
+    (Lives here rather than advanced2 so the residual-PQ oracle below
+    can compose it without a circular import; advanced2 re-imports.)"""
+    parts = [f"""c0 AS (
+        SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
+        FROM embeddings ORDER BY vec_id LIMIT {k}
+    )"""]
+    for i in range(1, iters + 1):
+        parts.append(f"""scored_{i} AS (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               {_sql_cos('e.embedding', 'c.c_vec')} AS sim
+        FROM embeddings e, c{i - 1} c
+    )""")
+        parts.append(f"""assigned_{i} AS (
+        SELECT vec_id, embedding, c_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+            FROM scored_{i}
+        ) WHERE rn = 1
+    )""")
+        parts.append(f"""means_{i} AS (
+        SELECT cluster, dim_idx,
+               CAST(SUM(CAST(component AS DECIMAL(18,12))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM (SELECT cluster,
+                     CAST(unnest(range(len(v))) AS INT) AS dim_idx,
+                     unnest(v) AS component
+              FROM (SELECT cluster, embedding::DOUBLE[] AS v
+                    FROM assigned_{i}))
+        GROUP BY cluster, dim_idx
+    )""")
+        parts.append(f"""c{i} AS (
+        SELECT p.c_id, COALESCE(n.v, p.c_vec) AS c_vec
+        FROM c{i - 1} p LEFT JOIN (
+            SELECT cluster AS c_id, list(m ORDER BY dim_idx) AS v
+            FROM means_{i} GROUP BY cluster) n ON n.c_id = p.c_id
+    )""")
+    return ",\n    ".join(parts)
+
+
+_SQL_IVF_ASSIGNED = f"""{_sql_kmeans_cte(8, 2)},
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               {_sql_cos('e.embedding', 'c.c_vec')} AS sim
+        FROM embeddings e, c2 c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, c_id AS cluster FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, c_id) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )"""
+
+
 @query(
     "ann_brute_force_topk",
     oracle=f"""
@@ -351,17 +412,19 @@ def _sql_sqdist(a: str, b: str) -> str:
 
 
 def _sql_kmeans_l2_cte(pfx: str, lo: int, sd: int,
-                       k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+                       k: int = PQ_K, iters: int = PQ_ITERS,
+                       src: str = "embeddings",
+                       vec_expr: str = "embedding::DOUBLE[]") -> str:
     """CTE chain replaying kmeans_train_l2 on the [lo, lo+sd) slice of
-    the embedding (1-based inclusive DuckDB slice ≡ F.slice):
-    seeds = k lowest ids, assignment by (sqdist ASC, c_id ASC),
-    means through DECIMAL(18,12) — mirrors _sql_kmeans_cte but with
-    the L2 metric PQ codebooks require. Exposes ``{pfx}sub`` (vec_id,
-    v) and ``{pfx}c{iters}`` (c_id, c_vec)."""
+    ``vec_expr`` over ``src`` (1-based inclusive DuckDB slice ≡
+    F.slice): seeds = k lowest ids, assignment by (sqdist ASC, c_id
+    ASC), means through DECIMAL(18,12) — mirrors _sql_kmeans_cte but
+    with the L2 metric PQ codebooks require. Exposes ``{pfx}sub``
+    (vec_id, v) and ``{pfx}c{iters}`` (c_id, c_vec)."""
     hi = lo + sd - 1
     parts = [f"""{pfx}sub AS (
-        SELECT vec_id, (embedding::DOUBLE[])[{lo}:{hi}] AS v
-        FROM embeddings
+        SELECT vec_id, ({vec_expr})[{lo}:{hi}] AS v
+        FROM {src}
     )""", f"""{pfx}c0 AS (
         SELECT vec_id AS c_id, v AS c_vec
         FROM {pfx}sub ORDER BY vec_id LIMIT {k}
@@ -696,3 +759,108 @@ def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_cos"), "neighbor_id")
         .limit(10)
     )
+
+
+def _sql_residual_pq_oracle() -> str:
+    """IVFADC-proper oracle: coarse cosine k-means (bit-exact replay,
+    _SQL_IVF_ASSIGNED above), per-vector RESIDUAL vs the assigned
+    centroid, then the PQ training/encoding chains run over residual
+    slices instead of raw slices."""
+    chains, encs = [], []
+    for s in range(PQ_M):
+        pfx = f"r{s}_"
+        chains.append(_sql_kmeans_l2_cte(
+            pfx, s * _PQ_SD + 1, _PQ_SD, src="res", vec_expr="rvec"))
+        encs.append(f"""{pfx}enc AS (
+        SELECT vec_id, c_id AS code_{s} FROM (
+            SELECT e.vec_id, c.c_id, ROW_NUMBER() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY {_sql_sqdist('e.v', 'c.c_vec')}, c_id) AS rn
+            FROM {pfx}sub e, {pfx}c{PQ_ITERS} c
+        ) WHERE rn = 1
+    )""")
+    joins = " ".join(
+        f"JOIN r{s}_enc USING (vec_id)" for s in range(1, PQ_M))
+    cols = ", ".join(f"code_{s}" for s in range(PQ_M))
+    body = ",\n    ".join(chains + encs)
+    return f"""
+    WITH {_SQL_IVF_ASSIGNED},
+    res AS (
+        SELECT a.vec_id, a.cluster,
+               list_transform(
+                   list_zip(a.embedding::DOUBLE[], c.c_vec),
+                   x -> x[1] - x[2]) AS rvec
+        FROM assigned a JOIN c2 c ON c.c_id = a.cluster
+    ),
+    {body}
+    SELECT r.vec_id, res.cluster, {cols}
+    FROM r0_enc r {joins} JOIN res ON res.vec_id = r.vec_id
+    ORDER BY r.vec_id
+    """
+
+
+def _residual_frame(spark: SparkSession, sf_dir: str):
+    """(vec_id, cluster, rvec): each vector's residual against its
+    trained coarse centroid — the quantity IVFADC encodes. Centroids
+    come back as driver-held floats (control plane) and re-enter as a
+    broadcast 8-row frame, so the subtraction is one codegen'd
+    zip_with per row using the IDENTICAL doubles DuckDB's centroid
+    CTE derives."""
+    from jcf_nb_migration_spark.queries.advanced2 import cached_kmeans
+
+    emb = t(spark, sf_dir, "embeddings")
+    rows = S._centroid_rows(cached_kmeans(emb, sf_dir, 8, 2))
+    assigned = S.ivf_assign(emb, rows)
+    cent = spark.createDataFrame(
+        [(cid, vec) for cid, vec in rows],
+        "cluster bigint, c_vec array<double>")
+    return (assigned.join(F.broadcast(cent), "cluster")
+            .select("vec_id", "cluster",
+                    F.zip_with(S.as_double(F.col("embedding")),
+                               F.col("c_vec"),
+                               lambda a, b: a - b).alias("rvec")))
+
+
+_RES_BOOKS_CACHE: dict = {}
+
+
+@query(
+    "ivfpq_residual_codes",
+    oracle=_sql_residual_pq_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "residual", "ivfadc"),
+    # residual sibling of pq_codes / ivfpq_ann_probe (both patterns
+    # driver-visible via ivfpq_ann_probe)
+    driver_visible=False,
+)
+def ivfpq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-proper encoding (the FAISS IVF-PQ default): PQ codebooks
+    are trained on RESIDUALS (vector − assigned coarse centroid), not
+    raw vectors. Residuals have most of the coarse structure removed,
+    so the same {PQ_K}-codeword budget spends its resolution on the
+    fine detail — the standard accuracy win over raw-vector PQ
+    (ivfpq_ann_probe / pq_codes keep the raw variant for contrast).
+    Pipeline: trained cosine coarse quantizer → broadcast-centroid
+    residual (one codegen'd zip_with) → per-subspace L2 Lloyd on
+    residual slices → argmin encode. Every stage replays bit-exactly
+    in the oracle (coarse CTE + residual CTE + per-subspace training
+    CTEs), so codes — integer argmins over doubles — are
+    hash-exact cross-engine. At 100 TB: codebooks and centroids are
+    driver control plane; encoding is one scan; the (cluster, codes)
+    table IS the index you partition by cluster on disk
+    (io/layout.ivf_index_write)."""
+    key = ("pq_res", sf_dir, PQ_M, PQ_K, PQ_ITERS)
+    # PQ training makes m·(iters+1) aggregate passes over the residual
+    # frame, whose lineage embeds the coarse assignment — persist it so
+    # training reads a materialized table, not the re-derived pipeline
+    # (the minhash_lsh_dedup persist rationale).
+    res = _residual_frame(spark, sf_dir).persist()
+    if key not in _RES_BOOKS_CACHE:
+        _RES_BOOKS_CACHE[key] = S.pq_train(
+            res, m=PQ_M, k=PQ_K, iters=PQ_ITERS, vec_col="rvec")
+    books = _RES_BOOKS_CACHE[key]
+    enc = S.pq_encode(res, books, vec_col="rvec")
+    return (enc.join(res.select("vec_id", "cluster"), "vec_id")
+            .select("vec_id", "cluster",
+                    *[F.col("codes")[s].alias(f"code_{s}")
+                      for s in range(PQ_M)])
+            .orderBy("vec_id"))
