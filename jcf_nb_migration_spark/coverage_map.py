@@ -36,6 +36,8 @@ COVERED_BY: dict[str, str] = {
     "pq_codes": "ivfpq_ann_probe",
     "ivfpq_residual_codes": "ivfpq_ann_probe",  # IVFADC-proper:
     #   PQ trained on residuals vs the coarse centroid
+    "ivfadc_residual_probe": "ivfpq_ann_probe",  # the residual-index
+    #   ADC read path (reconstruction-gain test in test_ann)
     "embedding_quantize_int8": "ivfpq_ann_probe",
     "quantized_rerank_topk": "ivfpq_ann_probe",  # compressed-first
     #   scoring + exact re-rank (ADC sibling); coarse scan via

@@ -761,11 +761,13 @@ def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_residual_pq_oracle() -> str:
-    """IVFADC-proper oracle: coarse cosine k-means (bit-exact replay,
-    _SQL_IVF_ASSIGNED above), per-vector RESIDUAL vs the assigned
-    centroid, then the PQ training/encoding chains run over residual
-    slices instead of raw slices."""
+def _sql_residual_body() -> str:
+    """Shared WITH-body for the residual-PQ oracles: coarse cosine
+    k-means (bit-exact replay, _SQL_IVF_ASSIGNED above), per-vector
+    RESIDUAL vs the assigned centroid, then the PQ training/encoding
+    chains over residual slices. Exposes ``res`` (vec_id, cluster,
+    rvec), ``r{s}_enc`` (vec_id, code_{s}) and ``r{s}_c{PQ_ITERS}``
+    (the trained residual codebooks)."""
     chains, encs = [], []
     for s in range(PQ_M):
         pfx = f"r{s}_"
@@ -779,12 +781,8 @@ def _sql_residual_pq_oracle() -> str:
             FROM {pfx}sub e, {pfx}c{PQ_ITERS} c
         ) WHERE rn = 1
     )""")
-    joins = " ".join(
-        f"JOIN r{s}_enc USING (vec_id)" for s in range(1, PQ_M))
-    cols = ", ".join(f"code_{s}" for s in range(PQ_M))
     body = ",\n    ".join(chains + encs)
-    return f"""
-    WITH {_SQL_IVF_ASSIGNED},
+    return f"""{_SQL_IVF_ASSIGNED},
     res AS (
         SELECT a.vec_id, a.cluster,
                list_transform(
@@ -792,10 +790,61 @@ def _sql_residual_pq_oracle() -> str:
                    x -> x[1] - x[2]) AS rvec
         FROM assigned a JOIN c2 c ON c.c_id = a.cluster
     ),
-    {body}
+    {body}"""
+
+
+def _sql_residual_pq_oracle() -> str:
+    joins = " ".join(
+        f"JOIN r{s}_enc USING (vec_id)" for s in range(1, PQ_M))
+    cols = ", ".join(f"code_{s}" for s in range(PQ_M))
+    return f"""
+    WITH {_sql_residual_body()}
     SELECT r.vec_id, res.cluster, {cols}
     FROM r0_enc r {joins} JOIN res ON res.vec_id = r.vec_id
     ORDER BY r.vec_id
+    """
+
+
+def _sql_residual_adc_oracle() -> str:
+    """The IVFADC read path on the residual index: the probe's OWN
+    residual row (its cluster + residual) selects the candidate set
+    and feeds per-subspace squared distances against each candidate's
+    residual CODEWORD; terms sum left-to-right like the Spark side."""
+    enc_joins = " ".join(
+        f"JOIN r{s}_enc USING (vec_id)" for s in range(1, PQ_M))
+    book_joins = " ".join(
+        f"JOIN r{s}_c{PQ_ITERS} b{s} ON b{s}.c_id = c.code_{s}"
+        for s in range(PQ_M))
+    terms = []
+    for s in range(PQ_M):
+        lo, hi = s * _PQ_SD + 1, (s + 1) * _PQ_SD
+        terms.append(
+            _sql_sqdist(f"(p.rvec)[{lo}:{hi}]", f"b{s}.c_vec"))
+    adc = "(" + ") + (".join(terms) + ")"
+    return f"""
+    WITH {_sql_residual_body()},
+    enc AS (
+        SELECT r0_enc.vec_id, {', '.join(f'code_{s}' for s in range(PQ_M))}
+        FROM r0_enc {enc_joins}
+    ),
+    probe AS (SELECT vec_id, cluster, rvec FROM res WHERE vec_id = 0),
+    cand AS (
+        SELECT res.vec_id, res.cluster, e.*
+        FROM res JOIN enc e ON e.vec_id = res.vec_id, probe p
+        WHERE res.cluster = p.cluster AND res.vec_id <> 0
+    ),
+    adc_scored AS (
+        SELECT c.vec_id AS neighbor_id, c.cluster,
+               ROUND({adc}, 9) AS adc
+        FROM cand c, probe p {book_joins}
+    )
+    SELECT s.neighbor_id, s.cluster, s.adc,
+           {_sql_cos('b.embedding', 'a.embedding')} AS cos_exact
+    FROM adc_scored s
+    JOIN embeddings b ON b.vec_id = s.neighbor_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+    ORDER BY s.adc, s.neighbor_id
+    LIMIT 10
     """
 
 
@@ -864,3 +913,72 @@ def ivfpq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     *[F.col("codes")[s].alias(f"code_{s}")
                       for s in range(PQ_M)])
             .orderBy("vec_id"))
+
+
+@query(
+    "ivfadc_residual_probe",
+    oracle=_sql_residual_adc_oracle(),
+    tags=("similarity", "ann", "ivf", "pq", "residual", "adc",
+          "composed"),
+    # read-path sibling of ivfpq_ann_probe (driver-visible) over the
+    # residual index built by ivfpq_residual_codes
+    driver_visible=False,
+)
+def ivfadc_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete IVFADC read path on the RESIDUAL index: the probe
+    routes to its coarse cluster, its residual against THAT cluster's
+    centroid feeds per-subspace distance tables over the residual
+    codebooks, and only the cluster's candidates are scored — each by
+    {PQ_M} table lookups on its codes instead of its raw vector.
+    Exact cosine rides along for re-ranking, as in ivfpq_ann_probe;
+    the difference is that both codebooks and lookups operate on
+    residuals, which is what makes the ADC approximation tight (see
+    test_residual_pq_reconstructs_better). ADC terms sum in a fixed
+    left-to-right order, so the ranking — and the top-10 cut — is
+    bit-exact cross-engine."""
+    key = ("pq_res", sf_dir, PQ_M, PQ_K, PQ_ITERS)
+    res = _residual_frame(spark, sf_dir).persist()
+    if key not in _RES_BOOKS_CACHE:
+        _RES_BOOKS_CACHE[key] = S.pq_train(
+            res, m=PQ_M, k=PQ_K, iters=PQ_ITERS, vec_col="rvec")
+    books = _RES_BOOKS_CACHE[key]
+    enc = S.pq_encode(res, books, vec_col="rvec")
+    corpus = res.join(enc.select("vec_id", "codes"), "vec_id")
+    probe = F.broadcast(
+        res.where(F.col("vec_id") == 0)
+        .select(F.col("cluster").alias("pcluster"),
+                F.col("rvec").alias("prvec")))
+    cand = (corpus.crossJoin(probe)
+            .where((F.col("cluster") == F.col("pcluster"))
+                   & (F.col("vec_id") != 0)))
+    sd = _PQ_SD
+    adc_terms = []
+    for s, book in enumerate(books):
+        dists = F.array(*[
+            S.sqdist(F.slice(F.col("prvec"), s * sd + 1, sd),
+                     F.array(*[F.lit(x) for x in cvec]))
+            for _cid, cvec in book])
+        adc_terms.append(
+            F.element_at(dists, (F.col("codes")[s] + 1).cast("int")))
+    adc = adc_terms[0]
+    for term in adc_terms[1:]:
+        adc = adc + term
+    # round(x, 9): at sf0.1 cluster sums carry ~16+ digits, so the
+    # codeword means' decimal->double conversion can differ by 1 ulp
+    # across engines (codes survive, raw distances don't) — the same
+    # guard ivfpq_ann_probe ships (functions/similarity.py:560).
+    scored = cand.select(
+        F.col("vec_id").alias("neighbor_id"), "cluster",
+        F.round(adc, 9).alias("adc"))
+    emb = t(spark, sf_dir, "embeddings")
+    praw = F.broadcast(emb.where(F.col("vec_id") == 0)
+                       .select(F.col("embedding").alias("pvec")))
+    return (scored
+            .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                             "embedding"), "neighbor_id")
+            .crossJoin(praw)
+            .select("neighbor_id", "cluster", "adc",
+                    S.cosine(F.col("embedding"), F.col("pvec"))
+                     .alias("cos_exact"))
+            .orderBy("adc", "neighbor_id")
+            .limit(10))
