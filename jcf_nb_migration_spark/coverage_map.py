@@ -38,6 +38,10 @@ COVERED_BY: dict[str, str] = {
     #   PQ trained on residuals vs the coarse centroid
     "ivfadc_residual_probe": "ivfpq_ann_probe",  # the residual-index
     #   ADC read path (reconstruction-gain test in test_ann)
+    "ivfadc_residual_multiprobe": "ivfpq_ann_probe",  # nprobe=2 with
+    #   per-probed-cluster residuals
+    "triplet_mining_ann": "hard_negative_mining_ann",  # same candidate
+    #   generator, positive+negative windows joined
     "embedding_quantize_int8": "ivfpq_ann_probe",
     "quantized_rerank_topk": "ivfpq_ann_probe",  # compressed-first
     #   scoring + exact re-rank (ADC sibling); coarse scan via

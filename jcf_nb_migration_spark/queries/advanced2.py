@@ -523,3 +523,72 @@ def ivfpq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = cached_kmeans(emb, sf_dir)
     books = cached_pq_books(emb, sf_dir, PQ_M, PQ_K, PQ_ITERS)
     return _ivfpq(emb, centroids, books, probe_id=0, k=10)
+
+
+@query(
+    "triplet_mining_ann",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGNED},
+    {_SQL_PROBE_CLUSTERS},
+    pos AS (
+        SELECT probe_id, neighbor_id AS positive_id, cos_sim AS pos_cos
+        FROM (
+            SELECT probe_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM cand WHERE label = true_label
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT probe_id, neighbor_id AS negative_id, cos_sim AS neg_cos
+        FROM (
+            SELECT probe_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY probe_id
+                       ORDER BY cos_sim DESC, neighbor_id) AS rn
+            FROM cand WHERE label <> true_label
+        ) WHERE rn = 1
+    )
+    SELECT p.probe_id, p.positive_id, n.negative_id,
+           p.pos_cos, n.neg_cos, p.pos_cos - n.neg_cos AS margin
+    FROM pos p JOIN neg n USING (probe_id)
+    ORDER BY p.probe_id
+    """,
+    tags=("similarity", "contrastive", "triplet", "ann", "composed"),
+    # same candidate generator as knn_ann_label_propagation /
+    # hard_negative_mining_ann (both driver-visible)
+    driver_visible=False,
+)
+def triplet_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-triplet assembly from the ANN index: for each seed
+    probe, its hardest POSITIVE (most similar same-label candidate)
+    and hardest NEGATIVE (most similar wrong-label candidate) from
+    the nprobe=2 cluster shortlist, plus the triplet margin
+    (pos_cos − neg_cos) a contrastive loss would see. One broadcast
+    equi-join produces candidates for the whole probe batch; both
+    rankings are per-probe windows over that one candidate set — the
+    miner never rescans the corpus. Probes whose shortlist lacks a
+    same-label or wrong-label candidate drop out (inner join) —
+    deterministic, and exactly what a margin-based sampler does with
+    unusable anchors."""
+    cand = _ann_candidates(spark, sf_dir)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), "neighbor_id")
+    pos = (cand.where(F.col("label") == F.col("true_label"))
+           .withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("probe_id",
+                   F.col("neighbor_id").alias("positive_id"),
+                   F.col("cos_sim").alias("pos_cos")))
+    neg = (cand.where(F.col("label") != F.col("true_label"))
+           .withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("probe_id",
+                   F.col("neighbor_id").alias("negative_id"),
+                   F.col("cos_sim").alias("neg_cos")))
+    return (pos.join(neg, "probe_id")
+            .select("probe_id", "positive_id", "negative_id",
+                    "pos_cos", "neg_cos",
+                    (F.col("pos_cos") - F.col("neg_cos")).alias("margin"))
+            .orderBy("probe_id"))

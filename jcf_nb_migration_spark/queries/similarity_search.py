@@ -982,3 +982,140 @@ def ivfadc_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("cos_exact"))
             .orderBy("adc", "neighbor_id")
             .limit(10))
+
+
+def _sql_residual_adc_multiprobe_oracle(nprobe: int = 2) -> str:
+    """nprobe>1 IVFADC: the probe's residual is computed PER PROBED
+    CLUSTER (p − that cluster's centroid) — using one residual for
+    every probed cluster is the classic implementation bug; ADC
+    values approximate ||p − (centroid + codeword)||² so they stay
+    comparable across clusters."""
+    enc_joins = " ".join(
+        f"JOIN r{s}_enc USING (vec_id)" for s in range(1, PQ_M))
+    book_joins = " ".join(
+        f"JOIN r{s}_c{PQ_ITERS} b{s} ON b{s}.c_id = c.code_{s}"
+        for s in range(PQ_M))
+    terms = []
+    for s in range(PQ_M):
+        lo, hi = s * _PQ_SD + 1, (s + 1) * _PQ_SD
+        terms.append(
+            _sql_sqdist(f"(c.prvec)[{lo}:{hi}]", f"b{s}.c_vec"))
+    adc = "(" + ") + (".join(terms) + ")"
+    return f"""
+    WITH {_sql_residual_body()},
+    enc AS (
+        SELECT r0_enc.vec_id, {', '.join(f'code_{s}' for s in range(PQ_M))}
+        FROM r0_enc {enc_joins}
+    ),
+    praw AS (
+        SELECT embedding::DOUBLE[] AS pvec FROM embeddings
+        WHERE vec_id = 0
+    ),
+    pshort AS (
+        SELECT c_id AS cluster, c_vec FROM (
+            SELECT c.c_id, c.c_vec, ROW_NUMBER() OVER (
+                ORDER BY {_sql_cos('p.pvec', 'c.c_vec')} DESC, c.c_id)
+                AS rn
+            FROM praw p, c2 c
+        ) WHERE rn <= {nprobe}
+    ),
+    pres AS (
+        SELECT s.cluster,
+               list_transform(list_zip(p.pvec, s.c_vec),
+                              x -> x[1] - x[2]) AS prvec
+        FROM pshort s, praw p
+    ),
+    mcand AS (
+        SELECT res.vec_id, res.cluster, pr.prvec,
+               {', '.join(f'e.code_{s}' for s in range(PQ_M))}
+        FROM res
+        JOIN enc e ON e.vec_id = res.vec_id
+        JOIN pres pr ON pr.cluster = res.cluster
+        WHERE res.vec_id <> 0
+    ),
+    mscored AS (
+        SELECT c.vec_id AS neighbor_id, c.cluster,
+               ROUND({adc}, 9) AS adc
+        FROM mcand c {book_joins}
+    )
+    SELECT s.neighbor_id, s.cluster, s.adc,
+           {_sql_cos('b.embedding', 'a.embedding')} AS cos_exact
+    FROM mscored s
+    JOIN embeddings b ON b.vec_id = s.neighbor_id
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+    ORDER BY s.adc, s.neighbor_id
+    LIMIT 10
+    """
+
+
+@query(
+    "ivfadc_residual_multiprobe",
+    oracle=_sql_residual_adc_multiprobe_oracle(2),
+    tags=("similarity", "ann", "ivf", "pq", "residual", "adc",
+          "multiprobe", "composed"),
+    # nprobe=2 variant of ivfadc_residual_probe; recall sibling
+    # ivf_ann_multiprobe (pattern driver-visible via ivfpq_ann_probe)
+    driver_visible=False,
+)
+def ivfadc_residual_multiprobe(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Multi-probe IVFADC (nprobe=2) on the residual index — with the
+    subtlety single-residual implementations get wrong: the probe's
+    residual is recomputed PER PROBED CLUSTER (p − that cluster's
+    centroid), because the codes in each cluster encode residuals
+    against THEIR centroid. ADC ≈ ||p − (centroid + codeword)||², so
+    scores stay comparable across the two probed clusters and one
+    global top-10 cut is sound. Plan: the 2-row (cluster, residual)
+    probe table broadcasts against the cluster-partitioned coded
+    corpus — reading two clusters' files at scale, never the corpus."""
+    key = ("pq_res", sf_dir, PQ_M, PQ_K, PQ_ITERS)
+    res = _residual_frame(spark, sf_dir).persist()
+    if key not in _RES_BOOKS_CACHE:
+        _RES_BOOKS_CACHE[key] = S.pq_train(
+            res, m=PQ_M, k=PQ_K, iters=PQ_ITERS, vec_col="rvec")
+    books = _RES_BOOKS_CACHE[key]
+    enc = S.pq_encode(res, books, vec_col="rvec")
+    corpus = res.select("vec_id", "cluster").join(
+        enc.select("vec_id", "codes"), "vec_id")
+
+    from jcf_nb_migration_spark.queries.advanced2 import cached_kmeans
+    emb = t(spark, sf_dir, "embeddings")
+    rows = S._centroid_rows(cached_kmeans(emb, sf_dir, 8, 2))
+    probe = (emb.where(F.col("vec_id") == 0)
+             .select(F.col("embedding").alias("pvec")))
+    pshort = S.ivf_probe_clusters(probe, rows, vec_col="pvec", nprobe=2)
+    cent = spark.createDataFrame(
+        [(cid, vec) for cid, vec in rows],
+        "cluster bigint, c_vec array<double>")
+    pres = (pshort.join(cent, "cluster")
+            .select("cluster",
+                    F.zip_with(S.as_double(F.col("pvec")),
+                               F.col("c_vec"),
+                               lambda a, b: a - b).alias("prvec")))
+    cand = (corpus.join(F.broadcast(pres), "cluster")
+            .where(F.col("vec_id") != 0))
+    sd = _PQ_SD
+    adc_terms = []
+    for s, book in enumerate(books):
+        dists = F.array(*[
+            S.sqdist(F.slice(F.col("prvec"), s * sd + 1, sd),
+                     F.array(*[F.lit(x) for x in cvec]))
+            for _cid, cvec in book])
+        adc_terms.append(
+            F.element_at(dists, (F.col("codes")[s] + 1).cast("int")))
+    adc = adc_terms[0]
+    for term in adc_terms[1:]:
+        adc = adc + term
+    scored = cand.select(F.col("vec_id").alias("neighbor_id"),
+                         "cluster", F.round(adc, 9).alias("adc"))
+    praw = F.broadcast(emb.where(F.col("vec_id") == 0)
+                       .select(F.col("embedding").alias("pv")))
+    return (scored
+            .join(emb.select(F.col("vec_id").alias("neighbor_id"),
+                             "embedding"), "neighbor_id")
+            .crossJoin(praw)
+            .select("neighbor_id", "cluster", "adc",
+                    S.cosine(F.col("embedding"), F.col("pv"))
+                     .alias("cos_exact"))
+            .orderBy("adc", "neighbor_id")
+            .limit(10))
