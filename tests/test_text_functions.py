@@ -280,3 +280,56 @@ class TestContainmentPairs:
                      docs, "doc_id", "text", 0.8, 3,
                      max_df=10**9).collect()}
         assert blocked == brute and brute
+
+
+class TestParagraphDedup:
+    def test_reassembly_lossless_for_unique_docs(self, spark):
+        """A document none of whose chunks duplicate anything must come
+        back VERBATIM (token-normalized): chunk split + survivor pick
+        + ordered reassembly is lossless when nothing is dropped."""
+        from jcf_nb_migration_spark.queries.text_analysis import (
+            paragraph_dedup)
+        from jcf_nb_migration_spark.registry import t
+        from tests.conftest import SF_SMALL
+
+        out = paragraph_dedup(spark, SF_SMALL).collect()
+        docs = {r["doc_id"]: r["text"]
+                for r in t(spark, SF_SMALL, "documents").collect()}
+        import re
+        checked = 0
+        for r in out:
+            if r.n_dup_chunks == 0:
+                norm = " ".join(re.split(r"\s+", docs[r.doc_id].strip()))
+                assert r.kept_text == norm, r.doc_id
+                checked += 1
+        assert checked > 0  # the fixture has non-duplicated docs
+
+    def test_planted_cross_doc_chunk_removed(self, spark):
+        """A doc repeating another doc's chunk keeps its own unique
+        chunks but loses the repeated one (C4 semantics)."""
+        from jcf_nb_migration_spark.queries.text_analysis import PARA_W
+        # build two docs sharing one exact 10-word chunk
+        chunk = " ".join(f"w{i}" for i in range(PARA_W))
+        d1 = chunk + " " + " ".join(f"a{i}" for i in range(PARA_W))
+        d2 = chunk + " " + " ".join(f"b{i}" for i in range(PARA_W))
+        df = spark.createDataFrame([(1, d1), (2, d2)],
+                                   "doc_id long, text string")
+        df.createOrReplaceTempView("___pd_tmp")
+        # run the same logic inline via the engine function path
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+        from jcf_nb_migration_spark.functions import text as T
+        d = df.select("doc_id", T.tokens("text").alias("w"))
+        ch = d.select("doc_id", F.posexplode(F.expr(
+            f"transform(sequence(0, (size(w)-1) div {PARA_W}),"
+            f" i -> array_join(slice(w, i*{PARA_W}+1, {PARA_W}), ' '))"
+        )).alias("chunk_idx", "chunk"))
+        packed = F.col("doc_id") * 1000000 + F.col("chunk_idx")
+        marked = ch.select(
+            "doc_id", "chunk_idx", "chunk", packed.alias("p"),
+            F.min(packed).over(W.partitionBy(F.md5("chunk"))).alias("fp"))
+        kept = (marked.where(F.col("p") == F.col("fp"))
+                .groupBy("doc_id").count().collect())
+        got = {r["doc_id"]: r["count"] for r in kept}
+        assert got[1] == 2      # keeps the shared chunk + its own
+        assert got[2] == 1      # loses the shared chunk
