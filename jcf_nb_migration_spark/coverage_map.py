@@ -198,6 +198,8 @@ COVERED_BY: dict[str, str] = {
     "doc_chunk_spans_udtf": "multimodal_frame_sample",  # python
     #   row fan-out surface (UDTF generator vs mapInPandas)
     "grouped_price_model": "multimodal_decode",
+    "weighted_median_gagg": "multimodal_decode",  # GROUPED_AGG
+    #   pandas-UDF surface (scalar-per-group Arrow aggregate)
     "pysource_synthdocs":
         "pytest:test_pysource Python DataSource batch reader (no "
         "visible twin; ordered per-band digest oracle runs locally)",

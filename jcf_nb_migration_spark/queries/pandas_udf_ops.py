@@ -17,6 +17,7 @@ queries; this is covered by the local oracle test instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.registry import query, t
 
@@ -269,3 +270,65 @@ def doc_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         d=docs,
     ).orderBy("doc_id", "chunk_idx")
+
+
+@query(
+    "weighted_median_gagg",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag, l_extendedprice AS p,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
+                   PARTITION BY l_returnflag) AS tw
+        FROM lineitem
+    )
+    SELECT l_returnflag, MIN(p) AS wmedian
+    FROM w WHERE cw * 2 >= tw
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    tags=("pandas-udf", "grouped-agg", "robust-stats"),
+    # the GROUPED_AGG pandas-UDF surface (scalar per group inside
+    # .agg()); physical family = grouped_price_model's per-group Arrow
+    # batch, driver-visible via multimodal_decode
+    driver_visible=False,
+)
+def weighted_median_gagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag via a
+    GROUPED_AGG pandas UDF — the aggregate-UDF API surface (a scalar
+    per group inside ``groupBy().agg()``, complementing applyInPandas
+    which returns frames). The weighted median is ORDINAL: sort by
+    (price, orderkey, linenumber), accumulate integer-scaled weights
+    (quantity·10⁴ — exact, no float cumsum), return the first price
+    whose doubled cumulative weight reaches the total. Pure integer
+    threshold logic on a deterministic order → bit-exact vs the
+    oracle's decimal running-sum formulation. Arrow ships each group
+    as columnar batches; at scale this is a hash-partitioned
+    aggregate whose per-group work is O(n log n) local sort — no
+    different from the window formulation, but expressed through the
+    UDAF surface users extend."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: the module's `from __future__ import
+    # annotations` stringifies type hints, which defeats signature
+    # inference for aggregate pandas UDFs
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wmedian(p, q, ok, ln):
+        import numpy as np
+
+        df = pd.DataFrame({"p": p.values, "q": q.values,
+                           "ok": ok.values, "ln": ln.values})
+        df = df.sort_values(["p", "ok", "ln"], kind="mergesort")
+        w = np.round(df["q"].values * 10000).astype("int64").cumsum()
+        pos = int(np.argmax(2 * w >= w[-1]))
+        return float(df["p"].values[pos])
+
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(wmedian(F.col("l_extendedprice"), F.col("l_quantity"),
+                         F.col("l_orderkey"), F.col("l_linenumber"))
+                 .alias("wmedian"))
+            .orderBy("l_returnflag"))
