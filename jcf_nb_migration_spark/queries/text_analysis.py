@@ -695,17 +695,24 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SQL_SH_CTE},
     freq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-    rare AS (
-        SELECT s.doc_id, s.shingle
-        FROM sh s JOIN freq f ON s.shingle = f.shingle
-        WHERE f.df <= 20
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    prefix AS (
+        SELECT doc_id, shingle FROM (
+            SELECT s.doc_id, s.shingle, z.n_sh,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.doc_id
+                       ORDER BY f.df, s.shingle) AS rn
+            FROM sh s
+            JOIN freq f ON f.shingle = s.shingle
+            JOIN sizes z ON z.doc_id = s.doc_id
+        ) WHERE rn <= n_sh - (4 * n_sh + 4) // 5 + 1
     ),
     cands AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM rare a JOIN rare b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        SELECT DISTINCT LEAST(p.doc_id, s.doc_id) AS id_a,
+                        GREATEST(p.doc_id, s.doc_id) AS id_b
+        FROM prefix p JOIN sh s
+          ON s.shingle = p.shingle AND s.doc_id <> p.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     verified AS (
         SELECT c.id_a, c.id_b, count(*) AS common
         FROM cands c
@@ -723,8 +730,8 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROUND(CAST(common AS DOUBLE) / sb.n_sh, 9)) >= 0.8
     ORDER BY id_a, id_b
     """,
-    tags=("dedup", "containment", "asymmetric"),
-    # rare-shingle candidate equi-join + full-set verify is the
+    tags=("dedup", "containment", "asymmetric", "prefix-filter"),
+    # prefix-filtered candidate equi-join + full-set verify is the
     # minhash_lsh_dedup shuffle graph (driver-visible)
     driver_visible=False,
 )
@@ -732,15 +739,17 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup pairs by shingle-set CONTAINMENT ≥ 0.8 —
     catches a short document embedded in a longer one, which Jaccard
     (and MinHash LSH, its approximation) misses at large size ratios.
-    Candidates from rare shingles only (df ≤ 20 cap bounds the
-    inverted-index join — a contained doc shares ALL its shingles, so
-    one rare shingle suffices to surface the pair); verification
-    counts common shingles over the full sets, exactly, for candidates
-    only. See functions/dedup.py:containment_pairs for the 100 TB
-    scaling argument."""
+    Candidates by PREFIX FILTERING: each doc indexes only its
+    ``n − ceil(0.8·n) + 1`` rarest shingles, provably sufficient by
+    pigeonhole for either containment direction (the PPJoin-family
+    technique); verification counts common shingles over the full
+    sets, exactly, for candidates only. See
+    functions/dedup.py:containment_pairs for the losslessness proof,
+    the measured 100× candidate reduction over a global-df-cap
+    blocker on this fixture, and the 100 TB scaling argument."""
     docs = t(spark, sf_dir, "documents")
     return (D.containment_pairs(docs, "doc_id", "text",
-                                threshold=0.8, n=3, max_df=20)
+                                threshold=0.8, n=3)
             .orderBy("id_a", "id_b"))
 
 

@@ -260,12 +260,11 @@ class TestContainmentPairs:
         assert got[(1, 2)][1] < 0.5           # big is NOT contained
         assert all(k == (1, 2) for k in got)  # no false pairs
 
-    def test_rare_shingle_blocking_is_lossless_on_fixture(self, spark):
-        """On the sf0.001 fixture, candidates from rare shingles
-        (df ≤ 20) recover EXACTLY the brute-force containment pairs —
-        the cap only drops pairs whose every shared shingle is
-        ubiquitous, which planted near-dups never are. (Checked
-        offline at sf0.01 too: 25 pairs, 0 missed.)"""
+    def test_prefix_filtering_is_lossless_on_fixture(self, spark):
+        """Prefix filtering (index each doc's n − ceil(0.8n) + 1
+        rarest shingles) must recover EXACTLY the brute-force
+        containment pairs — the pigeonhole guarantee, checked against
+        the all-shared-shingle-pairs baseline on the fixture."""
         from jcf_nb_migration_spark.functions import dedup as D
         from jcf_nb_migration_spark.registry import t
         from tests.conftest import SF_SMALL
@@ -273,12 +272,11 @@ class TestContainmentPairs:
         docs = t(spark, SF_SMALL, "documents")
         blocked = {(r.id_a, r.id_b)
                    for r in D.containment_pairs(
-                       docs, "doc_id", "text", 0.8, 3, 20).collect()}
-        # brute force: same metric, candidates from ALL shingles
+                       docs, "doc_id", "text", 0.8, 3).collect()}
         brute = {(r.id_a, r.id_b)
                  for r in D.containment_pairs(
                      docs, "doc_id", "text", 0.8, 3,
-                     max_df=10**9).collect()}
+                     prefix_filter=False).collect()}
         assert blocked == brute and brute
 
 
