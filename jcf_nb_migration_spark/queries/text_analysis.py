@@ -584,19 +584,24 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM fps a JOIN fps b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     tags=("dedup", "simhash"),
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairs within Hamming distance 10 of their SimHash — pigeonhole-
-    banded candidate generation (11 disjoint bit bands, equi-join on
-    exact band matches — lossless for this radius) + exact-Hamming
-    verification; the oracle is the naive all-pairs formulation the
-    banding provably equals."""
+    """Pairs within Hamming distance 3 of their 64-bit SimHash — the
+    Manku/Jain/Sarma (WWW 2007) production parameterization —
+    pigeonhole-banded candidate generation (4 disjoint 16-bit bands,
+    equi-join on exact band matches — lossless for this radius) +
+    exact-Hamming verification; the oracle is the naive all-pairs
+    formulation the banding provably equals. (r5: radius tightened
+    from 10 — 11 bands of ≤6 bits collide constantly, and on this
+    fixture's dense fingerprint space radius 10 admits 6 M pairs at
+    sf0.1, an output-bound query; radius 3 is both the published
+    choice and selective: 16-bit bands, ~410 k true pairs.)"""
     docs = t(spark, sf_dir, "documents")
     fps = D.simhash(docs, "doc_id", "text")
-    return D.simhash_near_pairs(fps, "doc_id", max_hamming=10)
+    return D.simhash_near_pairs(fps, "doc_id", max_hamming=3)
 
 
 PARA_W = 10  # words per pseudo-paragraph (the fixture text has no

@@ -15,7 +15,10 @@ import time
 
 DEFAULT = ["minhash_lsh_dedup", "decontaminate_ngrams", "dedup_exact",
            "paragraph_dedup", "doc_containment_pairs",
-           "trigram_backoff_score", "curation_pipeline_e2e"]
+           "trigram_backoff_score", "curation_pipeline_e2e",
+           "simhash_near_pairs", "embedding_dedup_pairs",
+           "knn_ann_label_propagation", "duplicate_spans",
+           "linkgraph_pagerank", "bm25_top_docs", "sequence_packing"]
 
 
 def main() -> int:
