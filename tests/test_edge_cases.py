@@ -48,3 +48,44 @@ def test_query_on_empty_documents(spark, empty_sf_dir, name):
     else:
         assert rows == []
     assert len(out.columns) > 0  # schema survives the empty input
+
+
+class TestNewDedupEdges:
+    def test_containment_single_doc_empty(self, spark):
+        from jcf_nb_migration_spark.functions import dedup as D
+
+        df = spark.createDataFrame(
+            [(1, "only one document here with several words inside")],
+            "doc_id long, text string")
+        assert D.containment_pairs(df, "doc_id", "text").count() == 0
+
+    def test_containment_short_docs_no_crash(self, spark):
+        """Docs below the shingle width produce no shingles and must
+        simply be absent from the pair space."""
+        from jcf_nb_migration_spark.functions import dedup as D
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, ""),
+             (4, "three tokens exactly here now plus padding words")],
+            "doc_id long, text string")
+        rows = D.containment_pairs(df, "doc_id", "text").collect()
+        ids = {i for r in rows for i in (r.id_a, r.id_b)}
+        assert 1 not in ids and 2 not in ids and 3 not in ids
+
+    def test_paragraph_dedup_single_chunk_doc(self, spark):
+        """A doc shorter than one chunk width survives verbatim."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+        from jcf_nb_migration_spark.functions import text as T
+        from jcf_nb_migration_spark.queries.text_analysis import PARA_W
+
+        df = spark.createDataFrame([(7, "tiny doc")],
+                                   "doc_id long, text string")
+        d = df.select("doc_id", T.tokens("text").alias("w"))
+        ch = d.where(F.size("w") > 0).select(
+            "doc_id", F.posexplode(F.expr(
+                f"transform(sequence(0, (size(w)-1) div {PARA_W}),"
+                f" i -> array_join(slice(w, i*{PARA_W}+1, {PARA_W}),"
+                f" ' '))")).alias("chunk_idx", "chunk"))
+        rows = ch.collect()
+        assert len(rows) == 1 and rows[0].chunk == "tiny doc"
