@@ -270,3 +270,32 @@ def test_residual_pq_reconstructs_better(spark):
     # the comparison is apples-to-apples
     assert res_err < raw_err, (res_err, raw_err)
     res.unpersist()
+
+
+def test_residual_adc_recall_not_worse_than_raw(spark):
+    """The residual index exists because residual codes approximate
+    better: the residual ADC top-10 should recover at least as many
+    in-cluster exact top-10 neighbors as the raw-PQ ADC does —
+    asserted on the fixture, not narrated."""
+    from jcf_nb_migration_spark.registry import all_queries
+    from tests.conftest import SF_SMALL
+
+    qs = all_queries()
+    exact_ids = {r.neighbor_id
+                 for r in qs["ivf_ann_probe"].fn(spark, SF_SMALL).collect()}
+    raw = {r.neighbor_id
+           for r in qs["ivfpq_ann_probe"].fn(spark, SF_SMALL).collect()}
+    res = {r.neighbor_id
+           for r in qs["ivfadc_residual_probe"].fn(spark,
+                                                   SF_SMALL).collect()}
+    assert len(res & exact_ids) >= len(raw & exact_ids), (
+        len(res & exact_ids), len(raw & exact_ids))
+    # multiprobe must be a superset-or-equal opportunity: its top-10
+    # draws from two clusters and may only improve exact-neighbor hits
+    mp = {r.neighbor_id
+          for r in qs["ivfadc_residual_multiprobe"].fn(
+              spark, SF_SMALL).collect()}
+    exact_mp = {r.neighbor_id
+                for r in qs["ivf_ann_multiprobe"].fn(
+                    spark, SF_SMALL).collect()}
+    assert len(mp & exact_mp) >= 1
