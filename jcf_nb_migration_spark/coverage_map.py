@@ -177,6 +177,8 @@ COVERED_BY: dict[str, str] = {
     "event_funnel_conversion": "asof_click_before_error",
     "user_cohort_retention": "latest_event_per_user",
     "events_variant_extract": "events_json_bucket",
+    "user_event_type_map": "events_json_bucket",  # typed from_json
+    #   + map HOF chain, canonical sorted rendering
     "events_schema_profile": "events_json_bucket",  # variant_explode
     #   generator + bounded-grid agg; same parse->extract->agg scan
     "session_window_counts": "event_sessionization",

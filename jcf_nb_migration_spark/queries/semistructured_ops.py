@@ -71,3 +71,62 @@ def events_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("val_type").alias("max_type"))
         .orderBy("event_type", "key")
     )
+
+
+@query(
+    "user_event_type_map",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, count(*) AS cnt,
+               SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                   AS k_sum
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(k_sum) AS BIGINT) AS k_total,
+           COALESCE(string_agg(
+               CASE WHEN cnt >= 5
+                    THEN event_type || ':' || CAST(cnt * 2 AS VARCHAR)
+               END, ',' ORDER BY event_type), '') AS busy_map
+    FROM c GROUP BY user_id ORDER BY user_id
+    """,
+    tags=("semistructured", "map-type", "from_json", "hof"),
+    # per-key double aggregate + codegen'd map HOFs; physical family
+    # events_json_bucket (driver-visible)
+    driver_visible=False,
+)
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: per user, a map<event_type, count> is
+    BUILT (map_from_entries over a sorted entry array), FILTERED
+    (map_filter keeps busy event types, count ≥ 5), TRANSFORMED
+    (transform_values doubles them) and RENDERED canonically
+    (sorted map_entries joined k:v) — the full map higher-order
+    function chain, all codegen'd, zero UDFs. The typed-JSON path
+    rides along: props parses through from_json (a real schema, not
+    string extraction) and its k field aggregates per user. Maps hash
+    nondeterministically across engines, so the CONTRACT output is
+    the canonical sorted rendering — the same discipline the array
+    queries use for order-free structures."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"),
+                    StructType([StructField("k", IntegerType())]))["k"]
+    c = (ev.groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).alias("cnt"),
+              F.sum(k).alias("k_sum")))
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("event_type", "cnt"))))
+    busy = F.map_filter(m, lambda _, v: v >= 5)
+    doubled = F.transform_values(busy, lambda _, v: v * 2)
+    rendered = F.array_join(
+        F.transform(F.array_sort(F.map_entries(doubled)),
+                    lambda e: F.concat_ws(":", e.key,
+                                          e.value.cast("string"))),
+        ",")
+    return (c.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_types"),
+                 F.sum("k_sum").alias("k_total"),
+                 rendered.alias("busy_map"))
+            .orderBy("user_id"))
