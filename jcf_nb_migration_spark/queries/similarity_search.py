@@ -871,6 +871,18 @@ def _residual_frame(spark: SparkSession, sf_dir: str):
 
 
 _RES_BOOKS_CACHE: dict = {}
+_RES_FRAME_CACHE: dict = {}
+
+
+def _cached_residual(spark: SparkSession, sf_dir: str):
+    """One persisted residual frame per fixture dir, shared by the
+    three residual-index queries (codes / probe / multiprobe) — PQ
+    training alone makes m·(iters+1) passes over it, and without the
+    memo each query re-persists its own copy (session-lifetime cache
+    growth, the dup_clusters_lsh lesson)."""
+    if sf_dir not in _RES_FRAME_CACHE:
+        _RES_FRAME_CACHE[sf_dir] = _residual_frame(spark, sf_dir).persist()
+    return _RES_FRAME_CACHE[sf_dir]
 
 
 @query(
@@ -898,11 +910,7 @@ def ivfpq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     table IS the index you partition by cluster on disk
     (io/layout.ivf_index_write)."""
     key = ("pq_res", sf_dir, PQ_M, PQ_K, PQ_ITERS)
-    # PQ training makes m·(iters+1) aggregate passes over the residual
-    # frame, whose lineage embeds the coarse assignment — persist it so
-    # training reads a materialized table, not the re-derived pipeline
-    # (the minhash_lsh_dedup persist rationale).
-    res = _residual_frame(spark, sf_dir).persist()
+    res = _cached_residual(spark, sf_dir)
     if key not in _RES_BOOKS_CACHE:
         _RES_BOOKS_CACHE[key] = S.pq_train(
             res, m=PQ_M, k=PQ_K, iters=PQ_ITERS, vec_col="rvec")
@@ -937,7 +945,7 @@ def ivfadc_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right order, so the ranking — and the top-10 cut — is
     bit-exact cross-engine."""
     key = ("pq_res", sf_dir, PQ_M, PQ_K, PQ_ITERS)
-    res = _residual_frame(spark, sf_dir).persist()
+    res = _cached_residual(spark, sf_dir)
     if key not in _RES_BOOKS_CACHE:
         _RES_BOOKS_CACHE[key] = S.pq_train(
             res, m=PQ_M, k=PQ_K, iters=PQ_ITERS, vec_col="rvec")
@@ -1069,7 +1077,7 @@ def ivfadc_residual_multiprobe(spark: SparkSession,
     probe table broadcasts against the cluster-partitioned coded
     corpus — reading two clusters' files at scale, never the corpus."""
     key = ("pq_res", sf_dir, PQ_M, PQ_K, PQ_ITERS)
-    res = _residual_frame(spark, sf_dir).persist()
+    res = _cached_residual(spark, sf_dir)
     if key not in _RES_BOOKS_CACHE:
         _RES_BOOKS_CACHE[key] = S.pq_train(
             res, m=PQ_M, k=PQ_K, iters=PQ_ITERS, vec_col="rvec")
