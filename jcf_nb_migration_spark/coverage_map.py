@@ -117,6 +117,8 @@ COVERED_BY: dict[str, str] = {
     "user_active_streaks": "latest_event_per_user",  # per-key window
     #   + key-reusing groupBys (gaps-and-islands)
     "dq_expectations": "table_counts",  # fused conditional-agg report
+    "daily_volume_anomalies": "table_counts",  # integer-exact moment
+    #   rollup broadcast back (volume/freshness monitor)
     "source_embedding_drift": "pricing_summary",
     "source_report_card": "pricing_summary",
     "price_histogram": "price_quantiles",

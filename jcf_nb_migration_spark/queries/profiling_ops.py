@@ -858,3 +858,56 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("join_key")
+
+
+@query(
+    "daily_volume_anomalies",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS sn,
+               CAST(SUM(n * n) AS BIGINT) AS snn
+        FROM d
+    )
+    SELECT CAST(day AS VARCHAR) AS day, n,
+           ROUND(n - CAST(sn AS DOUBLE) / k, 9) AS dev,
+           ((n - CAST(sn AS DOUBLE) / k)
+            * (n - CAST(sn AS DOUBLE) / k))
+           > 4.0 * (CAST(snn AS DOUBLE) / k
+                    - (CAST(sn AS DOUBLE) / k)
+                      * (CAST(sn AS DOUBLE) / k)) AS is_anomaly
+    FROM d, s ORDER BY day
+    """,
+    tags=("profiling", "anomaly", "dq", "observability"),
+    # per-day count + 1-row moment rollup broadcast back — the
+    # dq_expectations / table_counts physical family
+    driver_visible=False,
+)
+def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection over daily event counts — the
+    freshness/volume monitor a data-quality layer runs on every
+    ingest: flag days whose count deviates from the corpus mean by
+    more than 2σ. All moments derive from INTEGER sums (Σn, Σn²
+    over bigint day-counts — exact in any order), so μ and σ² are
+    single deterministic double divisions and the 2σ test is written
+    in squared form ((n−μ)² > 4σ²) — no sqrt, no library-dependent
+    rounding, bit-identical across engines. One groupBy(day), one
+    single-row moment rollup joined back as a broadcast scalar."""
+    ev = t(spark, sf_dir, "events")
+    d = (ev.select(F.to_date("ts").alias("day"))
+         .groupBy("day").agg(F.count(F.lit(1)).alias("n")))
+    s = d.agg(F.count(F.lit(1)).alias("k"),
+              F.sum("n").alias("sn"),
+              F.sum(F.col("n") * F.col("n")).alias("snn"))
+    mu = F.col("sn").cast("double") / F.col("k")
+    var = (F.col("snn").cast("double") / F.col("k")) - mu * mu
+    return (d.crossJoin(F.broadcast(s))
+            .select(F.col("day").cast("string").alias("day"), "n",
+                    F.round(F.col("n") - mu, 9).alias("dev"),
+                    (((F.col("n") - mu) * (F.col("n") - mu))
+                     > 4.0 * var).alias("is_anomaly"))
+            .orderBy("day"))
