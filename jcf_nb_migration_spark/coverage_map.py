@@ -77,6 +77,8 @@ COVERED_BY: dict[str, str] = {
     "doc_subword_stats": "doc_bpe_stats",
     "doc_winnow_fingerprints": "doc_token_stats",
     "doc_bigram_lm_score": "decontaminate_ngrams",
+    "token_pmi_pairs": "decontaminate_ngrams",  # log-free PMI-ratio
+    #   ranking over the same vocabulary-keyed join chain
     "doc_quality_linear_model": "decontaminate_ngrams",
     "gopher_quality_flags": "doc_quality_score",
     "logreg_calibration": "logreg_gd_training",  # serve half:

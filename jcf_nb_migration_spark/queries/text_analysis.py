@@ -818,3 +818,78 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.col("n_grams"), 9).alias("novelty"))
         .orderBy("source")
     )
+
+
+PMI_MIN_COUNT = 5  # bigram support floor (PMI is noise below this)
+
+
+@query(
+    "token_pmi_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    uni AS (
+        SELECT t, count(*) AS c1 FROM (
+            SELECT unnest(w) AS t FROM toks) GROUP BY t
+    ),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    big AS (
+        SELECT g, count(*) AS c2 FROM (
+            SELECT unnest(CASE WHEN len(w) >= 2 THEN list_transform(
+                       generate_series(1, len(w)-1),
+                       i -> array_to_string(w[i:i+1], ' '))
+                   ELSE [] END) AS g
+            FROM toks) GROUP BY g
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT g AS pair, c2 AS pair_count,
+           ROUND(CAST(c2 * tot.n AS DOUBLE)
+                 / (u1.c1 * u2.c1), 9) AS pmi_ratio
+    FROM big
+    JOIN uni u1 ON u1.t = split_part(g, ' ', 1)
+    JOIN uni u2 ON u2.t = split_part(g, ' ', 2)
+    CROSS JOIN tot
+    ORDER BY pmi_ratio DESC, pair
+    LIMIT 50
+    """,
+    tags=("text", "collocation", "pmi"),
+    # vocabulary-keyed join chain + scalar broadcast — the bigram-LM /
+    # tfidf physical family (decontaminate_ngrams driver-visible)
+    driver_visible=False,
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: the 50 adjacent token pairs most associated
+    by pointwise mutual information. PMI's log is monotone, so ranking
+    by the RAW ratio c(xy)·N / (c(x)·c(y)) is the identical order with
+    zero transcendental math — the log-free discipline every scoring
+    query here follows (cross-engine log rounding differs; integer
+    products and one double division don't). Support floor of
+    {PMI_MIN_COUNT} kills the hapax noise PMI is famous for. One
+    explode + two count tables + a vocabulary-keyed join chain (AQE
+    decides broadcasts — same policy as the LM/tfidf joins); the
+    integer product c2·N stays under 2⁶³ until ~10¹² bigram
+    occurrences × corpus size — far past 100 TB of text."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    uni = (toks.select(F.explode("w").alias("t"))
+           .groupBy("t").agg(F.count(F.lit(1)).alias("c1")))
+    tot = uni.agg(F.sum("c1").alias("n"))
+    big = (toks.select(F.explode(T.word_shingles(F.col("w"), 2))
+                       .alias("g"))
+           .groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+           .where(F.col("c2") >= PMI_MIN_COUNT))
+    u1 = uni.select(F.col("t").alias("t1"), F.col("c1").alias("c_1"))
+    u2 = uni.select(F.col("t").alias("t2"), F.col("c1").alias("c_2"))
+    return (big
+            .withColumn("t1", F.split_part(F.col("g"), F.lit(" "),
+                                           F.lit(1)))
+            .withColumn("t2", F.split_part(F.col("g"), F.lit(" "),
+                                           F.lit(2)))
+            .join(u1, "t1").join(u2, "t2")
+            .crossJoin(F.broadcast(tot))
+            .select(F.col("g").alias("pair"),
+                    F.col("c2").alias("pair_count"),
+                    F.round((F.col("c2") * F.col("n")).cast("double")
+                            / (F.col("c_1") * F.col("c_2")), 9)
+                     .alias("pmi_ratio"))
+            .orderBy(F.desc("pmi_ratio"), "pair")
+            .limit(50))
