@@ -121,6 +121,8 @@ COVERED_BY: dict[str, str] = {
     "dq_expectations": "table_counts",  # fused conditional-agg report
     "daily_volume_anomalies": "table_counts",  # integer-exact moment
     #   rollup broadcast back (volume/freshness monitor)
+    "benford_first_digit": "table_counts",  # 9-value groupBy +
+    #   broadcast scalar; constants precomputed, no runtime log
     "source_embedding_drift": "pricing_summary",
     "source_report_card": "pricing_summary",
     "price_histogram": "price_quantiles",

@@ -911,3 +911,79 @@ def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (((F.col("n") - mu) * (F.col("n") - mu))
                      > 4.0 * var).alias("is_anomaly"))
             .orderBy("day"))
+
+
+# Benford expected first-digit shares, log10(1 + 1/d) rounded to 9
+# places and embedded as identical literals in BOTH engines (the
+# log-free discipline: no runtime transcendental ever crosses the
+# oracle boundary).
+BENFORD = {1: 0.301029996, 2: 0.176091259, 3: 0.124938737,
+           4: 0.096910013, 5: 0.079181246, 6: 0.06694679,
+           7: 0.057991947, 8: 0.051152522, 9: 0.045757491}
+
+
+@query(
+    "benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    exp AS (
+        SELECT * FROM (VALUES
+            {', '.join(f'({d}, CAST({p} AS DOUBLE))'
+                       for d, p in BENFORD.items())}
+        ) AS t(digit, expected_share)
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM digits),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM digits
+        GROUP BY digit
+    )
+    SELECT e.digit,
+           COALESCE(o.cnt, 0) AS cnt,
+           ROUND(CAST(COALESCE(o.cnt, 0) AS DOUBLE) / tot.n, 9)
+               AS observed_share,
+           e.expected_share,
+           ROUND(ABS(CAST(COALESCE(o.cnt, 0) AS DOUBLE) / tot.n
+                     - e.expected_share), 9) AS abs_dev
+    FROM exp e LEFT JOIN obs o ON o.digit = e.digit
+    CROSS JOIN tot
+    ORDER BY e.digit
+    """,
+    tags=("profiling", "benford", "dq"),
+    # groupBy on a 9-value key + broadcast scalar — table_counts family
+    driver_visible=False,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals — the
+    classic numeric-integrity check (fabricated or truncated amounts
+    bend the leading-digit distribution). Expected shares
+    log10(1+1/d) are PRECOMPUTED to 9 places and embedded as the same
+    literals in both engines, so no runtime log exists anywhere;
+    observed shares are integer counts over one 9-value groupBy with
+    the total broadcast back. The first digit comes from the integer
+    part's decimal rendering — identical string semantics in both
+    engines for values ≥ 1."""
+    exp = spark.createDataFrame(sorted(BENFORD.items()),
+                                "digit int, expected_share double")
+    orders = t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    # floor() explicitly before the BIGINT cast: DuckDB's
+    # double::BIGINT ROUNDS while Spark's cast truncates (the
+    # verify-trap list) — floor makes both engines truncate
+    digits = orders.select(
+        F.substring(F.floor(F.col("o_totalprice")).cast("bigint")
+                     .cast("string"), 1, 1).cast("int").alias("digit"))
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    share = F.coalesce(F.col("cnt"), F.lit(0)).cast("double") / F.col("n")
+    return (exp.join(obs, "digit", "left")
+            .crossJoin(F.broadcast(tot))
+            .select("digit",
+                    F.coalesce("cnt", F.lit(0)).alias("cnt"),
+                    F.round(share, 9).alias("observed_share"),
+                    "expected_share",
+                    F.round(F.abs(share - F.col("expected_share")), 9)
+                     .alias("abs_dev"))
+            .orderBy("digit"))
