@@ -79,6 +79,8 @@ COVERED_BY: dict[str, str] = {
     "doc_bigram_lm_score": "decontaminate_ngrams",
     "token_pmi_pairs": "decontaminate_ngrams",  # log-free PMI-ratio
     #   ranking over the same vocabulary-keyed join chain
+    "term_source_dispersion": "tfidf_top_terms",  # stacked term-key
+    #   count rollups + ordered take (boilerplate detector)
     "doc_quality_linear_model": "decontaminate_ngrams",
     "gopher_quality_flags": "doc_quality_score",
     "logreg_calibration": "logreg_gd_training",  # serve half:
@@ -181,6 +183,8 @@ COVERED_BY: dict[str, str] = {
     "events_hourly": "streaming_hourly_counts",
     "user_rolling_7d": "user_hourly_resample",  # RANGE frame variant
     "event_funnel_conversion": "asof_click_before_error",
+    "event_type_transition_matrix": "latest_event_per_user",  # lag
+    #   window + double rollup (Markov matrix)
     "user_cohort_retention": "latest_event_per_user",
     "events_variant_extract": "events_json_bucket",
     "user_event_type_map": "events_json_bucket",  # typed from_json

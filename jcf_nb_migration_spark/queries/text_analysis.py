@@ -893,3 +893,59 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("pmi_ratio"))
             .orderBy(F.desc("pmi_ratio"), "pair")
             .limit(50))
+
+
+@query(
+    "term_source_dispersion",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    per_src AS (
+        SELECT term, source, count(*) AS c FROM toks GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT term,
+               CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(MAX(c) AS BIGINT) AS max_src_count
+        FROM per_src GROUP BY term
+        HAVING SUM(c) >= 50
+    )
+    SELECT term, total, n_sources,
+           ROUND(CAST(max_src_count AS DOUBLE) / total, 9)
+               AS max_source_share
+    FROM agg
+    ORDER BY max_source_share DESC, term
+    LIMIT 30
+    """,
+    tags=("text", "dispersion", "boilerplate", "curation"),
+    # two-level count rollup on the term key — tfidf/vocabulary family
+    driver_visible=False,
+)
+def term_source_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-dispersion profile of frequent terms — the boilerplate
+    detector that runs BEFORE dedup: a term with high corpus count
+    concentrated in one source (max_source_share → 1) is
+    source-specific template text (nav bars, license footers), while
+    evenly dispersed terms are real language. Feeds the per-source
+    cleaning rules a curation pipeline applies ahead of the expensive
+    near-dup stages. Two stacked counting aggregates on the term key
+    (both map-side combining), a support floor, and a top-30 ordered
+    take — integer counts and one ratio, exact cross-engine."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("source",
+                       F.explode(T.tokens("text")).alias("term"))
+    per_src = (toks.groupBy("term", "source")
+               .agg(F.count(F.lit(1)).alias("c")))
+    return (per_src.groupBy("term")
+            .agg(F.sum("c").alias("total"),
+                 F.count(F.lit(1)).alias("n_sources"),
+                 F.max("c").alias("max_src_count"))
+            .where(F.col("total") >= 50)
+            .select("term", "total", "n_sources",
+                    F.round(F.col("max_src_count").cast("double")
+                            / F.col("total"), 9)
+                     .alias("max_source_share"))
+            .orderBy(F.desc("max_source_share"), "term")
+            .limit(30))

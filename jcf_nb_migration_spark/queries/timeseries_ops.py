@@ -482,3 +482,59 @@ def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("day").cast("string").alias("day"), "new_users",
                     F.sum("new_users").over(w).alias("cum_users"))
             .orderBy("day"))
+
+
+@query(
+    "event_type_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts) AS prev_type
+        FROM events
+    ),
+    trans AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    row_tot AS (
+        SELECT prev_type, CAST(SUM(cnt) AS BIGINT) AS row_n
+        FROM trans GROUP BY prev_type
+    )
+    SELECT t.prev_type, t.next_type, t.cnt,
+           ROUND(CAST(t.cnt AS DOUBLE) / r.row_n, 9) AS p_next
+    FROM trans t JOIN row_tot r ON r.prev_type = t.prev_type
+    ORDER BY t.prev_type, t.next_type
+    """,
+    tags=("timeseries", "markov", "transition"),
+    # per-key lag window + double count rollup — the sessionization /
+    # funnel family (event_sessionization driver-visible)
+    driver_visible=False,
+)
+def event_type_transition_matrix(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: counts and row-normalized probabilities of event_type →
+    next event_type — the behavioral model behind funnel diagnosis
+    ('what actually follows an error?') and synthetic-session
+    generation. One lag window per user (ts is unique per user in the
+    fixture, so the order — and the matrix — is deterministic), one
+    pair-count aggregate, one row-total join-back on the bounded
+    event-type key. Probabilities are single integer-ratio divisions,
+    exact cross-engine."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    trans = (seq.where(F.col("prev_type").isNotNull())
+             .groupBy("prev_type",
+                      F.col("event_type").alias("next_type"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    row_tot = trans.groupBy("prev_type").agg(F.sum("cnt").alias("row_n"))
+    return (trans.join(row_tot, "prev_type")
+            .select("prev_type", "next_type", "cnt",
+                    F.round(F.col("cnt").cast("double")
+                            / F.col("row_n"), 9).alias("p_next"))
+            .orderBy("prev_type", "next_type"))
