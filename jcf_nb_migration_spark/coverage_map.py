@@ -185,6 +185,8 @@ COVERED_BY: dict[str, str] = {
     "event_funnel_conversion": "asof_click_before_error",
     "event_type_transition_matrix": "latest_event_per_user",  # lag
     #   window + double rollup (Markov matrix)
+    "signup_to_purchase_latency": "price_quantiles",  # ordinal-median
+    #   rank arithmetic over a population-bounded window
     "user_cohort_retention": "latest_event_per_user",
     "events_variant_extract": "events_json_bucket",
     "user_event_type_map": "events_json_bucket",  # typed from_json

@@ -538,3 +538,72 @@ def event_type_transition_matrix(spark: SparkSession,
                     F.round(F.col("cnt").cast("double")
                             / F.col("row_n"), 9).alias("p_next"))
             .orderBy("prev_type", "next_type"))
+
+
+@query(
+    "signup_to_purchase_latency",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'
+                        THEN epoch_us(ts) END) AS su,
+               MIN(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS pu
+        FROM events GROUP BY user_id
+    ),
+    lat AS (
+        SELECT user_id, (pu - su) AS d_us FROM firsts
+        WHERE su IS NOT NULL AND pu IS NOT NULL AND pu >= su
+    ),
+    ranked AS (
+        SELECT d_us,
+               ROW_NUMBER() OVER (ORDER BY d_us, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lat
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN 2 * rn >= n + 1 AND 2 * (rn - 1) < n + 1
+                         THEN d_us END) AS BIGINT) AS median_us,
+           CAST(SUM(CAST(d_us AS DECIMAL(18,0))) AS DOUBLE)
+               / MAX(n) / 1000000.0 AS mean_sec
+    FROM ranked
+    """,
+    tags=("timeseries", "latency", "ordinal-median", "funnel"),
+    # conditional-min per key + one bounded ranking window —
+    # latest_event_per_user / price_quantiles family
+    driver_visible=False,
+)
+def signup_to_purchase_latency(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Time-to-conversion: for every user with both events, the gap
+    between FIRST signup and FIRST subsequent purchase — user count,
+    ORDINAL median (the lower median element, picked by rank
+    arithmetic on integer microseconds: exact, no interpolation — the
+    cross-engine-safe median idiom), and decimal-exact mean seconds.
+    The ranking window orders USERS (one row each, bounded by the
+    user population), not events; epoch math stays integer until the
+    final display division."""
+    ev = t(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.when(F.col("event_type") == "signup",
+                                F.unix_micros("ts"))).alias("su"),
+                   F.min(F.when(F.col("event_type") == "purchase",
+                                F.unix_micros("ts"))).alias("pu")))
+    lat = (firsts.where(F.col("su").isNotNull()
+                        & F.col("pu").isNotNull()
+                        & (F.col("pu") >= F.col("su")))
+           .select("user_id", (F.col("pu") - F.col("su")).alias("d_us")))
+    w = Window.orderBy("d_us", "user_id")  # bounded-window: one row
+    #   per converting user — population-bounded, not event-bounded
+    ranked = lat.select(
+        "d_us", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))).alias("n"))
+    med = F.when((2 * F.col("rn") >= F.col("n") + 1)
+                 & (2 * (F.col("rn") - 1) < F.col("n") + 1),
+                 F.col("d_us"))
+    return ranked.agg(
+        F.max("n").alias("n_users"),
+        F.sum(med).alias("median_us"),
+        (F.sum(F.col("d_us").cast("decimal(18,0)")).cast("double")
+         / F.max("n") / 1_000_000.0).alias("mean_sec"))
