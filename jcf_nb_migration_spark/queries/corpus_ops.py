@@ -177,8 +177,8 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("pid", F.spark_partition_id())
               .persist())
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
-    # bounded-window: ≤ `nb` rows (one per range bucket), constant in
-    # corpus size
+    # bounded-window: buckets:spark.sql.shuffle.partitions — one row
+    # per range bucket, constant in corpus size
     w_off = (Window.orderBy("pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     off = counts.select(

@@ -87,22 +87,30 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapping is bit-reproducible.
 
     The global prefix sum is the scale hazard — a single ordered window
-    would funnel the corpus through one partition. Here it is two-phase:
-    docs are grouped into {PACK_BUCKET}-doc buckets; per-bucket token
-    subtotals (corpus/{PACK_BUCKET} rows) take ONE small ordered window,
-    and each doc's offset is its bucket's offset plus a window cumsum
-    partitioned BY BUCKET — every ordered partition is ≤{PACK_BUCKET}
-    rows regardless of corpus size. The bucket-offset join is a shuffle
-    equi-join on the bucket key (AQE broadcasts it while it fits). The
-    oracle replays the same numbers with a plain single-window cumsum —
-    the two formulations are identical by associativity of +."""
+    would funnel the corpus through one partition. An earlier version
+    bucketed by ``doc_id div {PACK_BUCKET}``, which bounds the
+    PARTITIONED cumsum at {PACK_BUCKET} rows but leaves the subtotal
+    window at corpus/{PACK_BUCKET} rows — a bound that still GROWS
+    with the corpus. Restructured to the corpus_vocabulary pattern:
+    ``repartitionByRange`` on doc_id into shuffle-partitions many
+    sampled-balanced buckets; per-bucket token subtotals take the ONE
+    ordered window (≤shuffle-partitions rows, constant in corpus
+    size), and each doc's offset is its bucket offset plus a cumsum
+    partitioned BY BUCKET (parallel across buckets). The range frame
+    is persisted so the offset branch and the cumsum branch see the
+    SAME sampled bucket boundaries. The oracle replays the same
+    numbers with a plain single-window cumsum — the two formulations
+    are identical by associativity of +."""
     docs = spread(t(spark, sf_dir, "documents"))
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     tok = (docs.select("doc_id", F.size(T.tokens("text")).alias("n_tok"))
            .where(F.col("n_tok") > 0)
-           .withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET}")))
+           .repartitionByRange(nb, "doc_id")
+           .withColumn("bucket", F.spark_partition_id())
+           .persist())
     btot = tok.groupBy("bucket").agg(F.sum("n_tok").alias("b_tok"))
-    # bounded-window: bucket subtotals — corpus/{PACK_BUCKET} rows,
-    # 3000× smaller than the doc stream
+    # bounded-window: buckets:spark.sql.shuffle.partitions — one
+    # subtotal row per range bucket, constant in corpus size
     w_b = (Window.orderBy("bucket")
            .rowsBetween(Window.unboundedPreceding, -1))
     boff = btot.select(

@@ -375,11 +375,18 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: the supplier(s) whose quarterly revenue equals
     the maximum over all suppliers (the revenue "view" + scalar-max
-    filter). The naive formulation scans lineitem twice (once for rev,
-    once for its max); here the max is a window over the BOUNDED
-    per-supplier rev frame, so the plan reads lineitem ONCE
-    structurally — the source_sampling_weights idiom. Revenue goes
-    through decimal, so the equality join on the max is exact in both
+    filter). An earlier formulation took the max as a window over the
+    per-supplier rev frame — "dimension-sized", but supplier COUNT
+    grows with the corpus (TPC-H scales supplier 10k×SF), so that one
+    task's input grows too. Restructured: the max is a 1-row scalar
+    aggregate broadcast back onto rev with an exact decimal equality
+    join (the important_supplier_share idiom). rev is persisted —
+    supplier-sized, bounded — so the max branch and the join branch
+    read the SAME materialization and lineitem is scanned ONCE
+    physically (plan-pinned in tests/test_plans.py; structural
+    ReuseExchange can't collapse the branches because the join side
+    pushes an extra IsNotNull into its scan). Revenue goes through
+    decimal, so the equality join on the max is exact in both
     engines."""
     li = t(spark, sf_dir, "lineitem")
     supp = t(spark, sf_dir, "supplier")
@@ -388,11 +395,11 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
         .groupBy("l_suppkey")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                  "total_revenue")))
-    # bounded-window: rev has one row per supplier (dimension-sized)
-    mx = F.max("total_revenue").over(W.partitionBy(F.lit(1)))
-    best = (rev.withColumn("mx", mx)
-            .where(F.col("total_revenue") == F.col("mx")))
+                  "total_revenue"))
+        .persist())
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    best = rev.join(F.broadcast(mx),
+                    F.col("total_revenue") == F.col("mx"))
     return (best.join(supp, best.l_suppkey == supp.s_suppkey)
             .select("s_suppkey", "s_name", "total_revenue")
             .orderBy("s_suppkey"))

@@ -464,14 +464,14 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the unpartitioned ranking window only ever sees 20 rows — never
     # the full matched set (the global-window funnel this avoids is
     # the same one sequence_packing's two-phase design removes)
-    # bounded-window: applied after .limit(20) — 20 rows max
+    # bounded-window: post-limit:20 — applied after .limit(20)
     wa = Window.orderBy(F.desc("bm25"), "doc_id")
     list_a = (bm.orderBy(F.desc("bm25"), "doc_id").limit(20)
               .select("doc_id",
                       F.row_number().over(wa).cast("bigint")
                       .alias("rank_a")))
     ts = tf.groupBy("doc_id").agg(F.sum("tf").alias("tf_sum"))
-    # bounded-window: applied after .limit(20) — 20 rows max
+    # bounded-window: post-limit:20 — applied after .limit(20)
     wb = Window.orderBy(F.desc("tf_sum"), "doc_id")
     list_b = (ts.orderBy(F.desc("tf_sum"), "doc_id").limit(20)
               .select("doc_id",

@@ -473,8 +473,9 @@ def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("user_id").agg(F.min("day").alias("day")))
     daily = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
     alldays = ev.select(F.to_date("ts").alias("day")).distinct()
-    # bounded-window: ordered by calendar day — cardinality is the
-    # date range of the corpus, not its row count
+    # bounded-window: grid:day — cardinality is the calendar span of
+    # the corpus, independent of row count (100× data in the same
+    # period adds zero rows)
     w = W.orderBy("day").rowsBetween(W.unboundedPreceding, 0)
     return (alldays.join(daily, "day", "left")
             .select("day",
@@ -577,12 +578,23 @@ def signup_to_purchase_latency(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Time-to-conversion: for every user with both events, the gap
     between FIRST signup and FIRST subsequent purchase — user count,
-    ORDINAL median (the lower median element, picked by rank
-    arithmetic on integer microseconds: exact, no interpolation — the
+    ORDINAL median (the UPPER of the two central elements for even n:
+    ``2*rn >= n+1`` picks rank 3 of 4 — exact, no interpolation, the
     cross-engine-safe median idiom), and decimal-exact mean seconds.
-    The ranking window orders USERS (one row each, bounded by the
-    user population), not events; epoch math stays integer until the
-    final display division."""
+
+    The global rank is the scale hazard a single ``Window.orderBy``
+    would create: every converting user funneled through ONE task, a
+    bound that GROWS with the corpus. Ranked two-phase instead (the
+    corpus_vocabulary pattern, corpus_ops.py): ``repartitionByRange``
+    on (d_us, user_id) gives contiguous sampled-balanced buckets; each
+    bucket ranks internally (window PARTITIONED by bucket) and adds
+    the cumsum of earlier buckets' counts — the only ordered global
+    window runs over ≤shuffle-partitions subtotal rows. The range
+    frame is persisted so the offset branch and the rank branch see
+    the SAME sampled bucket boundaries. The total count reaches every
+    row as a broadcast 1-row aggregate (the important_supplier_share
+    idiom), not a global lit-1-partitioned window; epoch math stays
+    integer until the final display division."""
     ev = t(spark, sf_dir, "events")
     firsts = (ev.groupBy("user_id")
               .agg(F.min(F.when(F.col("event_type") == "signup",
@@ -593,12 +605,23 @@ def signup_to_purchase_latency(spark: SparkSession,
                         & F.col("pu").isNotNull()
                         & (F.col("pu") >= F.col("su")))
            .select("user_id", (F.col("pu") - F.col("su")).alias("d_us")))
-    w = Window.orderBy("d_us", "user_id")  # bounded-window: one row
-    #   per converting user — population-bounded, not event-bounded
-    ranked = lat.select(
-        "d_us", F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy(F.lit(1))).alias("n"))
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (lat.repartitionByRange(nb, "d_us", "user_id")
+              .withColumn("pid", F.spark_partition_id())
+              .persist())
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded-window: buckets:spark.sql.shuffle.partitions — one
+    # subtotal row per range bucket, constant in corpus size
+    w_off = (Window.orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("p_off"))
+    w_in = Window.partitionBy("pid").orderBy("d_us", "user_id")
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    ranked = (ranged.withColumn("r_in", F.row_number().over(w_in))
+              .join(off, "pid")
+              .select("d_us", (F.col("p_off") + F.col("r_in")).alias("rn"))
+              .crossJoin(F.broadcast(tot)))
     med = F.when((2 * F.col("rn") >= F.col("n") + 1)
                  & (2 * (F.col("rn") - 1) < F.col("n") + 1),
                  F.col("d_us"))

@@ -188,18 +188,33 @@ def test_source_embedding_drift_single_corpus_pass(spark):
 
 
 def test_no_unmarked_unpartitioned_windows():
-    """Every unpartitioned ``Window.orderBy`` in queries/ funnels its
-    whole input through ONE task — a scale killer unless the input is
-    provably bounded (post-``limit`` frames, per-bucket subtotals).
-    Each such site must carry a ``# bounded-window:`` comment within
-    the 3 preceding lines stating the bound; this guard fails on any
-    new unmarked site (the fix is two-phase ranking, see
-    corpus_vocabulary / sequence_packing, not a marker)."""
-    import pathlib
+    """Every unpartitioned ``Window.orderBy`` in the package funnels
+    its whole input through ONE task — a scale killer unless the input
+    is provably bounded. Each such site must carry a
+    ``# bounded-window:`` comment within the 3 preceding lines, and
+    (r6 hardening — a free-text "population-bounded" marker slipped a
+    GROWING bound through in r5's signup_to_purchase_latency) the
+    marker must name its bound CLASS from a closed taxonomy:
 
+    - ``const:<N>``      — literally ≤N rows, N a numeric constant
+    - ``buckets:<conf>`` — one row per range/shuffle bucket, bounded
+                           by the named config, constant in data size
+    - ``post-limit:<N>`` — applied after ``.limit(N)``
+    - ``grid:<unit>``    — calendar/granularity grid: cardinality is
+                           the time span, independent of row count
+
+    Anything else (population-sized, dimension-sized, corpus/K) fails:
+    the fix is two-phase range-partitioned ranking (corpus_vocabulary
+    / sequence_packing / signup_to_purchase_latency), not a marker."""
+    import pathlib
+    import re
+
+    taxonomy = re.compile(
+        r"# bounded-window: "
+        r"(const:\d+|buckets:[\w.]+|post-limit:\d+|grid:\w+)")
     qdir = (pathlib.Path(__file__).resolve().parent.parent
             / "jcf_nb_migration_spark")
-    unmarked = []
+    bad = []
     for py in sorted(qdir.rglob("*.py")):
         lines = py.read_text().splitlines()
         for i, line in enumerate(lines):
@@ -207,10 +222,50 @@ def test_no_unmarked_unpartitioned_windows():
                 continue
             ctx = "\n".join(lines[max(0, i - 3):i + 1])
             if "# bounded-window:" not in ctx:
-                unmarked.append(f"{py.name}:{i + 1}")
-    assert not unmarked, (
-        "unpartitioned Window.orderBy without a '# bounded-window:' "
-        f"justification: {unmarked}")
+                bad.append(f"{py.name}:{i + 1} (unmarked)")
+            elif not taxonomy.search(ctx):
+                bad.append(f"{py.name}:{i + 1} (marker lacks a bound "
+                           "class: const:<N>|buckets:<conf>|"
+                           "post-limit:<N>|grid:<unit>)")
+    assert not bad, (
+        "unpartitioned Window.orderBy without a typed "
+        f"'# bounded-window:' justification: {bad}")
+
+
+def test_top_supplier_revenue_single_lineitem_scan(spark):
+    """Q15's scalar-max restructure (r6): the per-supplier rev frame
+    is persisted and both the max branch and the equality-join branch
+    read the cache, so lineitem appears in the plan exactly once —
+    a regression to two structural scans (or back to the global-max
+    window) changes these counts."""
+    plan = plan_of(spark, "top_supplier_revenue")
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert "InMemoryTableScan" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_no_global_lit1_windows():
+    """``Window.partitionBy(lit(1))`` is the other global-funnel
+    spelling — an unordered window that still routes every row through
+    one task. r5 had two sites (signup_to_purchase_latency's COUNT,
+    top_supplier_revenue's MAX); both were replaced by broadcast
+    1-row scalar aggregates (the important_supplier_share idiom).
+    This guard keeps the spelling extinct."""
+    import pathlib
+    import re
+
+    pat = re.compile(r"partitionBy\(\s*(F\.)?lit\(1\)")
+    qdir = (pathlib.Path(__file__).resolve().parent.parent
+            / "jcf_nb_migration_spark")
+    hits = []
+    for py in sorted(qdir.rglob("*.py")):
+        for i, line in enumerate(py.read_text().splitlines()):
+            if pat.search(line) and not line.lstrip().startswith("#"):
+                hits.append(f"{py.name}:{i + 1}")
+    assert not hits, (
+        "global Window.partitionBy(lit(1)) found — use a broadcast "
+        f"scalar aggregate instead: {hits}")
 
 
 def test_source_sampling_weights_single_corpus_pass(spark):
