@@ -36,8 +36,7 @@ COVERED_BY: dict[str, str] = {
     "pq_codes": "ivfpq_ann_probe",
     "ivfpq_residual_codes": "ivfpq_ann_probe",  # IVFADC-proper:
     #   PQ trained on residuals vs the coarse centroid
-    "ivfadc_residual_probe": "ivfpq_ann_probe",  # the residual-index
-    #   ADC read path (reconstruction-gain test in test_ann)
+    # ivfadc_residual_probe rotated INTO the driver window in r6
     "ivfadc_residual_multiprobe": "ivfpq_ann_probe",  # nprobe=2 with
     #   per-probed-cluster residuals
     "triplet_mining_ann": "hard_negative_mining_ann",  # same candidate
@@ -90,9 +89,7 @@ COVERED_BY: dict[str, str] = {
     "doc_repetition_stats": "decontaminate_ngrams",  # gram-explode agg
     #   (rotated out of the window r5 for logreg_gd_training)
     "curation_funnel": "doc_quality_score",
-    "curation_pipeline_e2e": "minhash_lsh_dedup",  # chains the
-    #   driver-visible heavy stages (dedup_exact + minhash_lsh_dedup
-    #   + decontaminate_ngrams) into the dataset-card funnel
+    # curation_pipeline_e2e rotated INTO the driver window in r6
     "source_quota_cap": "tfidf_top_terms",  # per-group top-k window
     "cluster_balanced_sample": "semdedup_prune",  # trained-kmeans
     #   assignment + per-cluster top-k (topic-balance quota)
@@ -161,7 +158,14 @@ COVERED_BY: dict[str, str] = {
     #   EXCEPT plan as the same semi/anti joins
     "small_quantity_revenue": "returned_item_report",
     "top_revenue_customers": "returned_item_report",
-    "priority_shipmode_report": "late_shipment_priority_count",
+    "priority_shipmode_report": "shipping_priority",  # filtered
+    #   orders⋈lineitem join + small group agg (was covered by
+    #   late_shipment_priority_count before its r6 rotation out)
+    "late_shipment_priority_count": "customer_scd2_history",  # semi
+    #   join (EXISTS) + group count — rotated OUT of the window r6;
+    #   SCD2's anti/semi-join machinery is the same plan family
+    "supplier_nation_directory": "lookup_replace_nation",  # broadcast
+    #   dim equi-join + projection/rename — rotated OUT r6
     "order_status_pivot": "lineitem_cube",
     "part_brand_type_rollup": "lineitem_cube",
     "nation_metrics_unpivot": "lineitem_cube",

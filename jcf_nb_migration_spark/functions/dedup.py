@@ -123,7 +123,8 @@ def containment_prefix_q(threshold: float) -> tuple[int, int]:
 
 def containment_pairs(df: DataFrame, id_col: str, text_col: str,
                       threshold: float = 0.8, n: int = 3,
-                      prefix_filter: bool = True) -> DataFrame:
+                      prefix_filter: bool = True,
+                      persisted: list | None = None) -> DataFrame:
     """Asymmetric near-duplicate detection: shingle-set CONTAINMENT
     ``|A∩B| / |A|`` (or ``/ |B|``) ≥ threshold in either direction —
     the metric that catches a short document embedded inside a long
@@ -144,8 +145,15 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
     candidates on the dense synthetic fixture at sf0.1, 18 s → ~2 s).
     Verification then counts common shingles over the FULL shingle
     sets (exact), for candidates only.
-    Columns: id_a, id_b, common, contain_a, contain_b."""
+    Columns: id_a, id_b, common, contain_a, contain_b.
+
+    The shingle index is persisted (three branches read it); pass
+    ``persisted`` (a list) to receive the cached frame so repeated
+    calls in one session can unpersist it — the same lifetime hook
+    minhash_lsh_dedup exposes."""
     sh = shingle_index(df, id_col, text_col, n).persist()
+    if persisted is not None:
+        persisted.append(sh)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     if prefix_filter:
         p, q = containment_prefix_q(threshold)

@@ -1316,9 +1316,10 @@ PIPE_KEEP_PCT = 80  # content-stable final sampling rate (percent)
     ) ORDER BY stage
     """,
     tags=("curation", "pipeline", "e2e", "funnel"),
-    # composes the driver-visible heavy stages themselves:
-    # dedup_exact + minhash_lsh_dedup + decontaminate_ngrams
-    driver_visible=False,
+    # rotated INTO the driver window in r6 (VERDICT r5 item 7): the
+    # composed funnel is the single most representative query in the
+    # repo — its stages are dedup_exact + minhash_lsh_dedup +
+    # decontaminate_ngrams chained end-to-end
 )
 def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-data curation funnel with the REAL

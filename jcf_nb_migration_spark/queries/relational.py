@@ -241,6 +241,11 @@ def customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY o_orderpriority
     """,
     tags=("join", "semi", "non-equi"),
+    # rotated OUT of the driver window in r6 to make room for
+    # curation_pipeline_e2e/ivfadc_residual_probe; the semi-join
+    # pattern stays driver-witnessed via customer_scd2_history
+    # (coverage_map)
+    driver_visible=False,
 )
 def late_shipment_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: semi join with a non-equi residual condition
@@ -265,6 +270,10 @@ def late_shipment_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     """,
     tags=("join", "project", "rename"),
+    # rotated OUT of the driver window in r6; the broadcast-dim
+    # projection/rename pattern stays driver-witnessed via
+    # lookup_replace_nation (coverage_map)
+    driver_visible=False,
 )
 def supplier_nation_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + rename over a broadcast equi-join (P1/P2 + J2)."""

@@ -320,19 +320,25 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-semi join and EXCEPT as a left-anti join over distinct
     inputs, so each count is one co-partitioned shuffle — the
     set-operator surface reduces to the join machinery already proven
-    at scale, and this query pins that equivalence cross-engine."""
+    at scale, and this query pins that equivalence cross-engine.
+
+    The four counts are expressed as 1-row scalar aggregates composed
+    with crossJoins into ONE lazy plan (the important_supplier_share
+    idiom) — an earlier version ran four eager ``.count()`` actions
+    and returned a driver-built literal row, which broke the
+    registry's lazy-plan contract (plan assertions and bench timing
+    saw only a local literal)."""
     cust = t(spark, sf_dir, "customer")
     orders = t(spark, sf_dir, "orders")
     building = (cust.where(F.col("c_mktsegment") == "BUILDING")
                 .select("c_custkey"))
     urgent = (orders.where(F.col("o_orderpriority") == "1-URGENT")
               .select(F.col("o_custkey").alias("c_custkey")).distinct())
-    n_both = building.intersect(urgent).count()
-    n_b_only = building.subtract(urgent).count()
-    n_u_only = urgent.subtract(building).count()
-    n_either = building.union(urgent).distinct().count()
-    spark_ = cust.sparkSession
-    return spark_.createDataFrame(
-        [(n_both, n_b_only, n_u_only, n_either)],
-        "n_both bigint, n_building_only bigint, "
-        "n_urgent_only bigint, n_either bigint")
+    one = F.count(F.lit(1))
+    return (building.intersect(urgent).agg(one.alias("n_both"))
+            .crossJoin(building.subtract(urgent)
+                       .agg(one.alias("n_building_only")))
+            .crossJoin(urgent.subtract(building)
+                       .agg(one.alias("n_urgent_only")))
+            .crossJoin(building.union(urgent).distinct()
+                       .agg(one.alias("n_either"))))

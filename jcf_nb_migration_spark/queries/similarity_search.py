@@ -928,9 +928,9 @@ def ivfpq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_sql_residual_adc_oracle(),
     tags=("similarity", "ann", "ivf", "pq", "residual", "adc",
           "composed"),
-    # read-path sibling of ivfpq_ann_probe (driver-visible) over the
-    # residual index built by ivfpq_residual_codes
-    driver_visible=False,
+    # rotated INTO the driver window in r6 (VERDICT r5 item 7): the
+    # hardest ANN read path — residual-index ADC over the frame built
+    # by ivfpq_residual_codes
 )
 def ivfadc_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete IVFADC read path on the RESIDUAL index: the probe

@@ -629,17 +629,17 @@ PARA_W = 10  # words per pseudo-paragraph (the fixture text has no
     ),
     marked AS (
         SELECT doc_id, chunk_idx, chunk,
-               doc_id * 1000000 + chunk_idx AS packed,
-               MIN(doc_id * 1000000 + chunk_idx)
-                   OVER (PARTITION BY md5(chunk)) AS first_packed
+               ({{'d': doc_id, 'i': chunk_idx}} =
+                MIN({{'d': doc_id, 'i': chunk_idx}})
+                    OVER (PARTITION BY md5(chunk))) AS is_first
         FROM ch
     )
     SELECT doc_id,
            COUNT(*) AS n_chunks,
-           CAST(SUM(CASE WHEN packed <> first_packed THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN NOT is_first THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_dup_chunks,
            COALESCE(string_agg(chunk, ' ' ORDER BY chunk_idx)
-                        FILTER (WHERE packed = first_packed),
+                        FILTER (WHERE is_first),
                     '') AS kept_text
     FROM marked GROUP BY doc_id ORDER BY doc_id
     """,
@@ -662,8 +662,10 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one explode (linear), one window partitioned by the
     chunk hash (hash-partitioned shuffle — never a global sort), one
     per-doc aggregation (second shuffle). Survivor choice is the
-    deterministic min of a packed (doc_id, chunk_idx) key, so reruns
-    and repartitions keep the same chunks."""
+    deterministic lexicographic MIN of the (doc_id, chunk_idx) STRUCT
+    — not an arithmetic packing, which would collide keyspaces for
+    documents with ≥1M chunks (~10M words) — so reruns and
+    repartitions keep the same chunks at any document size."""
     docs = t(spark, sf_dir, "documents")
     d = (spread(docs)
          .select("doc_id", T.tokens("text").alias("w"))
@@ -675,17 +677,18 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" i -> array_join(slice(w, i*{PARA_W}+1, {PARA_W}), ' '))"
         )).alias("chunk_idx", "chunk"))
     from pyspark.sql import Window as W
-    packed = F.col("doc_id") * 1000000 + F.col("chunk_idx")
+    key = F.struct(F.col("doc_id").alias("d"),
+                   F.col("chunk_idx").alias("i"))
     marked = ch.select(
-        "doc_id", "chunk_idx", "chunk", packed.alias("packed"),
-        F.min(packed).over(W.partitionBy(F.md5("chunk")))
-         .alias("first_packed"))
-    kept = F.when(F.col("packed") == F.col("first_packed"),
+        "doc_id", "chunk_idx", "chunk",
+        (key == F.min(key).over(W.partitionBy(F.md5("chunk"))))
+        .alias("is_first"))
+    kept = F.when(F.col("is_first"),
                   F.struct("chunk_idx", "chunk"))
     return (
         marked.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_chunks"),
-             F.sum(F.when(F.col("packed") != F.col("first_packed"), 1)
+             F.sum(F.when(~F.col("is_first"), 1)
                    .otherwise(0)).alias("n_dup_chunks"),
              F.array_join(
                  F.transform(F.array_sort(F.collect_list(kept)),

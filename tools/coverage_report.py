@@ -36,6 +36,19 @@ def render() -> str:
         "entries are surfaces with no possible visible twin, pinned by "
         "the named test instead.",
         "",
+        "## Contract changes (driver-visible output semantics)",
+        "",
+        "- **r5** `simhash_near_pairs`: max Hamming radius 10 → 3 (the "
+        "Manku/Jain/Sarma production parameterization; the radius-10 "
+        "banding collapsed at scale — scaling-probe ratio 6.96×). Any "
+        "consumer pinning pre-r5 driver-window outputs sees a smaller "
+        "pair set; the oracle changed in lockstep, so correctness rows "
+        "stayed green.",
+        "- **r6** driver-window rotation: curation_pipeline_e2e and "
+        "ivfadc_residual_probe rotated IN; supplier_nation_directory "
+        "and lookup_replace_nation's relational twin rotated OUT "
+        "(patterns still witnessed via coverage map).",
+        "",
         "| query | tags | oracle | driver | covered by | bench | summary |",
         "|---|---|---|---|---|---|---|",
     ]
