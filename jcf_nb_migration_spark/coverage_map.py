@@ -108,6 +108,9 @@ COVERED_BY: dict[str, str] = {
     "sequence_packing":
         "pytest:test_plans two-phase prefix sum (no visible twin; "
         "bucket-subtotal + per-bucket window shape is plan-guarded)",
+    "corpus_sorted_export":
+        "pytest:test_plans RangePartitioning pin + test_layout sorted "
+        "range-file export (global-sort Exchange has no visible twin)",
     # --- profiling / sketches -------------------------------------------
     "heavy_hitters_topk": "approx_distinct_stats",
     "cms_token_counts": "approx_distinct_stats",

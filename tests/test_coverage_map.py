@@ -40,7 +40,8 @@ def test_pytest_markers_are_rare_and_explained():
                if v.startswith("pytest:")}
     assert set(markers) <= {"sequence_packing", "stateful_running_totals",
                             "pysource_synthdocs",
-                            "pysource_stream_synthdocs"}
+                            "pysource_stream_synthdocs",
+                            "corpus_sorted_export"}
     for v in markers.values():
         assert "test_" in v  # names the pinning test file
 

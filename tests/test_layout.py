@@ -271,6 +271,41 @@ def test_ivfadc_residual_index_prunes_and_matches_query(spark, tmp_path):
     assert parts and all(p == 2 for p in parts), scans
 
 
+def test_sorted_export_writes_disjoint_ordered_range_files(spark, tmp_path):
+    """The writer half of corpus_sorted_export: materializing the
+    global sort with an explicit range bucket count emits one sorted
+    file per bucket, and the buckets' key ranges are DISJOINT and
+    globally ordered — a consumer can binary-search the file manifest,
+    and file count scales with the bucket parameter, not the corpus
+    (a SinglePartition regression would produce exactly one file)."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "n_chars")
+    nb = 8
+    path = str(tmp_path / "sorted_export")
+    (docs.repartitionByRange(nb, F.desc("n_chars"), "doc_id")
+     .sortWithinPartitions(F.desc("n_chars"), "doc_id")
+     .write.parquet(path))
+
+    files = sorted((tmp_path / "sorted_export").glob("part-*.parquet"))
+    assert len(files) == nb, [f.name for f in files]
+
+    import pyarrow.parquet as pq
+    ranges = []
+    for f in files:
+        tb = pq.read_table(str(f)).to_pydict()
+        keys = list(zip([-c for c in tb["n_chars"]], tb["doc_id"]))
+        assert keys == sorted(keys), f"file {f.name} not sorted"
+        ranges.append((keys[0], keys[-1]))
+    # part-file ordinal == range bucket ordinal: ranges are disjoint
+    # and ascending across the file sequence
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, ranges
+
+
 def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
     """ORC is the second columnar format Spark ships natively (the
     jars are in the distro; Avro's connector jar is not — NOTES r5).

@@ -232,6 +232,18 @@ def test_no_unmarked_unpartitioned_windows():
         f"'# bounded-window:' justification: {bad}")
 
 
+def test_corpus_sorted_export_is_range_partitioned(spark):
+    """The corpus-wide ORDER BY must plan as a RANGE-partitioned
+    exchange + per-partition sort (every task sorts a disjoint key
+    slice), never a single-partition funnel. Also pins column pruning:
+    the export reads only its three columns, not text."""
+    plan = plan_of(spark, "corpus_sorted_export")
+    assert "rangepartitioning" in plan.lower(), plan
+    assert "SinglePartition" not in plan, plan
+    assert "Sort" in plan
+    assert "text" not in plan          # pruned at the scan
+
+
 def test_top_supplier_revenue_single_lineitem_scan(spark):
     """Q15's scalar-max restructure (r6): the per-supplier rev frame
     is persisted and both the max branch and the equality-join branch
