@@ -57,6 +57,9 @@ COVERED_BY: dict[str, str] = {
     #   frontier equi-join (WITH RECURSIVE declarative twin)
     "linkgraph_triangles": "dedup_clusters_lsh",  # ordered-edge
     #   two-equi-join enumeration over the same capped gram graph
+    "linkgraph_cc_starcontraction": "dedup_clusters_lsh",  # same
+    #   iterative equi-join+groupBy contraction family; convergence
+    #   vs union-find pinned in tests/test_linkgraph.py
     "dedup_ngram_jaccard": "minhash_lsh_dedup",
     "doc_containment_pairs": "minhash_lsh_dedup",  # rare-shingle
     #   candidate equi-join + full-set verify, asymmetric metric

@@ -561,3 +561,142 @@ def linkgraph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         e=edges,
     )
+
+
+CC_ROUNDS = 5  # alternating large/small-star rounds (O(log^2 n) conv.;
+#               fixture graphs converge at 4 — one round of margin,
+#               pinned vs union-find in tests/test_linkgraph.py)
+
+
+def _sql_star_rounds() -> str:
+    """Unrolled large-star/small-star CTE chain: e0 is the canonical
+    (a < b) pair set; each round k derives e{k} from e{k-1} via one
+    large-star then one small-star phase — identical integer ops to
+    the Spark loop, so the contraction replays bit-exactly."""
+    steps = []
+    prev = "e0"
+    for k in range(1, CC_ROUNDS + 1):
+        # AS MATERIALIZED: each CTE is referenced more than once per
+        # round; left to inlining the scan tree grows exponentially in
+        # CC_ROUNDS (the SQL twin of the lazy-plan blowup the Spark
+        # side avoids with _symmetrize)
+        steps.append(f"""adl{k} AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM {prev}
+        UNION ALL SELECT b, a FROM {prev}),
+    mnl{k} AS (SELECT u, LEAST(MIN(v), u) AS m FROM adl{k} GROUP BY u),
+    ls{k} AS MATERIALIZED (SELECT DISTINCT mk.m AS a, t.v AS b
+              FROM adl{k} t JOIN mnl{k} mk USING (u)
+              WHERE t.v > t.u AND t.v <> mk.m),
+    sm{k} AS MATERIALIZED (SELECT u, v FROM (
+        SELECT a AS u, b AS v FROM ls{k}
+        UNION ALL SELECT b, a FROM ls{k}) WHERE v < u),
+    mns{k} AS (SELECT u, MIN(v) AS m FROM sm{k} GROUP BY u),
+    e{k} AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+        SELECT mk.m AS a, s.v AS b
+        FROM sm{k} s JOIN mns{k} mk USING (u) WHERE s.v <> mk.m
+        UNION ALL SELECT m AS a, u AS b FROM mns{k}))""")
+        prev = f"e{k}"
+    return ",\n    ".join(steps)
+
+
+@query(
+    "linkgraph_cc_starcontraction",
+    oracle=f"""
+    WITH {_sql_pg_pairs()},
+    e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM pairs),
+    {_sql_star_rounds()},
+    adf AS (SELECT a AS u, b AS v FROM e{CC_ROUNDS}
+            UNION ALL SELECT b, a FROM e{CC_ROUNDS}),
+    comp AS (SELECT u AS doc_id, LEAST(MIN(v), u) AS component
+             FROM adf GROUP BY u)
+    SELECT c.component, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(c.doc_id) AS BIGINT) AS sum_doc_id
+    FROM comp c GROUP BY c.component
+    ORDER BY n_members DESC, component LIMIT 20
+    """,
+    tags=("graph", "connected-components", "star-contraction",
+          "iterative"),
+    # iterative equi-join+groupBy contraction — pattern driver-visible
+    # via dedup_clusters_lsh; convergence vs union-find pinned in
+    # tests/test_linkgraph.py
+    driver_visible=False,
+)
+def linkgraph_cc_starcontraction(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) over the shared-rare-gram link graph —
+    the published web-scale CC algorithm, converging in O(log² n)
+    rounds versus min-label propagation's O(diameter). Each round:
+    large-star points every neighbor LARGER than u at u's
+    neighborhood minimum (halving tree heights without losing
+    connectivity), small-star then points the SMALLER neighbors and u
+    itself at that minimum. {CC_ROUNDS} rounds are unrolled into the
+    plan; every phase is an equi-join + groupBy-min on doc_id keys —
+    no iteration-count data dependence, so the DuckDB oracle replays
+    the identical contraction bit-exactly (pure integer min/distinct
+    arithmetic). Convergence to true components (= union-find ground
+    truth) is pinned separately in tests/test_linkgraph.py. Output:
+    one row per component with member count and an id checksum.
+
+    At 100 TB: per round the edge set SHRINKS (stars collapse), each
+    phase is one shuffle on node id; the deg/edge frames are never
+    globally sorted and the quadratic fuse (2..{PR_CAP} docs per gram)
+    bounds candidate fan-out exactly as in linkgraph_pagerank. A
+    production loop would localCheckpoint between rounds to truncate
+    lineage; {CC_ROUNDS} unrolled rounds need none."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    comp = _star_components(_rare_gram_pairs(docs))
+    return (comp.groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum(F.col("u")).alias("sum_doc_id"))
+            .orderBy(F.desc("n_members"), "component").limit(20))
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    """(a, b) pair frame → both-direction (u, v) adjacency with ONE
+    structural reference to the input (explode, not self-union): the
+    contraction loop would otherwise multiply the logical plan ~6× per
+    round — exponential analysis cost (the bug an eager engine never
+    sees and a lazy one dies on)."""
+    return (e.select(F.explode(F.array(
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))))
+            .alias("d"))
+            .select("d.u", "d.v"))
+
+
+def _star_components(pairs: DataFrame,
+                     rounds: int = CC_ROUNDS) -> DataFrame:
+    """The contraction itself: (u < v) pair frame → per-node
+    ``(u, component)`` assignment after ``rounds`` alternating
+    large/small-star rounds. Shared by the query and the union-find
+    convergence test (tests/test_linkgraph.py).
+
+    Every phase is a SINGLE linear operator chain over its input —
+    symmetrize by explode, per-node minimum by a u-PARTITIONED window
+    (bounded by node degree), emissions by a second explode — so
+    ``rounds`` rounds grow the plan linearly, and each phase costs one
+    hash shuffle on the node id."""
+    e = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    wu = Window.partitionBy("u")
+    for _ in range(rounds):
+        # large-star: every neighbor v > u re-points at min(Γ⁺(u))
+        adj = _symmetrize(e)
+        e = (adj.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
+             .where(F.col("v") > F.col("u"))
+             .select(F.col("m").alias("a"), F.col("v").alias("b"))
+             .distinct())
+        # small-star: neighbors v < u (and u itself) re-point at their
+        # minimum; (m,u) emitted per row + distinct ≡ one per node
+        sm = _symmetrize(e).where(F.col("v") < F.col("u"))
+        e = (sm.withColumn("m", F.min("v").over(wu))
+             .select(F.explode(F.array(
+                 F.struct(F.col("m").alias("a"), F.col("v").alias("b")),
+                 F.struct(F.col("m").alias("a"), F.col("u").alias("b"))))
+                 .alias("p"))
+             .select("p.a", "p.b")
+             .where(F.col("a") != F.col("b"))
+             .distinct())
+    return _symmetrize(e).groupBy("u").agg(
+        F.least(F.min("v"), F.col("u")).alias("component"))
