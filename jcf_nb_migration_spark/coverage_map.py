@@ -93,6 +93,10 @@ COVERED_BY: dict[str, str] = {
     #   (rotated out of the window r5 for logreg_gd_training)
     "curation_funnel": "doc_quality_score",
     # curation_pipeline_e2e rotated INTO the driver window in r6
+    "split_leakage_audit": "minhash_lsh_dedup",  # the LSH pair
+    #   pipeline + two narrow hash-split joins (pre-training audit)
+    "semantic_decontamination": "embedding_dedup_pairs",  # broadcast
+    #   bench side + JVM cosine fold + per-vector top-1 window
     "source_quota_cap": "tfidf_top_terms",  # per-group top-k window
     "cluster_balanced_sample": "semdedup_prune",  # trained-kmeans
     #   assignment + per-cluster top-k (topic-balance quota)
@@ -108,6 +112,8 @@ COVERED_BY: dict[str, str] = {
     "dsir_importance": "corpus_mixture_sample",
     "source_sampling_weights": "corpus_mixture_sample",
     "doc_chunk_overlap": "multimodal_frame_sample",
+    "packing_efficiency_report": "multimodal_frame_sample",  # const
+    #   grid explode + small groupBy rollup
     "sequence_packing":
         "pytest:test_plans two-phase prefix sum (no visible twin; "
         "bucket-subtotal + per-bucket window shape is plan-guarded)",

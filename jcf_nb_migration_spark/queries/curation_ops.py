@@ -18,6 +18,9 @@ from jcf_nb_migration_spark.functions import dedup as D
 from jcf_nb_migration_spark.functions import pii as P
 from jcf_nb_migration_spark.functions import text as T
 from jcf_nb_migration_spark.queries.advanced2 import _SQL_IVF_ASSIGNED
+from jcf_nb_migration_spark.queries.packing_ops import (
+    SPLIT_MOD, TEST_LO, VALID_LO,
+)
 from jcf_nb_migration_spark.queries.similarity_search import _sql_cos
 from jcf_nb_migration_spark.queries.text_analysis import (
     _SQL_TOKS, _sql_bands_cte, _sql_minhash_sig_cte,
@@ -1396,3 +1399,171 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (agg.selectExpr(
         f"stack(7, {stack_args}) AS (stage, label, n_docs)")
         .orderBy("stage"))
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {_sql_minhash_sig_cte(16)},
+    {_sql_bands_cte(8, 2)},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    cm AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS common
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT cm.id_a, cm.id_b,
+               CAST(cm.common AS DOUBLE)
+                   / (sa.n_sh + sb.n_sh - cm.common) AS jaccard
+        FROM cm
+        JOIN sizes sa ON sa.doc_id = cm.id_a
+        JOIN sizes sb ON sb.doc_id = cm.id_b
+        WHERE CAST(cm.common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - cm.common) >= 0.5
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN h < {VALID_LO} THEN 'train'
+                    WHEN h < {TEST_LO} THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || ':split'), 1, 12))::BIGINT
+                         % {SPLIT_MOD} AS h
+              FROM documents)
+    )
+    SELECT LEAST(a.split, b.split) AS split_a,
+           GREATEST(a.split, b.split) AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(MAX(p.jaccard), 9) AS max_jaccard,
+           LEAST(a.split, b.split) <> GREATEST(a.split, b.split)
+               AS is_leak
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.id_a
+    JOIN sp b ON b.doc_id = p.id_b
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("curation", "split", "leakage", "dedup", "audit"),
+    # composes two driver-visible pipelines (minhash_lsh_dedup pairs +
+    # the corpus_split_assign hash router) into the pre-training audit
+    driver_visible=False,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test-split LEAKAGE audit — the check every serious
+    pipeline runs before training: near-duplicate pairs (verified
+    MinHash-LSH Jaccard ≥ 0.5, the exact minhash_lsh_dedup output)
+    whose two members landed in DIFFERENT splits of the deterministic
+    hash router (corpus_split_assign's salted 48-bit md5). A verbatim
+    copy of a test document sitting in train silently inflates every
+    eval; this query reports the full split×split pair matrix with an
+    is_leak flag and the worst offending similarity per cell.
+
+    Scale shape: the pair set comes from the banded-LSH pipeline
+    (linear; candidates via band equi-joins), the split label is one
+    narrow hash projection broadcast-joined twice on doc_id — no new
+    shuffle family beyond the dedup pipeline it audits."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    pairs = D.minhash_lsh_dedup(docs, "doc_id", "text",
+                                threshold=0.5, k=16, bands=8, rows=2, n=3)
+    h = (F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(":split"))), 1, 12), 16, 10)
+         .cast("bigint") % SPLIT_MOD)
+    split = (F.when(h < VALID_LO, "train")
+             .when(h < TEST_LO, "valid")
+             .otherwise("test"))
+    sp = docs.select("doc_id", split.alias("split"))
+    sa = sp.select(F.col("doc_id").alias("id_a"),
+                   F.col("split").alias("sp_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"),
+                   F.col("split").alias("sp_b"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select(F.least("sp_a", "sp_b").alias("split_a"),
+                    F.greatest("sp_a", "sp_b").alias("split_b"),
+                    "jaccard")
+            .groupBy("split_a", "split_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.max("jaccard"), 9).alias("max_jaccard"))
+            .withColumn("is_leak", F.col("split_a") != F.col("split_b"))
+            .orderBy("split_a", "split_b"))
+
+
+SEMDECON_TAU = 0.30   # semantic contamination bar
+SEMDECON_MOD = 50     # vec_id % this == 0 => held-out benchmark member
+
+
+@query(
+    "semantic_decontamination",
+    oracle=f"""
+    WITH bench AS (
+        SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bvec
+        FROM embeddings WHERE vec_id % {SEMDECON_MOD} = 0
+    ),
+    corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id % {SEMDECON_MOD} <> 0
+    ),
+    scored AS (
+        SELECT c.vec_id, b.bench_id,
+               ROUND({_sql_cos('c.cvec', 'b.bvec')}, 9) AS cos_sim
+        FROM corpus c CROSS JOIN bench b
+        WHERE {_sql_cos('c.cvec', 'b.bvec')} >= {SEMDECON_TAU}
+    )
+    SELECT vec_id, bench_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id) AS rk
+        FROM scored
+    ) WHERE rk = 1 ORDER BY vec_id
+    """,
+    tags=("curation", "decontamination", "semantic", "embedding"),
+    # composes the decontaminate_ngrams shape (broadcast bench side)
+    # with embedding_dedup_pairs' cosine verify — both driver-visible
+    driver_visible=False,
+)
+def semantic_decontamination(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the complement of the
+    n-gram recipe (decontaminate_ngrams): a paraphrased eval item
+    shares no 8-gram with its source, but its embedding stays close.
+    Every corpus vector is screened against the held-out benchmark
+    set (vec_id % {SEMDECON_MOD} == 0 stands in for the eval suite);
+    any cosine ≥ {SEMDECON_TAU} flags the document, reported with its
+    best-matching benchmark item (ties to the lower bench id).
+
+    Scale shape: the benchmark side is SMALL BY NATURE (eval suites
+    are thousands of items, not billions) — it broadcasts, and the
+    corpus makes ONE scan with a per-vector fold per bench item
+    (JVM-side cosine, zero Python). The per-vector top-1 window is
+    partitioned by vec_id (bounded by the bench count). At larger
+    bench suites the same query runs against the IVF shortlist
+    instead of the full bench table (the knn_ann_label_propagation
+    candidate generator)."""
+    from jcf_nb_migration_spark.functions import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    bench = F.broadcast(
+        emb.where(F.col("vec_id") % SEMDECON_MOD == 0)
+        .select(F.col("vec_id").alias("bench_id"),
+                F.col("embedding").alias("bvec")))
+    corpus = (emb.where(F.col("vec_id") % SEMDECON_MOD != 0)
+              .select("vec_id", "embedding"))
+    scored = (corpus.crossJoin(bench)
+              .withColumn("cos_sim",
+                          F.round(S.cosine(F.col("embedding"),
+                                           F.col("bvec")), 9))
+              .where(S.cosine(F.col("embedding"), F.col("bvec"))
+                     >= SEMDECON_TAU))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "bench_id")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "bench_id", "cos_sim")
+            .orderBy("vec_id"))

@@ -426,3 +426,70 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (F.col("n_tok") * DSIR_SCALE))
              .otherwise(F.lit(0.0)).alias("importance"),
         )
+
+
+PACK_LENS = (128, 256, 512, 1024)  # candidate sequence lengths
+
+
+@query(
+    "packing_efficiency_report",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, len({_SQL_TOKS}) AS n_tok FROM documents
+    ),
+    nz AS (SELECT n_tok FROM tok WHERE n_tok > 0),
+    grid AS (
+        SELECT n_tok, L FROM nz
+        CROSS JOIN (VALUES {", ".join(f"({L})" for L in PACK_LENS)}) t(L)
+    )
+    SELECT L AS seq_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM((n_tok + L - 1) // L) AS BIGINT) AS n_sequences,
+           CAST(SUM(((n_tok + L - 1) // L) * L - n_tok) AS BIGINT)
+               AS pad_tokens,
+           ROUND(CAST(SUM(((n_tok + L - 1) // L) * L - n_tok) AS DOUBLE)
+                 / SUM(((n_tok + L - 1) // L) * L), 9) AS pad_frac,
+           CAST(SUM(CASE WHEN n_tok > L THEN n_tok - L ELSE 0 END)
+                AS BIGINT) AS trunc_tokens
+    FROM grid GROUP BY L ORDER BY L
+    """,
+    tags=("assembly", "packing", "efficiency", "report"),
+    # kept local to fit the 50-name driver window; explode-over-grid +
+    # groupBy is driver-visible via multimodal_frame_sample
+    driver_visible=False,
+)
+def packing_efficiency_report(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Sequence-length tuning table — what {', '.join(map(str, PACK_LENS))}
+    would each cost if documents were batched pad-to-length instead of
+    packed: sequences produced, pad tokens burned (the GPU-hours
+    argument for sequence_packing, whose waste is ~zero by
+    construction) and the tokens a truncate-to-one-sequence policy
+    would DELETE. All integer arithmetic on one token-count scan
+    exploded over the {len(PACK_LENS)}-length grid (constant fan-out,
+    grid:const — not data-dependent); the final per-length rollup is a
+    {len(PACK_LENS)}-group aggregate."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    nz = (docs.select(F.size(T.tokens("text")).alias("n_tok"))
+          .where(F.col("n_tok") > 0))
+    grid = nz.select(
+        "n_tok",
+        F.explode(F.array(*[F.lit(L) for L in PACK_LENS])).alias("L"))
+    nseq = F.expr("(n_tok + L - 1) div L")
+    return (grid.groupBy("L")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("total_tokens"),
+                 F.sum(nseq).alias("n_sequences"),
+                 F.sum(nseq * F.col("L") - F.col("n_tok"))
+                  .alias("pad_tokens"),
+                 F.round(F.sum(nseq * F.col("L") - F.col("n_tok"))
+                         .cast("double")
+                         / F.sum(nseq * F.col("L")), 9).alias("pad_frac"),
+                 F.sum(F.when(F.col("n_tok") > F.col("L"),
+                              F.col("n_tok") - F.col("L")).otherwise(0))
+                  .alias("trunc_tokens"))
+            .select(F.col("L").alias("seq_len"), "n_docs", "total_tokens",
+                    "n_sequences", "pad_tokens", "pad_frac",
+                    "trunc_tokens")
+            .orderBy("seq_len"))
