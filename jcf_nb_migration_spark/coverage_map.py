@@ -195,6 +195,12 @@ COVERED_BY: dict[str, str] = {
     "orders_pit_customer_join": "customer_scd2_history",
     "orders_snapshot_diff": "customer_scd2_history",
     "cogroup_asof_pandas": "asof_click_before_error",
+    "scalar_iter_doc_stats": "doc_token_stats",  # SCALAR_ITER pandas
+    #   UDF surface; same per-doc stat output as the built-in path
+    "volume_shipping_report": "local_supplier_volume",  # Q7: the
+    #   broadcast-dim star join with nation joined twice
+    "large_volume_customers": "returned_item_report",  # Q18:
+    #   agg-subquery semi-join + re-aggregate + distributed take
     # --- events / time series -------------------------------------------
     "events_hourly": "streaming_hourly_counts",
     "user_rolling_7d": "user_hourly_resample",  # RANGE frame variant

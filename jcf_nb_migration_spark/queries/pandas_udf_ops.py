@@ -332,3 +332,61 @@ def weighted_median_gagg(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.col("l_orderkey"), F.col("l_linenumber"))
                  .alias("wmedian"))
             .orderBy("l_returnflag"))
+
+
+@query(
+    "scalar_iter_doc_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x != '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text)
+                - length(regexp_replace(text, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits
+    FROM documents ORDER BY doc_id
+    """,
+    tags=("pandas-udf", "scalar-iter", "arrow", "vectorized"),
+    # the remaining pandas-UDF evaluation mode (SCALAR_ITER) beside
+    # GROUPED_AGG/applyInPandas/mapInPandas/mapInArrow/UDTF — cheap
+    # per-row work is driver-visible via doc_token_stats (built-ins,
+    # the 100 TB path); this pins the iterator surface itself
+    driver_visible=False,
+)
+def scalar_iter_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats through a SCALAR_ITER pandas UDF — the
+    evaluation mode for UDFs with EXPENSIVE one-time setup (model
+    weights, compiled automata, tokenizer vocabularies): the function
+    receives an iterator of Arrow batches, runs its setup ONCE per
+    task, then streams batches through it — versus plain SCALAR, which
+    gives setup no amortization point. Here the "model" is a compiled
+    regex pair; counts are integers, so the DuckDB oracle matches
+    bit-for-bit. The honest scale note cuts the other way: for work
+    THIS cheap the built-in column functions (doc_token_stats) win —
+    this query pins the surface for the cases that genuinely need
+    Python (real tokenizers, ONNX scorers), where setup amortization
+    is the difference between usable and not."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies the Iterator hints, defeating signature inference
+    # (same workaround as weighted_median_grouped_agg above)
+    @pandas_udf("n_tokens long, n_chars long, n_digits long",
+                PandasUDFType.SCALAR_ITER)
+    def stats(it):
+        import re
+
+        tok = re.compile(r"\S+")       # one-time setup, amortized
+        dig = re.compile(r"[0-9]")     # across every batch this task
+        for s in it:
+            yield pd.DataFrame({
+                "n_tokens": s.str.findall(tok).str.len().astype("int64"),
+                "n_chars": s.str.len().astype("int64"),
+                "n_digits": s.str.count(dig).astype("int64"),
+            })
+
+    docs = t(spark, sf_dir, "documents")
+    return (docs.select("doc_id", stats(F.col("text")).alias("s"))
+            .select("doc_id", "s.n_tokens", "s.n_chars", "s.n_digits")
+            .orderBy("doc_id"))

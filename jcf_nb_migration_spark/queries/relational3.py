@@ -342,3 +342,124 @@ def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .agg(one.alias("n_urgent_only")))
             .crossJoin(building.union(urgent).distinct()
                        .agg(one.alias("n_either"))))
+
+
+@query(
+    "volume_shipping_report",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(19,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    tags=("tpch-q7", "join", "multi-dim", "broadcast"),
+    # Q5/Q8/Q9's broadcast-dim star-join family (driver-visible via
+    # local_supplier_volume); the Q7 twist is the SAME dimension
+    # joined twice under different roles
+    driver_visible=False,
+)
+def volume_shipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — the nation dimension participates TWICE (supplier's
+    and customer's nation) with a disjunctive cross-pair predicate.
+    Both nation sides broadcast (25 rows); the fact side makes one
+    scan with the shipdate range pushed down; the pair filter runs
+    after the two cheap dim joins. Revenue through DECIMAL(19,4):
+    (18,4)x(18,4) overflows DuckDB, the (19,4) operand idiom from the
+    cross-engine traps list."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"),
+                       F.col("n_name").alias("supp_nation"))
+    cn = nation.select(F.col("n_nationkey").alias("cn_key"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_1")
+             & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2")
+               & (F.col("cust_nation") == "NATION_1")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where((F.col("l_shipdate")
+                  >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate")
+                    < F.lit("1998-01-01").cast("timestamp")))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("bigint").alias("l_year"))
+        .agg(F.sum(rev.cast("decimal(19,4)")).cast("double")
+             .alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+Q18_QTY = 300  # large-volume order threshold
+
+
+@query(
+    "large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > {Q18_QTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN big b ON b.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4, 5
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 20
+    """,
+    tags=("tpch-q18", "join", "having-subquery", "topk"),
+    # semi-join on an aggregated subquery + re-aggregate — the
+    # groupBy-HAVING-IN decorrelation family (driver-visible twins:
+    # returned_item_report's join+agg, shipping_priority's top-k)
+    driver_visible=False,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers who placed orders totalling more
+    than {Q18_QTY} units — the IN-(aggregated subquery) pattern.
+    Catalyst decorrelates the HAVING subquery into a semi-join on the
+    aggregated order keys; quantities re-aggregate on the surviving
+    orders only. The big-order key set is tiny after the threshold, so
+    AQE broadcasts it into the fact join; ordered take-20 distributes
+    (TakeOrdered), never a global sort."""
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(dec("l_quantity")).alias("q"))
+           .where(F.col("q") > Q18_QTY)
+           .select("l_orderkey"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(big, li.l_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                 "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(20))
