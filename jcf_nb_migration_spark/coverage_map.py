@@ -87,7 +87,9 @@ COVERED_BY: dict[str, str] = {
     "gopher_quality_flags": "doc_quality_score",
     "logreg_calibration": "logreg_gd_training",  # serve half:
     #   one codegen'd scoring scan under the trained weights
-    "doc_lang_id": "doc_quality_score",  # narrow text-stat scan
+    "doc_lang_id": "doc_quality_score",
+    "code_switch_profile": "doc_quality_score",  # chunk explode +
+    #   per-doc lang-mix rollup (paragraph_dedup's shuffle graph)  # narrow text-stat scan
     #   (rotated out of the window r5 for fuzzy_name_matches)
     "doc_repetition_stats": "decontaminate_ngrams",  # gram-explode agg
     #   (rotated out of the window r5 for logreg_gd_training)
@@ -137,6 +139,8 @@ COVERED_BY: dict[str, str] = {
     "source_embedding_drift": "pricing_summary",
     "source_report_card": "pricing_summary",
     "price_histogram": "price_quantiles",
+    "winsorized_order_values": "price_quantiles",  # grouped two-phase
+    #   ordinal rank + broadcast per-segment clamp bounds
     "quantity_price_correlation": "pricing_summary",
     "join_key_skew_profile": "table_counts",  # per-key count +
     #   one-row rollup per candidate key (salting decision input)

@@ -987,3 +987,124 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.abs(share - F.col("expected_share")), 9)
                      .alias("abs_dev"))
             .orderBy("digit"))
+
+
+WINSOR_LO, WINSOR_HI = 5, 95  # percentile clamp bounds (ordinal, exact)
+
+
+@query(
+    "winsorized_order_values",
+    oracle=f"""
+    WITH v AS (
+        SELECT c.c_mktsegment AS seg, o.o_totalprice AS val,
+               o.o_orderkey AS k
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    r AS (
+        SELECT seg, val,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY val, k) AS rn,
+               COUNT(*) OVER (PARTITION BY seg) AS n
+        FROM v
+    ),
+    b AS (
+        SELECT seg, MAX(n) AS n,
+               MAX(CASE WHEN rn = ({WINSOR_LO} * n + 99) // 100
+                        THEN val END) AS p05,
+               MAX(CASE WHEN rn = ({WINSOR_HI} * n + 99) // 100
+                        THEN val END) AS p95
+        FROM r GROUP BY seg
+    )
+    SELECT v.seg AS c_mktsegment,
+           CAST(MAX(b.n) AS BIGINT) AS n_orders,
+           MAX(b.p05) AS p05, MAX(b.p95) AS p95,
+           CAST(SUM(CASE WHEN v.val < b.p05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_low,
+           CAST(SUM(CASE WHEN v.val > b.p95 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped_high,
+           CAST(SUM(CAST(v.val AS DECIMAL(18,4))) AS DOUBLE) / MAX(b.n)
+               AS mean_raw,
+           CAST(SUM(CAST(LEAST(GREATEST(v.val, b.p05), b.p95)
+                         AS DECIMAL(18,4))) AS DOUBLE) / MAX(b.n)
+               AS mean_winsorized
+    FROM v JOIN b ON b.seg = v.seg
+    GROUP BY v.seg ORDER BY v.seg
+    """,
+    tags=("profiling", "winsorize", "robust-stats", "two-phase-rank"),
+    # the grouped generalization of corpus_vocabulary's two-phase
+    # rank; per-key agg + broadcast bounds are driver-visible via
+    # price_quantiles / table_counts
+    driver_visible=False,
+)
+def winsorized_order_values(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Winsorization — the robust-stats prep every outlier-sensitive
+    aggregate wants: clamp each segment's order values at the EXACT
+    ordinal p{WINSOR_LO}/p{WINSOR_HI} elements (rank ceil(p·n/100) by
+    integer arithmetic — no interpolation, hash-exact cross-engine)
+    and report raw vs winsorized means with clamp counts.
+
+    The scale trap is that "per-segment rank" over FEW segments is a
+    handful of corpus-sized ordered windows — one task per segment.
+    Ranked with the GROUPED two-phase pattern instead: one
+    ``repartitionByRange(seg, val, key)`` (range buckets respect the
+    per-segment value order), per-(seg, bucket) counts, per-segment
+    bucket offsets through a window over ≤shuffle-partitions subtotal
+    rows per segment, and in-bucket row_numbers partitioned by
+    (seg, bucket) — every ordered window is bounded regardless of
+    segment size. The ranked frame is persisted so rank and offset
+    branches share one bucket assignment; the per-segment bounds
+    frame is segment-sized and broadcasts back onto the values."""
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    v = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .select(F.col("c_mktsegment").alias("seg"),
+                 F.col("o_totalprice").alias("val"),
+                 F.col("o_orderkey").alias("k")))
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (v.repartitionByRange(nb, "seg", "val", "k")
+              .withColumn("pid", F.spark_partition_id())
+              .persist())
+    counts = ranged.groupBy("seg", "pid").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    # bounded-window: buckets:spark.sql.shuffle.partitions — ≤nb
+    # subtotal rows per segment, constant in data size
+    w_off = (Window.partitionBy("seg").orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        "seg", "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("p_off"))
+    nseg = counts.groupBy("seg").agg(F.sum("cnt").alias("n"))
+    w_in = Window.partitionBy("seg", "pid").orderBy("val", "k")
+    ranked = (ranged.withColumn("r_in", F.row_number().over(w_in))
+              .join(off, ["seg", "pid"])
+              .join(F.broadcast(nseg), "seg")
+              .select("seg", "val",
+                      (F.col("p_off") + F.col("r_in")).alias("rn"),
+                      "n"))
+    lo_rn = F.expr(f"({WINSOR_LO} * n + 99) div 100")
+    hi_rn = F.expr(f"({WINSOR_HI} * n + 99) div 100")
+    b = (ranked.groupBy("seg").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == lo_rn, F.col("val"))).alias("p05"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("val"))).alias("p95")))
+    clamped = F.least(F.greatest(F.col("val"), F.col("p05")),
+                      F.col("p95"))
+    return (ranged.join(F.broadcast(b), "seg")
+            .groupBy("seg")
+            .agg(F.max("n").cast("bigint").alias("n_orders"),
+                 F.max("p05").alias("p05"), F.max("p95").alias("p95"),
+                 F.sum(F.when(F.col("val") < F.col("p05"), 1)
+                       .otherwise(0)).cast("bigint")
+                  .alias("n_clamped_low"),
+                 F.sum(F.when(F.col("val") > F.col("p95"), 1)
+                       .otherwise(0)).cast("bigint")
+                  .alias("n_clamped_high"),
+                 (F.sum(F.col("val").cast("decimal(18,4)")).cast("double")
+                  / F.max("n")).alias("mean_raw"),
+                 (F.sum(clamped.cast("decimal(18,4)")).cast("double")
+                  / F.max("n")).alias("mean_winsorized"))
+            .select(F.col("seg").alias("c_mktsegment"), "n_orders",
+                    "p05", "p95", "n_clamped_low", "n_clamped_high",
+                    "mean_raw", "mean_winsorized")
+            .orderBy("c_mktsegment"))

@@ -952,3 +952,94 @@ def term_source_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("max_source_share"))
             .orderBy(F.desc("max_source_share"), "term")
             .limit(30))
+
+
+@query(
+    "code_switch_profile",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0,
+                   CAST((len(w) - 1) // {PARA_W} AS INT))) AS chunk_idx
+        FROM d WHERE len(w) > 0
+    ),
+    ch AS (
+        SELECT doc_id, chunk_idx,
+               {T.lang_id_oracle_sql(
+                   f"w[chunk_idx*{PARA_W}+1 : chunk_idx*{PARA_W}+{PARA_W}]")}
+                   AS clang
+        FROM idx
+    ),
+    lc AS (
+        SELECT doc_id, clang, COUNT(*) AS cnt FROM ch GROUP BY 1, 2
+    ),
+    main AS (
+        SELECT doc_id, clang AS main_lang, cnt AS main_cnt FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY cnt DESC, clang) AS rk
+            FROM lc
+        ) WHERE rk = 1
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+               CAST(COUNT(*) AS BIGINT) AS n_langs
+        FROM lc GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks, t.n_langs, m.main_lang,
+           ROUND(CAST(m.main_cnt AS DOUBLE) / t.n_chunks, 9)
+               AS main_share,
+           t.n_langs > 1 AS is_code_switched
+    FROM tot t JOIN main m ON m.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+    tags=("text", "lang-id", "code-switch", "curation"),
+    # chunk explode + per-doc windows — the paragraph_dedup shuffle
+    # graph with doc_lang_id's scoring; pattern driver-visible via
+    # doc_quality_score + dedup_exact
+    driver_visible=False,
+)
+def code_switch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language (code-switching) detection — the curation signal
+    monolingual filters miss: documents whose PARAGRAPHS disagree on
+    language (boilerplate headers in English wrapping native text,
+    scraped forums, machine-concatenated pages). Each {PARA_W}-word
+    chunk (the paragraph_dedup chunking) gets the stopword-argmax
+    language ID; per document the profile reports chunk count,
+    distinct chunk languages, the majority language and its share, and
+    an is_code_switched flag for the >1-language docs a curation rule
+    would route to per-paragraph filtering instead of doc-level drop.
+
+    Scale shape: one explode (linear), per-(doc, lang) counts and a
+    doc-partitioned top-1 window (bounded by the language-list size),
+    one per-doc rollup — the paragraph_dedup shuffle graph with
+    lang_id's vectorized CASE chain instead of md5."""
+    docs = t(spark, sf_dir, "documents")
+    d = (spread(docs)
+         .select("doc_id", T.tokens("text").alias("w"))
+         .where(F.size("w") > 0))
+    ch = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, (size(w)-1) div {PARA_W}),"
+            f" i -> slice(w, i*{PARA_W}+1, {PARA_W}))"
+        )).alias("chunk_idx", "cw")
+    ).select("doc_id", T.lang_id(F.col("cw")).alias("clang"))
+    lc = ch.groupBy("doc_id", "clang").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+    rk = F.row_number().over(
+        W.partitionBy("doc_id").orderBy(F.desc("cnt"), "clang"))
+    main = (lc.withColumn("rk", rk).where(F.col("rk") == 1)
+            .select("doc_id", F.col("clang").alias("main_lang"),
+                    F.col("cnt").alias("main_cnt")))
+    tot = lc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"))
+    return (tot.join(main, "doc_id")
+            .select("doc_id", "n_chunks", "n_langs", "main_lang",
+                    F.round(F.col("main_cnt").cast("double")
+                            / F.col("n_chunks"), 9).alias("main_share"),
+                    (F.col("n_langs") > 1).alias("is_code_switched"))
+            .orderBy("doc_id"))
