@@ -48,6 +48,8 @@ COVERED_BY: dict[str, str] = {
     "embedding_norm_stats": "ann_brute_force_topk",
     "embedding_normalize": "ann_brute_force_topk",
     "part_name_fuzzy_pairs": "embedding_dedup_pairs",
+    "record_linkage_merge": "fuzzy_name_matches",  # two-table
+    #   deletion-blocked linkage + per-incoming top-1 survivorship
     # --- dedup -----------------------------------------------------------
     "dedup_clusters": "dedup_clusters_lsh",
     # iterative equi-join+groupBy power iteration, frequency-capped
@@ -131,7 +133,9 @@ COVERED_BY: dict[str, str] = {
     #   one-row rollup (privacy audit)
     "user_active_streaks": "latest_event_per_user",  # per-key window
     #   + key-reusing groupBys (gaps-and-islands)
-    "dq_expectations": "table_counts",  # fused conditional-agg report
+    "dq_expectations": "table_counts",
+    "referential_integrity_audit": "customer_scd2_history",  # fused
+    #   anti-join orphan counts (the pre-join FK audit)  # fused conditional-agg report
     "daily_volume_anomalies": "table_counts",  # integer-exact moment
     #   rollup broadcast back (volume/freshness monitor)
     "benford_first_digit": "table_counts",  # 9-value groupBy +

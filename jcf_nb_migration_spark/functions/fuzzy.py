@@ -64,3 +64,26 @@ def fuzzy_self_join_pairs(df: DataFrame, id_col: str, str_col: str,
     return (cand
             .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
             .where(F.col("edit_dist") <= max_ed))
+
+
+def fuzzy_link_pairs(left: DataFrame, left_id: str, left_str: str,
+                     right: DataFrame, right_id: str, right_str: str,
+                     max_ed: int = 1) -> DataFrame:
+    """Two-table record LINKAGE variant of fuzzy_self_join_pairs: all
+    (left, right) pairs within Levenshtein distance ``max_ed`` —
+    incoming-batch-vs-master matching, where a self-join's transitive
+    chains never arise. Same lossless deletion blocking, exact verify.
+    Columns: <left_id>, <left_str>, <right_id>, <right_str>,
+    edit_dist."""
+    lk = left.select(
+        F.col(left_id), F.col(left_str),
+        F.explode(deletion_keys(left_str, max_ed)).alias("key"))
+    rk = right.select(
+        F.col(right_id), F.col(right_str),
+        F.explode(deletion_keys(right_str, max_ed)).alias("key"))
+    cand = (lk.join(rk, "key")
+            .select(left_id, left_str, right_id, right_str)
+            .distinct())
+    return (cand
+            .withColumn("edit_dist", F.levenshtein(left_str, right_str))
+            .where(F.col("edit_dist") <= max_ed))

@@ -94,3 +94,116 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("n_fuzzy_matches"))
         .orderBy("c_custkey")
     )
+
+
+@query(
+    "record_linkage_merge",
+    oracle="""
+    WITH m AS (
+        SELECT c_custkey, c_name FROM customer
+    ),
+    inc AS (
+        SELECT c_custkey + 10000000 AS inc_id,
+               concat(substr(c_name, 1, length(c_name) - 1),
+                      CASE WHEN substr(c_name, length(c_name), 1) = 'X'
+                           THEN 'Y' ELSE 'X' END) AS dirty_name
+        FROM m WHERE c_custkey % 10 = 0
+    ),
+    ikeys AS (
+        SELECT inc_id, dirty_name,
+               concat(substr(dirty_name, 1, i),
+                      substr(dirty_name, i + 2)) AS key
+        FROM inc,
+             LATERAL (SELECT unnest(range(0, length(dirty_name))) AS i)
+        UNION SELECT inc_id, dirty_name, dirty_name FROM inc
+    ),
+    mkeys AS (
+        SELECT c_custkey, c_name,
+               concat(substr(c_name, 1, i), substr(c_name, i + 2)) AS key
+        FROM m, LATERAL (SELECT unnest(range(0, length(c_name))) AS i)
+        UNION SELECT c_custkey, c_name, c_name FROM m
+    ),
+    cand AS (
+        SELECT DISTINCT i.inc_id, i.dirty_name, k.c_custkey, k.c_name
+        FROM ikeys i JOIN mkeys k ON k.key = i.key
+    ),
+    hits AS (
+        SELECT *, levenshtein(dirty_name, c_name) AS edit_dist
+        FROM cand WHERE levenshtein(dirty_name, c_name) <= 1
+    ),
+    best AS (
+        SELECT inc_id, c_custkey, c_name, edit_dist,
+               COUNT(*) OVER (PARTITION BY inc_id) AS n_candidates,
+               ROW_NUMBER() OVER (PARTITION BY inc_id
+                                  ORDER BY edit_dist, c_custkey) AS rk
+        FROM hits
+    )
+    SELECT i.inc_id, i.dirty_name,
+           b.c_custkey AS matched_custkey,
+           b.c_name AS matched_name,
+           b.edit_dist,
+           CAST(COALESCE(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+           COALESCE(b.c_name, i.dirty_name) AS golden_name
+    FROM inc i LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+        ON b.inc_id = i.inc_id
+    ORDER BY i.inc_id
+    """,
+    tags=("fuzzy-join", "entity-resolution", "record-linkage",
+          "golden-record", "survivorship"),
+    # two-table variant of fuzzy_name_matches' blocking
+    # (driver-visible); per-incoming top-1 window bounded by the
+    # candidate count
+    driver_visible=False,
+)
+def record_linkage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage with survivorship — the incoming-batch-vs-master
+    half of entity resolution: a DIRTY batch (every 10th customer,
+    one deterministic character substitution — the planted-typo
+    fixture, because the synthetic sequential namespace is otherwise
+    fully fuzzy-connected: at sf0.1 ALL 15 000 names fall in ONE
+    edit-distance component, so self-join ER is degenerate by
+    construction, while linkage is not) is matched against the master
+    by the same lossless deletion-neighborhood blocking as
+    fuzzy_name_matches, verified with exact Levenshtein, and resolved
+    per incoming record: best match (lowest distance, ties to the
+    lowest key), how many candidates competed (the ambiguity signal a
+    clerical-review queue is built from), and the surviving golden
+    name (master wins; unlinked records keep their own).
+
+    Scale: the master-side neighborhood index is the REUSABLE
+    artifact — build once, store, and every incoming batch equi-joins
+    it (the lsh_incremental_dedup standing-index shape applied to
+    strings). No self-join, no transitive closure: output is bounded
+    by the batch."""
+    from jcf_nb_migration_spark.functions.fuzzy import fuzzy_link_pairs
+    from pyspark.sql import Window as W
+
+    m = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    last = F.substring(F.col("c_name"), F.length("c_name"), 1)
+    inc = (m.where(F.col("c_custkey") % 10 == 0)
+           .select((F.col("c_custkey") + 10_000_000).alias("inc_id"),
+                   F.concat(
+                       F.substring(F.col("c_name"), F.lit(1),
+                                   F.length("c_name") - 1),
+                       F.when(last == "X", "Y").otherwise("X"))
+                   .alias("dirty_name")))
+    hits = fuzzy_link_pairs(inc, "inc_id", "dirty_name",
+                            m, "c_custkey", "c_name", max_ed=1)
+    w = W.partitionBy("inc_id")
+    best = (hits
+            .withColumn("n_candidates", F.count(F.lit(1)).over(w))
+            .withColumn("rk", F.row_number().over(
+                w.orderBy("edit_dist", "c_custkey")))
+            .where(F.col("rk") == 1))
+    return (inc.join(best.select("inc_id",
+                                 F.col("c_custkey").alias("matched_custkey"),
+                                 F.col("c_name").alias("matched_name"),
+                                 "edit_dist", "n_candidates"),
+                     "inc_id", "left")
+            .select("inc_id", "dirty_name", "matched_custkey",
+                    "matched_name", "edit_dist",
+                    F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+                    .alias("n_candidates"),
+                    F.coalesce("matched_name", "dirty_name")
+                    .alias("golden_name"))
+            .orderBy("inc_id"))

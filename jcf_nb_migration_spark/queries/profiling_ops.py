@@ -1108,3 +1108,83 @@ def winsorized_order_values(spark: SparkSession,
                     "p05", "p95", "n_clamped_low", "n_clamped_high",
                     "mean_raw", "mean_winsorized")
             .orderBy("c_mktsegment"))
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT rel, n_fk_rows, n_fk_keys, n_pk_keys, n_orphan_rows,
+           n_orphan_keys, n_unreferenced_pk
+    FROM (
+        SELECT 'orders.o_custkey->customer' AS rel,
+               (SELECT COUNT(*) FROM orders) AS n_fk_rows,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS n_fk_keys,
+               (SELECT COUNT(*) FROM customer) AS n_pk_keys,
+               (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey)) AS n_orphan_rows,
+               (SELECT COUNT(DISTINCT o_custkey) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+                   AS n_orphan_keys,
+               (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey)) AS n_unreferenced_pk
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem),
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o
+                    WHERE o.o_orderkey = l.l_orderkey)),
+               (SELECT COUNT(DISTINCT l_orderkey) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)),
+               (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+                   (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey))
+    ) ORDER BY rel
+    """,
+    tags=("profiling", "dq", "referential-integrity", "anti-join"),
+    # anti/semi-join audit counts — the customers_without_orders /
+    # document_purge join family, rolled into a fused report
+    driver_visible=False,
+)
+def referential_integrity_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Foreign-key integrity report for the two fact→dim relations —
+    the pre-join DQ check that decides whether an inner join silently
+    drops rows: per relation, fact rows/keys, dim keys, ORPHAN fact
+    rows/keys (fk value missing from the dim) and unreferenced dim
+    rows. Each relation costs one distinct-agg scan plus two
+    anti-joins on the key (AQE broadcasts the smaller side); the
+    1-row-per-relation results union into the report. At 100 TB this
+    is the query you run BEFORE switching a left join to inner."""
+
+    def rel(name, fact, fk, dim, pk):
+        fkc, pkc = F.col(fk), F.col(pk)
+        orphans = fact.join(dim, fkc == pkc, "left_anti")
+        unref = dim.join(fact, pkc == fkc, "left_anti")
+        return (fact.agg(
+            F.count(F.lit(1)).alias("n_fk_rows"),
+            F.countDistinct(fk).alias("n_fk_keys"))
+            .crossJoin(F.broadcast(
+                dim.agg(F.count(F.lit(1)).alias("n_pk_keys"))))
+            .crossJoin(F.broadcast(orphans.agg(
+                F.count(F.lit(1)).alias("n_orphan_rows"),
+                F.countDistinct(fk).alias("n_orphan_keys"))))
+            .crossJoin(F.broadcast(unref.agg(
+                F.count(F.lit(1)).alias("n_unreferenced_pk"))))
+            .select(F.lit(name).alias("rel"), "n_fk_rows", "n_fk_keys",
+                    "n_pk_keys", "n_orphan_rows", "n_orphan_keys",
+                    "n_unreferenced_pk"))
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    return (rel("orders.o_custkey->customer", orders, "o_custkey",
+                cust, "c_custkey")
+            .unionByName(rel("lineitem.l_orderkey->orders", li,
+                             "l_orderkey", orders, "o_orderkey"))
+            .orderBy("rel"))
