@@ -69,6 +69,9 @@ COVERED_BY: dict[str, str] = {
     #   after a decontaminate-style explode
     "minhash_signatures": "minhash_lsh_dedup",
     "simhash_fingerprints": "simhash_near_pairs",
+    "media_perceptual_dedup": "simhash_near_pairs",  # average-hash
+    #   fingerprint + the same pigeonhole-banded Hamming machinery
+    #   over the multimodal payload column
     "lsh_incremental_dedup": "minhash_lsh_dedup",
     "bloom_incremental_dedup": "decontaminate_ngrams",
     "doc_fingerprint": "dedup_exact",
