@@ -146,6 +146,8 @@ COVERED_BY: dict[str, str] = {
     "source_embedding_drift": "pricing_summary",
     "source_report_card": "pricing_summary",
     "price_histogram": "price_quantiles",
+    "customer_balance_deciles": "price_quantiles",  # ANSI NTILE via
+    #   the two-phase global rank, proven against the native window
     "winsorized_order_values": "price_quantiles",  # grouped two-phase
     #   ordinal rank + broadcast per-segment clamp bounds
     "quantity_price_correlation": "pricing_summary",

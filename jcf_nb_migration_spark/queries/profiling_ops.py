@@ -1188,3 +1188,79 @@ def referential_integrity_audit(spark: SparkSession,
             .unionByName(rel("lineitem.l_orderkey->orders", li,
                              "l_orderkey", orders, "o_orderkey"))
             .orderBy("rel"))
+
+
+NTILE_K = 10  # decile report
+
+
+@query(
+    "customer_balance_deciles",
+    oracle=f"""
+    WITH r AS (
+        SELECT c_acctbal,
+               NTILE({NTILE_K}) OVER (ORDER BY c_acctbal, c_custkey)
+                   AS decile
+        FROM customer
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(*) AS avg_bal
+    FROM r GROUP BY decile ORDER BY decile
+    """,
+    tags=("profiling", "ntile", "deciles", "two-phase-rank"),
+    # ANSI NTILE replayed through the two-phase rank — the oracle uses
+    # the native window, the Spark side proves the rank-arithmetic
+    # equivalence at scale; pattern driver-visible via price_quantiles
+    driver_visible=False,
+)
+def customer_balance_deciles(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Account-balance decile report — NTILE({NTILE_K}) without the
+    global-window funnel: the oracle uses DuckDB's native NTILE; the
+    Spark side derives the IDENTICAL bucket from the two-phase
+    range-partitioned global rank (corpus_vocabulary pattern) and the
+    ANSI assignment rule in integer arithmetic — the first n mod k
+    buckets take ceil(n/k) rows, the rest floor(n/k):
+    rn ≤ m·(s+1) → bucket (rn−1) div (s+1) + 1, else
+    m + (rn − m·(s+1) − 1) div s + 1, with s = n div k, m = n mod k.
+    Exactness of that formula vs the native window IS the test. One
+    range shuffle + bounded subtotal window + a {NTILE_K}-group
+    rollup."""
+    cust = t(spark, sf_dir, "customer")
+    v = cust.select(F.col("c_acctbal").alias("val"),
+                    F.col("c_custkey").alias("k"))
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = (v.repartitionByRange(nb, "val", "k")
+              .withColumn("pid", F.spark_partition_id())
+              .persist())
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded-window: buckets:spark.sql.shuffle.partitions — one
+    # subtotal row per range bucket
+    w_off = (Window.orderBy("pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    off = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("p_off"))
+    tot = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    w_in = Window.partitionBy("pid").orderBy("val", "k")
+    ranked = (ranged.withColumn("r_in", F.row_number().over(w_in))
+              .join(off, "pid")
+              .crossJoin(F.broadcast(tot))
+              .select("val", (F.col("p_off") + F.col("r_in")).alias("rn"),
+                      "n"))
+    k = NTILE_K
+    decile = F.expr(
+        f"CAST(IF(rn <= (n % {k}) * (n div {k} + 1), "
+        f"(rn - 1) div (n div {k} + 1), "
+        f"(n % {k}) + (rn - (n % {k}) * (n div {k} + 1) - 1) "
+        f"div (n div {k})) + 1 AS INT)")
+    return (ranked.withColumn("decile", decile)
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.min("val").alias("min_bal"),
+                 F.max("val").alias("max_bal"),
+                 (F.sum(F.col("val").cast("decimal(18,4)")).cast("double")
+                  / F.count(F.lit(1))).alias("avg_bal"))
+            .orderBy("decile"))
