@@ -105,7 +105,9 @@ COVERED_BY: dict[str, str] = {
     "semantic_decontamination": "embedding_dedup_pairs",  # broadcast
     #   bench side + JVM cosine fold + per-vector top-1 window
     "source_quota_cap": "tfidf_top_terms",  # per-group top-k window
-    "cluster_balanced_sample": "semdedup_prune",  # trained-kmeans
+    "cluster_balanced_sample": "semdedup_prune",
+    "cluster_topic_terms": "semdedup_prune",  # k-means assignment +
+    #   tf-lift per-cluster top-k (topic labels for curation reports)  # trained-kmeans
     #   assignment + per-cluster top-k (topic-balance quota)
 
     # --- retrieval -------------------------------------------------------

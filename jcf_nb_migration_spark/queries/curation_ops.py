@@ -1567,3 +1567,96 @@ def semantic_decontamination(spark: SparkSession,
             .where(F.col("rk") == 1)
             .select("vec_id", "bench_id", "cos_sim")
             .orderBy("vec_id"))
+
+
+TOPIC_TOPK = 5        # distinctive terms reported per cluster
+TOPIC_MIN_TF = 5      # corpus support floor (kills hapax noise)
+
+
+@query(
+    "cluster_topic_terms",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGNED},
+    dtok AS (
+        SELECT a.cluster, t.term
+        FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS term
+              FROM documents) t
+        JOIN assigned a ON a.vec_id = t.doc_id
+    ),
+    ct AS (
+        SELECT cluster, term, COUNT(*) AS tf
+        FROM dtok GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT term, SUM(tf) AS corpus_tf,
+               (SELECT SUM(tf) FROM ct) AS corpus_n
+        FROM ct GROUP BY term
+    ),
+    csz AS (SELECT cluster, SUM(tf) AS cluster_n FROM ct GROUP BY 1),
+    lifted AS (
+        SELECT ct.cluster, ct.term, ct.tf,
+               ROUND(CAST(ct.tf AS DOUBLE) * tot.corpus_n
+                     / (csz.cluster_n * tot.corpus_tf), 9) AS lift
+        FROM ct
+        JOIN tot ON tot.term = ct.term
+        JOIN csz ON csz.cluster = ct.cluster
+        WHERE tot.corpus_tf >= {TOPIC_MIN_TF}
+    )
+    SELECT cluster, term, CAST(tf AS BIGINT) AS tf, lift FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY cluster
+            ORDER BY lift DESC, term) AS rk
+        FROM lifted
+    ) WHERE rk <= {TOPIC_TOPK}
+    ORDER BY cluster, lift DESC, term
+    """,
+    tags=("curation", "kmeans", "topic-labeling", "tfidf", "composed"),
+    # composes the trained k-means assignment (semdedup_prune,
+    # driver-visible) with the tf-lift ranking family
+    # (tfidf_top_terms); per-cluster top-k window = source_quota_cap
+    driver_visible=False,
+)
+def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic labels for embedding clusters — the human-readable half
+    of SemDeDup-style curation reports: per trained k-means cluster,
+    the {TOPIC_TOPK} terms with the highest LIFT (cluster term share
+    ÷ corpus term share, support ≥ {TOPIC_MIN_TF}). Lift is the
+    ratio form of pointwise mutual information (the token_pmi_pairs
+    idiom) so it stays a single double division of exact integer
+    counts — no logs, bit-stable cross-engine.
+
+    Plan: one embeddings scan through the replayed k-means
+    assignment, one documents explode joined on the id, two bounded
+    aggregates (per-(cluster, term), per-term), and a per-cluster
+    top-{TOPIC_TOPK} window — parallel across clusters, the
+    source_quota_cap posture. Nothing touches raw vectors after
+    assignment."""
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.queries.advanced2 import cached_kmeans
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    assigned = S.ivf_assign(emb, cached_kmeans(emb, sf_dir)) \
+        .select(F.col("vec_id").alias("doc_id"), "cluster")
+    docs = spread(t(spark, sf_dir, "documents"))
+    dtok = (docs.select("doc_id", F.explode(T.tokens("text")).alias("term"))
+            .join(assigned, "doc_id"))
+    ct = dtok.groupBy("cluster", "term").agg(F.count(F.lit(1)).alias("tf"))
+    ctp = ct.persist()
+    tot = ctp.groupBy("term").agg(F.sum("tf").alias("corpus_tf"))
+    corpus_n = ctp.agg(F.sum("tf").cast("bigint").alias("corpus_n"))
+    csz = ctp.groupBy("cluster").agg(F.sum("tf").alias("cluster_n"))
+    scored = (ctp.join(tot, "term")
+              .where(F.col("corpus_tf") >= TOPIC_MIN_TF)
+              .join(F.broadcast(csz), "cluster")
+              .crossJoin(F.broadcast(corpus_n))
+              .select("cluster", "term", "tf",
+                      F.round(F.col("tf").cast("double")
+                              * F.col("corpus_n")
+                              / (F.col("cluster_n") * F.col("corpus_tf")),
+                              9).alias("lift")))
+    w = Window.partitionBy("cluster").orderBy(F.desc("lift"), "term")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= TOPIC_TOPK)
+            .select("cluster", "term", F.col("tf").cast("bigint").alias("tf"),
+                    "lift")
+            .orderBy("cluster", F.desc("lift"), "term"))
