@@ -461,15 +461,14 @@ PACK_LENS = (128, 256, 512, 1024)  # candidate sequence lengths
 )
 def packing_efficiency_report(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    """Sequence-length tuning table — what {', '.join(map(str, PACK_LENS))}
-    would each cost if documents were batched pad-to-length instead of
-    packed: sequences produced, pad tokens burned (the GPU-hours
+    """Sequence-length tuning table — what each candidate length
+    (128/256/512/1024) would cost if documents were batched
+    pad-to-length instead of packed: sequences produced, pad tokens burned (the GPU-hours
     argument for sequence_packing, whose waste is ~zero by
     construction) and the tokens a truncate-to-one-sequence policy
     would DELETE. All integer arithmetic on one token-count scan
-    exploded over the {len(PACK_LENS)}-length grid (constant fan-out,
-    grid:const — not data-dependent); the final per-length rollup is a
-    {len(PACK_LENS)}-group aggregate."""
+    exploded over the constant 4-length grid (fan-out independent of
+    the data); the final per-length rollup is a 4-group aggregate."""
     docs = spread(t(spark, sf_dir, "documents"))
     nz = (docs.select(F.size(T.tokens("text")).alias("n_tok"))
           .where(F.col("n_tok") > 0))
