@@ -136,7 +136,9 @@ COVERED_BY: dict[str, str] = {
     "customer_column_profile": "table_counts",
     "k_anonymity_audit": "table_counts",  # quasi-id groupBy +
     #   one-row rollup (privacy audit)
-    "user_active_streaks": "latest_event_per_user",  # per-key window
+    "user_active_streaks": "latest_event_per_user",
+    "session_conversion_funnel": "event_sessionization",  # lag/cumsum
+    #   sessions + staged conditional-min funnel joins  # per-key window
     #   + key-reusing groupBys (gaps-and-islands)
     "dq_expectations": "table_counts",
     "referential_integrity_audit": "customer_scd2_history",  # fused

@@ -630,3 +630,121 @@ def signup_to_purchase_latency(spark: SparkSession,
         F.sum(med).alias("median_us"),
         (F.sum(F.col("d_us").cast("decimal(18,0)")).cast("double")
          / F.max("n") / 1_000_000.0).alias("mean_sec"))
+
+
+@query(
+    "session_conversion_funnel",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS tus,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN gap_us IS NULL
+                            OR gap_us > 1800 * 1000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM gaps
+    ),
+    sess AS (
+        SELECT user_id, event_id, event_type, tus,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    ),
+    s1 AS (
+        SELECT user_id, session_id,
+               MIN(CASE WHEN event_type = 'view' THEN tus END) AS v
+        FROM sess GROUP BY 1, 2
+    ),
+    s2 AS (
+        SELECT s.user_id, s.session_id, s1.v,
+               MIN(CASE WHEN s.event_type = 'click'
+                        AND s.tus >= s1.v THEN s.tus END) AS c
+        FROM sess s JOIN s1 ON s1.user_id = s.user_id
+                           AND s1.session_id = s.session_id
+        GROUP BY 1, 2, s1.v
+    ),
+    s3 AS (
+        SELECT s.user_id, s.session_id, s2.v, s2.c,
+               MIN(CASE WHEN s.event_type = 'purchase'
+                        AND s.tus >= s2.c THEN s.tus END) AS p
+        FROM sess s JOIN s2 ON s2.user_id = s.user_id
+                            AND s2.session_id = s.session_id
+        GROUP BY 1, 2, s2.v, s2.c
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchased_after_click,
+           CAST(SUM(CASE WHEN p IS NOT NULL AND v IS NOT NULL
+                         THEN p - v END) AS BIGINT) AS total_v2p_us
+    FROM s3
+    """,
+    tags=("timeseries", "sessionization", "funnel", "composed"),
+    # sessionization (event_sessionization pattern) feeding the staged
+    # conditional-min funnel (signup_to_purchase_latency family); both
+    # component shapes driver-visible via event_sessionization /
+    # latest_event_per_user
+    driver_visible=False,
+)
+def session_conversion_funnel(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """WITHIN-SESSION ordered conversion — the product-analytics
+    funnel scoped to 30-minute sessions instead of user lifetimes:
+    per session, the first view, the first click AT OR AFTER that
+    view, and the first purchase AT OR AFTER that click (each stage's
+    anchor depends on the previous stage's result, so the funnel is
+    staged conditional-min aggregations — one per stage — joined back
+    on the session key; a single-pass agg cannot express the ordering
+    dependency). Reports session counts per stage and the summed
+    view→purchase latency in exact integer microseconds.
+
+    Scale shape: sessionization is the per-user lag/cumsum window
+    (partitioned, parallel across users); each funnel stage is one
+    hash aggregate on (user, session) plus an equi-join back — three
+    bounded passes over the sessionized frame, which is persisted so
+    the stages share one window materialization."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts"))
+    gap = tus - F.lag(tus).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    wc = (Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    sess = (ev.select("user_id", "event_id", "event_type",
+                      tus.alias("tus"), is_new.alias("is_new"))
+            .withColumn("session_id", F.sum("is_new").over(wc))
+            .drop("is_new")
+            .persist())
+    key = ["user_id", "session_id"]
+    s1 = sess.groupBy(*key).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("tus")))
+        .alias("v"))
+    s2 = (sess.join(s1, key)
+          .groupBy(*key, "v")
+          .agg(F.min(F.when((F.col("event_type") == "click")
+                            & (F.col("tus") >= F.col("v")),
+                            F.col("tus"))).alias("c")))
+    s3 = (sess.join(s2, key)
+          .groupBy(*key, "v", "c")
+          .agg(F.min(F.when((F.col("event_type") == "purchase")
+                            & (F.col("tus") >= F.col("c")),
+                            F.col("tus"))).alias("p")))
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0))
+         .cast("bigint").alias("n_viewed"),
+        F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+         .cast("bigint").alias("n_clicked_after_view"),
+        F.sum(F.when(F.col("p").isNotNull(), 1).otherwise(0))
+         .cast("bigint").alias("n_purchased_after_click"),
+        F.sum(F.when(F.col("p").isNotNull() & F.col("v").isNotNull(),
+                     F.col("p") - F.col("v"))).cast("bigint")
+         .alias("total_v2p_us"))
