@@ -67,3 +67,30 @@ def test_star_contraction_edge_cases(spark):
     truth = _union_find_components(edges)
     assert got == truth
     assert got[18] == 10 and got[99] == 50 and got[202] == 200
+
+
+def test_star_contraction_random_graphs(spark):
+    """Property check on random graphs: star contraction must equal
+    union-find for any edge set, not just the fixture's. Hypothesis
+    drives the edge lists; examples are capped (each runs a Spark
+    job). Deadline disabled: JVM job latency is not the property
+    under test."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from jcf_nb_migration_spark.queries.corpus_ops import _star_components
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40))
+        .filter(lambda e: e[0] != e[1]),
+        min_size=1, max_size=60))
+    def run(edges):
+        canon = [(min(u, v), max(u, v)) for u, v in edges]
+        pairs = spark.createDataFrame(canon, "u bigint, v bigint")
+        got = {r["u"]: r["component"]
+               for r in _star_components(pairs).collect()}
+        assert got == _union_find_components(canon)
+
+    run()
