@@ -46,8 +46,10 @@ def render() -> str:
         "stayed green.",
         "- **r6** driver-window rotation: curation_pipeline_e2e and "
         "ivfadc_residual_probe rotated IN; supplier_nation_directory "
-        "and lookup_replace_nation's relational twin rotated OUT "
-        "(patterns still witnessed via coverage map).",
+        "(pattern witnessed by lookup_replace_nation) and "
+        "late_shipment_priority_count (witnessed by "
+        "customer_scd2_history's semi/anti-join family) rotated OUT "
+        "— see the coverage map.",
         "",
         "| query | tags | oracle | driver | covered by | bench | summary |",
         "|---|---|---|---|---|---|---|",
