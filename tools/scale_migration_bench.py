@@ -148,6 +148,8 @@ def main() -> None:
     elapsed_pq = min(pq_run(), pq_run())
     res = run_migration(inp, ruleset, cfg)   # for the column count
 
+    import os
+
     print(json.dumps({
         "metric": "migration_pipeline_wall_seconds",
         "value": round(elapsed, 2),
@@ -156,6 +158,10 @@ def main() -> None:
         "rows_in": n_rows, "cols_in": n_cols,
         "rows_out": n_out, "rows_purged": n_removed,
         "cols_out": len(res.output.columns),
+        # host-noise context (the bench.py r6 lesson): a run under
+        # neighbor load self-documents instead of reading as a
+        # regression
+        "loadavg": list(os.getloadavg()),
     }))
     spark.stop()
 
