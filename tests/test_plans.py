@@ -257,6 +257,19 @@ def test_top_supplier_revenue_single_lineitem_scan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_two_phase_rank_queries_range_partition(spark):
+    """The two-phase rank family (r6): each must carry an Exchange
+    rangepartitioning (the sampled-balanced bucket assignment) — a
+    regression to a single global ordered window would drop it. The
+    bounded-window grep guard covers the subtotal windows' bounds;
+    this pins the physical bucket shuffle itself."""
+    for q in ("signup_to_purchase_latency", "winsorized_order_values",
+              "customer_balance_deciles"):
+        plan = plan_of(spark, q)
+        assert "rangepartitioning" in plan.lower(), q
+        assert "CartesianProduct" not in plan, q
+
+
 def test_no_global_lit1_windows():
     """``Window.partitionBy(lit(1))`` is the other global-funnel
     spelling — an unordered window that still routes every row through
