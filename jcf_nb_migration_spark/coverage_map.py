@@ -119,6 +119,8 @@ COVERED_BY: dict[str, str] = {
     "corpus_split_assign": "corpus_mixture_sample",
     "stratified_sample": "corpus_mixture_sample",
     "dsir_importance": "corpus_mixture_sample",
+    "weighted_corpus_sample": "corpus_mixture_sample",  # fixed-budget
+    #   weighted priority sample (A-ES analogue, TakeOrdered)
     "source_sampling_weights": "corpus_mixture_sample",
     "doc_chunk_overlap": "multimodal_frame_sample",
     "packing_efficiency_report": "multimodal_frame_sample",  # const
@@ -157,7 +159,9 @@ COVERED_BY: dict[str, str] = {
     "quantity_price_correlation": "pricing_summary",
     "join_key_skew_profile": "table_counts",  # per-key count +
     #   one-row rollup per candidate key (salting decision input)
-    "daily_new_users": "latest_event_per_user",  # first-occurrence
+    "daily_new_users": "latest_event_per_user",
+    "promo_session_attribution": "event_sessionization",  # session
+    #   intervals x broadcast promo calendar overlap join  # first-occurrence
     #   attribution + calendar-bounded running sum
     # --- relational / TPC-H shapes --------------------------------------
     "customers_with_urgent_orders": "customer_scd2_history",

@@ -700,3 +700,64 @@ def _star_components(pairs: DataFrame,
              .distinct())
     return _symmetrize(e).groupBy("u").agg(
         F.least(F.min("v"), F.col("u")).alias("component"))
+
+
+WSAMPLE_K = 100                    # fixed sample size
+WSAMPLE_SCALE = 1_000_000_000  # fixed-point priority resolution
+#   (32-bit hash x 1e9 stays under bigint; 48-bit x 1e12 overflows)
+
+
+@query(
+    "weighted_corpus_sample",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, len({_SQL_TOKS}) AS weight,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsample'),
+                               1, 8))::BIGINT AS h
+        FROM documents
+        WHERE len({_SQL_TOKS}) > 0
+    )
+    SELECT doc_id, CAST(weight AS BIGINT) AS weight,
+           CAST(h * {WSAMPLE_SCALE} // weight AS BIGINT) AS priority
+    FROM w
+    ORDER BY priority, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+    tags=("curation", "sampling", "weighted", "deterministic"),
+    # hash-priority ordered take — corpus_mixture_sample's
+    # content-stable hash + shipping_priority's TakeOrdered
+    driver_visible=False,
+)
+def weighted_corpus_sample(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """FIXED-SIZE weighted sampling without replacement — the
+    deterministic integer analogue of Efraimidis–Spirakis A-ES
+    reservoir sampling: each document draws a content-stable uniform
+    (salted 48-bit md5 of its id) and competes with priority
+    h·SCALE div weight; the {WSAMPLE_K} SMALLEST priorities win, so
+    heavier (longer) documents win proportionally more often, any
+    executor count produces the identical sample, and re-runs are
+    byte-stable (the property an RNG-based reservoir loses on
+    repartition). Complements the RATE-based samplers
+    (corpus_mixture_sample / sqrt-temperature: keep-probability per
+    row) with the fixed-BUDGET shape a curation pipeline needs when
+    the output size is the contract.
+
+    Scale: one scan computing (weight, hash, priority), then a
+    distributed TakeOrdered over K — no global sort materializes; at
+    a K too large for one driver result, the two-phase rank
+    (corpus_vocabulary) takes over."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    h = (F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(":wsample"))), 1, 8), 16, 10)
+         .cast("bigint"))
+    w = (docs.select("doc_id",
+                     F.size(T.tokens("text")).cast("bigint").alias("weight"),
+                     h.alias("h"))
+         .where(F.col("weight") > 0)
+         .withColumn("priority",
+                     F.expr(f"h * {WSAMPLE_SCALE} div weight")))
+    return (w.select("doc_id", "weight", "priority")
+            .orderBy("priority", "doc_id")
+            .limit(WSAMPLE_K))

@@ -748,3 +748,111 @@ def session_conversion_funnel(spark: SparkSession,
         F.sum(F.when(F.col("p").isNotNull() & F.col("v").isNotNull(),
                      F.col("p") - F.col("v"))).cast("bigint")
          .alias("total_v2p_us"))
+
+
+PROMO_START_H, PROMO_END_H = 18, 20   # daily 18:00-20:00 UTC window
+
+
+@query(
+    "promo_session_attribution",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT user_id, event_id, epoch_us(ts) AS tus,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN gap_us IS NULL
+                            OR gap_us > 1800 * 1000000
+                       THEN 1 ELSE 0 END AS is_new
+        FROM gaps
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY tus, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id,
+               tus
+        FROM marked
+    ),
+    iv AS (
+        SELECT user_id, session_id,
+               MIN(tus) AS s_start, MAX(tus) AS s_end
+        FROM sess GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT MIN(s_start) // 86400000000 AS d0,
+               MAX(s_end) // 86400000000 AS d1
+        FROM iv
+    ),
+    promo AS (
+        SELECT d AS promo_day,
+               d * 86400000000 + {PROMO_START_H} * 3600000000 AS p_start,
+               d * 86400000000 + {PROMO_END_H} * 3600000000 AS p_end
+        FROM (SELECT unnest(range(d0, d1 + 1)) AS d FROM span)
+    )
+    SELECT p.promo_day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT i.user_id) AS BIGINT) AS n_users,
+           CAST(SUM(LEAST(i.s_end, p.p_end)
+                    - GREATEST(i.s_start, p.p_start))
+                AS BIGINT) AS total_overlap_us
+    FROM promo p JOIN iv i
+      ON i.s_start < p.p_end AND p.p_start < i.s_end
+    GROUP BY p.promo_day ORDER BY p.promo_day
+    """,
+    tags=("timeseries", "interval-join", "attribution", "composed"),
+    # sessionization (event_sessionization) + broadcast interval
+    # overlap join; the asymmetric range-join family
+    # (range_join_error_click) without a shared equi-key
+    driver_visible=False,
+)
+def promo_session_attribution(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Campaign attribution by INTERVAL OVERLAP — which user sessions
+    ran concurrently with each daily {PROMO_START_H}:00–{PROMO_END_H}
+    :00 promo window (strict overlap: s_start < p_end AND p_start <
+    s_end, half-open on both sides), with the summed overlap in exact
+    integer microseconds. Unlike range_join_error_click there is NO
+    shared equi-key between the sides — the promo calendar is
+    time-span-bounded (grid:day), so it BROADCASTS and the overlap
+    join is a linear scan of the session table against a handful of
+    literal intervals; per-promo rollups are a bounded groupBy. At a
+    promo table too large to broadcast, the scale path is bucketing
+    both sides by day and equi-joining on the bucket — the same
+    blocked-interval algebra, one shuffle."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros(F.col("ts"))
+    gap = tus - F.lag(tus).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    wc = (Window.partitionBy("user_id").orderBy("tus", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    iv = (ev.select("user_id", "event_id", tus.alias("tus"),
+                    is_new.alias("is_new"))
+          .withColumn("session_id", F.sum("is_new").over(wc))
+          .groupBy("user_id", "session_id")
+          .agg(F.min("tus").alias("s_start"), F.max("tus").alias("s_end")))
+    span = iv.agg(
+        F.expr("min(s_start) div 86400000000").alias("d0"),
+        F.expr("max(s_end) div 86400000000").alias("d1"))
+    promo = (span.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("promo_day"))
+        .select("promo_day",
+                (F.col("promo_day") * 86_400_000_000
+                 + PROMO_START_H * 3_600_000_000).alias("p_start"),
+                (F.col("promo_day") * 86_400_000_000
+                 + PROMO_END_H * 3_600_000_000).alias("p_end")))
+    joined = iv.join(
+        F.broadcast(promo),
+        (F.col("s_start") < F.col("p_end"))
+        & (F.col("p_start") < F.col("s_end")))
+    return (joined.groupBy("promo_day")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.least("s_end", "p_end")
+                       - F.greatest("s_start", "p_start"))
+                  .alias("total_overlap_us"))
+            .orderBy("promo_day"))
