@@ -38,6 +38,11 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir).toPandas()
+            # many queries persist shared intermediates (two-phase
+            # rank frames, fingerprint/shingle indexes); drop them so
+            # a ~200-query sweep doesn't accumulate session-lifetime
+            # cache (the bench.py discipline)
+            spark.catalog.clearCache()
         except Exception:
             print(f"FAIL  {name}: spark raised")
             traceback.print_exc()
