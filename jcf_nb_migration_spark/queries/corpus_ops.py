@@ -563,9 +563,7 @@ def linkgraph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CC_ROUNDS = 5  # alternating large/small-star rounds (O(log^2 n) conv.;
-#               fixture graphs converge at 4 — one round of margin,
-#               pinned vs union-find in tests/test_linkgraph.py)
+from jcf_nb_migration_spark.functions.graph import CC_ROUNDS  # noqa: E402,F401
 
 
 def _sql_star_rounds() -> str:
@@ -653,54 +651,13 @@ def linkgraph_cc_starcontraction(spark: SparkSession,
             .orderBy(F.desc("n_members"), "component").limit(20))
 
 
-def _symmetrize(e: DataFrame) -> DataFrame:
-    """(a, b) pair frame → both-direction (u, v) adjacency with ONE
-    structural reference to the input (explode, not self-union): the
-    contraction loop would otherwise multiply the logical plan ~6× per
-    round — exponential analysis cost (the bug an eager engine never
-    sees and a lazy one dies on)."""
-    return (e.select(F.explode(F.array(
-                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
-                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))))
-            .alias("d"))
-            .select("d.u", "d.v"))
-
-
-def _star_components(pairs: DataFrame,
-                     rounds: int = CC_ROUNDS) -> DataFrame:
-    """The contraction itself: (u < v) pair frame → per-node
-    ``(u, component)`` assignment after ``rounds`` alternating
-    large/small-star rounds. Shared by the query and the union-find
-    convergence test (tests/test_linkgraph.py).
-
-    Every phase is a SINGLE linear operator chain over its input —
-    symmetrize by explode, per-node minimum by a u-PARTITIONED window
-    (bounded by node degree), emissions by a second explode — so
-    ``rounds`` rounds grow the plan linearly, and each phase costs one
-    hash shuffle on the node id."""
-    e = pairs.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    wu = Window.partitionBy("u")
-    for _ in range(rounds):
-        # large-star: every neighbor v > u re-points at min(Γ⁺(u))
-        adj = _symmetrize(e)
-        e = (adj.withColumn("m", F.least(F.min("v").over(wu), F.col("u")))
-             .where(F.col("v") > F.col("u"))
-             .select(F.col("m").alias("a"), F.col("v").alias("b"))
-             .distinct())
-        # small-star: neighbors v < u (and u itself) re-point at their
-        # minimum; (m,u) emitted per row + distinct ≡ one per node
-        sm = _symmetrize(e).where(F.col("v") < F.col("u"))
-        e = (sm.withColumn("m", F.min("v").over(wu))
-             .select(F.explode(F.array(
-                 F.struct(F.col("m").alias("a"), F.col("v").alias("b")),
-                 F.struct(F.col("m").alias("a"), F.col("u").alias("b"))))
-                 .alias("p"))
-             .select("p.a", "p.b")
-             .where(F.col("a") != F.col("b"))
-             .distinct())
-    return _symmetrize(e).groupBy("u").agg(
-        F.least(F.min("v"), F.col("u")).alias("component"))
-
+# _symmetrize / _star_components moved to functions/graph.py (r6):
+# the contraction is engine API now (record_linkage-style ER reuse),
+# not a query-module private. Back-compat aliases below.
+from jcf_nb_migration_spark.functions.graph import (  # noqa: E402
+    star_components as _star_components,
+    symmetrize as _symmetrize,
+)
 
 WSAMPLE_K = 100                    # fixed sample size
 WSAMPLE_SCALE = 1_000_000_000  # fixed-point priority resolution
