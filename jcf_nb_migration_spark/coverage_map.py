@@ -99,6 +99,9 @@ COVERED_BY: dict[str, str] = {
     "doc_repetition_stats": "decontaminate_ngrams",  # gram-explode agg
     #   (rotated out of the window r5 for logreg_gd_training)
     "curation_funnel": "doc_quality_score",
+    "corpus_release_report": "decontaminate_ngrams",  # dataset-card
+    #   rollup: shared base + four 1-row aggregates crossJoined; the
+    #   heavy branch is decontaminate's n-gram equi-join
     # curation_pipeline_e2e rotated INTO the driver window in r6
     "split_leakage_audit": "minhash_lsh_dedup",  # the LSH pair
     #   pipeline + two narrow hash-split joins (pre-training audit)

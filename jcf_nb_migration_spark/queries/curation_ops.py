@@ -1660,3 +1660,124 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cluster", "term", F.col("tf").cast("bigint").alias("tf"),
                     "lift")
             .orderBy("cluster", F.desc("lift"), "term"))
+
+
+@query(
+    "corpus_release_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source, lang, {_SQL_TOKS} AS w,
+               md5(text) AS fp
+        FROM documents
+    ),
+    tok AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(w)) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM base
+    ),
+    dup AS (
+        SELECT CAST(SUM(cnt - 1) AS BIGINT) AS n_exact_dup_docs
+        FROM (SELECT fp, COUNT(*) AS cnt FROM base GROUP BY fp)
+    ),
+    g AS (
+        SELECT doc_id, source,
+               unnest({_sql_ngrams(DECON_N, distinct=True)}) AS ngram
+        FROM (SELECT doc_id, source, w FROM base)
+    ),
+    bench AS (
+        SELECT DISTINCT ngram FROM g WHERE source = '{BENCH_SOURCE}'
+    ),
+    cont AS (
+        SELECT CAST(COUNT(DISTINCT g.doc_id) AS BIGINT)
+                   AS n_contaminated_docs
+        FROM g JOIN bench b ON b.ngram = g.ngram
+        WHERE g.source <> '{BENCH_SOURCE}'
+    ),
+    sp AS (
+        SELECT CAST(SUM(CASE WHEN h < {VALID_LO} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(SUM(CASE WHEN h >= {VALID_LO} AND h < {TEST_LO}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+               CAST(SUM(CASE WHEN h >= {TEST_LO} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test
+        FROM (SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || ':split'), 1, 12))::BIGINT
+                         % {SPLIT_MOD} AS h
+              FROM base)
+    )
+    SELECT tok.n_docs, tok.n_tokens, tok.n_sources, tok.n_langs,
+           dup.n_exact_dup_docs,
+           ROUND(CAST(dup.n_exact_dup_docs AS DOUBLE) / tok.n_docs, 9)
+               AS exact_dup_rate,
+           cont.n_contaminated_docs,
+           sp.n_train, sp.n_valid, sp.n_test
+    FROM tok, dup, cont, sp
+    """,
+    tags=("curation", "dataset-card", "report", "composed"),
+    # dataset-card rollup composing dedup_exact / decontaminate /
+    # split machinery (all driver-visible) into 1-row scalar
+    # aggregates crossJoined — the important_supplier_share idiom
+    driver_visible=False,
+)
+def corpus_release_report(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """The DATASET CARD numbers — the one-row release report a corpus
+    publisher ships beside the data: document/token/source/language
+    census, exact-duplicate count and rate (md5 fingerprints, the
+    dedup_exact rule), benchmark-contaminated document count
+    ({DECON_N}-gram overlap with the held-out source), and the
+    hash-split sizes. Four independent 1-row scalar aggregates over
+    ONE shared base projection, composed by broadcast crossJoins into
+    a single lazy plan — each component is exactly the machinery its
+    standalone query runs, so the card can never drift from the
+    pipeline it summarizes.
+
+    Scale: the base frame is persisted (four branches read it); the
+    heaviest branch is the n-gram contamination equi-join, identical
+    to decontaminate_ngrams' plan; everything else is one aggregate
+    pass."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    base = (docs.select("doc_id", "source", "lang",
+                        T.tokens("text").alias("w"),
+                        F.md5("text").alias("fp"))
+            .persist())
+    tok = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("w")).cast("bigint").alias("n_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"))
+    dup = (base.groupBy("fp").agg(F.count(F.lit(1)).alias("cnt"))
+           .agg(F.sum(F.col("cnt") - 1).cast("bigint")
+                .alias("n_exact_dup_docs")))
+    g = base.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(
+            T.word_shingles(F.col("w"), DECON_N))).alias("ngram"))
+    bench = (g.where(F.col("source") == BENCH_SOURCE)
+             .select("ngram").distinct())
+    cont = (g.where(F.col("source") != BENCH_SOURCE)
+            .join(bench, "ngram")
+            .agg(F.countDistinct("doc_id").alias("n_contaminated_docs")))
+    h = (F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(":split"))), 1, 12), 16, 10)
+         .cast("bigint") % SPLIT_MOD)
+    sp = base.select(h.alias("h")).agg(
+        F.sum(F.when(F.col("h") < VALID_LO, 1).otherwise(0))
+         .cast("bigint").alias("n_train"),
+        F.sum(F.when((F.col("h") >= VALID_LO)
+                     & (F.col("h") < TEST_LO), 1).otherwise(0))
+         .cast("bigint").alias("n_valid"),
+        F.sum(F.when(F.col("h") >= TEST_LO, 1).otherwise(0))
+         .cast("bigint").alias("n_test"))
+    return (tok.crossJoin(F.broadcast(dup))
+            .crossJoin(F.broadcast(cont))
+            .crossJoin(F.broadcast(sp))
+            .select("n_docs", "n_tokens", "n_sources", "n_langs",
+                    "n_exact_dup_docs",
+                    F.round(F.col("n_exact_dup_docs").cast("double")
+                            / F.col("n_docs"), 9).alias("exact_dup_rate"),
+                    "n_contaminated_docs",
+                    "n_train", "n_valid", "n_test"))
