@@ -206,6 +206,10 @@ COVERED_BY: dict[str, str] = {
     "part_brand_type_rollup": "lineitem_cube",
     "nation_metrics_unpivot": "lineitem_cube",
     "order_value_ranks": "latest_event_per_user",
+    "association_rules_pairs": "dedup_clusters_lsh",  # basket-key
+    #   self-equi-join pair derivation + broadcast stats (Apriori k=2)
+    "cohort_ltv_curve": "latest_event_per_user",  # cohort attribution
+    #   + grid-bounded per-cohort running sum
     "user_running_value": "user_hourly_resample",
     "incremental_agg_merge": "pricing_summary",
     "retractable_agg_merge": "pricing_summary",  # signed-partial

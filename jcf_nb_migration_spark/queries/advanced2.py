@@ -592,3 +592,93 @@ def triplet_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "pos_cos", "neg_cos",
                     (F.col("pos_cos") - F.col("neg_cos")).alias("margin"))
             .orderBy("probe_id"))
+
+
+ASSOC_MIN_SUPPORT = 5  # minimum co-occurrence count for a rule
+
+
+@query(
+    "association_rules_pairs",
+    oracle=f"""
+    WITH tx AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_type AS item
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_tx FROM tx),
+    ic AS (SELECT item, COUNT(*) AS cnt FROM tx GROUP BY item),
+    pc AS (
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_cnt
+        FROM tx a JOIN tx b ON b.o = a.o AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {ASSOC_MIN_SUPPORT}
+    )
+    SELECT p.item_a, p.item_b,
+           CAST(p.pair_cnt AS BIGINT) AS pair_cnt,
+           ROUND(CAST(p.pair_cnt AS DOUBLE) / n.n_tx, 9) AS support,
+           ROUND(CAST(p.pair_cnt AS DOUBLE) / ia.cnt, 9)
+               AS confidence_a_to_b,
+           ROUND(CAST(p.pair_cnt AS DOUBLE) * n.n_tx
+                 / (ia.cnt * ib.cnt), 9) AS lift
+    FROM pc p
+    JOIN ic ia ON ia.item = p.item_a
+    JOIN ic ib ON ib.item = p.item_b
+    CROSS JOIN n
+    ORDER BY lift DESC, item_a, item_b
+    """,
+    tags=("analytics", "market-basket", "association-rules", "lift"),
+    # transaction self-equi-join on the basket key + broadcast item
+    # stats — the linkgraph pair-derivation family over orders
+    driver_visible=False,
+)
+def association_rules_pairs(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Market-basket association rules, pair order (the Apriori k=2
+    step): which part TYPES co-occur in the same order more than
+    chance — support, directional confidence, and lift per pair over
+    a {ASSOC_MIN_SUPPORT}-transaction support floor.
+
+    Scale shape: the transaction table (order, item) self-equi-joins
+    on the ORDER key, so candidate fan-out is Σ basket_size² —
+    bounded by the basket, never the catalog (the rare-gram pair
+    derivation's argument applied to orders; a runaway basket would
+    be capped exactly like gram frequency). Item stats and the
+    transaction count are tiny 1-row/|items|-row aggregates broadcast
+    back; everything downstream of the pair counts is
+    dimension-sized. All ratios are single double divisions of exact
+    integer counts, rounded at 9 — bit-stable cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    tx = (li.join(part, li.l_partkey == part.p_partkey)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("p_type").alias("item"))
+          .distinct()
+          .persist())
+    n = tx.agg(F.countDistinct("o").alias("n_tx"))
+    ic = tx.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    a = tx.alias("a")
+    b = tx.alias("b")
+    pc = (a.join(b, (F.col("b.o") == F.col("a.o"))
+                 & (F.col("a.item") < F.col("b.item")))
+          .groupBy(F.col("a.item").alias("item_a"),
+                   F.col("b.item").alias("item_b"))
+          .agg(F.count(F.lit(1)).alias("pair_cnt"))
+          .where(F.col("pair_cnt") >= ASSOC_MIN_SUPPORT))
+    ia = ic.select(F.col("item").alias("item_a"),
+                   F.col("cnt").alias("cnt_a"))
+    ib = ic.select(F.col("item").alias("item_b"),
+                   F.col("cnt").alias("cnt_b"))
+    return (pc.join(F.broadcast(ia), "item_a")
+            .join(F.broadcast(ib), "item_b")
+            .crossJoin(F.broadcast(n))
+            .select("item_a", "item_b",
+                    F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+                    F.round(F.col("pair_cnt").cast("double")
+                            / F.col("n_tx"), 9).alias("support"),
+                    F.round(F.col("pair_cnt").cast("double")
+                            / F.col("cnt_a"), 9)
+                     .alias("confidence_a_to_b"),
+                    F.round(F.col("pair_cnt").cast("double")
+                            * F.col("n_tx")
+                            / (F.col("cnt_a") * F.col("cnt_b")), 9)
+                     .alias("lift"))
+            .orderBy(F.desc("lift"), "item_a", "item_b"))

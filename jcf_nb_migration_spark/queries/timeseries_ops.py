@@ -856,3 +856,77 @@ def promo_session_attribution(spark: SparkSession,
                        - F.greatest("s_start", "p_start"))
                   .alias("total_overlap_us"))
             .orderBy("promo_day"))
+
+
+@query(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, epoch_us(ts) // 2592000000000 AS m,
+               CAST(value AS DECIMAL(18,4)) AS v
+        FROM events WHERE event_type = 'purchase'
+    ),
+    cohort AS (
+        SELECT user_id, MIN(m) AS c FROM p GROUP BY user_id
+    ),
+    sz AS (SELECT c, COUNT(*) AS n_users FROM cohort GROUP BY c),
+    rev AS (
+        SELECT co.c, p.m - co.c AS age,
+               SUM(p.v) AS rev_d
+        FROM p JOIN cohort co ON co.user_id = p.user_id
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT c, age,
+               SUM(rev_d) OVER (
+                   PARTITION BY c ORDER BY age
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_rev
+        FROM rev
+    )
+    SELECT cum.c AS cohort_month, cum.age,
+           CAST(sz.n_users AS BIGINT) AS n_users,
+           CAST(cum.cum_rev AS DOUBLE) AS cum_revenue,
+           ROUND(CAST(cum.cum_rev AS DOUBLE) / sz.n_users, 9)
+               AS ltv_per_user
+    FROM cum JOIN sz ON sz.c = cum.c
+    ORDER BY cohort_month, age
+    """,
+    tags=("timeseries", "cohort", "ltv", "product-analytics"),
+    # cohort attribution + per-cohort bounded running sum — the
+    # cohort-retention family (driver-visible twins:
+    # latest_event_per_user's per-key window, pricing_summary's
+    # decimal rollup)
+    driver_visible=False,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the revenue companion of
+    retention: users cohorted by FIRST purchase month (30-day
+    integer-microsecond buckets — calendar-month parsing differs
+    cross-engine, epoch buckets don't), then cumulative revenue per
+    cohort by month-age, per capita. Revenue sums stay DECIMAL to the
+    final division. The running sum is a window PARTITIONED by cohort
+    over month-age rows — a grid:month-sized partition (ages, not
+    users), so the window input is the calendar span regardless of
+    user count; cohort sizes join back as a broadcast
+    dimension-sized frame."""
+    ev = t(spark, sf_dir, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id",
+                 F.expr("unix_micros(ts) div 2592000000000").alias("m"),
+                 F.col("value").cast("decimal(18,4)").alias("v")))
+    cohort = p.groupBy("user_id").agg(F.min("m").alias("c"))
+    sz = cohort.groupBy("c").agg(F.count(F.lit(1)).alias("n_users"))
+    rev = (p.join(cohort, "user_id")
+           .groupBy("c", (F.col("m") - F.col("c")).alias("age"))
+           .agg(F.sum("v").alias("rev_d")))
+    w = (Window.partitionBy("c").orderBy("age")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = rev.withColumn("cum_rev", F.sum("rev_d").over(w))
+    return (cum.join(F.broadcast(sz), "c")
+            .select(F.col("c").alias("cohort_month"), "age",
+                    F.col("n_users").cast("bigint").alias("n_users"),
+                    F.col("cum_rev").cast("double").alias("cum_revenue"),
+                    F.round(F.col("cum_rev").cast("double")
+                            / F.col("n_users"), 9).alias("ltv_per_user"))
+            .orderBy("cohort_month", "age"))
