@@ -44,10 +44,31 @@ def test_dimension_joins_broadcast(spark):
 def test_blocked_pair_joins_are_not_cartesian(spark):
     for q in ("embedding_dedup_pairs", "part_name_fuzzy_pairs",
               "dedup_ngram_jaccard", "simhash_near_pairs",
-              "fuzzy_name_matches"):
+              "fuzzy_name_matches",
+              # r6 pair producers: banded Hamming, two-table deletion
+              # blocking
+              "media_perceptual_dedup", "record_linkage_merge"):
         plan = plan_of(spark, q)
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+    # association_rules_pairs: the PAIR join must be the basket-key
+    # equi-join (no cartesian), but its n_tx scalar legitimately
+    # arrives via a 1-row broadcast crossJoin (BNLJ) — the
+    # important_supplier_share idiom
+    plan = plan_of(spark, "association_rules_pairs")
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_interval_overlap_join_is_broadcast_not_cartesian(spark):
+    """promo_session_attribution has NO equi-key by design — the
+    broadcast nested-loop against the tiny time-grid calendar is the
+    intended plan; an unbroadcast CartesianProduct would mean the
+    calendar side lost its size bound."""
+    plan = plan_of(spark, "promo_session_attribution")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_purge_is_predicate_not_join(spark):
