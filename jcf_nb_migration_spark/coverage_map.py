@@ -75,6 +75,8 @@ COVERED_BY: dict[str, str] = {
     "lsh_incremental_dedup": "minhash_lsh_dedup",
     "bloom_incremental_dedup": "decontaminate_ngrams",
     "doc_fingerprint": "dedup_exact",
+    "source_dedup_matrix": "dedup_exact",  # fingerprint-group counts
+    #   self-joined into the cross-source duplicate-provenance matrix
     "duplicate_spans": "decontaminate_ngrams",
     "doc_boilerplate_coverage": "decontaminate_ngrams",
     # --- text / curation -------------------------------------------------

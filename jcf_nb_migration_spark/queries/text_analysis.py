@@ -1043,3 +1043,60 @@ def code_switch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / F.col("n_chunks"), 9).alias("main_share"),
                     (F.col("n_langs") > 1).alias("is_code_switched"))
             .orderBy("doc_id"))
+
+
+@query(
+    "source_dedup_matrix",
+    oracle="""
+    WITH fp AS (
+        SELECT md5(text) AS f, source, COUNT(*) AS cnt
+        FROM documents GROUP BY 1, 2
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CASE WHEN a.source = b.source
+                         THEN a.cnt * (a.cnt - 1) / 2
+                         ELSE a.cnt * b.cnt END) AS BIGINT)
+               AS n_dup_pairs,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fingerprints
+    FROM fp a JOIN fp b
+      ON b.f = a.f AND a.source <= b.source
+     AND (a.source < b.source OR a.cnt > 1)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tags=("dedup", "provenance", "matrix", "cross-source"),
+    # fingerprint groupBy + per-fingerprint self-equi-join — the
+    # dedup_exact machinery aggregated into the mirror-site report
+    driver_visible=False,
+)
+def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE duplication comes from — the provenance matrix a crawl
+    curation team reads before dropping a source: for every source
+    pair, how many exact-duplicate document PAIRS span them (same
+    md5), and how many distinct fingerprints they share.
+    Within-source cells count C(cnt,2) pairs; cross-source cells
+    cnt_a·cnt_b. Mirror sites light up as off-diagonal hot cells and
+    boilerplate-heavy sources as diagonal ones.
+
+    Scale shape: fingerprints aggregate per (fp, source) FIRST — the
+    join operates on group COUNTS, not documents, so a fingerprint
+    duplicated a million times joins as one row per source, never
+    10¹² document pairs. The self-join key is the fingerprint
+    (hash-uniform); output is |sources|² bounded."""
+    docs = t(spark, sf_dir, "documents")
+    fp = (docs.groupBy(F.md5("text").alias("f"), F.col("source"))
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .persist())
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = F.when(F.col("a.source") == F.col("b.source"),
+                   F.col("a.cnt") * (F.col("a.cnt") - 1) / 2) \
+             .otherwise(F.col("a.cnt") * F.col("b.cnt"))
+    return (a.join(b, (F.col("b.f") == F.col("a.f"))
+                   & (F.col("a.source") <= F.col("b.source"))
+                   & ((F.col("a.source") < F.col("b.source"))
+                      | (F.col("a.cnt") > 1)))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.sum(pairs).cast("bigint").alias("n_dup_pairs"),
+                 F.count(F.lit(1)).cast("bigint")
+                  .alias("n_shared_fingerprints"))
+            .orderBy("source_a", "source_b"))
