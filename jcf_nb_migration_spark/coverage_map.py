@@ -96,8 +96,7 @@ COVERED_BY: dict[str, str] = {
     #   one codegen'd scoring scan under the trained weights
     "doc_lang_id": "doc_quality_score",
     "code_switch_profile": "doc_quality_score",  # chunk explode +
-    #   per-doc lang-mix rollup (paragraph_dedup's shuffle graph)  # narrow text-stat scan
-    #   (rotated out of the window r5 for fuzzy_name_matches)
+    #   per-doc lang-mix rollup (paragraph_dedup's shuffle graph)
     "doc_repetition_stats": "decontaminate_ngrams",  # gram-explode agg
     #   (rotated out of the window r5 for logreg_gd_training)
     "curation_funnel": "doc_quality_score",
@@ -112,8 +111,7 @@ COVERED_BY: dict[str, str] = {
     "source_quota_cap": "tfidf_top_terms",  # per-group top-k window
     "cluster_balanced_sample": "semdedup_prune",
     "cluster_topic_terms": "semdedup_prune",  # k-means assignment +
-    #   tf-lift per-cluster top-k (topic labels for curation reports)  # trained-kmeans
-    #   assignment + per-cluster top-k (topic-balance quota)
+    #   tf-lift per-cluster top-k (topic labels for curation reports)
 
     # --- retrieval -------------------------------------------------------
     "bm25_top_docs": "tfidf_top_terms",
@@ -145,11 +143,10 @@ COVERED_BY: dict[str, str] = {
     #   one-row rollup (privacy audit)
     "user_active_streaks": "latest_event_per_user",
     "session_conversion_funnel": "event_sessionization",  # lag/cumsum
-    #   sessions + staged conditional-min funnel joins  # per-key window
-    #   + key-reusing groupBys (gaps-and-islands)
+    #   sessions + staged conditional-min funnel joins
     "dq_expectations": "table_counts",
     "referential_integrity_audit": "customer_scd2_history",  # fused
-    #   anti-join orphan counts (the pre-join FK audit)  # fused conditional-agg report
+    #   anti-join orphan counts (the pre-join FK audit)
     "daily_volume_anomalies": "table_counts",  # integer-exact moment
     #   rollup broadcast back (volume/freshness monitor)
     "benford_first_digit": "table_counts",  # 9-value groupBy +
@@ -166,8 +163,7 @@ COVERED_BY: dict[str, str] = {
     #   one-row rollup per candidate key (salting decision input)
     "daily_new_users": "latest_event_per_user",
     "promo_session_attribution": "event_sessionization",  # session
-    #   intervals x broadcast promo calendar overlap join  # first-occurrence
-    #   attribution + calendar-bounded running sum
+    #   intervals x broadcast promo calendar overlap join
     # --- relational / TPC-H shapes --------------------------------------
     "customers_with_urgent_orders": "customer_scd2_history",
     "customers_without_orders": "customer_scd2_history",
@@ -177,7 +173,6 @@ COVERED_BY: dict[str, str] = {
     "discounted_brand_revenue": "local_supplier_volume",
     "nation_trade_volume": "local_supplier_volume",
     "regional_customer_distribution": "local_supplier_volume",
-    "large_volume_customers": "returned_item_report",
     "customer_order_distribution": "returned_item_report",
     "top_supplier_revenue": "local_supplier_volume",
     "nation_market_share": "local_supplier_volume",

@@ -690,7 +690,9 @@ def weighted_corpus_sample(spark: SparkSession,
     """FIXED-SIZE weighted sampling without replacement — the
     deterministic integer analogue of Efraimidis–Spirakis A-ES
     reservoir sampling: each document draws a content-stable uniform
-    (salted 48-bit md5 of its id) and competes with priority
+    (salted 32-bit md5 prefix of its id — 8 hex chars; 48 bits times
+    the 1e9 fixed-point scale would overflow bigint) and competes with
+    priority
     h·SCALE div weight; the {WSAMPLE_K} SMALLEST priorities win, so
     heavier (longer) documents win proportionally more often, any
     executor count produces the identical sample, and re-runs are

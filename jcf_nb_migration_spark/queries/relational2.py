@@ -119,53 +119,6 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "large_volume_customers",
-    oracle=f"""
-    WITH big AS (
-        SELECT l_orderkey,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                   AS sum_qty
-        FROM lineitem GROUP BY l_orderkey
-        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
-    )
-    SELECT c_custkey, c_name, o_orderkey,
-           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-           o_totalprice, sum_qty
-    FROM big
-    JOIN orders ON o_orderkey = l_orderkey
-    JOIN customer ON c_custkey = o_custkey
-    ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
-    """,
-    tags=("tpch-shape", "having", "join-back"),
-    driver_visible=False,
-)
-def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: customers whose orders moved > 300 units. The
-    HAVING aggregate runs first (map-side combinable, output is a tiny
-    key set), then joins *back* to orders/customer — at scale the big→
-    orders join is keys-vs-facts, so AQE turns it into a broadcast of
-    the filtered key set rather than a full shuffle; customer joins on
-    its own key. Deterministic top-20 via (price DESC, orderkey)
-    composite sort; HAVING compares in exact decimal."""
-    li = t(spark, sf_dir, "lineitem")
-    orders = t(spark, sf_dir, "orders")
-    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    big = (li.groupBy("l_orderkey")
-           .agg(F.sum(dec("l_quantity")).alias("sq"))
-           .where(F.col("sq") > 300)
-           .select("l_orderkey", F.col("sq").cast("double").alias("sum_qty")))
-    return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .select("c_custkey", "c_name", "o_orderkey",
-                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-                "o_totalprice", "sum_qty")
-        .orderBy(F.desc("o_totalprice"), "o_orderkey")
-        .limit(20)
-    )
-
-
-@query(
     "nation_trade_volume",
     oracle=f"""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -49,6 +49,13 @@ def query(name: str, oracle: str | None = None, headline: bool = False,
           tags: tuple[str, ...] = (), driver_visible: bool = True):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            # Silent shadowing once hid a dead query+oracle behind a
+            # later import (large_volume_customers, r6) — fail loudly.
+            raise ValueError(
+                f"duplicate query registration: {name!r} already "
+                f"registered by {_REGISTRY[name].fn.__module__}."
+                f"{_REGISTRY[name].fn.__qualname__}")
         _REGISTRY[name] = Query(name, fn, oracle, headline, tags,
                                 (fn.__doc__ or "").strip(), driver_visible)
         return fn

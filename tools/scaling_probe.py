@@ -4,18 +4,36 @@ runtime ratio. A ~linear operator should land well under 10x wall
 clock on local[32] (fixed overheads amortize; parallelism absorbs
 data growth); a quadratic one would blow past it.
 
-Third point (--third-point, VERDICT r5 item 4): the fixtures stop at
-sf0.1, so a ~sf0.3 documents table is DERIVED — sf0.1 unioned three
-times, replicas 2 and 3 with offset doc_ids and a deterministic vowel
-permutation over the text. The permutation preserves document lengths,
-token boundaries, and each replica's INTERNAL duplicate structure
-while killing cross-replica shingle overlap, so a pair-producing
-operator sees ~3x the true pairs, not ~9x replica cross-talk. A
-three-point curve separates output-bound growth from superlinear
+Third point (--third-point, VERDICT r5 item 4 / r6 item 5): the
+fixtures stop at sf0.1, so a ~sf0.3 dataset is DERIVED — every table
+from sf0.1 unioned three times with replica-offset keys:
+
+- documents: replicas 2/3 get offset doc_ids and a deterministic vowel
+  permutation over the text. The permutation preserves document
+  lengths, token boundaries, and each replica's INTERNAL duplicate
+  structure while killing most cross-replica shingle overlap, so a
+  pair-producing operator sees ~3x the true pairs, not ~9x replica
+  cross-talk. Residual caveat: documents whose text contains no vowels
+  (or is empty) are byte-identical across replicas, so a small number
+  of cross-replica duplicate pairs survive — the recorded output
+  counts absorb this (it is why pair counts can land slightly above
+  exactly-3x, not evidence of superlinear compute).
+- embeddings: offset vec_ids; replicas 2/3 circularly rotate the
+  vector by 1/2 dimensions (norm-preserving, deterministic, breaks
+  most cross-replica cosine matches).
+- customer/orders/lineitem/part/supplier: entity keys (custkey,
+  orderkey, partkey, suppkey) offset per replica so referential
+  structure is preserved within each replica; nationkey/regionkey are
+  left alone so the bounded dims still join.
+- events: event_id/user_id offset (per-user event sequences replicate
+  intact, tripling user count at the same per-user density).
+- nation/region: bounded dims, copied as-is.
+
+A three-point curve separates output-bound growth from superlinear
 compute: for each probed query the output row count at every point is
-recorded as evidence, and the second ratio should stay near the 3x
-data factor as the first stays near 10x. Only documents-backed
-queries can use the third point.
+recorded as evidence, and the 0.3d/0.1 ratio should stay near the 3x
+data factor as the 0.1/0.01 ratio stays near 10x. Every registered
+query is third-point-eligible (the derived dir carries all 10 tables).
 
 Usage: PYTHONPATH=. python tools/scaling_probe.py [--third-point] [query ...]
 """
@@ -34,34 +52,78 @@ DEFAULT = ["minhash_lsh_dedup", "decontaminate_ngrams", "dedup_exact",
            "knn_ann_label_propagation", "duplicate_spans",
            "linkgraph_pagerank", "bm25_top_docs", "sequence_packing"]
 
-# documents-only queries eligible for the derived third point; default
-# to the two whose 10x ratio exceeded 2 in the r5 table (NOTES.md)
-THIRD_POINT_DEFAULT = ["doc_containment_pairs", "duplicate_spans"]
+# the bench headline set (VERDICT r6 item 5: full three-point table)
+HEADLINE = ["asof_click_before_error", "ann_brute_force_topk",
+            "embedding_dedup_pairs", "doc_token_stats", "dedup_exact",
+            "minhash_lsh_dedup", "local_supplier_volume",
+            "shipping_priority", "returned_item_report",
+            "decontaminate_ngrams", "pricing_summary",
+            "forecast_revenue", "latest_event_per_user"]
+
+# --third-point with no explicit queries probes the headline set
+THIRD_POINT_DEFAULT = HEADLINE
 
 DERIVED_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".probe_fixtures", "sf0.3")
+    os.path.abspath(__file__))), ".probe_fixtures", "sf0.3_full")
 _ID_OFF = 10_000_000
+
+# per-table bigint key columns offset per replica (referential keys
+# move together; bounded-dim keys n_nationkey/r_regionkey do not move)
+_KEY_COLS = {
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "nation": [],
+    "region": [],
+}
+
+
+def _replica(src, table: str, i: int, perm: str):
+    """Replica i (1 or 2) of one sf0.1 table: keys offset, content
+    deterministically permuted where cross-replica overlap would
+    otherwise fake duplicate pairs."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for c in src.columns:
+        col = F.col(c)
+        if c in _KEY_COLS[table]:
+            col = (col + i * _ID_OFF).cast(src.schema[c].dataType)
+        elif table == "documents" and c == "text":
+            col = F.translate(col, "aeiou", perm)
+        elif table == "embeddings" and c == "embedding":
+            # circular rotate by i dims: norm-preserving, deterministic
+            n = F.size(col)
+            col = F.concat(F.slice(col, i + 1, n - i), F.slice(col, 1, i))
+        cols.append(col.alias(c))
+    return src.select(*cols)
 
 
 def ensure_derived_sf03(spark) -> str:
-    """Build (once) the derived ~sf0.3 documents table."""
-    from pyspark.sql import functions as F
-
-    out = os.path.join(DERIVED_DIR, "documents.parquet")
-    if os.path.exists(out):
+    """Build (once) the derived ~sf0.3 fixture dir — ALL tables."""
+    marker = os.path.join(DERIVED_DIR, "_COMPLETE")
+    if os.path.exists(marker):
         return DERIVED_DIR
-    src = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    reps = [src]
-    for i, perm in ((1, "uoiea"), (2, "eioua")):
-        reps.append(src.select(
-            (F.col("doc_id") + i * _ID_OFF).alias("doc_id"),
-            *[F.translate(F.col(c), "aeiou", perm).alias(c)
-              if c == "text" else F.col(c)
-              for c in src.columns if c != "doc_id"]))
-    df = reps[0]
-    for r in reps[1:]:
-        df = df.unionByName(r)
-    df.write.mode("overwrite").parquet(out)
+    for table in _KEY_COLS:
+        src = spark.read.parquet(
+            f"/root/testdata/sf0.1/{table}.parquet")
+        if _KEY_COLS[table]:  # replicate with offset keys
+            reps = [src]
+            for i, perm in ((1, "uoiea"), (2, "eioua")):
+                reps.append(_replica(src, table, i, perm))
+            df = reps[0]
+            for r in reps[1:]:
+                df = df.unionByName(r)
+        else:  # bounded dim: copy as-is
+            df = src
+        df.write.mode("overwrite").parquet(
+            os.path.join(DERIVED_DIR, f"{table}.parquet"))
+    open(marker, "w").close()
     return DERIVED_DIR
 
 
@@ -75,6 +137,10 @@ def main() -> int:
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
     points = [("0.01", "/root/testdata/sf0.01"),
               ("0.1", "/root/testdata/sf0.1")]
     if third:
