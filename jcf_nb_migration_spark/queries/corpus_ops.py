@@ -644,7 +644,9 @@ def linkgraph_cc_starcontraction(spark: SparkSession,
     production loop would localCheckpoint between rounds to truncate
     lineage; {CC_ROUNDS} unrolled rounds need none."""
     docs = spread(t(spark, sf_dir, "documents"))
-    comp = _star_components(_rare_gram_pairs(docs))
+    # pinned rounds: the oracle unrolls exactly CC_ROUNDS; the engine
+    # default (rounds=None) is the certified-fixpoint mode instead
+    comp = _star_components(_rare_gram_pairs(docs), rounds=CC_ROUNDS)
     return (comp.groupBy("component")
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.sum(F.col("u")).alias("sum_doc_id"))

@@ -6,7 +6,7 @@ true connected components within CC_ROUNDS. That claim is pinned here
 against a driver-side union-find over the same edge set (fixture-sized;
 the ground truth is exact)."""
 
-from pyspark.sql import functions as F
+import random
 
 from tests.conftest import SF_SMALL
 
@@ -32,8 +32,11 @@ def _union_find_components(edges):
 def test_star_contraction_converges_to_union_find(spark):
     """After CC_ROUNDS alternating large/small-star rounds every node
     must point at its component's minimum id — byte-for-byte the
-    union-find assignment. A failure here means CC_ROUNDS is too small
-    for the fixture graph (raise it), not an engine bug."""
+    union-find assignment. PINNED rounds on purpose: this is the
+    certificate that the oracle-replayed depth suffices for the
+    fixture graph. A failure here means CC_ROUNDS is too small for the
+    fixture (raise it), not an engine bug."""
+    from jcf_nb_migration_spark.functions.graph import CC_ROUNDS
     from jcf_nb_migration_spark.queries.corpus_ops import (
         _rare_gram_pairs, _star_components,
     )
@@ -46,9 +49,63 @@ def test_star_contraction_converges_to_union_find(spark):
     truth = _union_find_components(edges)
 
     got = {r["u"]: r["component"]
-           for r in _star_components(pairs).collect()}
+           for r in _star_components(pairs, rounds=CC_ROUNDS).collect()}
     assert got == truth
     pairs.unpersist()
+
+
+def test_star_contraction_certificate_rescues_deep_path(spark):
+    """VERDICT r6 item 1: a shuffled-id path of 1024 nodes needs MORE
+    than CC_ROUNDS rounds — pinned mode emits a split labeling (the
+    silent-wrongness hazard, witnessed here by the crossing-edge
+    count), while the default certified mode keeps contracting until
+    the no-crossing-edge post-condition holds and returns the exact
+    union-find assignment."""
+    import random
+
+    from jcf_nb_migration_spark.functions.graph import (
+        CC_ROUNDS, crossing_edges, star_components,
+    )
+
+    rng = random.Random(7)
+    ids = list(range(1024))
+    rng.shuffle(ids)
+    raw = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    canon = [(min(u, v), max(u, v)) for u, v in raw]
+    pairs = spark.createDataFrame(canon, "u bigint, v bigint").persist()
+
+    # pinned depth under-contracts: >1 label and a crossing edge
+    pinned = star_components(pairs, rounds=CC_ROUNDS)
+    assert pinned.select("component").distinct().count() > 1
+    assert crossing_edges(pairs, pinned) > 0
+
+    # certified default: exact ground truth, zero crossing edges
+    lab = star_components(pairs)
+    got = {r["u"]: r["component"] for r in lab.collect()}
+    assert got == _union_find_components(canon)
+    assert crossing_edges(pairs, lab) == 0
+    pairs.unpersist()
+
+
+def test_star_contraction_max_rounds_raises(spark, monkeypatch):
+    """If the backstop is hit the engine must refuse loudly, never
+    return an uncertified labeling."""
+    import pytest
+
+    from jcf_nb_migration_spark.functions import graph
+
+    monkeypatch.setattr(graph, "CC_ROUNDS", 1)
+    monkeypatch.setattr(graph, "CC_PROBE_EVERY", 1)
+    monkeypatch.setattr(graph, "CC_MAX_ROUNDS", 1)
+    # a 64-node shuffled path cannot converge in one round
+    rng = random.Random(3)
+    ids = list(range(64))
+    rng.shuffle(ids)
+    canon = [(min(ids[i], ids[i + 1]), max(ids[i], ids[i + 1]))
+             for i in range(63)]
+    pairs = spark.createDataFrame(canon, "u bigint, v bigint")
+    with pytest.raises(RuntimeError, match="certified fixpoint"):
+        graph.star_components(pairs)
 
 
 def test_star_contraction_edge_cases(spark):
