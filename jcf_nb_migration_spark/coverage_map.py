@@ -225,7 +225,12 @@ COVERED_BY: dict[str, str] = {
     "volume_shipping_report": "local_supplier_volume",  # Q7: the
     #   broadcast-dim star join with nation joined twice
     "large_volume_customers": "returned_item_report",  # Q18:
-    #   agg-subquery semi-join + re-aggregate + distributed take
+    #   agg-subquery semi-join + re-aggregate
+    "regional_min_balance_supplier": "local_supplier_volume",  # Q2:
+    #   correlated scalar-MIN decorrelated to a min-per-group
+    #   join-back over broadcast bounded dims
+    "excess_share_suppliers": "returned_item_report",  # Q20: nested
+    #   semi-join chain + aggregated windowed threshold, one fact scan + distributed take
     # --- events / time series -------------------------------------------
     "events_hourly": "streaming_hourly_counts",
     "user_rolling_7d": "user_hourly_resample",  # RANGE frame variant

@@ -13,7 +13,7 @@ comparison is bitwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.registry import dec, query, t
@@ -463,3 +463,159 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
         .limit(20))
+
+
+@query(
+    "regional_min_balance_supplier",
+    oracle="""
+    SELECT n.n_name AS nation, s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_acctbal = (
+          SELECT MIN(s2.s_acctbal)
+          FROM supplier s2
+          JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+          JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+          WHERE r2.r_name = 'EUROPE'
+            AND s2.s_nationkey = s.s_nationkey)
+    ORDER BY nation, s.s_suppkey
+    """,
+    tags=("tpch-q2", "correlated-scalar-subquery", "decorrelation",
+          "min-per-group"),
+    # the correlated scalar-MIN decorrelation pattern; driver-visible
+    # twins: large_volume_customers' agg-subquery semi-join family
+    driver_visible=False,
+)
+def regional_min_balance_supplier(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every nation in one region, the supplier(s)
+    holding the MINIMUM account balance in that nation — the
+    correlated scalar-MIN subquery (Q2's min-supplycost-per-part,
+    adapted to nation/acctbal since the fixture has no partsupp). The
+    oracle is written in the CORRELATED form; this side hand-applies
+    the standard decorrelation Catalyst would produce: aggregate the
+    inner ONCE into a min-per-group frame, then equi-join it back and
+    filter equality — two scans of supplier total, never a per-outer-
+    row rescan (no nested-loop anywhere; plan-guarded in
+    tests/test_plans.py). The comparison is raw-double EQUALITY on an
+    UNCOMPUTED parquet value (both engines read the same bits; no
+    arithmetic), so cross-engine hashing is exact.
+
+    At 100 TB: nation⋈region is a bounded broadcast; the min-per-group
+    frame is |nations| rows → AQE broadcasts it into the join-back, so
+    the whole query is one shuffle-free pass over supplier plus one
+    nationkey-grouped partial agg."""
+    natreg = (t(spark, sf_dir, "nation")
+              .join(F.broadcast(t(spark, sf_dir, "region")
+                                .where(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name"))
+    sup = (t(spark, sf_dir, "supplier")
+           .join(F.broadcast(natreg),
+                 F.col("s_nationkey") == F.col("n_nationkey")))
+    min_bal = (sup.groupBy("s_nationkey")
+               .agg(F.min("s_acctbal").alias("min_bal"))
+               .withColumnRenamed("s_nationkey", "mb_nationkey"))
+    return (sup.join(min_bal,
+                     (F.col("s_nationkey") == F.col("mb_nationkey"))
+                     & (F.col("s_acctbal") == F.col("min_bal")))
+            .select(F.col("n_name").alias("nation"),
+                    "s_suppkey", "s_name", "s_acctbal")
+            .orderBy("nation", "s_suppkey"))
+
+
+Q20_FRAC_NUM, Q20_FRAC_DEN = 3, 10  # share threshold 3/10, kept as an
+#   integer ratio so the comparison is decimal-exact in BOTH engines
+#   (sq*10 > tq*3) — a 0.3 double literal would compare differently
+#   (DuckDB parses bare 0.3 as exact DECIMAL(1,1))
+
+
+@query(
+    "excess_share_suppliers",
+    oracle=f"""
+    WITH sp AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%bolt%')
+        GROUP BY 1, 2
+    ),
+    ptot AS (SELECT l_partkey, SUM(sq) AS tq FROM sp GROUP BY 1),
+    qual AS (
+        SELECT DISTINCT sp.l_suppkey
+        FROM sp JOIN ptot ON sp.l_partkey = ptot.l_partkey
+        WHERE sp.sq * {Q20_FRAC_DEN} > ptot.tq * {Q20_FRAC_NUM}
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("tpch-q20", "nested-semi-join", "aggregated-threshold",
+          "decorrelation"),
+    # nested IN-chain gated by an aggregate threshold — Q20's shape;
+    # semi-join family driver-visible via large_volume_customers /
+    # customer_scd2_history's semi/anti joins
+    driver_visible=False,
+)
+def excess_share_suppliers(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one region who shipped MORE THAN
+    {Q20_FRAC_NUM}/{Q20_FRAC_DEN} of some 'bolt' part's total 1998
+    volume — the nested IN-chain (supplier IN (... lineitem agg IN
+    (... part filter))) gated by an AGGREGATED threshold (Q20's
+    availqty > ½·shipped, re-based on shipped-share since the fixture
+    has no partsupp). Decorrelated by hand the way Catalyst rewrites
+    the SQL: the part-name filter semi-joins INTO the fact scan (so
+    the year+name predicates prune before any aggregation), then ONE
+    (partkey, suppkey) aggregate carries both sides of the threshold —
+    the per-part denominator is a PARTITIONED WINDOW SUM over that
+    aggregated frame (an unmaterialized ptot-join would duplicate the
+    subtree and rescan the fact; the window keeps the plan a single
+    chain). The threshold compares decimal-scaled integers
+    (sq·{Q20_FRAC_DEN} > tq·{Q20_FRAC_NUM}) so both engines decide
+    identically (a bare 0.3 literal is exact DECIMAL(1,1) in DuckDB
+    but a double in Spark).
+
+    At 100 TB: lineitem is scanned ONCE (plan-guarded) with shipdate
+    pushed down; the window re-shuffles only the AGGREGATED
+    (partkey, suppkey) frame on partkey, each partition bounded by
+    that part's supplier count; the qualifying-supplier key set is
+    tiny → AQE broadcasts it into the supplier semi-join;
+    nation/region broadcast. No growing state, no cartesian."""
+    bolt = (t(spark, sf_dir, "part")
+            .where(F.col("p_name").contains("bolt"))
+            .select("p_partkey"))
+    li = (t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1998-01-01")
+                 & (F.col("l_shipdate") < "1999-01-01"))
+          .join(bolt, F.col("l_partkey") == F.col("p_partkey"),
+                "left_semi"))
+    sp = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(dec("l_quantity")).alias("sq")))
+    tq = F.sum("sq").over(Window.partitionBy("l_partkey"))
+    qual = (sp.withColumn("tq", tq)
+            .where(F.col("sq") * Q20_FRAC_DEN
+                   > F.col("tq") * Q20_FRAC_NUM)
+            .select("l_suppkey").distinct())
+    natreg = (t(spark, sf_dir, "nation")
+              .join(F.broadcast(t(spark, sf_dir, "region")
+                                .where(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .select("n_nationkey", "n_name"))
+    return (t(spark, sf_dir, "supplier")
+            .join(qual, F.col("s_suppkey") == F.col("l_suppkey"),
+                  "left_semi")
+            .join(F.broadcast(natreg),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", "s_name",
+                    F.col("n_name").alias("nation"))
+            .orderBy("s_suppkey"))

@@ -462,3 +462,28 @@ def test_profit_star_join_broadcasts_dims_no_cartesian(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "PushedFilters" in plan
+
+
+def test_q2_q20_shapes_decorrelate(spark):
+    """r7 TPC-H Q2/Q20 shapes: the correlated subquery must be a
+    min-per-group join-back (inner aggregated ONCE), the nested
+    IN-chain a semi-join pipeline over ONE fact scan — never a
+    per-outer-row rescan (no nested-loop / cartesian)."""
+    plan = plan_of(spark, "regional_min_balance_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # decorrelated: base supplier scan + inner-agg supplier scan, no N-way
+    assert sum("supplier" in ln for ln in plan.splitlines()
+               if "Location:" in ln) == 2, plan
+    assert "BroadcastHashJoin" in plan      # bounded dims broadcast
+
+    plan = plan_of(spark, "excess_share_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the per-part denominator is a window over the aggregated frame,
+    # never a second fact scan: exactly ONE lineitem scan in the plan
+    # (formatted detail lists one Location line per physical scan)
+    assert sum("lineitem" in ln for ln in plan.splitlines()
+               if "Location:" in ln) == 1, plan
+    # shipdate range pushed into that scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
