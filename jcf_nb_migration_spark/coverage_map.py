@@ -59,21 +59,18 @@ COVERED_BY: dict[str, str] = {
     #   frontier equi-join (WITH RECURSIVE declarative twin)
     "linkgraph_triangles": "dedup_clusters_lsh",  # ordered-edge
     #   two-equi-join enumeration over the same capped gram graph
-    "linkgraph_cc_starcontraction": "dedup_clusters_lsh",  # same
-    #   iterative equi-join+groupBy contraction family; convergence
-    #   vs union-find pinned in tests/test_linkgraph.py
+    # linkgraph_cc_starcontraction rotated INTO the driver window r7
     "dedup_ngram_jaccard": "minhash_lsh_dedup",
     "doc_containment_pairs": "minhash_lsh_dedup",  # rare-shingle
     #   candidate equi-join + full-set verify, asymmetric metric
-    "paragraph_dedup": "dedup_exact",  # md5-window survivor pick
-    #   after a decontaminate-style explode
+    # paragraph_dedup rotated INTO the driver window r7
     "minhash_signatures": "minhash_lsh_dedup",
     "simhash_fingerprints": "simhash_near_pairs",
     "media_perceptual_dedup": "simhash_near_pairs",  # average-hash
     #   fingerprint + the same pigeonhole-banded Hamming machinery
     #   over the multimodal payload column
     "lsh_incremental_dedup": "minhash_lsh_dedup",
-    "bloom_incremental_dedup": "decontaminate_ngrams",
+    # bloom_incremental_dedup rotated INTO the driver window r7
     "doc_fingerprint": "dedup_exact",
     "source_dedup_matrix": "dedup_exact",  # fingerprint-group counts
     #   self-joined into the cross-source duplicate-provenance matrix
@@ -114,9 +111,9 @@ COVERED_BY: dict[str, str] = {
     #   tf-lift per-cluster top-k (topic labels for curation reports)
 
     # --- retrieval -------------------------------------------------------
-    "bm25_top_docs": "tfidf_top_terms",
+    # bm25_top_docs rotated INTO the driver window r7
     "inverted_index_postings": "tfidf_top_terms",
-    "rrf_fusion": "tfidf_top_terms",
+    # rrf_fusion rotated INTO the driver window r7
     # --- corpus assembly / sampling --------------------------------------
     "corpus_global_shuffle": "corpus_mixture_sample",
     "corpus_split_assign": "corpus_mixture_sample",
@@ -165,6 +162,21 @@ COVERED_BY: dict[str, str] = {
     "promo_session_attribution": "event_sessionization",  # session
     #   intervals x broadcast promo calendar overlap join
     # --- relational / TPC-H shapes --------------------------------------
+    # r7 rotation: six 5-6x-green incumbents OUT (history preserved in
+    # CORRECTNESS_r1-r6) to admit the never-checked families above.
+    "orderdate_us_format": "part_clean_chain",  # positional substring
+    #   + concat derived column (C5/C6) — chained string-op projection
+    "customer_account_flags": "part_clean_chain",  # when/otherwise
+    #   masked assignment + membership/equality filters (F5/F6/C11)
+    "part_merge_chain": "customer_tags",  # coalesce-concat fold +
+    #   audit column (T2) — same build-array/fold column algebra
+    "salted_user_totals": "latest_event_per_user",  # explicit-salt
+    #   two-phase agg on the same events keys; AQE skew twin pinned in
+    #   tests/test_plans.py::test_aqe_splits_skewed_join
+    "pii_scrub_stats": "part_clean_chain",  # regex-replace narrow
+    #   projection; plan pinned by test_plans::test_pii_scrub_is_narrow
+    "mktsegment_distinct": "approx_distinct_stats",  # per-column
+    #   distinct rollup (A1/S5 sink family)
     "customers_with_urgent_orders": "customer_scd2_history",
     "customers_without_orders": "customer_scd2_history",
     "high_balance_never_fulfilled": "customer_scd2_history",
@@ -181,8 +193,9 @@ COVERED_BY: dict[str, str] = {
     #   + broadcast-dim graph, regex dim filter pushed to the part scan
     "important_supplier_share": "forecast_revenue",  # scalar-agg
     #   broadcast-back pattern (idle_rich_customers chain)
-    "part_supplier_variety": "mktsegment_distinct",  # two-phase
-    #   distinct aggregate; broadcast anti join via document_purge
+    "part_supplier_variety": "approx_distinct_stats",  # two-phase
+    #   distinct aggregate (visible twin after mktsegment_distinct's
+    #   r7 rotation); broadcast anti join via document_purge
     "lateral_top_customers": "latest_event_per_user",  # decorrelated
     #   lateral = per-key ranked take (window twin)
     "nullsafe_cohort_compare": "customer_tags",  # nullable-key

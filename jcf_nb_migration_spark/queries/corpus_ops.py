@@ -232,6 +232,9 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id
     """,
     tags=("skew", "salted-agg"),
+    # r7 rotation: OUT after 5-6 green rounds to widen the hard-checked union;
+    # pattern twin in coverage_map.py
+    driver_visible=False,
 )
 def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation (functions/skew.py): identical
@@ -617,7 +620,6 @@ def _sql_star_rounds() -> str:
     # iterative equi-join+groupBy contraction — pattern driver-visible
     # via dedup_clusters_lsh; convergence vs union-find pinned in
     # tests/test_linkgraph.py
-    driver_visible=False,
 )
 def linkgraph_cc_starcontraction(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:

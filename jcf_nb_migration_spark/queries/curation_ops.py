@@ -297,6 +297,9 @@ _SQL_PII_COUNTS = P.sql_pii_counts("raw")
     FROM (SELECT doc_id, {_CONTACT_SQL} AS raw FROM documents)
     """,
     tags=("curation", "pii", "regex"),
+    # r7 rotation: OUT after 5-6 green rounds to widen the hard-checked union;
+    # pattern twin in coverage_map.py
+    driver_visible=False,
 )
 def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: mask emails, phone numbers, and IPv4 addresses
@@ -450,7 +453,6 @@ def _sql_bloom_pos(i: int) -> str:
     tags=("curation", "dedup", "bloom", "incremental"),
     # kept local to fit the 50-name driver window; the incremental-
     # ingest pattern's exact half is driver-visible via dedup_exact
-    driver_visible=False,
 )
 def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup with a Bloom filter, in pure DataFrame

@@ -70,6 +70,9 @@ def customer_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM part)
     """,
     tags=("migration", "merge", "T2"),
+    # r7 rotation: OUT after 5-6 green rounds to widen the hard-checked union;
+    # pattern twin in coverage_map.py
+    driver_visible=False,
 )
 def part_merge_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T2 four-branch merge rule over synthesized nullable sources

@@ -392,6 +392,9 @@ def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mktsegment_distinct",
     oracle="SELECT DISTINCT c_mktsegment FROM customer",
     tags=("distinct",),
+    # r7 rotation: OUT after 5-6 green rounds to widen the hard-checked union;
+    # pattern twin in coverage_map.py
+    driver_visible=False,
 )
 def mktsegment_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column distinct (A1/S5: the reference's multiple-choice value
@@ -505,6 +508,9 @@ def events_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
     tags=("string", "date"),
+    # r7 rotation: OUT after 5-6 green rounds to widen the hard-checked union;
+    # pattern twin in coverage_map.py
+    driver_visible=False,
 )
 def orderdate_us_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's positional date rewrite (C5/C6, main.py:412-418):
@@ -534,6 +540,9 @@ def orderdate_us_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer
     """,
     tags=("conditional-update", "isin"),
+    # r7 rotation: OUT after 5-6 green rounds to widen the hard-checked union;
+    # pattern twin in coverage_map.py
+    driver_visible=False,
 )
 def customer_account_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The core translation rule of the reference port (C11): pandas

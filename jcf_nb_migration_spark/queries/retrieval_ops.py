@@ -44,19 +44,20 @@ BOIL_N = 3
 BOIL_MIN_DOCS = 4
 
 
-@query(
-    "bm25_top_docs",
-    oracle=f"""
-    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
-    dl AS (SELECT doc_id, len(w) AS dl FROM d),
+def _sql_bm25_ctes() -> str:
+    """BM25 CTE chain shared by bm25_top_docs / rrf_fusion /
+    retrieval_pipeline_e2e oracles. Expects a prior CTE
+    ``d(doc_id, w)`` holding the (possibly quality-gated) corpus and
+    yields ``bm(doc_id, n_terms_matched, bm25)`` — the SQL twin of
+    ``_bm25_frames`` below, kept textually single-sourced so the two
+    scorers can never drift apart."""
+    return f"""dl AS (SELECT doc_id, len(w) AS dl FROM d),
     stats AS (
         SELECT COUNT(*) AS n_docs,
                CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
         FROM dl
     ),
-    occ AS (
-        SELECT doc_id, unnest(w) AS tok FROM d
-    ),
+    occ AS (SELECT doc_id, unnest(w) AS tok FROM d),
     tf AS (
         SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
         FROM occ WHERE tok IN ({_SQL_TERMS}) GROUP BY doc_id, tok
@@ -65,39 +66,30 @@ BOIL_MIN_DOCS = 4
         SELECT tok, COUNT(DISTINCT doc_id) AS df
         FROM occ WHERE tok IN ({_SQL_TERMS}) GROUP BY tok
     ),
-    scored AS (
+    bm AS (
         SELECT tf.doc_id,
-               ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
-               * tf.tf * ({BM25_K1} + 1.0)
-               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
-                  + {BM25_B} * dl.dl / s.avgdl)) AS term_score
-        FROM tf
-        JOIN dfreq USING (tok)
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+               ROUND(SUM(ln(1.0 + (s.n_docs - dfreq.df + 0.5)
+                                  / (dfreq.df + 0.5))
+                         * tf.tf * ({BM25_K1} + 1.0)
+                         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                            + {BM25_B} * dl.dl / s.avgdl))), 9) AS bm25
+        FROM tf JOIN dfreq USING (tok)
         JOIN dl ON dl.doc_id = tf.doc_id
         CROSS JOIN stats s
-    )
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
-           ROUND(SUM(term_score), 9) AS bm25
-    FROM scored GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id LIMIT 20
-    """,
-    tags=("retrieval", "bm25", "ranking"),
-    # kept local to fit the 50-name driver window; the unbounded-key
-    # tf join pattern is driver-visible via tfidf_top_terms
-    driver_visible=False,
-)
-def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-20 documents for a fixed term query — the lexical
-    retrieval scorer every RAG/data-curation stack runs beside its
-    embedding ANN. One token explode feeds both the per-(doc, term)
-    tf table and the per-term document frequency; df and the scalar
-    (N, avgdl) stats are bounded by the QUERY size, not the corpus,
-    so both broadcast by construction, and the only corpus-sized
-    shuffle is the tf groupBy on (doc_id, tok). Final score rounded
-    to 9 decimals (sum order across engines), ties broken by doc_id
-    so the top-20 cut is deterministic."""
-    docs = spread(t(spark, sf_dir, "documents"))
-    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+        GROUP BY tf.doc_id
+    )"""
+
+
+def _bm25_frames(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared lexical scorer: ``toks(doc_id, w)`` → ``(tf, bm)`` where
+    ``tf`` is the per-(doc, query-term) frequency table and ``bm`` the
+    per-doc ``(doc_id, n_terms_matched, bm25)`` frame. One token
+    explode feeds both the tf table and the per-term document
+    frequency; df and the scalar (N, avgdl) stats are bounded by the
+    QUERY size, not the corpus, so both broadcast by construction, and
+    the only corpus-sized shuffle is the tf groupBy on (doc_id, tok).
+    Score rounded to 9 decimals (sum order across engines)."""
     dl = toks.select("doc_id", F.size("w").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -111,17 +103,42 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("df") + 0.5))
     denom = (F.col("tf") + BM25_K1 * (1.0 - BM25_B
              + BM25_B * F.col("dl") / F.col("avgdl")))
-    scored = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id",
-                (idf * F.col("tf") * (BM25_K1 + 1.0) / denom)
-                .alias("term_score"))
-    )
-    return (scored.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_terms_matched"),
-                 F.round(F.sum("term_score"), 9).alias("bm25"))
+    bm = (tf.join(F.broadcast(dfreq), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(F.broadcast(stats))
+          .groupBy("doc_id")
+          .agg(F.count(F.lit(1)).alias("n_terms_matched"),
+               F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom),
+                       9).alias("bm25")))
+    return tf, bm
+
+
+@query(
+    "bm25_top_docs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    {_sql_bm25_ctes()}
+    SELECT doc_id, n_terms_matched, bm25
+    FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    tags=("retrieval", "bm25", "ranking"),
+    # kept local to fit the 50-name driver window; the unbounded-key
+    # tf join pattern is driver-visible via tfidf_top_terms
+)
+def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed term query — the lexical
+    retrieval scorer every RAG/data-curation stack runs beside its
+    embedding ANN. One token explode feeds both the per-(doc, term)
+    tf table and the per-term document frequency; df and the scalar
+    (N, avgdl) stats are bounded by the QUERY size, not the corpus,
+    so both broadcast by construction, and the only corpus-sized
+    shuffle is the tf groupBy on (doc_id, tok). Final score rounded
+    to 9 decimals (sum order across engines), ties broken by doc_id
+    so the top-20 cut is deterministic."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    _, bm = _bm25_frames(toks)
+    return (bm.select("doc_id", "n_terms_matched", "bm25")
             .orderBy(F.desc("bm25"), "doc_id")
             .limit(20))
 
@@ -377,33 +394,7 @@ RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
     "rrf_fusion",
     oracle=f"""
     WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
-    dl AS (SELECT doc_id, len(w) AS dl FROM d),
-    stats AS (
-        SELECT COUNT(*) AS n_docs,
-               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-        FROM dl
-    ),
-    occ AS (SELECT doc_id, unnest(w) AS tok FROM d),
-    tf AS (
-        SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM occ WHERE tok IN ({_SQL_TERMS}) GROUP BY doc_id, tok
-    ),
-    dfreq AS (
-        SELECT tok, COUNT(DISTINCT doc_id) AS df
-        FROM occ WHERE tok IN ({_SQL_TERMS}) GROUP BY tok
-    ),
-    bm AS (
-        SELECT tf.doc_id,
-               ROUND(SUM(ln(1.0 + (s.n_docs - dfreq.df + 0.5)
-                                  / (dfreq.df + 0.5))
-                         * tf.tf * ({BM25_K1} + 1.0)
-                         / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
-                            + {BM25_B} * dl.dl / s.avgdl))), 9) AS bm25
-        FROM tf JOIN dfreq USING (tok)
-        JOIN dl ON dl.doc_id = tf.doc_id
-        CROSS JOIN stats s
-        GROUP BY tf.doc_id
-    ),
+    {_sql_bm25_ctes()},
     list_a AS (
         SELECT doc_id, rank_a FROM (
             SELECT doc_id, CAST(row_number() OVER (
@@ -427,7 +418,6 @@ RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
     ORDER BY rrf DESC, doc_id LIMIT 10
     """,
     tags=("retrieval", "rrf", "rank-fusion"),
-    driver_visible=False,
 )
 def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al.) of two retrieval lists
@@ -441,25 +431,7 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized tf pass it shares with bm25_top_docs."""
     docs = spread(t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", T.tokens("text").alias("w"))
-    dl = toks.select("doc_id", F.size("w").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
-    occ = (toks.select("doc_id", F.explode("w").alias("tok"))
-           .where(F.col("tok").isin(list(BM25_TERMS))))
-    tf = (occ.groupBy("doc_id", "tok")
-          .agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = occ.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    denom = (F.col("tf") + BM25_K1 * (1.0 - BM25_B
-             + BM25_B * F.col("dl") / F.col("avgdl")))
-    bm = (tf.join(F.broadcast(dfreq), "tok")
-          .join(dl, "doc_id")
-          .crossJoin(F.broadcast(stats))
-          .groupBy("doc_id")
-          .agg(F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom),
-                       9).alias("bm25")))
+    tf, bm = _bm25_frames(toks)
     # top-k cut FIRST (orderBy+limit = distributed TakeOrdered), so
     # the unpartitioned ranking window only ever sees 20 rows — never
     # the full matched set (the global-window funnel this avoids is
@@ -487,3 +459,140 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.lit(0.0)), 9).alias("rrf"))
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+# --- hybrid retrieval end-to-end ------------------------------------
+# Quality gate → (BM25 lexical ∥ LSH-shortlisted semantic) → RRF.
+# Composes the suite's existing pieces into the one query a RAG stack
+# actually runs; the semantic shortlist is the multiprobe bucket
+# equi-join (never a corpus scan), plan-guarded in tests/test_plans.py.
+RPE_MIN_TOKS = 10   # quality gate: at least this many tokens
+RPE_LANG = "en"     # quality gate: language
+RPE_LIST_K = 20     # per-retriever shortlist size
+RPE_TOP = 10        # fused results returned
+RPE_PROBE_ID = 0    # query vector (vec_id = doc_id in the fixtures)
+
+
+def _sql_rpe_oracle() -> str:
+    from jcf_nb_migration_spark.queries.similarity_search import (
+        _sql_cos, _sql_lsh_bucket,
+    )
+    return f"""
+    WITH g AS (
+        SELECT doc_id, source, {_SQL_TOKS} AS w FROM documents
+        WHERE lang = '{RPE_LANG}' AND len({_SQL_TOKS}) >= {RPE_MIN_TOKS}
+    ),
+    d AS (SELECT doc_id, w FROM g),
+    {_sql_bm25_ctes()},
+    list_lex AS (
+        SELECT doc_id, rank_lex FROM (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_lex
+            FROM bm) WHERE rank_lex <= {RPE_LIST_K}
+    ),
+    bucketed AS (
+        SELECT vec_id, embedding, {_sql_lsh_bucket('embedding')} AS bucket
+        FROM embeddings
+    ),
+    probe AS (SELECT embedding AS pvec, bucket AS pbucket
+              FROM bucketed WHERE vec_id = {RPE_PROBE_ID}),
+    cand_buckets AS (
+        SELECT xor(probe.pbucket, f.flip) AS bucket, probe.pvec
+        FROM probe, (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS flip) f
+    ),
+    sem AS (
+        SELECT b.vec_id AS doc_id,
+               {_sql_cos('b.embedding', 'cb.pvec')} AS cos_sim
+        FROM bucketed b JOIN cand_buckets cb ON b.bucket = cb.bucket
+        WHERE b.vec_id <> {RPE_PROBE_ID}
+          AND b.vec_id IN (SELECT doc_id FROM g)
+    ),
+    list_sem AS (
+        SELECT doc_id, rank_sem FROM (
+            SELECT doc_id, CAST(row_number() OVER (
+                       ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rank_sem
+            FROM sem) WHERE rank_sem <= {RPE_LIST_K}
+    ),
+    fused AS (
+        SELECT doc_id, rank_lex, rank_sem,
+               ROUND(COALESCE(1.0 / ({RRF_K} + rank_lex), 0.0)
+                     + COALESCE(1.0 / ({RRF_K} + rank_sem), 0.0), 9)
+                   AS rrf
+        FROM list_lex FULL OUTER JOIN list_sem USING (doc_id)
+    )
+    SELECT f.doc_id, rank_lex, rank_sem, rrf, g.source
+    FROM fused f JOIN g ON g.doc_id = f.doc_id
+    ORDER BY rrf DESC, f.doc_id LIMIT {RPE_TOP}
+    """
+
+
+@query(
+    "retrieval_pipeline_e2e",
+    oracle=_sql_rpe_oracle(),
+    tags=("retrieval", "e2e", "hybrid", "bm25", "lsh", "rrf",
+          "quality-gate"),
+)
+def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval END-TO-END — the retrieval twin of
+    curation_pipeline_e2e, chaining the suite's real stages for one
+    query: (1) QUALITY GATE: only lang='{RPE_LANG}' documents with ≥
+    {RPE_MIN_TOKS} tokens are indexed (the curation rule a production
+    corpus applies before anything is searchable); (2) LEXICAL: BM25
+    top-{RPE_LIST_K} over the gated corpus (shared _bm25_frames
+    scorer); (3) SEMANTIC: multiprobe hyperplane-LSH shortlist around
+    probe vec {RPE_PROBE_ID} — the probe explodes into its 7 candidate
+    bucket ids and EQUI-JOINS on bucket, so candidates come from 7
+    buckets, never a corpus scan; exact cosine ranks the gated
+    candidates top-{RPE_LIST_K}; (4) FUSION: reciprocal-rank fusion
+    Σ 1/({RRF_K}+rank) over the two lists, top-{RPE_TOP} returned with
+    source metadata.
+
+    At 100 TB: the gate is a narrow pushed-down filter; BM25's only
+    corpus shuffle is the (doc_id, tok) tf groupBy; the ANN side reads
+    7 LSH buckets (the bucket column is what the table is bucketBy'd
+    on at scale); both shortlists are TakeOrdered (bounded), so fusion
+    and the metadata join-back are k-vs-k. Ranks come from
+    deterministic (score, id) orderings, so the fusion arithmetic is a
+    fixed IEEE sequence cross-engine."""
+    from jcf_nb_migration_spark.functions import similarity as S
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    gated = (docs
+             .select("doc_id", "source", "lang",
+                     T.tokens("text").alias("w"))
+             .where((F.col("lang") == RPE_LANG)
+                    & (F.size("w") >= RPE_MIN_TOKS))
+             .select("doc_id", "source", "w"))
+    # lexical list over the gated corpus
+    _, bm = _bm25_frames(gated.select("doc_id", "w"))
+    # bounded-window: post-limit:20 — applied after .limit(RPE_LIST_K)
+    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    list_lex = (bm.orderBy(F.desc("bm25"), "doc_id").limit(RPE_LIST_K)
+                .select("doc_id",
+                        F.row_number().over(wl).cast("bigint")
+                        .alias("rank_lex")))
+    # semantic list: candidates gated (probe row exempt so the lookup
+    # never depends on the probe doc's own quality)
+    emb = t(spark, sf_dir, "embeddings")
+    gid = gated.select(F.col("doc_id").alias("vec_id"))
+    emb_in = (emb.where(F.col("vec_id") == RPE_PROBE_ID)
+              .unionByName(emb.join(gid, "vec_id", "left_semi")
+                           .where(F.col("vec_id") != RPE_PROBE_ID)))
+    cand = S.lsh_ann_multiprobe(emb_in, probe_id=RPE_PROBE_ID,
+                                n_planes=6, dim=64, k=RPE_LIST_K)
+    # bounded-window: post-limit:20 — lsh_ann_multiprobe k-limits first
+    ws = Window.orderBy(F.desc("cos_sim"), "neighbor_id")
+    list_sem = (cand.select(F.col("neighbor_id").alias("doc_id"),
+                            F.row_number().over(ws).cast("bigint")
+                            .alias("rank_sem")))
+    fused = (
+        list_lex.join(list_sem, "doc_id", "full_outer")
+        .select("doc_id", "rank_lex", "rank_sem",
+                F.round(
+                    F.coalesce(F.lit(1.0) / (RRF_K + F.col("rank_lex")),
+                               F.lit(0.0))
+                    + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rank_sem")),
+                                 F.lit(0.0)), 9).alias("rrf")))
+    return (fused.join(gated.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "rank_lex", "rank_sem", "rrf", "source")
+            .orderBy(F.desc("rrf"), "doc_id").limit(RPE_TOP))

@@ -647,7 +647,6 @@ PARA_W = 10  # words per pseudo-paragraph (the fixture text has no
     # explode → hash-partitioned window → per-doc agg: the same
     # shuffle graph as dedup_exact (md5-window survivor pick) plus
     # decontaminate_ngrams' explode; both driver-visible
-    driver_visible=False,
 )
 def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style paragraph-level exact dedup: every document is split

@@ -333,3 +333,106 @@ def test_orc_roundtrip_with_predicate_pushdown(spark, tmp_path):
                      .select("doc_id", "source").collect())
     got = sorted((r.doc_id, r.source) for r in q.collect())
     assert got == exp and len(got) > 0
+
+
+def test_ivf_index_append_probe_equals_full_rebuild(spark, tmp_path):
+    """VERDICT r6 item 4: appending a new vector batch (assigned to the
+    EXISTING centroids) must leave every base file byte-identical —
+    parquet append under partitionBy only adds files — and a probe of
+    the appended index must equal a probe of a from-scratch rebuild
+    over the full vector set."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.io.layout import (
+        ivf_index_append, ivf_index_probe, ivf_index_write,
+    )
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    # centroids trained on the BASE only — the append never retrains
+    centroids = S.kmeans_train(base, k=8, iters=2)
+
+    inc = str(tmp_path / "ivf_inc")
+    ivf_index_write(base, centroids, inc, extra_cols=("label",))
+    before = {p: p.stat().st_mtime_ns
+              for p in pathlib.Path(inc).rglob("*.parquet")}
+    ivf_index_append(batch, centroids, inc, extra_cols=("label",))
+    after = {p: p.stat().st_mtime_ns
+             for p in pathlib.Path(inc).rglob("*.parquet")}
+    # every base file still present and untouched; new files added
+    assert set(before) <= set(after)
+    assert all(after[p] == ts for p, ts in before.items())
+    assert len(after) > len(before)
+
+    full = str(tmp_path / "ivf_full")
+    ivf_index_write(emb, centroids, full, extra_cols=("label",))
+
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    got = [(r["neighbor_id"], r["cos_sim"]) for r in
+           ivf_index_probe(spark, inc, centroids, pvec,
+                           k=10, nprobe=2, exclude_id=0).collect()]
+    expect = [(r["neighbor_id"], r["cos_sim"]) for r in
+              ivf_index_probe(spark, full, centroids, pvec,
+                              k=10, nprobe=2, exclude_id=0).collect()]
+    assert got == expect and len(got) == 10
+
+
+def test_ivf_centroid_drift_flags_drifted_cluster(spark, tmp_path):
+    """The drift report must stay quiet on in-distribution appends and
+    flag a cluster whose appended members no longer resemble its
+    centroid (here: negated vectors — cosine ≈ −1 to everything the
+    centroid routes)."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.io.layout import (
+        ivf_centroid_drift, ivf_index_append, ivf_index_write,
+    )
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    centroids = S.kmeans_train(emb, k=8, iters=2)
+    path = str(tmp_path / "ivf_drift")
+    ivf_index_write(emb, centroids, path)
+
+    healthy = ivf_centroid_drift(spark, path, centroids,
+                                 min_mean_cos=0.0).collect()
+    assert healthy and not any(r["retrain"] for r in healthy)
+    assert all(-1.0 <= r["min_cos"] <= r["mean_cos"] <= 1.0
+               for r in healthy)
+    total = sum(r["n_vectors"] for r in healthy)
+    assert total == emb.count()
+
+    # adversarial batch: a direction Gram-Schmidt-orthogonalized
+    # against ALL centroids — cosine ≈ 0 to every centroid, so
+    # wherever assignment routes the copies, that cluster's mean
+    # collapses toward zero (a batch merely rotated/negated can still
+    # find a correlated centroid among 8; orthogonal cannot)
+    import numpy as np
+
+    rows = S._centroid_rows(centroids)
+    C = np.array([cvec for _cid, cvec in rows], dtype=np.float64)
+    v0 = np.array([1.0 if i % 7 == 0 else 0.1 for i in range(64)])
+    coef, *_ = np.linalg.lstsq(C.T, v0, rcond=None)
+    v = v0 - C.T @ coef  # residual ⊥ span{centroids}
+    assert float(np.abs(C @ v).max()) < 1e-9
+    assert float(np.linalg.norm(v)) > 1e-6
+    n_bad = 200
+    bad = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in v], 0) for i in range(n_bad)],
+        "vec_id bigint, embedding array<float>, label int")
+    ivf_index_append(bad, centroids, path)
+    # threshold just under the healthiest baseline: the flooded
+    # cluster must flag, untouched clusters must not
+    floor = min(r["mean_cos"] for r in healthy) - 0.05
+    drifted = ivf_centroid_drift(spark, path, centroids,
+                                 min_mean_cos=floor).collect()
+    assert any(r["retrain"] for r in drifted), (floor, drifted)
+    assert sum(r["n_vectors"] for r in drifted) == total + n_bad

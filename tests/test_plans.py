@@ -487,3 +487,19 @@ def test_q2_q20_shapes_decorrelate(spark):
                if "Location:" in ln) == 1, plan
     # shipdate range pushed into that scan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_retrieval_pipeline_e2e_shortlists_are_equi(spark):
+    """r7 hybrid retrieval e2e: the ANN shortlist must be the
+    multiprobe bucket EQUI-join (7 buckets, never a corpus scan) and
+    the only nested-loop the 1-row BM25 stats crossJoin (same
+    allowance as corpus_mixture_sample)."""
+    plan = plan_of(spark, "retrieval_pipeline_e2e")
+    assert "CartesianProduct" not in plan
+    # one physical node = two mentions (tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    locs = [ln for ln in plan.splitlines() if "Location:" in ln]
+    # documents: gate + dl/occ branches + metadata join-back (each
+    # column-pruned); embeddings: bucketed corpus + probe row
+    assert sum("documents" in ln for ln in locs) <= 6, plan
+    assert sum("embeddings" in ln for ln in locs) <= 2, plan

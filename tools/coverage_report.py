@@ -50,6 +50,13 @@ def render() -> str:
         "late_shipment_priority_count (witnessed by "
         "customer_scd2_history's semi/anti-join family) rotated OUT "
         "— see the coverage map.",
+        "- **r7** driver-window rotation: retrieval_pipeline_e2e (new), "
+        "linkgraph_cc_starcontraction, paragraph_dedup, bm25_top_docs, "
+        "rrf_fusion, and bloom_incremental_dedup rotated IN; "
+        "orderdate_us_format, customer_account_flags, part_merge_chain, "
+        "salted_user_totals, pii_scrub_stats, and mktsegment_distinct "
+        "(each green in 5-6 prior driver rounds) rotated OUT with "
+        "pattern twins recorded in the coverage map.",
         "",
         "| query | tags | oracle | driver | covered by | bench | summary |",
         "|---|---|---|---|---|---|---|",
