@@ -643,8 +643,12 @@ def linkgraph_cc_starcontraction(spark: SparkSession,
     phase is one shuffle on node id; the deg/edge frames are never
     globally sorted and the quadratic fuse (2..{PR_CAP} docs per gram)
     bounds candidate fan-out exactly as in linkgraph_pagerank. A
-    production loop would localCheckpoint between rounds to truncate
-    lineage; {CC_ROUNDS} unrolled rounds need none."""
+    production loop uses the engine default (rounds=None): certified
+    fixpoint with localCheckpoint lineage truncation and a
+    no-crossing-edge post-condition (functions/graph.py); the pinned
+    {CC_ROUNDS} unrolled rounds here exist so the oracle replays
+    bit-exactly, and their sufficiency on the fixture graph is pinned
+    in tests/test_linkgraph.py."""
     docs = spread(t(spark, sf_dir, "documents"))
     # pinned rounds: the oracle unrolls exactly CC_ROUNDS; the engine
     # default (rounds=None) is the certified-fixpoint mode instead

@@ -18,9 +18,15 @@ from sf0.1 unioned three times with replica-offset keys:
   of cross-replica duplicate pairs survive — the recorded output
   counts absorb this (it is why pair counts can land slightly above
   exactly-3x, not evidence of superlinear compute).
-- embeddings: offset vec_ids; replicas 2/3 circularly rotate the
-  vector by 1/2 dimensions (norm-preserving, deterministic, breaks
-  most cross-replica cosine matches).
+- embeddings: offset vec_ids; replicas 2/3 multiply the vector by a
+  deterministic ±1 sign pattern (alternating every 1 / every 2 dims).
+  Sign patterns are norm-preserving, keep every WITHIN-replica cosine
+  exactly (cos(v·s, u·s) = cos(v, u), so each replica's internal
+  near-dup structure replicates intact) and suppress CROSS-replica
+  similarity (cos(v, u·s) ≈ 0 for smooth/autocorrelated vectors — a
+  circular rotation, tried first, left the synthetic vectors'
+  autocorrelation largely intact and produced ~9x cross-replica pairs
+  on 3x data).
 - customer/orders/lineitem/part/supplier: entity keys (custkey,
   orderkey, partkey, suppkey) offset per replica so referential
   structure is preserved within each replica; nationkey/regionkey are
@@ -71,7 +77,12 @@ _ID_OFF = 10_000_000
 # move together; bounded-dim keys n_nationkey/r_regionkey do not move)
 _KEY_COLS = {
     "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    # label offsets too: it is the BLOCKING key of embedding_dedup_pairs
+    # (and a class id elsewhere) — tripling members per block would grow
+    # candidate pairs ~9x on 3x data by construction; offsetting gives
+    # 3x blocks of the original size, the shape a production blocking
+    # key (cluster/LSH bucket/shard) keeps at scale
+    "embeddings": ["vec_id", "label"],
     "customer": ["c_custkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
@@ -97,9 +108,11 @@ def _replica(src, table: str, i: int, perm: str):
         elif table == "documents" and c == "text":
             col = F.translate(col, "aeiou", perm)
         elif table == "embeddings" and c == "embedding":
-            # circular rotate by i dims: norm-preserving, deterministic
-            n = F.size(col)
-            col = F.concat(F.slice(col, i + 1, n - i), F.slice(col, 1, i))
+            # ±1 sign pattern (period 2 / 4): norm- and within-replica-
+            # cosine-preserving, cross-replica decorrelating
+            col = F.transform(
+                col, lambda x, j: F.when((j / i).cast("int") % 2 == 0,
+                                         x).otherwise(-x))
         cols.append(col.alias(c))
     return src.select(*cols)
 
