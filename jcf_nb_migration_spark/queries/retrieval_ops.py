@@ -529,6 +529,9 @@ def _sql_rpe_oracle() -> str:
 @query(
     "retrieval_pipeline_e2e",
     oracle=_sql_rpe_oracle(),
+    headline=True,  # r7: the retrieval marquee joins the bench set —
+    #   cross-round totals stay comparable via the like-for-like
+    #   subset (the r6 decontaminate precedent)
     tags=("retrieval", "e2e", "hybrid", "bm25", "lsh", "rrf",
           "quality-gate"),
 )

@@ -64,7 +64,8 @@ HEADLINE = ["asof_click_before_error", "ann_brute_force_topk",
             "minhash_lsh_dedup", "local_supplier_volume",
             "shipping_priority", "returned_item_report",
             "decontaminate_ngrams", "pricing_summary",
-            "forecast_revenue", "latest_event_per_user"]
+            "forecast_revenue", "latest_event_per_user",
+            "retrieval_pipeline_e2e"]
 
 # --third-point with no explicit queries probes the headline set
 THIRD_POINT_DEFAULT = HEADLINE
