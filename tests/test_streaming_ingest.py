@@ -68,3 +68,59 @@ def test_stream_ingest_dedups_against_standing_index(spark, tmp_path):
     assert decisions[1][1] == [20, 21, 22]  # batch 2: copies flagged
     final = {r.doc_id for r in spark.read.parquet(standing_dir).collect()}
     assert final == set(range(10)) | {10, 11, 12}
+
+
+def test_stream_ingest_appends_ivf_index(spark, tmp_path):
+    """r7 composition: an EMBEDDING stream maintains the materialized
+    IVF ANN index micro-batch by micro-batch (foreachBatch →
+    ivf_index_append under fixed centroids) — the streaming twin of
+    the batch append test. After two deliveries the streamed index
+    must probe identically to a one-shot build over all vectors, and
+    the drift report must account for every streamed member."""
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.io.layout import (
+        ivf_centroid_drift, ivf_index_append, ivf_index_probe,
+        ivf_index_write,
+    )
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    # centroids fixed at bootstrap; streamed batches only append
+    centroids = S.kmeans_train(base, k=8, iters=2)
+    idx = str(tmp_path / "ivf_stream_idx")
+    ivf_index_write(base, centroids, idx, extra_cols=("label",))
+
+    src = str(tmp_path / "vec_incoming")
+    os.makedirs(src, exist_ok=True)
+
+    def ingest(batch_df, batch_id):
+        ivf_index_append(batch_df, centroids, idx,
+                         extra_cols=("label",))
+
+    schema = "vec_id bigint, embedding array<float>, label int"
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = stream.writeStream.foreachBatch(ingest).start()
+    try:
+        for rem in (1, 2):  # two micro-batches cover the non-base rest
+            emb.where(F.col("vec_id") % 3 == rem) \
+                .select("vec_id", "embedding", "label") \
+                .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "ivf_oneshot")
+    ivf_index_write(emb, centroids, full, extra_cols=("label",))
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    got = [(r["neighbor_id"], r["cos_sim"]) for r in
+           ivf_index_probe(spark, idx, centroids, pvec,
+                           k=10, nprobe=2, exclude_id=0).collect()]
+    expect = [(r["neighbor_id"], r["cos_sim"]) for r in
+              ivf_index_probe(spark, full, centroids, pvec,
+                              k=10, nprobe=2, exclude_id=0).collect()]
+    assert got == expect and len(got) == 10
+
+    report = ivf_centroid_drift(spark, idx, centroids).collect()
+    assert sum(r["n_vectors"] for r in report) == emb.count()
