@@ -107,9 +107,13 @@ def crossing_edges(pairs: DataFrame, labels: DataFrame) -> int:
                        F.col("component").alias("_cu"))
     lv = labels.select(F.col("u").alias("_lv"),
                        F.col("component").alias("_cv"))
+    # explicit null arms: eqNullSafe(null, null) is TRUE, which would
+    # certify an edge BOTH of whose endpoints are unlabeled
+    bad = (F.col("_cu").isNull() | F.col("_cv").isNull()
+           | (F.col("_cu") != F.col("_cv")))
     return (pairs.join(lu, pairs["u"] == F.col("_lu"), "left")
             .join(lv, pairs["v"] == F.col("_lv"), "left")
-            .where(~F.col("_cu").eqNullSafe(F.col("_cv")))
+            .where(bad)
             .limit(1).count())
 
 
@@ -135,13 +139,15 @@ def star_components(pairs: DataFrame,
     if rounds is not None:
         return _labels(_contract(e, rounds))
     done = 0
-    while done < CC_MAX_ROUNDS:
+    while True:
         step = CC_ROUNDS if done == 0 else CC_PROBE_EVERY
+        if done + step > CC_MAX_ROUNDS:  # cap is a hard ceiling
+            raise RuntimeError(
+                f"star_components: no certified fixpoint after {done} "
+                f"rounds (cap {CC_MAX_ROUNDS}); refusing to return a "
+                "possibly-split labeling")
         e = _contract(e, step).localCheckpoint(eager=True)
         done += step
         lab = _labels(e)
         if crossing_edges(pairs, lab) == 0:
             return lab
-    raise RuntimeError(
-        f"star_components: no certified fixpoint after {done} rounds "
-        "(CC_MAX_ROUNDS); refusing to return a possibly-split labeling")

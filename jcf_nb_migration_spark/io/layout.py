@@ -294,7 +294,8 @@ def ivf_index_probe(spark, path: str, centroids, probe_vec: list[float],
 
 def ivf_index_append(new_emb: DataFrame, centroids, path: str,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     extra_cols: tuple = ()) -> None:
+                     extra_cols: tuple = (),
+                     batch_id: int | str | None = None) -> bool:
     """INCREMENTAL index maintenance (VERDICT r6 item 4): assign a new
     vector batch to the EXISTING centroids and append it to the
     materialized IVF index — dynamic partition overwrite is not needed
@@ -313,11 +314,34 @@ def ivf_index_append(new_emb: DataFrame, centroids, path: str,
     drifted distribution makes lists baggy (lower member-to-centroid
     cosine), hurting recall-per-nprobe, not correctness. Monitor with
     ``ivf_centroid_drift`` and rebuild via ``ivf_index_write`` +
-    retrained centroids when it flags."""
+    retrained centroids when it flags.
+
+    ``batch_id`` (pass Structured Streaming's foreachBatch id) makes
+    replayed deliveries idempotent: a committed-batch ledger under
+    ``path/_appended_batches/`` skips a batch that already landed
+    (returns False). The marker is written AFTER the append, so the
+    residual window is a crash between append and marker — a replay
+    then duplicates that one batch; closing it needs a transactional
+    table format (Delta/Iceberg — environment-gated here). Plain
+    parquet + ledger is the standard at-least-once-minus-replays
+    shape, and it is what turns at-least-once foreachBatch delivery
+    into effectively-once for this sink."""
+    import os
+
     from jcf_nb_migration_spark.functions.similarity import ivf_assign
 
+    marker = None
+    if batch_id is not None:
+        ledger = os.path.join(path, "_appended_batches")
+        marker = os.path.join(ledger, str(batch_id))
+        if os.path.exists(marker):
+            return False  # replayed delivery: already appended
+        os.makedirs(ledger, exist_ok=True)
     assigned = ivf_assign(new_emb, centroids, id_col, vec_col, extra_cols)
     assigned.write.mode("append").partitionBy("cluster").parquet(path)
+    if marker is not None:
+        open(marker, "w").close()
+    return True
 
 
 def ivf_centroid_drift(spark, path: str, centroids,
@@ -328,11 +352,14 @@ def ivf_centroid_drift(spark, path: str, centroids,
     centroid machinery of the source_embedding_drift query applied to
     the on-disk inverted lists): member count, mean and minimum
     member-to-centroid cosine, and a ``retrain`` flag where the mean
-    drops below ``min_mean_cos``. One scan of the index, one bounded
-    (≤K rows) aggregate; centroids broadcast as control-plane
-    metadata. A flagged cluster means appended vectors no longer
-    resemble the centroid that routes probes to them — retrain and
-    rebuild before recall quietly sags.
+    drops below ``min_mean_cos`` — or where a cluster present ON DISK
+    has no centroid in the passed set at all (null mean/min): the
+    orphaned-inverted-list state a retrain-before-rebuild window
+    creates, which an inner join would silently drop from the report.
+    One scan of the index, one bounded (≤K rows) aggregate; centroids
+    broadcast as control-plane metadata. A flagged cluster means
+    probes are routed by stale geometry — retrain/rebuild before
+    recall quietly sags.
     Columns: cluster, n_vectors, mean_cos, min_cos, retrain."""
     from jcf_nb_migration_spark.functions import similarity as S
 
@@ -343,10 +370,12 @@ def ivf_centroid_drift(spark, path: str, centroids,
     idx = (spark.read.parquet(path)
            .withColumn("cluster", F.col("cluster").cast("bigint")))
     cos = S.cosine(F.col(vec_col), F.col("cvec"))
-    return (idx.join(F.broadcast(cent), "cluster")
+    return (idx.join(F.broadcast(cent), "cluster", "left")
             .groupBy("cluster")
             .agg(F.count(F.lit(1)).alias("n_vectors"),
                  F.round(F.avg(cos), 9).alias("mean_cos"),
                  F.round(F.min(cos), 9).alias("min_cos"))
-            .withColumn("retrain", F.col("mean_cos") < min_mean_cos)
+            .withColumn("retrain",
+                        F.col("mean_cos").isNull()
+                        | (F.col("mean_cos") < min_mean_cos))
             .orderBy("cluster"))

@@ -436,3 +436,32 @@ def test_ivf_centroid_drift_flags_drifted_cluster(spark, tmp_path):
                                  min_mean_cos=floor).collect()
     assert any(r["retrain"] for r in drifted), (floor, drifted)
     assert sum(r["n_vectors"] for r in drifted) == total + n_bad
+
+
+def test_ivf_centroid_drift_flags_orphaned_clusters(spark, tmp_path):
+    """A cluster present ON DISK but absent from the passed centroid
+    set (the retrain-before-rebuild window) must appear in the report
+    with retrain=True — an inner join would silently drop it and the
+    monitor would read healthy while probes route by stale geometry."""
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.io.layout import (
+        ivf_centroid_drift, ivf_index_write,
+    )
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    centroids = S.kmeans_train(emb, k=8, iters=2)
+    path = str(tmp_path / "ivf_orphan")
+    ivf_index_write(emb, centroids, path)
+
+    rows = S._centroid_rows(centroids)
+    survivors = {cid for cid, _ in rows[:4]}
+    report = ivf_centroid_drift(spark, path, rows[:4],
+                                min_mean_cos=-1.0).collect()
+    orphans = [r for r in report if r["cluster"] not in survivors]
+    assert orphans, "orphaned on-disk clusters must stay in the report"
+    assert all(r["retrain"] and r["mean_cos"] is None for r in orphans)
+    assert not any(r["retrain"] for r in report
+                   if r["cluster"] in survivors)
+    assert sum(r["n_vectors"] for r in report) == emb.count()

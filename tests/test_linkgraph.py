@@ -61,8 +61,6 @@ def test_star_contraction_certificate_rescues_deep_path(spark):
     count), while the default certified mode keeps contracting until
     the no-crossing-edge post-condition holds and returns the exact
     union-find assignment."""
-    import random
-
     from jcf_nb_migration_spark.functions.graph import (
         CC_ROUNDS, crossing_edges, star_components,
     )
@@ -151,3 +149,16 @@ def test_star_contraction_random_graphs(spark):
         assert got == _union_find_components(canon)
 
     run()
+
+
+def test_crossing_edges_counts_fully_unlabeled_component(spark):
+    """An edge BOTH of whose endpoints are missing from the labeling
+    must refute the certificate (eqNullSafe(null, null) is true — the
+    naive spelling would certify it)."""
+    from jcf_nb_migration_spark.functions.graph import crossing_edges
+
+    pairs = spark.createDataFrame([(1, 2), (5, 6)],
+                                  "u bigint, v bigint")
+    labels = spark.createDataFrame([(1, 1), (2, 1)],
+                                   "u bigint, component bigint")
+    assert crossing_edges(pairs, labels) > 0

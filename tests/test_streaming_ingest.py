@@ -96,8 +96,10 @@ def test_stream_ingest_appends_ivf_index(spark, tmp_path):
     os.makedirs(src, exist_ok=True)
 
     def ingest(batch_df, batch_id):
+        # batch_id ledger: an at-least-once replay of a committed
+        # micro-batch must be a no-op, not a duplicate append
         ivf_index_append(batch_df, centroids, idx,
-                         extra_cols=("label",))
+                         extra_cols=("label",), batch_id=batch_id)
 
     schema = "vec_id bigint, embedding array<float>, label int"
     stream = spark.readStream.schema(schema).parquet(src)
@@ -124,3 +126,13 @@ def test_stream_ingest_appends_ivf_index(spark, tmp_path):
 
     report = ivf_centroid_drift(spark, idx, centroids).collect()
     assert sum(r["n_vectors"] for r in report) == emb.count()
+
+    # replayed delivery (same batch_id): ledger skips, index unchanged
+    replay = emb.where(F.col("vec_id") % 3 == 1) \
+        .select("vec_id", "embedding", "label")
+    assert ivf_index_append(replay, centroids, idx,
+                            extra_cols=("label",), batch_id=0) is False
+    after = [(r["neighbor_id"], r["cos_sim"]) for r in
+             ivf_index_probe(spark, idx, centroids, pvec,
+                             k=10, nprobe=2, exclude_id=0).collect()]
+    assert after == got
