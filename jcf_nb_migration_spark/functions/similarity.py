@@ -147,7 +147,7 @@ def _centroid_sims(vec_col: str,
     centroid matrix as a broadcast variable instead."""
     structs = []
     for cid, cvec in rows:
-        lit = F.array(*[F.lit(x) for x in cvec])
+        lit = F.lit([float(x) for x in cvec])  # one literal node
         structs.append(F.struct(
             cosine(F.col(vec_col), lit).alias("sim"),
             F.lit(-cid).cast("bigint").alias("neg_id")))
@@ -312,7 +312,7 @@ def _centroid_dists(vec: Column,
     _centroid_sims."""
     structs = []
     for cid, cvec in rows:
-        lit = F.array(*[F.lit(x) for x in cvec])
+        lit = F.lit([float(x) for x in cvec])  # one literal node
         structs.append(F.struct(
             sqdist(vec, lit).alias("dist"),
             F.lit(cid).cast("bigint").alias("c_id")))
@@ -426,7 +426,7 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     """Bucket id = Σ_p (dot(vec, plane_p) >= 0) · 2^p."""
     bucket = None
     for p, signs in enumerate(planes):
-        plane = F.array(*[F.lit(float(s)) for s in signs])
+        plane = F.lit([float(s) for s in signs])  # one literal node
         bit = F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     return bucket.cast("int")
@@ -539,7 +539,7 @@ def ivfpq_ann_probe(emb: DataFrame, centroids, codebooks, probe_id: int,
     for s, book in enumerate(codebooks):
         dists = F.array(*[
             sqdist(sub(F.col("__probe_vec"), s),
-                   F.array(*[F.lit(x) for x in cvec]))
+                   F.lit([float(x) for x in cvec]))
             for _cid, cvec in book
         ])
         adc_terms.append(F.element_at(dists, (F.col("codes")[s] + 1).cast("int")))

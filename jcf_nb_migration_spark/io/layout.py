@@ -230,7 +230,7 @@ def ivfadc_index_probe(spark, path: str, centroids, books,
     for s, book in enumerate(books):
         dists = F.array(*[
             S.sqdist(F.slice(F.col("prvec"), s * sd + 1, sd),
-                     F.array(*[F.lit(x) for x in cvec]))
+                     F.lit([float(x) for x in cvec]))
             for _cid, cvec in book])
         adc_terms.append(
             F.element_at(dists, (F.col("codes")[s] + 1).cast("int")))
@@ -240,7 +240,7 @@ def ivfadc_index_probe(spark, path: str, centroids, books,
     scored = cand.select(F.col(id_col).alias("neighbor_id"),
                          "cluster", F.round(adc, 9).alias("adc"))
     if rerank_emb is not None:
-        plit = F.array(*[F.lit(x) for x in pv])
+        plit = F.lit([float(x) for x in pv])
         scored = (scored
                   .join(rerank_emb.select(
                       F.col(id_col).alias("neighbor_id"), "embedding"),
@@ -285,7 +285,7 @@ def ivf_index_probe(spark, path: str, centroids, probe_vec: list[float],
     idx = spark.read.parquet(path).where(F.col("cluster").isin(shortlist))
     if exclude_id is not None:
         idx = idx.where(F.col(id_col) != exclude_id)
-    plit = F.array(*[F.lit(x) for x in pv])
+    plit = F.lit([float(x) for x in pv])
     return (idx.select(F.col(id_col).alias("neighbor_id"), "cluster",
                        S.cosine(F.col(vec_col), plit).alias("cos_sim"))
             .orderBy(F.desc("cos_sim"), "neighbor_id")

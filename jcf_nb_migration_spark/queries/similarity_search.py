@@ -964,7 +964,7 @@ def ivfadc_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s, book in enumerate(books):
         dists = F.array(*[
             S.sqdist(F.slice(F.col("prvec"), s * sd + 1, sd),
-                     F.array(*[F.lit(x) for x in cvec]))
+                     F.lit([float(x) for x in cvec]))
             for _cid, cvec in book])
         adc_terms.append(
             F.element_at(dists, (F.col("codes")[s] + 1).cast("int")))
@@ -1107,7 +1107,7 @@ def ivfadc_residual_multiprobe(spark: SparkSession,
     for s, book in enumerate(books):
         dists = F.array(*[
             S.sqdist(F.slice(F.col("prvec"), s * sd + 1, sd),
-                     F.array(*[F.lit(x) for x in cvec]))
+                     F.lit([float(x) for x in cvec]))
             for _cid, cvec in book])
         adc_terms.append(
             F.element_at(dists, (F.col("codes")[s] + 1).cast("int")))
