@@ -465,3 +465,40 @@ def test_ivf_centroid_drift_flags_orphaned_clusters(spark, tmp_path):
     assert not any(r["retrain"] for r in report
                    if r["cluster"] in survivors)
     assert sum(r["n_vectors"] for r in report) == emb.count()
+
+
+def test_ivf_index_append_empty_batch_is_noop(spark, tmp_path):
+    """Streaming delivers empty micro-batches routinely — appending
+    one must not error, must add no data files, and must leave probes
+    unchanged."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.io.layout import (
+        ivf_index_append, ivf_index_probe, ivf_index_write,
+    )
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    centroids = S.kmeans_train(emb, k=8, iters=2)
+    path = str(tmp_path / "ivf_empty")
+    ivf_index_write(emb, centroids, path)
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    before = [(r["neighbor_id"], r["cos_sim"]) for r in
+              ivf_index_probe(spark, path, centroids, pvec,
+                              k=10, nprobe=2, exclude_id=0).collect()]
+    files_before = sorted(str(p) for p in
+                          pathlib.Path(path).rglob("*.parquet"))
+
+    empty = emb.where(F.lit(False)).select("vec_id", "embedding")
+    assert ivf_index_append(empty, centroids, path, batch_id=99) is True
+    files_after = sorted(str(p) for p in
+                         pathlib.Path(path).rglob("*.parquet"))
+    assert files_after == files_before
+    after = [(r["neighbor_id"], r["cos_sim"]) for r in
+             ivf_index_probe(spark, path, centroids, pvec,
+                             k=10, nprobe=2, exclude_id=0).collect()]
+    assert after == before

@@ -162,3 +162,18 @@ def test_crossing_edges_counts_fully_unlabeled_component(spark):
     labels = spark.createDataFrame([(1, 1), (2, 1)],
                                    "u bigint, component bigint")
     assert crossing_edges(pairs, labels) > 0
+
+
+def test_star_contraction_trivial_graphs(spark):
+    """API edges: an empty pair frame certifies immediately (no
+    crossing edges by vacuity) and a single edge labels both nodes at
+    the min — in the certified DEFAULT mode, where an empty
+    localCheckpoint or probe join could plausibly trip."""
+    from jcf_nb_migration_spark.functions.graph import star_components
+
+    empty = spark.createDataFrame([], "u bigint, v bigint")
+    assert star_components(empty).collect() == []
+
+    one = spark.createDataFrame([(7, 3)], "u bigint, v bigint")
+    got = {r["u"]: r["component"] for r in star_components(one).collect()}
+    assert got == {3: 3, 7: 3}
