@@ -60,6 +60,9 @@ COVERED_BY: dict[str, str] = {
     "linkgraph_triangles": "dedup_clusters_lsh",  # ordered-edge
     #   two-equi-join enumeration over the same capped gram graph
     # linkgraph_cc_starcontraction rotated INTO the driver window r7
+    "linkgraph_cc_certified": "linkgraph_cc_starcontraction",  # the
+    #   ENGINE-DEFAULT certified-fixpoint mode of the same contraction
+    #   (adds only the bounded crossing-edge probe + localCheckpoint)
     "dedup_ngram_jaccard": "minhash_lsh_dedup",
     "doc_containment_pairs": "minhash_lsh_dedup",  # rare-shingle
     #   candidate equi-join + full-set verify, asymmetric metric

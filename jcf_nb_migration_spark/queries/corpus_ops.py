@@ -600,9 +600,11 @@ def _sql_star_rounds() -> str:
     return ",\n    ".join(steps)
 
 
-@query(
-    "linkgraph_cc_starcontraction",
-    oracle=f"""
+# shared by the pinned-replay query AND the certified-default twin:
+# the oracle unrolls exactly CC_ROUNDS rounds; the certified mode
+# returns the identical labeling whenever that depth converges (pinned
+# for the fixture in tests/test_linkgraph.py), so one oracle gates both
+_SQL_CC_ORACLE = f"""
     WITH {_sql_pg_pairs()},
     e0 AS MATERIALIZED (SELECT u AS a, v AS b FROM pairs),
     {_sql_star_rounds()},
@@ -614,7 +616,12 @@ def _sql_star_rounds() -> str:
            CAST(SUM(c.doc_id) AS BIGINT) AS sum_doc_id
     FROM comp c GROUP BY c.component
     ORDER BY n_members DESC, component LIMIT 20
-    """,
+    """
+
+
+@query(
+    "linkgraph_cc_starcontraction",
+    oracle=_SQL_CC_ORACLE,
     tags=("graph", "connected-components", "star-contraction",
           "iterative"),
     # iterative equi-join+groupBy contraction — pattern driver-visible
@@ -657,6 +664,48 @@ def linkgraph_cc_starcontraction(spark: SparkSession,
             .agg(F.count(F.lit(1)).alias("n_members"),
                  F.sum(F.col("u")).alias("sum_doc_id"))
             .orderBy(F.desc("n_members"), "component").limit(20))
+
+
+@query(
+    "linkgraph_cc_certified",
+    oracle=_SQL_CC_ORACLE,
+    tags=("graph", "connected-components", "star-contraction",
+          "iterative", "certified-fixpoint"),
+    # the ENGINE-DEFAULT certified mode of the same contraction —
+    # oracle-gated here (not merely pytest-pinned); pattern
+    # driver-visible via linkgraph_cc_starcontraction (r7 window)
+    driver_visible=False,
+)
+def linkgraph_cc_certified(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """The CERTIFIED-FIXPOINT connected components path — identical
+    rare-gram link graph, but run through the engine DEFAULT
+    ``star_components(pairs)`` (rounds=None): batches of rounds with
+    localCheckpoint lineage truncation and the no-crossing-edge
+    post-condition probe, raising rather than returning a split
+    labeling (functions/graph.py, VERDICT r6 item 1). The oracle is
+    the SAME unrolled-CC_ROUNDS replay as
+    linkgraph_cc_starcontraction: whenever the pinned depth converges
+    (pinned for this fixture vs union-find in tests/test_linkgraph.py)
+    the certified mode returns the identical labeling, so a hash
+    match here proves the default path end-to-end against DuckDB —
+    including that the certificate terminates without altering the
+    result. Eager probe actions at build time are the legitimate
+    iterative-driver-state pattern (k-means, BPE, logreg GD).
+
+    At 100 TB this is the mode to run: the pinned-depth twin exists
+    only for bit-exact oracle replay; this one cannot silently
+    under-contract on a deeper-than-expected component."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    pairs = _rare_gram_pairs(docs).persist()
+    try:
+        comp = _star_components(pairs)  # certified default
+        return (comp.groupBy("component")
+                .agg(F.count(F.lit(1)).alias("n_members"),
+                     F.sum(F.col("u")).alias("sum_doc_id"))
+                .orderBy(F.desc("n_members"), "component").limit(20))
+    finally:
+        pairs.unpersist()
 
 
 # _symmetrize / _star_components moved to functions/graph.py (r6):
