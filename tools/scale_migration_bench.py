@@ -92,6 +92,9 @@ def main() -> None:
 
     # local mode = driver-only: give the one JVM real memory (the
     # 297-column projection + 40-merge fold needs codegen + exec room)
+    import os
+    load_start = os.getloadavg()  # before our own 32-core burn
+
     spark = get_spark("scale-migration-bench",
                       extra_conf={"spark.driver.memory": "48g"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -174,8 +177,6 @@ def main() -> None:
 
     elapsed_cold = min(csv_cold(), csv_cold())
 
-    import os
-
     print(json.dumps({
         "metric": "migration_pipeline_wall_seconds",
         "value": round(elapsed_cold, 2),       # historical semantics:
@@ -191,8 +192,9 @@ def main() -> None:
         "cols_out": len(res.output.columns),
         # host-noise context (the bench.py r6 lesson): a run under
         # neighbor load self-documents instead of reading as a
-        # regression
-        "loadavg": list(os.getloadavg()),
+        # regression; start is captured BEFORE our own 32-core burn
+        "loadavg": {"start": list(load_start),
+                    "end": list(os.getloadavg())},
     }))
     spark.stop()
 
