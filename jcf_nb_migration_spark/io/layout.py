@@ -379,3 +379,47 @@ def ivf_centroid_drift(spark, path: str, centroids,
                         F.col("mean_cos").isNull()
                         | (F.col("mean_cos") < min_mean_cos))
             .orderBy("cluster"))
+
+
+def ivf_index_maintain(spark, path: str, centroids,
+                       min_mean_cos: float = 0.5, k: int = 8,
+                       iters: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       extra_cols: tuple = ()):
+    """Close the append→drift→rebuild loop: run ``ivf_centroid_drift``
+    and, if ANY cluster flags (baggy list or orphaned directory),
+    retrain k-means over the index's CURRENT contents and rewrite the
+    whole layout — the operation a scheduler runs nightly against an
+    append-maintained index. Returns ``(rebuilt, centroids)`` where
+    ``centroids`` are the retrained set when rebuilt, else the input.
+
+    The rebuild stages into ``<path>.rebuild`` and swaps via two
+    directory renames (the index is being READ as rebuild input — an
+    in-place overwrite would pull the data out from under the lazy
+    scan), so a probe sees either the old index or the new one, never
+    a half-written mix; the append ledger resets with the swap (a new
+    index epoch owes nothing to the old batch ids). Cost is one full
+    read of the index — batch-sized appends amortize this to the
+    retrain cadence, exactly like any compaction job."""
+    import os
+    import shutil
+
+    report = ivf_centroid_drift(spark, path, centroids,
+                                min_mean_cos, vec_col).collect()
+    if not any(r["retrain"] for r in report):
+        return False, centroids
+    from jcf_nb_migration_spark.functions.similarity import kmeans_train
+
+    current = (spark.read.parquet(path)
+               .select(id_col, vec_col, *extra_cols))
+    new_centroids = kmeans_train(current, k=k, iters=iters,
+                                 id_col=id_col, vec_col=vec_col)
+    staging = path.rstrip("/") + ".rebuild"
+    ivf_index_write(current, new_centroids, staging,
+                    id_col=id_col, vec_col=vec_col,
+                    extra_cols=extra_cols)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return True, new_centroids

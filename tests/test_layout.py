@@ -502,3 +502,68 @@ def test_ivf_index_append_empty_batch_is_noop(spark, tmp_path):
              ivf_index_probe(spark, path, centroids, pvec,
                              k=10, nprobe=2, exclude_id=0).collect()]
     assert after == before
+
+
+def test_ivf_index_maintain_rebuilds_only_when_drifted(spark, tmp_path):
+    """The append→drift→rebuild loop: healthy index → no-op; after an
+    out-of-distribution flood the maintain call must retrain, swap the
+    layout atomically (stage + rename), reset the append ledger epoch,
+    and leave a probeable index whose drift report is quiet under the
+    same threshold."""
+    import numpy as np
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.io.layout import (
+        ivf_centroid_drift, ivf_index_append, ivf_index_maintain,
+        ivf_index_probe, ivf_index_write,
+    )
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    centroids = S.kmeans_train(emb, k=8, iters=2)
+    path = str(tmp_path / "ivf_maint")
+    ivf_index_write(emb, centroids, path)
+    floor = min(r["mean_cos"] for r in
+                ivf_centroid_drift(spark, path, centroids,
+                                   min_mean_cos=-1.0).collect()) - 0.05
+
+    # healthy: no rebuild, same centroids returned
+    rebuilt, got = ivf_index_maintain(spark, path, centroids,
+                                      min_mean_cos=floor)
+    assert rebuilt is False and got is centroids
+
+    # flood one cluster with a centroid-orthogonal direction
+    rows = S._centroid_rows(centroids)
+    C = np.array([c for _cid, c in rows])
+    v0 = np.array([1.0 if i % 7 == 0 else 0.1 for i in range(64)])
+    coef, *_ = np.linalg.lstsq(C.T, v0, rcond=None)
+    v = v0 - C.T @ coef
+    bad = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in v], 0) for i in range(200)],
+        "vec_id bigint, embedding array<float>, label int")
+    ivf_index_append(bad.select("vec_id", "embedding"), centroids,
+                     path, batch_id=1)
+    assert (tmp_path / "ivf_maint" / "_appended_batches" / "1").exists()
+
+    rebuilt, new_cent = ivf_index_maintain(spark, path, centroids,
+                                           min_mean_cos=floor)
+    assert rebuilt is True and new_cent is not centroids
+    # ledger reset with the new epoch; staging gone
+    assert not (tmp_path / "ivf_maint" / "_appended_batches").exists()
+    assert not (tmp_path / "ivf_maint.rebuild").exists()
+    # all vectors survived the rebuild and the index probes
+    n = spark.read.parquet(path).count()
+    assert n == emb.count() + 200
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    res = ivf_index_probe(spark, path, new_cent, pvec,
+                          k=10, nprobe=2, exclude_id=0).collect()
+    assert len(res) == 10
+    # retrained geometry absorbs the flood: report quiet at the same
+    # threshold (the flooded direction now owns its own centroid)
+    post = ivf_centroid_drift(spark, path, new_cent,
+                              min_mean_cos=floor).collect()
+    assert not any(r["retrain"] for r in post), post
