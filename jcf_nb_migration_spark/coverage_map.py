@@ -45,77 +45,65 @@ COVERED_BY: dict[str, str] = {
     "quantized_rerank_topk": "ivfpq_ann_probe",  # compressed-first
     #   scoring + exact re-rank (ADC sibling); coarse scan via
     #   ann_brute_force_topk
-    "embedding_norm_stats": "ann_brute_force_topk",
-    "embedding_normalize": "ann_brute_force_topk",
-    "part_name_fuzzy_pairs": "embedding_dedup_pairs",
+    "embedding_norm_stats": "knn_ann_label_propagation",
+    "embedding_normalize": "knn_ann_label_propagation",
+    "part_name_fuzzy_pairs": "fuzzy_name_matches",
     "record_linkage_merge": "fuzzy_name_matches",  # two-table
     #   deletion-blocked linkage + per-incoming top-1 survivorship
     # --- dedup -----------------------------------------------------------
     "dedup_clusters": "dedup_clusters_lsh",
     # iterative equi-join+groupBy power iteration, frequency-capped
     # gram edges — both patterns in dedup_clusters_lsh / decontaminate:
-    "linkgraph_pagerank": "dedup_clusters_lsh",
     "linkgraph_bfs_reachability": "dedup_clusters_lsh",  # per-level
     #   frontier equi-join (WITH RECURSIVE declarative twin)
     "linkgraph_triangles": "dedup_clusters_lsh",  # ordered-edge
     #   two-equi-join enumeration over the same capped gram graph
     # linkgraph_cc_starcontraction rotated INTO the driver window r7
-    "linkgraph_cc_certified": "linkgraph_cc_starcontraction",  # the
-    #   ENGINE-DEFAULT certified-fixpoint mode of the same contraction
-    #   (adds only the bounded crossing-edge probe + localCheckpoint)
     "dedup_ngram_jaccard": "minhash_lsh_dedup",
     "doc_containment_pairs": "minhash_lsh_dedup",  # rare-shingle
     #   candidate equi-join + full-set verify, asymmetric metric
     # paragraph_dedup rotated INTO the driver window r7
     "minhash_signatures": "minhash_lsh_dedup",
-    "simhash_fingerprints": "simhash_near_pairs",
-    "media_perceptual_dedup": "simhash_near_pairs",  # average-hash
+    "simhash_fingerprints": "minhash_lsh_dedup",
+    "media_perceptual_dedup": "minhash_lsh_dedup",  # average-hash
     #   fingerprint + the same pigeonhole-banded Hamming machinery
     #   over the multimodal payload column
     "lsh_incremental_dedup": "minhash_lsh_dedup",
     # bloom_incremental_dedup rotated INTO the driver window r7
-    "doc_fingerprint": "dedup_exact",
-    "source_dedup_matrix": "dedup_exact",  # fingerprint-group counts
+    "doc_fingerprint": "bloom_incremental_dedup",
+    "source_dedup_matrix": "bloom_incremental_dedup",  # fingerprint-group counts
     #   self-joined into the cross-source duplicate-provenance matrix
-    "duplicate_spans": "decontaminate_ngrams",
-    "doc_boilerplate_coverage": "decontaminate_ngrams",
     # --- text / curation -------------------------------------------------
     "corpus_vocabulary": "bpe_merge_table",
-    "trigram_backoff_score": "decontaminate_ngrams",  # vocabulary-
-    #   keyed left-join chain (doc_bigram_lm_score's pattern, 3 tiers)
     "doc_subword_stats": "doc_bpe_stats",
     "doc_winnow_fingerprints": "doc_token_stats",
     "doc_bigram_lm_score": "decontaminate_ngrams",
     "token_pmi_pairs": "decontaminate_ngrams",  # log-free PMI-ratio
     #   ranking over the same vocabulary-keyed join chain
-    "term_source_dispersion": "tfidf_top_terms",  # stacked term-key
+    "term_source_dispersion": "inverted_index_postings",  # stacked term-key
     #   count rollups + ordered take (boilerplate detector)
-    "doc_quality_linear_model": "decontaminate_ngrams",
-    "gopher_quality_flags": "doc_quality_score",
+    "gopher_quality_flags": "doc_token_stats",
     "logreg_calibration": "logreg_gd_training",  # serve half:
     #   one codegen'd scoring scan under the trained weights
-    "doc_lang_id": "doc_quality_score",
-    "code_switch_profile": "doc_quality_score",  # chunk explode +
+    "doc_lang_id": "doc_token_stats",
+    "code_switch_profile": "doc_token_stats",  # chunk explode +
     #   per-doc lang-mix rollup (paragraph_dedup's shuffle graph)
     "doc_repetition_stats": "decontaminate_ngrams",  # gram-explode agg
     #   (rotated out of the window r5 for logreg_gd_training)
-    "curation_funnel": "doc_quality_score",
+    "curation_funnel": "doc_token_stats",
     "corpus_release_report": "decontaminate_ngrams",  # dataset-card
     #   rollup: shared base + four 1-row aggregates crossJoined; the
     #   heavy branch is decontaminate's n-gram equi-join
     # curation_pipeline_e2e rotated INTO the driver window in r6
-    "split_leakage_audit": "minhash_lsh_dedup",  # the LSH pair
-    #   pipeline + two narrow hash-split joins (pre-training audit)
-    "semantic_decontamination": "embedding_dedup_pairs",  # broadcast
+    "semantic_decontamination": "hard_negative_mining_ann",  # broadcast
     #   bench side + JVM cosine fold + per-vector top-1 window
-    "source_quota_cap": "tfidf_top_terms",  # per-group top-k window
+    "source_quota_cap": "inverted_index_postings",  # top-k-per-key window
     "cluster_balanced_sample": "semdedup_prune",
     "cluster_topic_terms": "semdedup_prune",  # k-means assignment +
     #   tf-lift per-cluster top-k (topic labels for curation reports)
 
     # --- retrieval -------------------------------------------------------
     # bm25_top_docs rotated INTO the driver window r7
-    "inverted_index_postings": "tfidf_top_terms",
     # rrf_fusion rotated INTO the driver window r7
     # --- corpus assembly / sampling --------------------------------------
     "corpus_global_shuffle": "corpus_mixture_sample",
@@ -131,13 +119,9 @@ COVERED_BY: dict[str, str] = {
     "sequence_packing":
         "pytest:test_plans two-phase prefix sum (no visible twin; "
         "bucket-subtotal + per-bucket window shape is plan-guarded)",
-    "corpus_sorted_export":
-        "pytest:test_plans RangePartitioning pin + test_layout sorted "
-        "range-file export (global-sort Exchange has no visible twin)",
     # --- profiling / sketches -------------------------------------------
-    "heavy_hitters_topk": "approx_distinct_stats",
-    "cms_token_counts": "approx_distinct_stats",
-    "hll_sketch_union": "approx_distinct_stats",
+    "cms_token_counts": "heavy_hitters_topk",
+    "hll_sketch_union": "heavy_hitters_topk",
     "customer_column_profile": "table_counts",
     "k_anonymity_audit": "table_counts",  # quasi-id groupBy +
     #   one-row rollup (privacy audit)
@@ -153,10 +137,8 @@ COVERED_BY: dict[str, str] = {
     #   broadcast scalar; constants precomputed, no runtime log
     "source_embedding_drift": "pricing_summary",
     "source_report_card": "pricing_summary",
-    "price_histogram": "price_quantiles",
-    "customer_balance_deciles": "price_quantiles",  # ANSI NTILE via
-    #   the two-phase global rank, proven against the native window
-    "winsorized_order_values": "price_quantiles",  # grouped two-phase
+    "price_histogram": "customer_balance_deciles",
+    "winsorized_order_values": "customer_balance_deciles",  # grouped two-phase
     #   ordinal rank + broadcast per-segment clamp bounds
     "quantity_price_correlation": "pricing_summary",
     "join_key_skew_profile": "table_counts",  # per-key count +
@@ -178,7 +160,7 @@ COVERED_BY: dict[str, str] = {
     #   tests/test_plans.py::test_aqe_splits_skewed_join
     "pii_scrub_stats": "part_clean_chain",  # regex-replace narrow
     #   projection; plan pinned by test_plans::test_pii_scrub_is_narrow
-    "mktsegment_distinct": "approx_distinct_stats",  # per-column
+    "mktsegment_distinct": "heavy_hitters_topk",  # per-column
     #   distinct rollup (A1/S5 sink family)
     "customers_with_urgent_orders": "customer_scd2_history",
     "customers_without_orders": "customer_scd2_history",
@@ -194,26 +176,26 @@ COVERED_BY: dict[str, str] = {
     "promo_revenue_share": "returned_item_report",
     "profit_by_nation_year": "local_supplier_volume",  # same star-join
     #   + broadcast-dim graph, regex dim filter pushed to the part scan
-    "important_supplier_share": "forecast_revenue",  # scalar-agg
+    "important_supplier_share": "table_counts",  # scalar-agg
     #   broadcast-back pattern (idle_rich_customers chain)
-    "part_supplier_variety": "approx_distinct_stats",  # two-phase
+    "part_supplier_variety": "heavy_hitters_topk",  # two-phase
     #   distinct aggregate (visible twin after mktsegment_distinct's
     #   r7 rotation); broadcast anti join via document_purge
     "lateral_top_customers": "latest_event_per_user",  # decorrelated
     #   lateral = per-key ranked take (window twin)
     "nullsafe_cohort_compare": "customer_tags",  # nullable-key
     #   full-outer hash join (EqualNullSafe stays an equi-key)
-    "customer_set_ops": "document_purge",  # INTERSECT/
+    "customer_set_ops": "customer_scd2_history",  # INTERSECT/
     #   EXCEPT plan as the same semi/anti joins
     "small_quantity_revenue": "returned_item_report",
     "top_revenue_customers": "returned_item_report",
-    "priority_shipmode_report": "shipping_priority",  # filtered
+    "priority_shipmode_report": "returned_item_report",  # filtered
     #   orders⋈lineitem join + small group agg (was covered by
     #   late_shipment_priority_count before its r6 rotation out)
     "late_shipment_priority_count": "customer_scd2_history",  # semi
     #   join (EXISTS) + group count — rotated OUT of the window r6;
     #   SCD2's anti/semi-join machinery is the same plan family
-    "supplier_nation_directory": "lookup_replace_nation",  # broadcast
+    "supplier_nation_directory": "local_supplier_volume",  # broadcast
     #   dim equi-join + projection/rename — rotated OUT r6
     "order_status_pivot": "lineitem_cube",
     "part_brand_type_rollup": "lineitem_cube",
@@ -223,11 +205,11 @@ COVERED_BY: dict[str, str] = {
     #   self-equi-join pair derivation + broadcast stats (Apriori k=2)
     "cohort_ltv_curve": "latest_event_per_user",  # cohort attribution
     #   + grid-bounded per-cohort running sum
-    "user_running_value": "user_hourly_resample",
+    "user_running_value": "latest_event_per_user",
     "incremental_agg_merge": "pricing_summary",
     "retractable_agg_merge": "pricing_summary",  # signed-partial
     #   union + merge groupBy (incremental_agg_merge with retraction)
-    "corpus_novelty_curve": "dedup_exact",  # min-per-gram survivor
+    "corpus_novelty_curve": "decontaminate_ngrams",  # min-per-gram survivor
     #   + join-back over decontaminate's gram explode
     "event_sequence_pattern": "event_sessionization",  # per-key
     #   ordered collect + codegen'd regex
@@ -235,7 +217,6 @@ COVERED_BY: dict[str, str] = {
     "orders_upsert": "customer_scd2_history",
     "orders_pit_customer_join": "customer_scd2_history",
     "orders_snapshot_diff": "customer_scd2_history",
-    "cogroup_asof_pandas": "asof_click_before_error",
     "scalar_iter_doc_stats": "doc_token_stats",  # SCALAR_ITER pandas
     #   UDF surface; same per-doc stat output as the built-in path
     "volume_shipping_report": "local_supplier_volume",  # Q7: the
@@ -245,15 +226,12 @@ COVERED_BY: dict[str, str] = {
     "regional_min_balance_supplier": "local_supplier_volume",  # Q2:
     #   correlated scalar-MIN decorrelated to a min-per-group
     #   join-back over broadcast bounded dims
-    "excess_share_suppliers": "returned_item_report",  # Q20: nested
-    #   semi-join chain + aggregated windowed threshold, one fact scan + distributed take
     # --- events / time series -------------------------------------------
     "events_hourly": "streaming_hourly_counts",
-    "user_rolling_7d": "user_hourly_resample",  # RANGE frame variant
-    "event_funnel_conversion": "asof_click_before_error",
+    "user_rolling_7d": "latest_event_per_user",  # RANGE frame variant
     "event_type_transition_matrix": "latest_event_per_user",  # lag
     #   window + double rollup (Markov matrix)
-    "signup_to_purchase_latency": "price_quantiles",  # ordinal-median
+    "signup_to_purchase_latency": "customer_balance_deciles",  # ordinal-median
     #   rank arithmetic over a population-bounded window
     "user_cohort_retention": "latest_event_per_user",
     "events_variant_extract": "events_json_bucket",
@@ -276,11 +254,11 @@ COVERED_BY: dict[str, str] = {
         "pytest:test_streaming applyInPandasWithState (no visible "
         "twin; exact-oracle + checkpoint-restart tests pin it)",
     # --- python surfaces -------------------------------------------------
-    "arrow_doc_stats": "multimodal_decode",
+    "arrow_doc_stats": "multimodal_frame_sample",
     "doc_chunk_spans_udtf": "multimodal_frame_sample",  # python
     #   row fan-out surface (UDTF generator vs mapInPandas)
-    "grouped_price_model": "multimodal_decode",
-    "weighted_median_gagg": "multimodal_decode",  # GROUPED_AGG
+    "grouped_price_model": "multimodal_frame_sample",
+    "weighted_median_gagg": "multimodal_frame_sample",  # GROUPED_AGG
     #   pandas-UDF surface (scalar-per-group Arrow aggregate)
     "pysource_synthdocs":
         "pytest:test_pysource Python DataSource batch reader (no "
@@ -288,4 +266,35 @@ COVERED_BY: dict[str, str] = {
     "pysource_stream_synthdocs":
         "pytest:test_pysource streaming offsets (no visible twin; "
         "exactly-once restart test pins the offset contract)",
+
+    # --- r9 rotation: fifteen 7-8x-green incumbents OUT (their green
+    # history is CORRECTNESS_r1-r8) to admit fifteen never-checked
+    # names; five remain bench headlines, so their perf is still
+    # measured every round -----------------------------------------------
+    "asof_click_before_error": "event_funnel_conversion",  # ordered
+    #   as-of carry family; cogroup_asof_pandas also visible now
+    "price_quantiles": "customer_balance_deciles",  # two-phase rank
+    "approx_distinct_stats": "heavy_hitters_topk",  # sketch rollup
+    "tfidf_top_terms": "inverted_index_postings",  # term-keyed rollup
+    #   + top-k-per-key window
+    "doc_quality_score": "doc_token_stats",  # narrow per-doc stats
+    "dedup_exact": "bloom_incremental_dedup",  # fingerprint groupBy
+    #   survivor selection (still benched)
+    "embedding_dedup_pairs": "hard_negative_mining_ann",  # blocked
+    #   pair join + JVM cosine fold (still benched)
+    "forecast_revenue": "pricing_summary",  # pushed-filter scan-agg
+    #   (still benched)
+    "multimodal_decode": "multimodal_frame_sample",  # Arrow-batched
+    #   mapInPandas/mapInArrow surface
+    "lookup_replace_nation": "local_supplier_volume",  # broadcast-dim
+    #   lookup join, unmatched-wiped semantics pytest-pinned
+    "document_purge": "customer_scd2_history",  # semi/anti-join purge
+    "simhash_near_pairs": "minhash_lsh_dedup",  # banded candidate
+    #   equi-join near-dup pairs
+    "ann_brute_force_topk": "knn_ann_label_propagation",  # JVM cosine
+    #   fold + top-k (still benched)
+    "shipping_priority": "returned_item_report",  # filtered join +
+    #   group agg + distributed take (still benched)
+    "user_hourly_resample": "latest_event_per_user",  # event-keyed
+    #   window family (grid gap-fill pytest-pinned in oracles)
 }

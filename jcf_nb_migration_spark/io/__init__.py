@@ -4,12 +4,22 @@ from jcf_nb_migration_spark.io.readers import (
     read_csv,
     read_parquet,
 )
+from jcf_nb_migration_spark.io.lexical import (
+    bm25_probe,
+    lexical_index_append,
+    lexical_index_attach,
+    lexical_index_build,
+)
 from jcf_nb_migration_spark.io.writers import (
     write_distinct_value_lists,
     write_single_csv,
 )
 
 __all__ = [
+    "bm25_probe",
+    "lexical_index_append",
+    "lexical_index_attach",
+    "lexical_index_build",
     "load_star_schema",
     "normalize_headers",
     "read_csv",

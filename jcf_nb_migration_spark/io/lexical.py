@@ -21,9 +21,10 @@ scan of the postings table (``SelectedBucketsCount: |terms'| buckets``
 in the FileScan — non-matching buckets are never listed, let alone
 read), per-term document frequency is a groupBy on the bucket key —
 satisfied by the table's hash distribution, so the plan has ZERO
-Exchange on the tok-keyed side (guarded in tests/test_plans.py) — and
-the only shuffle left is the per-doc score groupBy, bounded by the
-matched postings, not the corpus. At 100 TB: the build is the one
+Exchange on the tok-keyed side (guarded in
+tests/test_lexical_index.py::test_probe_plan_bucket_pruned_no_tok_exchange)
+— and the only shuffle left is the per-doc score groupBy, bounded by
+the matched postings, not the corpus. At 100 TB: the build is the one
 corpus pass, every probe reads a few buckets' worth of postings.
 
 Appends (``lexical_index_append``) mirror ``ivf_index_append``'s
@@ -39,7 +40,10 @@ transactional table format, environment-gated here). Probe parity —
 probe(base ∪ batch) ≡ probe(rebuild(base ∪ batch)) — holds by
 construction because BM25 is a function of (tf, dl, df, N, avgdl) and
 every one of those is an exact integer sum over posting/stats rows,
-insensitive to file layout; pinned in tests/test_streaming_ingest.py.
+insensitive to file layout; pinned in
+tests/test_lexical_index.py::test_append_probe_matches_rebuild and
+exercised from a real readStream in
+tests/test_streaming_ingest.py::test_stream_ingest_appends_lexical_index.
 
 Catalog note: bucketing metadata lives in the session catalog
 (in-memory here, a Hive metastore on a real deployment), so
@@ -50,6 +54,7 @@ session — the local stand-in for the metastore's persistence.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +62,32 @@ from pyspark.sql import functions as F
 STATS_SUBDIR = "stats"
 POSTINGS_SUBDIR = "postings"
 LEDGER_SUBDIR = "_appended_batches"
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _checked_prefix(prefix: str) -> str:
+    """``prefix`` lands inside SQL DDL as an identifier — validate it
+    instead of interpolating caller input into a statement."""
+    if not _IDENT.match(prefix):
+        raise ValueError(f"index prefix must be a SQL identifier, "
+                         f"got {prefix!r}")
+    return prefix
+
+
+def _sql_path(path: str) -> str:
+    """Escape a filesystem path for a single-quoted SQL string literal
+    (LOCATION clause) — a quote in the path must not break out."""
+    return path.replace("'", "''")
+
+
+def _table_num_buckets(spark: SparkSession, table: str) -> int | None:
+    """Bucket count of a catalog table (None when the table isn't
+    bucketed). Reads DESCRIBE EXTENDED — catalog metadata only."""
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if row["col_name"] == "Num Buckets":
+            return int(row["data_type"])
+    return None
 
 
 def _postings_frame(toks: DataFrame) -> DataFrame:
@@ -91,10 +122,17 @@ def lexical_index_build(toks: DataFrame, prefix: str, path: str,
     drop any prior table/ledger, write the bucketed postings table
     ``<prefix>_postings`` (external parquet at ``path/postings``) and
     the base stats batch. Idempotent — rebuilding an existing index
-    replaces it wholesale."""
+    replaces it wholesale.
+
+    Local-FS assumption: the pre-build cleanup (``shutil.rmtree``) and
+    the append ledger run driver-local filesystem calls, matching the
+    IVF layout's documented stand-in; on HDFS/S3 route them through
+    the Hadoop FileSystem API (or a transactional table format)
+    instead."""
     import shutil
 
     spark = toks.sparkSession
+    prefix = _checked_prefix(prefix)
     spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
     shutil.rmtree(path, ignore_errors=True)
     toks = toks.persist()
@@ -114,14 +152,24 @@ def lexical_index_attach(spark: SparkSession, prefix: str, path: str,
     """Register an existing on-disk index into this session's catalog
     (the in-memory-catalog stand-in for a persistent metastore). The
     bucket spec must match the one the index was built with — a wrong
-    count would silently mis-prune."""
+    count would silently mis-prune, so when the table is already
+    registered the declared bucket count is validated and a mismatch
+    raises instead of serving wrong results."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_postings"
     spark.sql(f"""
-        CREATE TABLE IF NOT EXISTS {prefix}_postings
+        CREATE TABLE IF NOT EXISTS {table}
         (tok STRING, doc_id BIGINT, tf BIGINT, dl INT)
         USING parquet
         CLUSTERED BY (tok) SORTED BY (tok) INTO {num_buckets} BUCKETS
-        LOCATION '{os.path.join(path, POSTINGS_SUBDIR)}'
+        LOCATION '{_sql_path(os.path.join(path, POSTINGS_SUBDIR))}'
     """)
+    declared = _table_num_buckets(spark, table)
+    if declared != num_buckets:
+        raise ValueError(
+            f"{table} is registered with {declared} buckets but the "
+            f"caller expects {num_buckets}; bucket pruning would "
+            "silently drop matching postings")
 
 
 def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
@@ -135,7 +183,32 @@ def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
     New docs must be NEW doc_ids; re-ingesting an existing document is
     an update, which (like the IVF layout) needs a transactional
     format — upstream dedup (streaming_dedup /
-    dropDuplicatesWithinWatermark) owns that here."""
+    dropDuplicatesWithinWatermark) owns that here.
+
+    The target table must already exist in this session's catalog
+    (via build or attach) with a matching bucket count — a bare
+    ``saveAsTable(mode="append")`` in a fresh session would CREATE the
+    table, and a bucket-count mismatch against the on-disk files would
+    make bucket pruning silently drop matching postings. Both raise.
+
+    Ledger note: the replay markers are driver-local filesystem calls
+    (same stand-in as the IVF ledger); on HDFS/S3 use the Hadoop
+    FileSystem API or a transactional format."""
+    spark = new_toks.sparkSession
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_postings"
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"{table} is not registered in this session's catalog — "
+            "run lexical_index_build or lexical_index_attach first "
+            "(appending through a bare saveAsTable would create a "
+            "table whose bucket spec may not match the on-disk files)")
+    declared = _table_num_buckets(spark, table)
+    if declared != num_buckets:
+        raise ValueError(
+            f"{table} is bucketed into {declared} buckets but the "
+            f"append was asked for {num_buckets}; a mismatched append "
+            "would corrupt bucket pruning")
     marker = None
     if batch_id is not None:
         ledger = os.path.join(path, LEDGER_SUBDIR)

@@ -93,6 +93,9 @@ def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("percentile", "agg"),
+    # rotated OUT r9 (8x green); two-phase-rank twin now
+    # customer_balance_deciles (rotated IN)
+    driver_visible=False,
 )
 def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
@@ -122,6 +125,8 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("approx", "hll"),
+    # rotated OUT r9 (8x green); sketch twin now heavy_hitters_topk
+    driver_visible=False,
 )
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketches you actually run at 100 TB: HLL distinct counts and
@@ -232,6 +237,10 @@ def part_name_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     tags=("asof-join", "window"),
+    # rotated OUT of the driver window r9 after 8 green rounds
+    # (CORRECTNESS_r1-r8); as-of twin now event_funnel_conversion /
+    # cogroup_asof_pandas (both rotated IN)
+    driver_visible=False,
 )
 def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for every error event, the latest click at-or-before

@@ -277,6 +277,9 @@ def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 3
     """,
     tags=("text", "tfidf", "topk-per-group"),
+    # rotated OUT r9 (7x green); term-keyed rollup twin now
+    # inverted_index_postings (rotated IN)
+    driver_visible=False,
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-style term weighting (rarity weight N/df — log-free so
@@ -382,6 +385,9 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     tags=("join", "topk", "tpch-q3"),
+    # rotated OUT r9 (7x green); filtered-join + top-k twin:
+    # returned_item_report (+ excess_share_suppliers' distributed take)
+    driver_visible=False,
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: segment-filtered customer dimension broadcast

@@ -389,8 +389,7 @@ def _sql_pagerank_iters() -> str:
     ORDER BY rank_fp DESC, doc_id LIMIT 20
     """,
     tags=("graph", "pagerank", "iterative"),
-    driver_visible=False,  # iterative join-agg pattern covered by
-    #                        dedup_clusters_lsh in the driver window
+    # rotated INTO the driver window r9 (iterative join-agg witness)
 )
 def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the shared-rare-4-gram document link graph —
@@ -671,10 +670,9 @@ def linkgraph_cc_starcontraction(spark: SparkSession,
     oracle=_SQL_CC_ORACLE,
     tags=("graph", "connected-components", "star-contraction",
           "iterative", "certified-fixpoint"),
-    # the ENGINE-DEFAULT certified mode of the same contraction —
-    # oracle-gated here (not merely pytest-pinned); pattern
-    # driver-visible via linkgraph_cc_starcontraction (r7 window)
-    driver_visible=False,
+    # rotated INTO the driver window r9 — the ENGINE-DEFAULT certified
+    # mode of the contraction, now driver-checked alongside
+    # linkgraph_cc_starcontraction
 )
 def linkgraph_cc_certified(spark: SparkSession,
                            sf_dir: str) -> DataFrame:

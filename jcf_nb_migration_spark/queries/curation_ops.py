@@ -782,7 +782,7 @@ SPAN_FREQ_CAP = 100  # grams in more windows than this are boilerplate
     ORDER BY doc_a, doc_b, start_a, start_b
     """,
     tags=("curation", "dedup", "substring", "spans"),
-    driver_visible=False,
+    # rotated INTO the driver window r9 (substring-span dedup witness)
 )
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring extraction (the Lee et al.
@@ -1153,9 +1153,8 @@ LM_REF_SOURCES = ("src1", "src2")  # held-out "reference corpus" the
     ORDER BY d.doc_id
     """,
     tags=("curation", "quality", "lm", "backoff"),
-    # vocabulary-keyed left-join chain — the doc_bigram_lm_score /
-    # tfidf pattern; driver-visible via decontaminate_ngrams
-    driver_visible=False,
+    # rotated INTO the driver window r9 (vocabulary-keyed join-chain
+    # witness)
 )
 def trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram stupid-backoff language-model score against a HELD-OUT
@@ -1455,9 +1454,9 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
     tags=("curation", "split", "leakage", "dedup", "audit"),
-    # composes two driver-visible pipelines (minhash_lsh_dedup pairs +
-    # the corpus_split_assign hash router) into the pre-training audit
-    driver_visible=False,
+    # rotated INTO the driver window r9: composes the minhash_lsh_dedup
+    # pair pipeline with the corpus_split_assign hash router into the
+    # pre-training leakage audit — never driver-checked before
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test-split LEAKAGE audit — the check every serious

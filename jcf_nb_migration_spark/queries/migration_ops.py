@@ -96,6 +96,9 @@ def part_merge_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                AND coalesce(lang, '') <> 'zh')
     """,
     tags=("migration", "purge", "T3"),
+    # rotated OUT r9 (8x green); semi/anti-join purge twin:
+    # customer_scd2_history
+    driver_visible=False,
 )
 def document_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 purge as predicate (not join): drop documents mentioning the
@@ -118,6 +121,9 @@ def document_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON c.c_nationkey = n.n_nationkey
     """,
     tags=("migration", "lookup", "J2"),
+    # rotated OUT r9 (8x green); broadcast-dim lookup twin:
+    # local_supplier_volume
+    driver_visible=False,
 )
 def lookup_replace_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 replacement join: the column is REPLACED by the broadcast

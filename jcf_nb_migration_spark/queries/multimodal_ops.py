@@ -28,6 +28,9 @@ from jcf_nb_migration_spark.registry import query, t
     FROM documents
     """,
     tags=("multimodal", "binary", "pandas-udf"),
+    # rotated OUT r9 (8x green); Arrow-batched python surface twin:
+    # multimodal_frame_sample
+    driver_visible=False,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload column → mapInPandas 'decode' → typed metadata.

@@ -299,11 +299,10 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n_chars DESC, doc_id
     """,
     tags=("assembly", "export", "global-sort", "range-partition"),
-    # kept local to fit the 50-name driver window; the global-sort
-    # Exchange shape (rangepartitioning) has no smaller driver twin —
-    # plan-pinned in tests/test_plans.py and file-layout-pinned in
-    # tests/test_layout.py instead
-    driver_visible=False,
+    # rotated INTO the driver window r9 — the global-sort Exchange
+    # shape (rangepartitioning) finally gets a direct driver witness;
+    # still plan-pinned in tests/test_plans.py and file-layout-pinned
+    # in tests/test_layout.py
 )
 def corpus_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide ORDER BY — the one shape the repo otherwise avoids,

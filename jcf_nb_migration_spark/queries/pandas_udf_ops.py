@@ -115,7 +115,7 @@ def grouped_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM carried WHERE side = 1
     """,
     tags=("pandas-udf", "cogroup", "asof-join"),
-    driver_visible=False,
+    # rotated INTO the driver window r9 (cogroup pandas surface)
 )
 def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via cogrouped applyInPandas — the API surface for

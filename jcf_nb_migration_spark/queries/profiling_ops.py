@@ -1211,10 +1211,9 @@ NTILE_K = 10  # decile report
     FROM r GROUP BY decile ORDER BY decile
     """,
     tags=("profiling", "ntile", "deciles", "two-phase-rank"),
-    # ANSI NTILE replayed through the two-phase rank — the oracle uses
-    # the native window, the Spark side proves the rank-arithmetic
-    # equivalence at scale; pattern driver-visible via price_quantiles
-    driver_visible=False,
+    # rotated INTO the driver window r9 (two-phase-rank witness after
+    # price_quantiles rotated out); the oracle uses native NTILE, the
+    # Spark side proves the rank-arithmetic equivalence at scale
 )
 def customer_balance_deciles(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

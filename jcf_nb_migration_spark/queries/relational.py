@@ -84,6 +84,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     tags=("filter", "agg", "pushdown"),
+    # rotated OUT r9 (8x green; still benched); scan-agg twin:
+    # pricing_summary
+    driver_visible=False,
 )
 def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter+sum. All four predicates push down to

@@ -561,10 +561,7 @@ Q20_FRAC_NUM, Q20_FRAC_DEN = 3, 10  # share threshold 3/10, kept as an
     """,
     tags=("tpch-q20", "nested-semi-join", "aggregated-threshold",
           "decorrelation"),
-    # nested IN-chain gated by an aggregate threshold — Q20's shape;
-    # semi-join family driver-visible via large_volume_customers /
-    # customer_scd2_history's semi/anti joins
-    driver_visible=False,
+    # rotated INTO the driver window r9 (TPC-H Q20 decorrelation)
 )
 def excess_share_suppliers(spark: SparkSession,
                            sf_dir: str) -> DataFrame:

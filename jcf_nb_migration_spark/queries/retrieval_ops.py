@@ -13,6 +13,8 @@ stats) is broadcast explicitly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -162,9 +164,8 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tf GROUP BY tok ORDER BY tok
     """,
     tags=("retrieval", "inverted-index", "posting-list"),
-    # kept local to fit the 50-name driver window; the top-k-per-key
-    # window pattern is driver-visible via latest_event_per_user
-    driver_visible=False,
+    # rotated INTO the driver window r9 (term-keyed rollup witness
+    # after tfidf_top_terms rotated out)
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: per term, document frequency, total term
@@ -213,7 +214,8 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY exact_count DESC, tok LIMIT 10
     """,
     tags=("approx", "sketch", "heavy-hitters"),
-    driver_visible=False,
+    # rotated INTO the driver window r9 (sketch-family witness after
+    # approx_distinct_stats rotated out)
 )
 def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters, sketch-gated like
@@ -272,9 +274,7 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM per_doc
     """,
     tags=("curation", "quality", "linear-model", "hashed-features"),
-    # kept local to fit the 50-name driver window; quality scoring is
-    # driver-visible via doc_quality_score
-    driver_visible=False,
+    # rotated INTO the driver window r9
 )
 def doc_quality_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style quality-classifier INFERENCE as a relational
@@ -344,7 +344,7 @@ def doc_quality_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """,
     tags=("curation", "dedup", "boilerplate", "ngram"),
-    driver_visible=False,
+    # rotated INTO the driver window r9
 )
 def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate detection — the candidate half of
@@ -599,3 +599,44 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (fused.join(gated.select("doc_id", "source"), "doc_id")
             .select("doc_id", "rank_lex", "rank_sem", "rrf", "source")
             .orderBy(F.desc("rrf"), "doc_id").limit(RPE_TOP))
+
+
+@query(
+    "bm25_top_docs_served",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    {_sql_bm25_ctes()}
+    SELECT doc_id, n_terms_matched, bm25
+    FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    tags=("retrieval", "bm25", "ranking", "bucketed", "serving"),
+)
+def bm25_top_docs_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 answered from the PERSISTED serving index — the
+    build/serve split a 100 TB RAG stack runs (io/lexical.py): the
+    corpus pass happens once at build time (inverted postings bucketed
+    on ``tok`` + additive corpus scalars), and the serve plan is a
+    bucket-pruned postings scan whose tok-keyed df groupBy needs ZERO
+    Exchange (the bucketed scan already satisfies the distribution —
+    guarded in tests/test_lexical_index.py). Same scorer expression
+    tree as the ad-hoc ``bm25_top_docs``, so the two paths — and this
+    oracle, which is bm25_top_docs' oracle verbatim — hash-match.
+
+    The query rebuilds the index on every call so repeated runs stay
+    deterministic and self-contained (the index lands under the
+    system temp dir, keyed by sf_dir); a deployment builds once and
+    serves many — the serve half is exactly ``bm25_probe``."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.lexical import (bm25_probe,
+                                                   lexical_index_build)
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"lexidx_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "jcf_lexical_index", tag)
+    lexical_index_build(toks, prefix, path, num_buckets=8)
+    return bm25_probe(spark, prefix, path, BM25_TERMS,
+                      BM25_K1, BM25_B, k=20)

@@ -95,6 +95,9 @@ _SQL_IVF_ASSIGNED = f"""{_sql_kmeans_cte(8, 2)},
     """,
     headline=True,
     tags=("similarity", "ann", "topk"),
+    # rotated OUT r9 (8x green; still benched); JVM cosine-fold + top-k
+    # twin: knn_ann_label_propagation
+    driver_visible=False,
 )
 def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 cosine neighbors of probe vec_id=0: broadcast the
@@ -116,6 +119,9 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     tags=("similarity", "dedup", "blocked"),
+    # rotated OUT r9 (8x green; still benched); blocked-pair + cosine
+    # twin: hard_negative_mining_ann
+    driver_visible=False,
 )
 def embedding_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup candidates, blocked by label: the

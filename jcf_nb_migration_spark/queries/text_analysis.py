@@ -341,6 +341,9 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
     """,
     tags=("text", "quality"),
+    # rotated OUT r9 (8x green); narrow per-doc stats twin:
+    # doc_token_stats
+    driver_visible=False,
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features for corpus filtering: length, punctuation count,
@@ -442,6 +445,9 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     tags=("dedup", "exact"),
+    # rotated OUT r9 (8x green; still benched as a headline); exact-
+    # fingerprint twin: bloom_incremental_dedup
+    driver_visible=False,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with deterministic survivor (min doc_id per
@@ -469,8 +475,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.5
     """,
-    driver_visible=False,
     tags=("dedup", "jaccard"),
+    # the quadratic all-pairs BASELINE of minhash_lsh_dedup — stays
+    # local by curation rule 2 (and was driver-checked green in the
+    # early rounds); split_leakage_audit took the r9 window slot
+    driver_visible=False,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs 3-gram-shingle Jaccard ≥ 0.5 via inverted-index
@@ -587,6 +596,9 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """,
     tags=("dedup", "simhash"),
+    # rotated OUT r9 (7x green); banded candidate equi-join twin:
+    # minhash_lsh_dedup
+    driver_visible=False,
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs within Hamming distance 3 of their 64-bit SimHash — the

@@ -38,6 +38,9 @@ from jcf_nb_migration_spark.registry import query, t
       ON h.user_id = g.user_id AND h.hour_idx = g.hour_idx
     """,
     tags=("timeseries", "resample", "gap-fill"),
+    # rotated OUT r9 (7x green); keyed-window twin:
+    # latest_event_per_user
+    driver_visible=False,
 )
 def user_hourly_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regular-grid resampling: per user, a dense hourly grid spanning
@@ -229,9 +232,8 @@ def user_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) ORDER BY stage
     """,
     tags=("funnel", "sequential-pattern", "conversion"),
-    driver_visible=False,  # chained user-keyed join+min-agg; pattern
-    #                        covered by asof_click_before_error +
-    #                        event_sessionization
+    # rotated INTO the driver window r9 (as-of family witness after
+    # asof_click_before_error rotated out)
 )
 def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion (view -> later click -> later

@@ -1,0 +1,206 @@
+"""Persisted lexical serving index (io/lexical.py — VERDICT r7 item 2).
+
+Pins the three claims the module makes:
+
+1. Serve-path correctness: ``bm25_probe`` over the materialized index
+   is row-identical to the ad-hoc scorer (``_bm25_frames``) on the same
+   corpus, and appends keep that parity (probe(base ∪ batch) ≡
+   probe(rebuild(base ∪ batch))).
+2. Serve-path plan shape: the postings scan is BUCKET-PRUNED
+   (SelectedBucketsCount in the FileScan) and the tok-keyed df groupBy
+   introduces ZERO shuffle Exchange — the bucketed layout already
+   satisfies the distribution; the only shuffle in the whole probe is
+   the per-doc score groupBy.
+3. Safety rails: replay-ledger idempotence, catalog/bucket-count
+   validation on append and attach, identifier validation, and
+   quote-safe LOCATION paths.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.io.lexical import (
+    bm25_probe,
+    lexical_index_append,
+    lexical_index_attach,
+    lexical_index_build,
+)
+from jcf_nb_migration_spark.queries.retrieval_ops import (
+    BM25_B,
+    BM25_K1,
+    BM25_TERMS,
+    _bm25_frames,
+)
+
+TERMS = BM25_TERMS  # ("spark", "window", "merge")
+
+
+def _toks(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, w array<string>")
+
+
+def _corpus(spark, ids):
+    """Deterministic mini-corpus: every doc mixes query terms and
+    filler with id-dependent frequencies (so scores differ per doc);
+    one doc in three is filler-only, one in seven is EMPTY (dl=0 —
+    must still count toward N/avgdl)."""
+    rows = []
+    for i in ids:
+        if i % 7 == 0:
+            rows.append((i, []))
+            continue
+        w = ["filler%d" % i] * (1 + i % 5)
+        if i % 3 != 0:
+            w += ["spark"] * (1 + i % 3) + ["window"] * (i % 2)
+            if i % 5 == 0:
+                w += ["merge"]
+        rows.append((i, w))
+    return _toks(spark, rows)
+
+
+def _probe_rows(spark, prefix, path, k=50):
+    return [(r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in
+            bm25_probe(spark, prefix, path, TERMS,
+                       BM25_K1, BM25_B, k=k).collect()]
+
+
+def _adhoc_rows(toks, k=50):
+    _, bm = _bm25_frames(toks)
+    return [(r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in
+            bm.orderBy(F.desc("bm25"), "doc_id").limit(k).collect()]
+
+
+def test_build_probe_matches_adhoc_scorer(spark, tmp_path):
+    toks = _corpus(spark, range(30))
+    path = str(tmp_path / "lex")
+    lexical_index_build(toks, "lexti_base", path, num_buckets=8)
+    assert _probe_rows(spark, "lexti_base", path) == _adhoc_rows(toks)
+
+
+def test_append_probe_matches_rebuild(spark, tmp_path):
+    base = _corpus(spark, range(20))
+    batch = _corpus(spark, range(20, 32))
+    path = str(tmp_path / "lex_app")
+    lexical_index_build(base, "lexti_app", path, num_buckets=8)
+    assert lexical_index_append(batch, "lexti_app", path,
+                                num_buckets=8, batch_id=0) is True
+
+    rb_path = str(tmp_path / "lex_rebuild")
+    lexical_index_build(base.unionByName(batch), "lexti_rb", rb_path,
+                        num_buckets=8)
+    got = _probe_rows(spark, "lexti_app", path)
+    assert got == _probe_rows(spark, "lexti_rb", rb_path)
+    # and both equal the ad-hoc scorer over the union
+    assert got == _adhoc_rows(base.unionByName(batch))
+
+
+def test_append_replay_ledger_idempotent(spark, tmp_path):
+    base = _corpus(spark, range(12))
+    batch = _corpus(spark, range(12, 18))
+    path = str(tmp_path / "lex_replay")
+    lexical_index_build(base, "lexti_rp", path, num_buckets=8)
+    assert lexical_index_append(batch, "lexti_rp", path,
+                                num_buckets=8, batch_id=42) is True
+    before = _probe_rows(spark, "lexti_rp", path)
+    n_postings = spark.table("lexti_rp_postings").count()
+    # replayed delivery: ledger skips, index bit-for-bit unchanged
+    assert lexical_index_append(batch, "lexti_rp", path,
+                                num_buckets=8, batch_id=42) is False
+    assert spark.table("lexti_rp_postings").count() == n_postings
+    assert _probe_rows(spark, "lexti_rp", path) == before
+
+
+def test_probe_plan_bucket_pruned_no_tok_exchange(spark, tmp_path):
+    lexical_index_build(_corpus(spark, range(40)), "lexti_plan",
+                        str(tmp_path / "lex_plan"), num_buckets=8)
+    post = (spark.table("lexti_plan_postings")
+            .where(F.col("tok").isin(list(TERMS))))
+    # the tok-keyed side alone: df groupBy on the bucket key — the
+    # bucketed scan satisfies the distribution, NO shuffle anywhere
+    dfreq = post.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"))
+    tok_plan = dfreq._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in tok_plan, tok_plan
+    assert "SelectedBucketsCount" in tok_plan, tok_plan
+    # ≤ |terms| of the 8 buckets are even listed
+    import re
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", tok_plan)
+    assert m and int(m.group(1)) <= len(TERMS) and m.group(2) == "8"
+
+    # full probe: the ONLY shuffle is the per-doc score groupBy
+    probe = bm25_probe(spark, "lexti_plan", str(tmp_path / "lex_plan"),
+                       TERMS, BM25_K1, BM25_B, k=20)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SelectedBucketsCount" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attach_reregisters_on_disk_index(spark, tmp_path):
+    toks = _corpus(spark, range(25))
+    path = str(tmp_path / "lex_att")
+    lexical_index_build(toks, "lexti_att", path, num_buckets=8)
+    expect = _probe_rows(spark, "lexti_att", path)
+    # simulate a fresh session: the in-memory catalog forgets the table
+    spark.sql("DROP TABLE lexti_att_postings")
+    lexical_index_attach(spark, "lexti_att", path, num_buckets=8)
+    assert _probe_rows(spark, "lexti_att", path) == expect
+    # and appends work after an attach (the fresh-session ingest path)
+    assert lexical_index_append(_corpus(spark, range(25, 30)),
+                                "lexti_att", path, num_buckets=8) is True
+
+
+def test_attach_quote_in_path_is_escaped(spark, tmp_path):
+    toks = _corpus(spark, range(10))
+    path = str(tmp_path / "it's here")
+    lexical_index_build(toks, "lexti_qt", path, num_buckets=4)
+    expect = _probe_rows(spark, "lexti_qt", path)
+    spark.sql("DROP TABLE lexti_qt_postings")
+    lexical_index_attach(spark, "lexti_qt", path, num_buckets=4)
+    assert _probe_rows(spark, "lexti_qt", path) == expect
+
+
+def test_append_requires_catalog_table(spark, tmp_path):
+    with pytest.raises(ValueError, match="not registered"):
+        lexical_index_append(_corpus(spark, range(5)),
+                             "lexti_ghost", str(tmp_path / "ghost"))
+
+
+def test_append_bucket_count_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "lex_bkt")
+    lexical_index_build(_corpus(spark, range(10)), "lexti_bkt", path,
+                        num_buckets=8)
+    with pytest.raises(ValueError, match="8 buckets"):
+        lexical_index_append(_corpus(spark, range(10, 12)),
+                             "lexti_bkt", path, num_buckets=4)
+
+
+def test_attach_bucket_count_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "lex_bkt2")
+    lexical_index_build(_corpus(spark, range(10)), "lexti_bkt2", path,
+                        num_buckets=8)
+    # table still registered: attach with the wrong count must refuse
+    with pytest.raises(ValueError, match="buckets"):
+        lexical_index_attach(spark, "lexti_bkt2", path, num_buckets=4)
+
+
+def test_prefix_must_be_identifier(spark, tmp_path):
+    bad = "x; DROP TABLE t"
+    with pytest.raises(ValueError, match="identifier"):
+        lexical_index_build(_corpus(spark, range(3)), bad,
+                            str(tmp_path / "bad"))
+    with pytest.raises(ValueError, match="identifier"):
+        lexical_index_attach(spark, bad, str(tmp_path / "bad"))
+
+
+def test_empty_docs_count_toward_stats(spark, tmp_path):
+    """A dl=0 document has no postings but belongs in N and avgdl —
+    dropping it would inflate every idf. The corpus helper plants one
+    empty doc in seven; verify N via the stats sidecar."""
+    import os
+    toks = _corpus(spark, range(21))
+    path = str(tmp_path / "lex_empty")
+    lexical_index_build(toks, "lexti_emp", path, num_buckets=4)
+    stats = spark.read.parquet(os.path.join(path, "stats"))
+    assert stats.agg(F.sum("n_docs")).head()[0] == 21
+    assert _probe_rows(spark, "lexti_emp", path) == _adhoc_rows(toks)

@@ -136,3 +136,71 @@ def test_stream_ingest_appends_ivf_index(spark, tmp_path):
              ivf_index_probe(spark, idx, centroids, pvec,
                              k=10, nprobe=2, exclude_id=0).collect()]
     assert after == got
+
+
+def test_stream_ingest_appends_lexical_index(spark, tmp_path):
+    """r9 composition: a DOCUMENT stream maintains the persisted
+    lexical (BM25) serving index micro-batch by micro-batch
+    (foreachBatch → lexical_index_append under the batch-id ledger) —
+    the lexical twin of the IVF streaming test above. After two
+    deliveries the streamed index must probe identically to a one-shot
+    build over all documents, and a replayed delivery must be a
+    ledger-skipped no-op."""
+    from jcf_nb_migration_spark.io.lexical import (
+        bm25_probe, lexical_index_append, lexical_index_build)
+    from jcf_nb_migration_spark.queries.retrieval_ops import (
+        BM25_B, BM25_K1, BM25_TERMS)
+
+    def text(i):
+        return " ".join(["spark"] * (1 + i % 3) + ["window"] * (i % 2)
+                        + [f"filler{i}"] * (1 + i % 4))
+
+    def toks_of(df):
+        return df.select(
+            "doc_id",
+            F.filter(F.split("text", r"\s+"),
+                     lambda x: x != "").alias("w"))
+
+    all_docs = _mk_docs(spark, [(i, text(i)) for i in range(30)])
+    base = all_docs.where(F.col("doc_id") < 10)
+    idx = str(tmp_path / "lex_stream_idx")
+    lexical_index_build(toks_of(base), "lexti_stream", idx,
+                        num_buckets=8)
+
+    src = str(tmp_path / "doc_incoming")
+    os.makedirs(src, exist_ok=True)
+
+    def ingest(batch_df, batch_id):
+        lexical_index_append(toks_of(batch_df), "lexti_stream", idx,
+                             num_buckets=8, batch_id=batch_id)
+
+    stream = spark.readStream.schema("doc_id bigint, text string") \
+        .parquet(src)
+    q = stream.writeStream.foreachBatch(ingest).start()
+    try:
+        for lo, hi in ((10, 20), (20, 30)):
+            all_docs.where((F.col("doc_id") >= lo)
+                           & (F.col("doc_id") < hi)) \
+                .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rb = str(tmp_path / "lex_oneshot")
+    lexical_index_build(toks_of(all_docs), "lexti_oneshot", rb,
+                        num_buckets=8)
+
+    def probe(prefix, path):
+        return [(r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in
+                bm25_probe(spark, prefix, path, BM25_TERMS,
+                           BM25_K1, BM25_B, k=40).collect()]
+
+    got = probe("lexti_stream", idx)
+    assert got == probe("lexti_oneshot", rb) and len(got) > 0
+
+    # replayed delivery (batch_id 0 already committed): ledger no-op
+    replay = toks_of(all_docs.where((F.col("doc_id") >= 10)
+                                    & (F.col("doc_id") < 20)))
+    assert lexical_index_append(replay, "lexti_stream", idx,
+                                num_buckets=8, batch_id=0) is False
+    assert probe("lexti_stream", idx) == got
