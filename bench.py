@@ -9,7 +9,10 @@ per-query raw run series ("runs"), host loadavg before/after
 committed best (bench_best.json). The r4→r5 rounds each burned a
 round-trip diagnosing driver-run inflation that turned out to be
 background host load; with the raw series + loadavg in the artifact a
-noisy run identifies itself.
+noisy run identifies itself. A pre-flight load gate ("load_gate" in
+the artifact) additionally backs off once when the 1-min loadavg
+exceeds $SPARK_GRAFT_LOAD_GATE (default 2.0) and self-flags in
+"notes" when the run proceeded under load anyway.
 
 Each query is executed with the noop sink (full computation, no
 collect/serialization overhead) after a session warm-up, best of
@@ -40,6 +43,28 @@ def main() -> None:
         best_known = bb["best"] if abs(sf - bb.get("sf", -1)) < 1e-9 else {}
     except (OSError, ValueError, KeyError):
         best_known = {}
+
+    # Pre-flight load gate (VERDICT r7 item 4): two driver rounds
+    # running, the committed artifact was captured under loadavg 4.5-5.3
+    # and needed post-hoc forensics to exonerate. If the 1-min load is
+    # already above the gate, back off once and re-check; record every
+    # reading and the decision so the artifact is interpretable
+    # standalone. The run proceeds either way — the gate defends the
+    # measurement, it doesn't refuse to produce one.
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    backoff_s = int(os.environ.get("SPARK_GRAFT_LOAD_BACKOFF_SEC", "20"))
+    load_readings = [round(os.getloadavg()[0], 3)]
+    if load_readings[0] > gate:
+        print(f"load gate: 1-min loadavg {load_readings[0]} > {gate}; "
+              f"backing off {backoff_s}s and re-checking", file=sys.stderr)
+        time.sleep(backoff_s)
+        load_readings.append(round(os.getloadavg()[0], 3))
+    load_gate = {
+        "threshold": gate,
+        "readings_1min": load_readings,
+        "backed_off_sec": backoff_s if len(load_readings) > 1 else 0,
+        "ran_under_load": load_readings[-1] > gate,
+    }
     load_start = os.getloadavg()
 
     from jcf_nb_migration_spark import get_spark
@@ -92,6 +117,12 @@ def main() -> None:
         # (0.63 s) with it.
         spark.sparkContext._jvm.System.gc()
 
+    if load_gate["ran_under_load"]:
+        notes.append(
+            f"ran under ambient load (1-min loadavg "
+            f"{load_gate['readings_1min'][-1]} > gate {gate} after "
+            "backoff): treat timings as upper bounds; compare the "
+            "per-query runs series against bench_best.json")
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -101,6 +132,7 @@ def main() -> None:
         "runs": runs,
         "loadavg": {"start": list(load_start),
                     "end": list(os.getloadavg())},
+        "load_gate": load_gate,
         "notes": notes,
     }
     print(json.dumps(out))

@@ -24,6 +24,8 @@ column gets partial pruning (each of N files spans roughly a
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -212,6 +214,7 @@ def ivfadc_index_probe(spark, path: str, centroids, books,
     Columns: neighbor_id, cluster, adc[, cos_exact]."""
     from jcf_nb_migration_spark.functions import similarity as S
 
+    books = _positional_books(books)
     rows = S._centroid_rows(centroids)
     pv = [float(x) for x in probe_vec]
     ranked = sorted(((-_py_cosine(pv, cvec), cid) for cid, cvec in rows))
@@ -423,3 +426,236 @@ def ivf_index_maintain(spark, path: str, centroids,
     os.rename(staging, path)
     shutil.rmtree(old)
     return True, new_centroids
+
+
+# ---- IVFADC (residual-PQ) incremental maintenance (VERDICT r7 item 3)
+
+
+QUANT_STATS_SUBDIR = "_quant_stats"
+
+
+def _positional_books(books):
+    """Renumber each codebook's codeword ids to their POSITION in
+    c_id order (0..k-1). kmeans seeds keep their seed row's id, so a
+    book trained on a corpus whose leading ids aren't dense carries
+    sparse c_ids — but the ADC read path indexes its distance tables
+    by position. Renumbering is order-preserving, so the argmin
+    tie-break (lowest id) picks the same codeword; for already-dense
+    books this is the identity. Applied inside every IVFADC entry
+    point, making the on-disk ``codes`` contract positional always."""
+    return [[(i, vec) for i, (_cid, vec)
+             in enumerate(sorted(b, key=lambda r: r[0]))]
+            for b in books]
+
+
+def _residuals_frame(emb: DataFrame, centroids,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """(id, cluster, rvec): nearest-centroid assignment + residual
+    against the ASSIGNED centroid — one broadcast join + one codegen'd
+    zip_with, the same arithmetic as the oracle-verified
+    similarity_search._residual_frame (kept expression-identical so an
+    appended batch encodes exactly as a rebuild would)."""
+    from jcf_nb_migration_spark.functions import similarity as S
+
+    rows = S._centroid_rows(centroids)
+    assigned = S.ivf_assign(emb, rows, id_col, vec_col)
+    cent = emb.sparkSession.createDataFrame(
+        [(cid, [float(x) for x in cvec]) for cid, cvec in rows],
+        "cluster bigint, c_vec array<double>")
+    return (assigned.join(F.broadcast(cent), "cluster")
+            .select(id_col, "cluster",
+                    F.zip_with(S.as_double(F.col(vec_col)),
+                               F.col("c_vec"),
+                               lambda a, b: a - b).alias("rvec")))
+
+
+def ivfadc_encode_batch(emb: DataFrame, centroids, books,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors under FROZEN geometry (existing coarse centroids
+    + existing residual codebooks) → ``(id, cluster, codes, qerr)``.
+
+    ``codes`` uses pq_encode's exact argmin expression (array_min over
+    struct(dist, c_id) — ties to the lowest code id), so a batch
+    encoded incrementally is bit-identical to the same batch encoded
+    in a full rebuild. ``qerr`` is the summed squared-L2 PQ
+    reconstruction error of the residual — the residual-space drift
+    signal: when new data pulls away from the distribution the books
+    were trained on, qerr rises while codes stay valid (ADC recall
+    sags, correctness doesn't). One narrow codegen'd projection."""
+    from jcf_nb_migration_spark.functions import similarity as S
+
+    books = _positional_books(books)
+    res = _residuals_frame(emb, centroids, id_col, vec_col)
+    sd = len(books[0][0][1])
+    code_cols, err_cols = [], []
+    for s, rows in enumerate(books):
+        best = F.array_min(
+            S._centroid_dists(F.slice(F.col("rvec"), s * sd + 1, sd),
+                              rows))
+        code_cols.append(best["c_id"])
+        err_cols.append(best["dist"])
+    qerr = err_cols[0]
+    for term in err_cols[1:]:
+        qerr = qerr + term
+    return res.select(F.col(id_col), "cluster",
+                      F.array(*code_cols).alias("codes"),
+                      qerr.alias("qerr"))
+
+
+def _write_quant_stats(enc: DataFrame, path: str, batch_id: str) -> None:
+    """Per-cluster PQ reconstruction-error scalars for one batch:
+    (batch_id, cluster, n_vectors, sum_qerr). Integer counts + one
+    double sum — additive, so any span of batches folds exactly."""
+    (enc.groupBy("cluster")
+     .agg(F.count(F.lit(1)).alias("n_vectors"),
+          F.sum("qerr").alias("sum_qerr"))
+     .select(F.lit(batch_id).alias("batch_id"), "cluster",
+             "n_vectors", "sum_qerr")
+     .write.mode("append")
+     .parquet(os.path.join(path, QUANT_STATS_SUBDIR)))
+
+
+def ivfadc_index_build(emb: DataFrame, centroids, books, path: str,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> None:
+    """Build (or rebuild) the maintained IVFADC layout: encode the
+    corpus under the given geometry, write codes partitionBy(cluster)
+    (ivfadc_index_write's layout — probe-compatible), and record the
+    base quantization-error stats the drift monitor compares appended
+    batches against. Clears any prior ledger/stats (local-FS stand-in,
+    like the IVF ledger)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    enc = ivfadc_encode_batch(emb, centroids, books, id_col, vec_col)
+    enc = enc.persist()
+    try:
+        ivfadc_index_write(enc.drop("qerr"), path)
+        _write_quant_stats(enc, path, "base")
+    finally:
+        enc.unpersist()
+
+
+def ivfadc_index_append(new_emb: DataFrame, centroids, books, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        batch_id: int | str | None = None) -> bool:
+    """INCREMENTAL IVFADC maintenance (VERDICT r7 item 3): encode a
+    new vector batch with the EXISTING coarse centroids and residual
+    codebooks and append it to the materialized index — batch-sized
+    writes into only the touched ``cluster=`` directories, exactly
+    like ``ivf_index_append`` (whose ledger contract this reuses:
+    ``batch_id`` turns at-least-once foreachBatch delivery
+    effectively-once; the crash window between append and marker is
+    the documented plain-parquet residual).
+
+    probe(base ∪ batch) ≡ probe(rebuild(base ∪ batch)) by
+    construction — encoding is a pure function of (vector, centroids,
+    books) and the probe reads whole cluster directories — pinned in
+    tests/test_layout.py. What appends DEGRADE is codebook fit: a
+    drifted batch encodes to larger reconstruction error (recorded in
+    the quant-stats sidecar per batch), hurting ADC recall, never
+    correctness. Monitor with ``ivfadc_quant_drift``; rebuild via
+    ``ivfadc_index_maintain`` when it flags."""
+    marker = None
+    if batch_id is not None:
+        ledger = os.path.join(path, "_appended_batches")
+        marker = os.path.join(ledger, str(batch_id))
+        if os.path.exists(marker):
+            return False  # replayed delivery: already appended
+        os.makedirs(ledger, exist_ok=True)
+    enc = ivfadc_encode_batch(new_emb, centroids, books, id_col, vec_col)
+    enc = enc.persist()
+    try:
+        (enc.drop("qerr").write.mode("append")
+         .partitionBy("cluster").parquet(path))
+        _write_quant_stats(enc, path, str(batch_id))
+    finally:
+        enc.unpersist()
+    if marker is not None:
+        open(marker, "w").close()
+    return True
+
+
+def ivfadc_quant_drift(spark, path: str,
+                       rel_threshold: float = 2.0) -> DataFrame:
+    """Residual-space drift report over a maintained IVFADC index —
+    the PQ analogue of ``ivf_centroid_drift``, computed WITHOUT raw
+    vectors (the index stores codes only): per cluster, the mean PQ
+    reconstruction error of the base build vs everything appended
+    since. ``retrain`` flags where appended error exceeds
+    ``rel_threshold ×`` base error — the books no longer fit the data
+    arriving — or where appends landed in a cluster the base never
+    saw (null base mean, the orphan case). Reads only the bounded
+    stats sidecar (≤ batches × K rows).
+    Columns: cluster, n_base, mean_qerr_base, n_appended,
+    mean_qerr_appended, retrain."""
+    stats = spark.read.parquet(os.path.join(path, QUANT_STATS_SUBDIR))
+    base = (stats.where(F.col("batch_id") == "base")
+            .groupBy("cluster")
+            .agg(F.sum("n_vectors").alias("n_base"),
+                 (F.sum("sum_qerr") / F.sum("n_vectors"))
+                 .alias("mean_qerr_base")))
+    appended = (stats.where(F.col("batch_id") != "base")
+                .groupBy("cluster")
+                .agg(F.sum("n_vectors").alias("n_appended"),
+                     (F.sum("sum_qerr") / F.sum("n_vectors"))
+                     .alias("mean_qerr_appended")))
+    return (base.join(appended, "cluster", "full_outer")
+            .select("cluster",
+                    F.coalesce("n_base", F.lit(0)).alias("n_base"),
+                    F.round("mean_qerr_base", 9)
+                    .alias("mean_qerr_base"),
+                    F.coalesce("n_appended", F.lit(0))
+                    .alias("n_appended"),
+                    F.round("mean_qerr_appended", 9)
+                    .alias("mean_qerr_appended"))
+            .withColumn(
+                "retrain",
+                F.col("mean_qerr_appended").isNotNull()
+                & (F.col("mean_qerr_base").isNull()
+                   | (F.col("mean_qerr_appended")
+                      > rel_threshold * F.col("mean_qerr_base"))))
+            .orderBy("cluster"))
+
+
+def ivfadc_index_maintain(spark, path: str, emb: DataFrame, centroids,
+                          books, rel_threshold: float = 2.0,
+                          iters: int = 2, id_col: str = "vec_id",
+                          vec_col: str = "embedding"):
+    """Close the IVFADC append→drift→rebuild loop (the residual-PQ
+    twin of ``ivf_index_maintain``): run ``ivfadc_quant_drift`` and,
+    if ANY cluster flags, retrain the residual codebooks on the
+    CURRENT corpus residuals (``emb`` — the raw vector table the
+    maintenance job owns; the index itself stores only codes) under
+    the UNCHANGED coarse centroids, then stage a full re-encode and
+    swap atomically (two renames — a concurrent probe sees old or new,
+    never a mix). Coarse-geometry drift stays ``ivf_index_maintain``'s
+    job; this layer owns codebook fit. The ledger and stats reset with
+    the swap (a new epoch owes nothing to old batch ids). Returns
+    ``(rebuilt, books)`` — the retrained books when rebuilt, else the
+    input."""
+    import shutil
+
+    from jcf_nb_migration_spark.functions.similarity import pq_train
+
+    report = ivfadc_quant_drift(spark, path, rel_threshold).collect()
+    if not any(r["retrain"] for r in report):
+        return False, books
+    m, k = len(books), len(books[0])
+    res = _residuals_frame(emb, centroids, id_col, vec_col).persist()
+    try:
+        new_books = pq_train(res, m=m, k=k, iters=iters,
+                             id_col=id_col, vec_col="rvec")
+        staging = path.rstrip("/") + ".rebuild"
+        ivfadc_index_build(emb, centroids, new_books, staging,
+                           id_col, vec_col)
+    finally:
+        res.unpersist()
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    return True, new_books

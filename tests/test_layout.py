@@ -567,3 +567,134 @@ def test_ivf_index_maintain_rebuilds_only_when_drifted(spark, tmp_path):
     post = ivf_centroid_drift(spark, path, new_cent,
                               min_mean_cos=floor).collect()
     assert not any(r["retrain"] for r in post), post
+
+
+def _ivfadc_fixture(spark):
+    """Shared geometry for the IVFADC maintenance tests: coarse
+    centroids + residual books trained on the BASE slice only, so
+    appends exercise frozen-geometry encoding."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.io.layout import _residuals_frame
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 5 != 0)
+    batch = emb.where(F.col("vec_id") % 5 == 0)
+    centroids = S.kmeans_train(base, k=8, iters=2)
+    res = _residuals_frame(base, centroids).persist()
+    books = S.pq_train(res, m=4, k=8, iters=2, vec_col="rvec")
+    res.unpersist()
+    return emb, base, batch, centroids, books
+
+
+def test_ivfadc_index_append_probe_equals_full_rebuild(spark, tmp_path):
+    """VERDICT r7 item 3: a new batch encoded with the EXISTING coarse
+    centroids + residual codebooks and appended must (a) leave every
+    base file byte-identical, (b) probe exactly like a from-scratch
+    rebuild over the full set, and (c) be replay-idempotent under the
+    batch-id ledger."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.io.layout import (
+        ivfadc_index_append, ivfadc_index_build, ivfadc_index_probe,
+    )
+
+    emb, base, batch, centroids, books = _ivfadc_fixture(spark)
+
+    inc = str(tmp_path / "adc_inc")
+    ivfadc_index_build(base, centroids, books, inc)
+    before = {p: p.stat().st_mtime_ns
+              for p in pathlib.Path(inc).rglob("cluster=*/*.parquet")}
+    assert ivfadc_index_append(batch, centroids, books, inc,
+                               batch_id=0) is True
+    after = {p: p.stat().st_mtime_ns
+             for p in pathlib.Path(inc).rglob("cluster=*/*.parquet")}
+    assert set(before) <= set(after)
+    assert all(after[p] == ts for p, ts in before.items())
+    assert len(after) > len(before)
+
+    full = str(tmp_path / "adc_full")
+    ivfadc_index_build(emb, centroids, books, full)
+
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+
+    def probe(path):
+        return [(r["neighbor_id"], int(r["cluster"]), r["adc"])
+                for r in ivfadc_index_probe(
+                    spark, path, centroids, books, pvec,
+                    k=10, nprobe=2, exclude_id=0).collect()]
+
+    got = probe(inc)
+    assert got == probe(full) and len(got) == 10
+
+    # replayed delivery (same batch_id): ledger skips, index unchanged
+    assert ivfadc_index_append(batch, centroids, books, inc,
+                               batch_id=0) is False
+    assert probe(inc) == got
+
+
+def test_ivfadc_quant_drift_flags_and_maintain_rebuilds(spark, tmp_path):
+    """Residual-space drift: an out-of-distribution batch (vectors
+    scaled 5x — residual magnitude explodes under the frozen books)
+    must push per-cluster PQ reconstruction error past the relative
+    threshold and flag retrain; ivfadc_index_maintain must then
+    retrain the books, rebuild atomically, reset the stats epoch, and
+    leave an index that probes exactly like a fresh build under the
+    new books."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.io.layout import (
+        ivfadc_index_append, ivfadc_index_build, ivfadc_index_maintain,
+        ivfadc_index_probe, ivfadc_quant_drift,
+    )
+
+    emb, base, _batch, centroids, books = _ivfadc_fixture(spark)
+
+    idx = str(tmp_path / "adc_drift")
+    ivfadc_index_build(base, centroids, books, idx)
+
+    # in-distribution append first: drift must stay QUIET
+    indist = emb.where(F.col("vec_id") % 5 == 0)
+    ivfadc_index_append(indist, centroids, books, idx, batch_id=0)
+    quiet = ivfadc_quant_drift(spark, idx, rel_threshold=2.0).collect()
+    assert not any(r["retrain"] for r in quiet), quiet
+    rebuilt, same_books = ivfadc_index_maintain(
+        spark, idx, emb, centroids, books, rel_threshold=2.0)
+    assert rebuilt is False and same_books is books
+
+    # drifted append: scaled vectors, fresh ids
+    drifted = indist.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding",
+                    lambda x: x * F.lit(5.0)).alias("embedding"))
+    ivfadc_index_append(drifted, centroids, books, idx, batch_id=1)
+    report = ivfadc_quant_drift(spark, idx, rel_threshold=2.0).collect()
+    assert any(r["retrain"] for r in report), report
+
+    current = emb.unionByName(drifted)
+    rebuilt, new_books = ivfadc_index_maintain(
+        spark, idx, current, centroids, books, rel_threshold=2.0)
+    assert rebuilt is True and new_books != books
+
+    # post-rebuild: stats epoch reset -> drift quiet again
+    post = ivfadc_quant_drift(spark, idx, rel_threshold=2.0).collect()
+    assert not any(r["retrain"] for r in post), post
+
+    # and the swapped index probes exactly like a fresh build under
+    # the retrained books
+    fresh = str(tmp_path / "adc_fresh")
+    ivfadc_index_build(current, centroids, new_books, fresh)
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+
+    def probe(path):
+        return [(r["neighbor_id"], int(r["cluster"]), r["adc"])
+                for r in ivfadc_index_probe(
+                    spark, path, centroids, new_books, pvec,
+                    k=10, nprobe=2, exclude_id=0).collect()]
+
+    assert probe(idx) == probe(fresh)
