@@ -47,7 +47,8 @@ COVERED_BY: dict[str, str] = {
     #   ann_brute_force_topk
     "embedding_norm_stats": "knn_ann_label_propagation",
     "embedding_normalize": "knn_ann_label_propagation",
-    "part_name_fuzzy_pairs": "fuzzy_name_matches",
+    "part_name_fuzzy_pairs": "fuzzy_name_matches",  # blocked fuzzy
+    #   pair join (length-band blocking + edit-distance verify)
     "record_linkage_merge": "fuzzy_name_matches",  # two-table
     #   deletion-blocked linkage + per-incoming top-1 survivorship
     # --- dedup -----------------------------------------------------------
@@ -70,7 +71,8 @@ COVERED_BY: dict[str, str] = {
     #   over the multimodal payload column
     "lsh_incremental_dedup": "minhash_lsh_dedup",
     # bloom_incremental_dedup rotated INTO the driver window r7
-    "doc_fingerprint": "bloom_incremental_dedup",
+    "doc_fingerprint": "bloom_incremental_dedup",  # md5 fingerprint
+    #   projection + fingerprint-keyed groupBy
     "source_dedup_matrix": "bloom_incremental_dedup",  # fingerprint-group counts
     #   self-joined into the cross-source duplicate-provenance matrix
     # --- text / curation -------------------------------------------------
@@ -82,7 +84,8 @@ COVERED_BY: dict[str, str] = {
     #   ranking over the same vocabulary-keyed join chain
     "term_source_dispersion": "inverted_index_postings",  # stacked term-key
     #   count rollups + ordered take (boilerplate detector)
-    "gopher_quality_flags": "doc_token_stats",
+    "gopher_quality_flags": "doc_token_stats",  # narrow per-doc
+    #   token-stat projection, no shuffle
     "logreg_calibration": "logreg_gd_training",  # serve half:
     #   one codegen'd scoring scan under the trained weights
     "doc_lang_id": "doc_token_stats",
@@ -90,7 +93,8 @@ COVERED_BY: dict[str, str] = {
     #   per-doc lang-mix rollup (paragraph_dedup's shuffle graph)
     "doc_repetition_stats": "decontaminate_ngrams",  # gram-explode agg
     #   (rotated out of the window r5 for logreg_gd_training)
-    "curation_funnel": "doc_token_stats",
+    "curation_funnel": "doc_token_stats",  # staged narrow
+    #   quality filters over the same per-doc stats scan
     "corpus_release_report": "decontaminate_ngrams",  # dataset-card
     #   rollup: shared base + four 1-row aggregates crossJoined; the
     #   heavy branch is decontaminate's n-gram equi-join
@@ -106,14 +110,18 @@ COVERED_BY: dict[str, str] = {
     # bm25_top_docs rotated INTO the driver window r7
     # rrf_fusion rotated INTO the driver window r7
     # --- corpus assembly / sampling --------------------------------------
-    "corpus_global_shuffle": "corpus_mixture_sample",
-    "corpus_split_assign": "corpus_mixture_sample",
+    "corpus_global_shuffle": "corpus_mixture_sample",  # salted-hash
+    #   key projection + repartition family
+    "corpus_split_assign": "corpus_mixture_sample",  # deterministic
+    #   hash-router projection, same md5 bucket arithmetic
     "stratified_sample": "corpus_mixture_sample",
-    "dsir_importance": "corpus_mixture_sample",
+    "dsir_importance": "corpus_mixture_sample",  # weighted sampling
+    #   over broadcast per-source stats
     "weighted_corpus_sample": "corpus_mixture_sample",  # fixed-budget
     #   weighted priority sample (A-ES analogue, TakeOrdered)
     "source_sampling_weights": "corpus_mixture_sample",
-    "doc_chunk_overlap": "multimodal_frame_sample",
+    "doc_chunk_overlap": "multimodal_frame_sample",  # per-row fan-out
+    #   (posexplode grid) + bounded rollup
     "packing_efficiency_report": "multimodal_frame_sample",  # const
     #   grid explode + small groupBy rollup
     "sequence_packing":
@@ -122,28 +130,36 @@ COVERED_BY: dict[str, str] = {
     # --- profiling / sketches -------------------------------------------
     "cms_token_counts": "heavy_hitters_topk",
     "hll_sketch_union": "heavy_hitters_topk",
-    "customer_column_profile": "table_counts",
+    "customer_column_profile": "table_counts",  # per-column
+    #   aggregate rollup union
     "k_anonymity_audit": "table_counts",  # quasi-id groupBy +
     #   one-row rollup (privacy audit)
-    "user_active_streaks": "latest_event_per_user",
+    "user_active_streaks": "latest_event_per_user",  # user-keyed ordered
+    #   window (lag/cumsum islands)
     "session_conversion_funnel": "event_sessionization",  # lag/cumsum
     #   sessions + staged conditional-min funnel joins
-    "dq_expectations": "table_counts",
+    "dq_expectations": "table_counts",  # bounded rule-grid
+    #   aggregate rollup
     "referential_integrity_audit": "customer_scd2_history",  # fused
     #   anti-join orphan counts (the pre-join FK audit)
     "daily_volume_anomalies": "table_counts",  # integer-exact moment
     #   rollup broadcast back (volume/freshness monitor)
     "benford_first_digit": "table_counts",  # 9-value groupBy +
     #   broadcast scalar; constants precomputed, no runtime log
-    "source_embedding_drift": "pricing_summary",
-    "source_report_card": "pricing_summary",
-    "price_histogram": "customer_balance_deciles",
+    "source_embedding_drift": "pricing_summary",  # group agg over a
+    #   pushed-filter scan + broadcast scalar compare
+    "source_report_card": "pricing_summary",  # multi-branch
+    #   aggregate rollup over one shared scan
+    "price_histogram": "customer_balance_deciles",  # value-bucket
+    #   assignment + bounded-grid count rollup
     "winsorized_order_values": "customer_balance_deciles",  # grouped two-phase
     #   ordinal rank + broadcast per-segment clamp bounds
-    "quantity_price_correlation": "pricing_summary",
+    "quantity_price_correlation": "pricing_summary",  # scan-agg moments
+    #   (sum/sumsq/cross) in one pass
     "join_key_skew_profile": "table_counts",  # per-key count +
     #   one-row rollup per candidate key (salting decision input)
-    "daily_new_users": "latest_event_per_user",
+    "daily_new_users": "latest_event_per_user",  # user-keyed min-date
+    #   window + date rollup
     "promo_session_attribution": "event_sessionization",  # session
     #   intervals x broadcast promo calendar overlap join
     # --- relational / TPC-H shapes --------------------------------------
@@ -162,17 +178,26 @@ COVERED_BY: dict[str, str] = {
     #   projection; plan pinned by test_plans::test_pii_scrub_is_narrow
     "mktsegment_distinct": "heavy_hitters_topk",  # per-column
     #   distinct rollup (A1/S5 sink family)
-    "customers_with_urgent_orders": "customer_scd2_history",
-    "customers_without_orders": "customer_scd2_history",
-    "high_balance_never_fulfilled": "customer_scd2_history",
-    "sole_failing_supplier": "customer_scd2_history",
-    "idle_rich_customers": "customer_scd2_history",
+    "customers_with_urgent_orders": "customer_scd2_history",  # semi join
+    #   (EXISTS) on the customer key
+    "customers_without_orders": "customer_scd2_history",  # anti join on the
+    #   customer key
+    "high_balance_never_fulfilled": "customer_scd2_history",  # EXCEPT as
+    #   filtered anti join
+    "sole_failing_supplier": "customer_scd2_history",  # Q21 semi+anti
+    #   chain on one fact scan
+    "idle_rich_customers": "customer_scd2_history",  # Q22 anti join +
+    #   broadcast scalar-agg threshold
     "discounted_brand_revenue": "local_supplier_volume",
-    "nation_trade_volume": "local_supplier_volume",
+    "nation_trade_volume": "local_supplier_volume",  # broadcast-dim star
+    #   join + group agg (Q5 family)
     "regional_customer_distribution": "local_supplier_volume",
-    "customer_order_distribution": "returned_item_report",
-    "top_supplier_revenue": "local_supplier_volume",
-    "nation_market_share": "local_supplier_volume",
+    "customer_order_distribution": "returned_item_report",  # join +
+    #   two-level group agg (Q13 family)
+    "top_supplier_revenue": "local_supplier_volume",  # broadcast-dim
+    #   join + agg + top-k (Q15 family)
+    "nation_market_share": "local_supplier_volume",  # two-level star
+    #   join + share-of-total agg (Q8 family)
     "promo_revenue_share": "returned_item_report",
     "profit_by_nation_year": "local_supplier_volume",  # same star-join
     #   + broadcast-dim graph, regex dim filter pushed to the part scan
@@ -187,7 +212,8 @@ COVERED_BY: dict[str, str] = {
     #   full-outer hash join (EqualNullSafe stays an equi-key)
     "customer_set_ops": "customer_scd2_history",  # INTERSECT/
     #   EXCEPT plan as the same semi/anti joins
-    "small_quantity_revenue": "returned_item_report",
+    "small_quantity_revenue": "returned_item_report",  # filtered
+    #   join + scalar agg (Q17 family)
     "top_revenue_customers": "returned_item_report",
     "priority_shipmode_report": "returned_item_report",  # filtered
     #   orders⋈lineitem join + small group agg (was covered by
@@ -197,16 +223,20 @@ COVERED_BY: dict[str, str] = {
     #   SCD2's anti/semi-join machinery is the same plan family
     "supplier_nation_directory": "local_supplier_volume",  # broadcast
     #   dim equi-join + projection/rename — rotated OUT r6
-    "order_status_pivot": "lineitem_cube",
-    "part_brand_type_rollup": "lineitem_cube",
-    "nation_metrics_unpivot": "lineitem_cube",
+    "order_status_pivot": "lineitem_cube",  # pivot = the same
+    #   grouping-sets/EXPAND plan family as cube
+    "part_brand_type_rollup": "lineitem_cube",  # ROLLUP
+    #   grouping-sets (EXPAND) family
+    "nation_metrics_unpivot": "lineitem_cube",  # unpivot/stack
+    #   over the cube family's EXPAND
     "order_value_ranks": "latest_event_per_user",
     "association_rules_pairs": "dedup_clusters_lsh",  # basket-key
     #   self-equi-join pair derivation + broadcast stats (Apriori k=2)
     "cohort_ltv_curve": "latest_event_per_user",  # cohort attribution
     #   + grid-bounded per-cohort running sum
     "user_running_value": "latest_event_per_user",
-    "incremental_agg_merge": "pricing_summary",
+    "incremental_agg_merge": "pricing_summary",  # partial-agg
+    #   union + merge groupBy of the same scan-agg
     "retractable_agg_merge": "pricing_summary",  # signed-partial
     #   union + merge groupBy (incremental_agg_merge with retraction)
     "corpus_novelty_curve": "decontaminate_ngrams",  # min-per-gram survivor
@@ -227,25 +257,29 @@ COVERED_BY: dict[str, str] = {
     #   correlated scalar-MIN decorrelated to a min-per-group
     #   join-back over broadcast bounded dims
     # --- events / time series -------------------------------------------
-    "events_hourly": "streaming_hourly_counts",
+    "events_hourly": "streaming_hourly_counts",  # hour-window group
+    #   count — the batch twin of the stream
     "user_rolling_7d": "latest_event_per_user",  # RANGE frame variant
     "event_type_transition_matrix": "latest_event_per_user",  # lag
     #   window + double rollup (Markov matrix)
     "signup_to_purchase_latency": "customer_balance_deciles",  # ordinal-median
     #   rank arithmetic over a population-bounded window
-    "user_cohort_retention": "latest_event_per_user",
+    "user_cohort_retention": "latest_event_per_user",  # cohort min-date
+    #   window + offset-grid rollup
     "events_variant_extract": "events_json_bucket",
     "user_event_type_map": "events_json_bucket",  # typed from_json
     #   + map HOF chain, canonical sorted rendering
     "events_schema_profile": "events_json_bucket",  # variant_explode
     #   generator + bounded-grid agg; same parse->extract->agg scan
-    "session_window_counts": "event_sessionization",
+    "session_window_counts": "event_sessionization",  # gap-based
+    #   session assignment (lag/cumsum) + count
     "sliding_window_counts": "streaming_hourly_counts",
     "stream_static_enrich": "streaming_hourly_counts",
     "streaming_dedup": "streaming_hourly_counts",
     "streaming_interval_join": "range_join_error_click",  # stream twin
     #   of the driver-visible batch interval join; real readStream
-    "streaming_interval_join_louter": "range_join_error_click",
+    "streaming_interval_join_louter": "range_join_error_click",  # left-outer
+    #   stream-stream interval join, watermark-gated NULLs
     "streaming_pit_enrich": "customer_scd2_history",  # stream-static
     #   SCD2 range join, stateless — batch twin orders_pit_customer_join
     #   left-outer variant; watermark-gated NULL emission encoded
@@ -254,7 +288,8 @@ COVERED_BY: dict[str, str] = {
         "pytest:test_streaming applyInPandasWithState (no visible "
         "twin; exact-oracle + checkpoint-restart tests pin it)",
     # --- python surfaces -------------------------------------------------
-    "arrow_doc_stats": "multimodal_frame_sample",
+    "arrow_doc_stats": "multimodal_frame_sample",  # Arrow-batched
+    #   mapInArrow per-doc stats
     "doc_chunk_spans_udtf": "multimodal_frame_sample",  # python
     #   row fan-out surface (UDTF generator vs mapInPandas)
     "grouped_price_model": "multimodal_frame_sample",

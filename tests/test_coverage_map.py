@@ -77,3 +77,30 @@ def test_coverage_md_is_regenerated_from_the_map(tmp_path):
     assert out.stdout == committed, (
         "COVERAGE.md is stale — rerun: PYTHONPATH=. python "
         "tools/coverage_report.py")
+
+
+def test_every_twin_is_justified_by_tag_or_documented_pattern():
+    """VERDICT r7 item 6: rotation can never orphan a local-only
+    query's witness SILENTLY. Visibility of every twin is already
+    enforced above; this pins twin QUALITY — each non-pytest pair must
+    either share a registry tag or carry an explicit inline comment in
+    coverage_map.py justifying the shared physical pattern. A future
+    rotation that repoints a twin without either fails here."""
+    import re
+
+    src = (Path(__file__).resolve().parent.parent
+           / "jcf_nb_migration_spark" / "coverage_map.py").read_text()
+    allq = registry.all_queries()
+    missing = []
+    for k, v in COVERED_BY.items():
+        if v.startswith("pytest:"):
+            continue
+        if set(allq[k].tags) & set(allq[v].tags):
+            continue
+        m = re.search(
+            rf'"{k}": "{re.escape(v)}",\s*#', src)
+        if not m:
+            missing.append((k, v))
+    assert not missing, (
+        "twin pairs with neither a shared tag nor an inline pattern "
+        f"justification in coverage_map.py: {missing}")
