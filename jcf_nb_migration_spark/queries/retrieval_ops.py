@@ -176,7 +176,19 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes 8 rows to the collect_list, not a billion; the full
     df/total_tf stats come from a separate unbounded-safe groupBy.
     Both shuffles key on the term; at scale this is also the natural
-    bucketing column for the index files."""
+    bucketing column for the index files.
+
+    The top-k window itself is the one per-token shape partial
+    aggregation can't fix (tools/skew_probe.py): a naive
+    Window.partitionBy(tok) sorts EVERY posting of a stopword in one
+    task — fine at fixture scale (225k-row hot key sorts in <1s),
+    fatal on a 100 TB corpus where a stopword holds ~10^10 postings.
+    So the rank runs SALTED two-phase: per-(tok, doc_id%16) top-8
+    first, then top-8 over the ≤128 survivors per token. Exact for
+    per-key top-k — a global top-8 member has <8 rows above it in its
+    own salt bucket, so it always survives phase one — and the
+    re-rank's rn is recomputed over survivors, so ranks are identical
+    to the naive window's (oracle-pinned)."""
     docs = spread(t(spark, sf_dir, "documents"))
     occ = docs.select("doc_id", F.explode(T.tokens("text")).alias("tok"))
     tf = (occ.groupBy("tok", "doc_id")
@@ -184,8 +196,14 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = tf.groupBy("tok").agg(
         F.count(F.lit(1)).alias("df"),
         F.sum("tf").alias("total_tf"))
+    ws = Window.partitionBy("tok", "salt").orderBy(F.desc("tf"), "doc_id")
+    # bounded-window: post-salt:128 — phase 2 sees ≤ 16 salts × 8 rows
     w = Window.partitionBy("tok").orderBy(F.desc("tf"), "doc_id")
-    top = (tf.withColumn("rn", F.row_number().over(w))
+    survivors = (tf.withColumn("salt", (F.col("doc_id") % 16).cast("int"))
+                 .withColumn("rn", F.row_number().over(ws))
+                 .where(F.col("rn") <= 8)
+                 .drop("rn", "salt"))
+    top = (survivors.withColumn("rn", F.row_number().over(w))
            .where(F.col("rn") <= 8))
     postings = (
         top.groupBy("tok")
