@@ -9,6 +9,7 @@ from jcf_nb_migration_spark.io.lexical import (
     lexical_index_append,
     lexical_index_attach,
     lexical_index_build,
+    lexical_index_compact,
 )
 from jcf_nb_migration_spark.io.writers import (
     write_distinct_value_lists,
@@ -20,6 +21,7 @@ __all__ = [
     "lexical_index_append",
     "lexical_index_attach",
     "lexical_index_build",
+    "lexical_index_compact",
     "load_star_schema",
     "normalize_headers",
     "read_csv",

@@ -267,3 +267,53 @@ def bm25_probe(spark: SparkSession, prefix: str, path: str,
                          9).alias("bm25"))
             .orderBy(F.desc("bm25"), "doc_id")
             .limit(k))
+
+
+def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
+                          num_buckets: int = 8) -> int:
+    """Compact a streamed-into index: every append adds one file per
+    touched bucket, so a long-running ingest accretes thousands of
+    small bucket files and the probe pays a footer-open per file.
+    Rebuild the bucketed table FROM ITS OWN POSTINGS — no re-tokenize,
+    no source corpus needed: read the current postings, stage a fresh
+    bucketed table (one file per bucket) beside it, then swap
+    atomically (two directory renames — a concurrent reader sees the
+    old files or the new, never a mix) and re-register the catalog
+    entry. Stats and the append ledger are untouched: compaction
+    reorganizes files, it does not open a new epoch (probe results are
+    invariant by the additivity of every BM25 input). Returns the
+    compacted file count. Local-FS renames — the same stand-in as
+    build's rmtree."""
+    import shutil
+
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_postings"
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"{table} is not registered — attach the index first")
+    declared = _table_num_buckets(spark, table)
+    if declared != num_buckets:
+        raise ValueError(
+            f"{table} is bucketed into {declared} buckets, not "
+            f"{num_buckets}")
+    post_dir = os.path.join(path, POSTINGS_SUBDIR)
+    staging = post_dir.rstrip("/") + ".compact"
+    current = spark.table(table).persist()
+    try:
+        current.count()  # materialize BEFORE the swap pulls the files
+        (current.repartition(num_buckets, "tok")
+         .write.mode("overwrite")
+         .bucketBy(num_buckets, "tok").sortBy("tok")
+         .option("path", staging)
+         .format("parquet").saveAsTable(f"{prefix}_postings_compact"))
+        old = post_dir.rstrip("/") + ".old"
+        os.rename(post_dir, old)
+        os.rename(staging, post_dir)
+        shutil.rmtree(old)
+    finally:
+        current.unpersist()
+    spark.sql(f"DROP TABLE {prefix}_postings_compact")
+    spark.sql(f"DROP TABLE {table}")
+    lexical_index_attach(spark, prefix, path, num_buckets)
+    return sum(1 for f in os.listdir(post_dir)
+               if f.endswith(".parquet"))

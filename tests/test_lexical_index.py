@@ -204,3 +204,47 @@ def test_empty_docs_count_toward_stats(spark, tmp_path):
     stats = spark.read.parquet(os.path.join(path, "stats"))
     assert stats.agg(F.sum("n_docs")).head()[0] == 21
     assert _probe_rows(spark, "lexti_emp", path) == _adhoc_rows(toks)
+
+
+def test_compact_merges_files_and_preserves_probe(spark, tmp_path):
+    """Streamed appends accrete one file per touched bucket per batch;
+    lexical_index_compact must merge them back to ~one file per bucket
+    WITHOUT changing any probe result (BM25 inputs are additive over
+    postings/stats rows, so file layout is invisible) and without
+    opening a new ledger epoch (a replayed old batch_id still skips)."""
+    import os
+
+    from jcf_nb_migration_spark.io.lexical import (
+        POSTINGS_SUBDIR, lexical_index_compact)
+
+    path = str(tmp_path / "lex_cmp")
+    lexical_index_build(_corpus(spark, range(15)), "lexti_cmp", path,
+                        num_buckets=4)
+    for b in range(3):
+        lexical_index_append(_corpus(spark, range(15 + 5 * b,
+                                                  20 + 5 * b)),
+                             "lexti_cmp", path, num_buckets=4,
+                             batch_id=b)
+    post_dir = os.path.join(path, POSTINGS_SUBDIR)
+    n_before = sum(1 for f in os.listdir(post_dir)
+                   if f.endswith(".parquet"))
+    before = _probe_rows(spark, "lexti_cmp", path)
+
+    n_after = lexical_index_compact(spark, "lexti_cmp", path,
+                                    num_buckets=4)
+    assert n_after <= 4 < n_before
+    assert _probe_rows(spark, "lexti_cmp", path) == before
+    # ledger epoch unchanged: replaying a committed batch still skips
+    assert lexical_index_append(_corpus(spark, range(15, 20)),
+                                "lexti_cmp", path, num_buckets=4,
+                                batch_id=0) is False
+    # and fresh appends keep working post-compact
+    assert lexical_index_append(_corpus(spark, range(30, 34)),
+                                "lexti_cmp", path, num_buckets=4,
+                                batch_id=9) is True
+    assert _probe_rows(spark, "lexti_cmp", path) == _adhoc_rows(
+        _corpus(spark, range(15)).unionByName(
+            _corpus(spark, range(15, 20))).unionByName(
+            _corpus(spark, range(20, 25))).unionByName(
+            _corpus(spark, range(25, 30))).unionByName(
+            _corpus(spark, range(30, 34))))
