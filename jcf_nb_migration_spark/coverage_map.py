@@ -304,10 +304,11 @@ COVERED_BY: dict[str, str] = {
 
     # --- r9 rotation: fifteen 7-8x-green incumbents OUT (their green
     # history is CORRECTNESS_r1-r8) to admit fifteen never-checked
-    # names; five remain bench headlines, so their perf is still
+    # names; six remain bench headlines, so their perf is still
     # measured every round -----------------------------------------------
     "asof_click_before_error": "event_funnel_conversion",  # ordered
     #   as-of carry family; cogroup_asof_pandas also visible now
+    #   (still benched)
     "price_quantiles": "customer_balance_deciles",  # two-phase rank
     "approx_distinct_stats": "heavy_hitters_topk",  # sketch rollup
     "tfidf_top_terms": "inverted_index_postings",  # term-keyed rollup

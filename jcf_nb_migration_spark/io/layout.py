@@ -214,7 +214,6 @@ def ivfadc_index_probe(spark, path: str, centroids, books,
     Columns: neighbor_id, cluster, adc[, cos_exact]."""
     from jcf_nb_migration_spark.functions import similarity as S
 
-    books = _positional_books(books)
     rows = S._centroid_rows(centroids)
     pv = [float(x) for x in probe_vec]
     ranked = sorted(((-_py_cosine(pv, cvec), cid) for cid, cvec in rows))
@@ -231,10 +230,17 @@ def ivfadc_index_probe(spark, path: str, centroids, books,
     sd = len(pv) // len(books)
     adc_terms = []
     for s, book in enumerate(books):
+        # distance table indexed by RAW code id (books keep their
+        # k-means seed ids, which need not be dense 0..k-1 — a corpus
+        # whose leading ids are sparse trains sparse-id books):
+        # element_at(dists, c_id+1) must hit c_id's codeword, so gaps
+        # get an +inf sentinel no encoder ever emits.
+        by_id = {int(cid): [float(x) for x in cvec] for cid, cvec in book}
+        slots = [by_id.get(i) for i in range(max(by_id) + 1)]
         dists = F.array(*[
-            S.sqdist(F.slice(F.col("prvec"), s * sd + 1, sd),
-                     F.lit([float(x) for x in cvec]))
-            for _cid, cvec in book])
+            S.sqdist(F.slice(F.col("prvec"), s * sd + 1, sd), F.lit(cvec))
+            if cvec is not None else F.lit(float("inf"))
+            for cvec in slots])
         adc_terms.append(
             F.element_at(dists, (F.col("codes")[s] + 1).cast("int")))
     adc = adc_terms[0]
@@ -295,6 +301,30 @@ def ivf_index_probe(spark, path: str, centroids, probe_vec: list[float],
             .limit(k))
 
 
+def _ledger_skip(path: str, batch_id) -> tuple[str | None, bool]:
+    """Replay-ledger check shared by every appendable index layout
+    (flat IVF, IVFADC, lexical): returns (marker, skip). A batch that
+    already committed returns skip=True; otherwise the ledger dir is
+    ensured and the caller commits via _ledger_commit AFTER its
+    append (the crash window between them is the documented
+    plain-parquet residual). Driver-local filesystem stand-in."""
+    if batch_id is None:
+        return None, False
+    import os as _os
+
+    ledger = _os.path.join(path, "_appended_batches")
+    marker = _os.path.join(ledger, str(batch_id))
+    if _os.path.exists(marker):
+        return marker, True
+    _os.makedirs(ledger, exist_ok=True)
+    return marker, False
+
+
+def _ledger_commit(marker: str | None) -> None:
+    if marker is not None:
+        open(marker, "w").close()
+
+
 def ivf_index_append(new_emb: DataFrame, centroids, path: str,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      extra_cols: tuple = (),
@@ -329,21 +359,14 @@ def ivf_index_append(new_emb: DataFrame, centroids, path: str,
     parquet + ledger is the standard at-least-once-minus-replays
     shape, and it is what turns at-least-once foreachBatch delivery
     into effectively-once for this sink."""
-    import os
-
     from jcf_nb_migration_spark.functions.similarity import ivf_assign
 
-    marker = None
-    if batch_id is not None:
-        ledger = os.path.join(path, "_appended_batches")
-        marker = os.path.join(ledger, str(batch_id))
-        if os.path.exists(marker):
-            return False  # replayed delivery: already appended
-        os.makedirs(ledger, exist_ok=True)
+    marker, skip = _ledger_skip(path, batch_id)
+    if skip:
+        return False  # replayed delivery: already appended
     assigned = ivf_assign(new_emb, centroids, id_col, vec_col, extra_cols)
     assigned.write.mode("append").partitionBy("cluster").parquet(path)
-    if marker is not None:
-        open(marker, "w").close()
+    _ledger_commit(marker)
     return True
 
 
@@ -422,6 +445,7 @@ def ivf_index_maintain(spark, path: str, centroids,
                     id_col=id_col, vec_col=vec_col,
                     extra_cols=extra_cols)
     old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # a crashed prior swap
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)
@@ -432,20 +456,6 @@ def ivf_index_maintain(spark, path: str, centroids,
 
 
 QUANT_STATS_SUBDIR = "_quant_stats"
-
-
-def _positional_books(books):
-    """Renumber each codebook's codeword ids to their POSITION in
-    c_id order (0..k-1). kmeans seeds keep their seed row's id, so a
-    book trained on a corpus whose leading ids aren't dense carries
-    sparse c_ids — but the ADC read path indexes its distance tables
-    by position. Renumbering is order-preserving, so the argmin
-    tie-break (lowest id) picks the same codeword; for already-dense
-    books this is the identity. Applied inside every IVFADC entry
-    point, making the on-disk ``codes`` contract positional always."""
-    return [[(i, vec) for i, (_cid, vec)
-             in enumerate(sorted(b, key=lambda r: r[0]))]
-            for b in books]
 
 
 def _residuals_frame(emb: DataFrame, centroids,
@@ -477,16 +487,17 @@ def ivfadc_encode_batch(emb: DataFrame, centroids, books,
     + existing residual codebooks) → ``(id, cluster, codes, qerr)``.
 
     ``codes`` uses pq_encode's exact argmin expression (array_min over
-    struct(dist, c_id) — ties to the lowest code id), so a batch
-    encoded incrementally is bit-identical to the same batch encoded
-    in a full rebuild. ``qerr`` is the summed squared-L2 PQ
+    struct(dist, c_id) — ties to the lowest code id, RAW seed-derived
+    ids exactly as pq_encode writes them; the probe's ADC tables are
+    id-indexed so sparse ids score correctly), so a batch encoded
+    incrementally is bit-identical to the same batch encoded in a
+    full rebuild — or by the legacy pq_encode path. ``qerr`` is the summed squared-L2 PQ
     reconstruction error of the residual — the residual-space drift
     signal: when new data pulls away from the distribution the books
     were trained on, qerr rises while codes stay valid (ADC recall
     sags, correctness doesn't). One narrow codegen'd projection."""
     from jcf_nb_migration_spark.functions import similarity as S
 
-    books = _positional_books(books)
     res = _residuals_frame(emb, centroids, id_col, vec_col)
     sd = len(books[0][0][1])
     code_cols, err_cols = [], []
@@ -559,23 +570,26 @@ def ivfadc_index_append(new_emb: DataFrame, centroids, books, path: str,
     the quant-stats sidecar per batch), hurting ADC recall, never
     correctness. Monitor with ``ivfadc_quant_drift``; rebuild via
     ``ivfadc_index_maintain`` when it flags."""
-    marker = None
-    if batch_id is not None:
-        ledger = os.path.join(path, "_appended_batches")
-        marker = os.path.join(ledger, str(batch_id))
-        if os.path.exists(marker):
-            return False  # replayed delivery: already appended
-        os.makedirs(ledger, exist_ok=True)
+    if str(batch_id) == "base":
+        # 'base' is the drift monitor's reserved baseline epoch — an
+        # append recorded under it would fold into mean_qerr_base and
+        # silently de-sensitize the retrain trigger.
+        raise ValueError("batch_id 'base' is reserved for the build's "
+                         "baseline quant stats")
+    marker, skip = _ledger_skip(path, batch_id)
+    if skip:
+        return False  # replayed delivery: already appended
     enc = ivfadc_encode_batch(new_emb, centroids, books, id_col, vec_col)
     enc = enc.persist()
     try:
         (enc.drop("qerr").write.mode("append")
          .partitionBy("cluster").parquet(path))
-        _write_quant_stats(enc, path, str(batch_id))
+        _write_quant_stats(enc, path,
+                           "unledgered" if batch_id is None
+                           else str(batch_id))
     finally:
         enc.unpersist()
-    if marker is not None:
-        open(marker, "w").close()
+    _ledger_commit(marker)
     return True
 
 
@@ -655,6 +669,7 @@ def ivfadc_index_maintain(spark, path: str, emb: DataFrame, centroids,
     finally:
         res.unpersist()
     old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # a crashed prior swap
     os.rename(path, old)
     os.rename(staging, path)
     shutil.rmtree(old)

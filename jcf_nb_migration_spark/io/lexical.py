@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 STATS_SUBDIR = "stats"
 POSTINGS_SUBDIR = "postings"
 LEDGER_SUBDIR = "_appended_batches"
+META_FILE = "_index_meta.json"
 
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -88,6 +89,46 @@ def _table_num_buckets(spark: SparkSession, table: str) -> int | None:
         if row["col_name"] == "Num Buckets":
             return int(row["data_type"])
     return None
+
+
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """Registered LOCATION of a catalog table, normalized to a plain
+    filesystem path (strips the file: scheme, resolves symlinks)."""
+    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if row["col_name"] == "Location":
+            loc = row["data_type"]
+            if loc.startswith("file:"):
+                loc = loc[len("file:"):]
+            return os.path.realpath(loc)
+    return None
+
+
+def _write_meta(path: str, num_buckets: int) -> None:
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, META_FILE), "w") as fh:
+        json.dump({"num_buckets": num_buckets}, fh)
+
+
+def _check_meta(path: str, num_buckets: int) -> None:
+    """Validate the caller's bucket count against the count the index
+    was BUILT with (recorded in the on-disk meta file) — the catalog
+    can't catch a fresh-session attach that declares a wrong count,
+    because CREATE TABLE would happily register the wrong spec over
+    the existing files and mis-prune silently."""
+    import json
+
+    meta_path = os.path.join(path, META_FILE)
+    if not os.path.exists(meta_path):
+        return  # pre-meta index: catalog validation still applies
+    with open(meta_path) as fh:
+        built = json.load(fh)["num_buckets"]
+    if built != num_buckets:
+        raise ValueError(
+            f"index at {path} was built with {built} buckets, caller "
+            f"asked for {num_buckets}; a mismatched declaration would "
+            "make bucket pruning silently drop matching postings")
 
 
 def _postings_frame(toks: DataFrame) -> DataFrame:
@@ -143,6 +184,7 @@ def lexical_index_build(toks: DataFrame, prefix: str, path: str,
          .format("parquet").saveAsTable(f"{prefix}_postings"))
         (_stats_frame(toks, "base").write.mode("overwrite")
          .parquet(os.path.join(path, STATS_SUBDIR)))
+        _write_meta(path, num_buckets)
     finally:
         toks.unpersist()
 
@@ -157,6 +199,7 @@ def lexical_index_attach(spark: SparkSession, prefix: str, path: str,
     raises instead of serving wrong results."""
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_postings"
+    _check_meta(path, num_buckets)  # against the BUILD's recorded count
     spark.sql(f"""
         CREATE TABLE IF NOT EXISTS {table}
         (tok STRING, doc_id BIGINT, tf BIGINT, dl INT)
@@ -170,6 +213,14 @@ def lexical_index_attach(spark: SparkSession, prefix: str, path: str,
             f"{table} is registered with {declared} buckets but the "
             f"caller expects {num_buckets}; bucket pruning would "
             "silently drop matching postings")
+    registered = _table_location(spark, table)
+    expected = os.path.realpath(os.path.join(path, POSTINGS_SUBDIR))
+    if registered != expected:
+        raise ValueError(
+            f"{table} is already registered at {registered}, not "
+            f"{expected} — the probe would read postings from the old "
+            "index but stats from the new path (CREATE TABLE IF NOT "
+            "EXISTS is a no-op; DROP the stale table first)")
 
 
 def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
@@ -209,25 +260,26 @@ def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
             f"{table} is bucketed into {declared} buckets but the "
             f"append was asked for {num_buckets}; a mismatched append "
             "would corrupt bucket pruning")
-    marker = None
-    if batch_id is not None:
-        ledger = os.path.join(path, LEDGER_SUBDIR)
-        marker = os.path.join(ledger, str(batch_id))
-        if os.path.exists(marker):
-            return False  # replayed delivery: already appended
-        os.makedirs(ledger, exist_ok=True)
+    _check_meta(path, num_buckets)
+    from jcf_nb_migration_spark.io.layout import (_ledger_commit,
+                                                  _ledger_skip)
+
+    marker, skip = _ledger_skip(path, batch_id)
+    if skip:
+        return False  # replayed delivery: already appended
     new_toks = new_toks.persist()
     try:
         (_postings_frame(new_toks).write.mode("append")
          .bucketBy(num_buckets, "tok").sortBy("tok")
          .option("path", os.path.join(path, POSTINGS_SUBDIR))
          .format("parquet").saveAsTable(f"{prefix}_postings"))
-        (_stats_frame(new_toks, str(batch_id)).write.mode("append")
+        (_stats_frame(new_toks,
+                      "unledgered" if batch_id is None
+                      else str(batch_id)).write.mode("append")
          .parquet(os.path.join(path, STATS_SUBDIR)))
     finally:
         new_toks.unpersist()
-    if marker is not None:
-        open(marker, "w").close()
+    _ledger_commit(marker)
     return True
 
 
@@ -270,20 +322,30 @@ def bm25_probe(spark: SparkSession, prefix: str, path: str,
 
 
 def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
-                          num_buckets: int = 8) -> int:
+                          num_buckets: int = 8,
+                          parallelism: int = 1) -> int:
     """Compact a streamed-into index: every append adds one file per
     touched bucket, so a long-running ingest accretes thousands of
     small bucket files and the probe pays a footer-open per file.
     Rebuild the bucketed table FROM ITS OWN POSTINGS — no re-tokenize,
     no source corpus needed: read the current postings, stage a fresh
-    bucketed table (one file per bucket) beside it, then swap
-    atomically (two directory renames — a concurrent reader sees the
-    old files or the new, never a mix) and re-register the catalog
-    entry. Stats and the append ledger are untouched: compaction
+    bucketed table (one file per bucket) beside it, then swap via two
+    directory renames and re-register the catalog entry. A reader
+    never sees MIXED files, but two renames aren't one atomic op:
+    there is a brief window where the directory is absent (a retrying
+    reader sees old data or new). A crash inside the window strands
+    the data in ``<postings>.old``; the next compact clears it. Stats and the append ledger are untouched: compaction
     reorganizes files, it does not open a new epoch (probe results are
     invariant by the additivity of every BM25 input). Returns the
     compacted file count. Local-FS renames — the same stand-in as
-    build's rmtree."""
+    build's rmtree.
+
+    ``parallelism`` bounds the rewrite tasks via a NARROW coalesce (no
+    shuffle): each task writes one file per bucket it holds rows for,
+    so the output is ≤ parallelism × num_buckets files. The default 1
+    gives exactly one file per bucket; raise it when one task can't
+    comfortably sort the whole index (the output stays a massive
+    reduction from per-batch accretion either way)."""
     import shutil
 
     prefix = _checked_prefix(prefix)
@@ -296,22 +358,23 @@ def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
         raise ValueError(
             f"{table} is bucketed into {declared} buckets, not "
             f"{num_buckets}")
+    _check_meta(path, num_buckets)
     post_dir = os.path.join(path, POSTINGS_SUBDIR)
     staging = post_dir.rstrip("/") + ".compact"
-    current = spark.table(table).persist()
-    try:
-        current.count()  # materialize BEFORE the swap pulls the files
-        (current.repartition(num_buckets, "tok")
-         .write.mode("overwrite")
-         .bucketBy(num_buckets, "tok").sortBy("tok")
-         .option("path", staging)
-         .format("parquet").saveAsTable(f"{prefix}_postings_compact"))
-        old = post_dir.rstrip("/") + ".old"
-        os.rename(post_dir, old)
-        os.rename(staging, post_dir)
-        shutil.rmtree(old)
-    finally:
-        current.unpersist()
+    # the staged write completes BEFORE any rename, so it reads the
+    # live files directly — no defensive materialization needed.
+    # coalesce, not repartition: narrow (no shuffle), and the bucketed
+    # writer splits each task's rows by bucket id itself.
+    (spark.table(table).coalesce(parallelism)
+     .write.mode("overwrite")
+     .bucketBy(num_buckets, "tok").sortBy("tok")
+     .option("path", staging)
+     .format("parquet").saveAsTable(f"{prefix}_postings_compact"))
+    old = post_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # a crashed prior swap
+    os.rename(post_dir, old)
+    os.rename(staging, post_dir)
+    shutil.rmtree(old)
     spark.sql(f"DROP TABLE {prefix}_postings_compact")
     spark.sql(f"DROP TABLE {table}")
     lexical_index_attach(spark, prefix, path, num_buckets)

@@ -654,7 +654,12 @@ def bm25_top_docs_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", T.tokens("text").alias("w"))
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     prefix = f"lexidx_{tag}"
-    path = os.path.join(tempfile.gettempdir(), "jcf_lexical_index", tag)
+    # path is keyed by the Spark APPLICATION id as well as the fixture:
+    # two concurrent processes (suite + sweep) must not rmtree/rebuild
+    # each other's live index mid-probe; within one session repeated
+    # calls reuse (and idempotently rebuild) the same path.
+    path = os.path.join(tempfile.gettempdir(), "jcf_lexical_index",
+                        spark.sparkContext.applicationId, tag)
     lexical_index_build(toks, prefix, path, num_buckets=8)
     return bm25_probe(spark, prefix, path, BM25_TERMS,
                       BM25_K1, BM25_B, k=20)

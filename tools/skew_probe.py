@@ -107,7 +107,8 @@ def run(spark, n_docs: int, reps: int = 2) -> dict[str, float]:
              lambda: post.withColumn("rn", F.row_number().over(w))
              .where(F.col("rn") <= 8))
 
-        ws = Window.partitionBy("tok", "salt")             .orderBy(F.desc("tf"), "doc_id")
+        ws = Window.partitionBy("tok", "salt") \
+            .orderBy(F.desc("tf"), "doc_id")
         wg = Window.partitionBy("tok").orderBy(F.desc("tf"), "doc_id")
         best("topk_window_salted",
              lambda: post
@@ -119,8 +120,12 @@ def run(spark, n_docs: int, reps: int = 2) -> dict[str, float]:
              .where(F.col("rn") <= 8))
 
         # the skew itself, deterministically: postings rows of the
-        # hottest key (what a naive per-tok window sorts in ONE task)
-        out["hot_key_rows"] = post.groupBy("tok").count()             .agg(F.max("count")).head()[0]
+        # hottest key (what a naive per-tok window sorts in ONE task).
+        # Reported separately from the wall-clock shapes — it is a row
+        # count whose 3x growth is the probe's premise, not a timing
+        # leg to judge against the <=2 criterion.
+        out["_hot_key_rows"] = post.groupBy("tok").count() \
+            .agg(F.max("count")).head()[0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
@@ -128,7 +133,6 @@ def run(spark, n_docs: int, reps: int = 2) -> dict[str, float]:
 
 def main() -> None:
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
-    sys.path.insert(0, "/root/repo")
     from jcf_nb_migration_spark import get_spark
 
     spark = get_spark("skew_probe",
@@ -139,6 +143,7 @@ def main() -> None:
     run(spark, max(base // 4, 1000))
     scales = [base, 3 * base, 9 * base]
     rows = {n: run(spark, n) for n in scales}
+    hot = {n: rows[n].pop("_hot_key_rows") for n in scales}
     ratios = {
         shape: [round(rows[scales[i + 1]][shape]
                       / max(rows[scales[i]][shape], 1e-9), 2)
@@ -146,7 +151,7 @@ def main() -> None:
         for shape in rows[scales[0]]
     }
     print(json.dumps({"docs": scales, "timings": rows,
-                      "ratios_3x": ratios}))
+                      "ratios_3x": ratios, "hot_key_rows": hot}))
     spark.stop()
 
 
