@@ -109,6 +109,10 @@ COVERED_BY: dict[str, str] = {
     # --- retrieval -------------------------------------------------------
     # bm25_top_docs rotated INTO the driver window r7
     # rrf_fusion rotated INTO the driver window r7
+    # positional retrieval (r9): term-filtered postings + bounded
+    # positional self-join — the term-keyed probe family
+    "phrase_match_docs": "bm25_top_docs_served",
+    "proximity_ranked_docs": "bm25_top_docs_served",
     # --- corpus assembly / sampling --------------------------------------
     "corpus_global_shuffle": "corpus_mixture_sample",  # salted-hash
     #   key projection + repartition family

@@ -663,3 +663,130 @@ def bm25_top_docs_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical_index_build(toks, prefix, path, num_buckets=8)
     return bm25_probe(spark, prefix, path, BM25_TERMS,
                       BM25_K1, BM25_B, k=20)
+
+
+# Positional retrieval: the phrase/proximity surface a bag-of-words
+# BM25 can't express. Fixed two-term queries over the synthetic vocab;
+# per-request terms change nothing about the plan shape.
+PHRASE = ("spark", "window")   # exact adjacency
+PROX_TERMS = ("spark", "merge")
+PROX_WINDOW = 5                # max token distance (unordered)
+
+
+def _positions(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, tok, pos) for the QUERY TERMS only — the filter lands
+    before the positional self-join, so the join input is bounded by
+    the terms' postings, never the corpus token stream. pos is
+    1-based (generate_subscripts parity)."""
+    return (docs
+            .select("doc_id",
+                    F.posexplode(T.tokens("text")).alias("pos0", "tok"))
+            .where(F.col("tok").isin(list(terms)))
+            .select("doc_id", "tok",
+                    (F.col("pos0") + 1).cast("bigint").alias("pos")))
+
+
+@query(
+    "phrase_match_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    occ AS (
+        SELECT doc_id, unnest(w) AS tok,
+               CAST(generate_subscripts(w, 1) AS BIGINT) AS pos
+        FROM toks
+    ),
+    hits AS (
+        SELECT a.doc_id, a.pos
+        FROM occ a JOIN occ b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(pos) AS first_pos
+    FROM hits GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id LIMIT 20
+    """,
+    tags=("retrieval", "phrase", "positional"),
+    # positional twin of the bag-of-words scorers; term-keyed postings
+    # pattern driver-visible via bm25_top_docs_served (shared
+    # 'retrieval' tag)
+    driver_visible=False,
+)
+def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("spark window", adjacent tokens): the
+    positional-index surface BM25's bag-of-words scoring cannot
+    express. Tokens get 1-based positions via posexplode; the stream
+    is filtered to the TWO query terms before anything joins, so the
+    adjacency self-join's input is the phrase terms' postings
+    (query-bounded), equi-keyed on (doc_id, pos+1=pos) — never a
+    corpus-sized join side. Per doc: occurrence count and first hit
+    position, top-20 by count. At 100 TB this is exactly the plan a
+    positional index serves: the term filter becomes the posting
+    lookup and the adjacency join stays within matched documents."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    occ = _positions(docs, PHRASE)
+    a = occ.where(F.col("tok") == PHRASE[0]).alias("a")
+    b = occ.where(F.col("tok") == PHRASE[1]).alias("b")
+    hits = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                   & (F.col("b.pos") == F.col("a.pos") + 1))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("a.pos").alias("pos")))
+    return (hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("pos").alias("first_pos"))
+            .orderBy(F.desc("n_occurrences"), "doc_id")
+            .limit(20))
+
+
+@query(
+    "proximity_ranked_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    occ AS (
+        SELECT doc_id, unnest(w) AS tok,
+               CAST(generate_subscripts(w, 1) AS BIGINT) AS pos
+        FROM toks
+    ),
+    pairs AS (
+        SELECT a.doc_id, abs(a.pos - b.pos) AS span
+        FROM occ a JOIN occ b
+          ON a.doc_id = b.doc_id
+         AND abs(a.pos - b.pos) <= {PROX_WINDOW}
+        WHERE a.tok = '{PROX_TERMS[0]}' AND b.tok = '{PROX_TERMS[1]}'
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MIN(span) AS min_span
+    FROM pairs GROUP BY doc_id
+    ORDER BY min_span, n_pairs DESC, doc_id LIMIT 20
+    """,
+    tags=("retrieval", "proximity", "positional"),
+    # same positional-postings plan family as phrase_match_docs;
+    # driver-visible via bm25_top_docs_served (shared 'retrieval' tag)
+    driver_visible=False,
+)
+def proximity_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval: documents where "spark" and "merge" occur
+    within {PROX_WINDOW} tokens of each other (unordered), ranked by
+    tightest span then pair count — the positional ranking signal
+    search engines layer over BM25. Same bounded shape as
+    phrase_match_docs: both sides of the positional join are the
+    query terms' postings; the band predicate (|pos_a − pos_b| ≤ w)
+    rides the doc_id equi-join as a post-join filter, so the join
+    never widens beyond matched documents' term positions."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    occ = _positions(docs, PROX_TERMS)
+    a = occ.where(F.col("tok") == PROX_TERMS[0]).alias("a")
+    b = occ.where(F.col("tok") == PROX_TERMS[1]).alias("b")
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (F.abs(F.col("a.pos") - F.col("b.pos"))
+                       <= PROX_WINDOW))
+             .select(F.col("a.doc_id").alias("doc_id"),
+                     F.abs(F.col("a.pos") - F.col("b.pos"))
+                     .alias("span")))
+    return (pairs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.min("span").alias("min_span"))
+            .orderBy("min_span", F.desc("n_pairs"), "doc_id")
+            .limit(20))
