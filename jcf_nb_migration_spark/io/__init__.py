@@ -10,6 +10,7 @@ from jcf_nb_migration_spark.io.lexical import (
     lexical_index_attach,
     lexical_index_build,
     lexical_index_compact,
+    lexical_index_maintain,
 )
 from jcf_nb_migration_spark.io.writers import (
     write_distinct_value_lists,
@@ -22,6 +23,7 @@ __all__ = [
     "lexical_index_attach",
     "lexical_index_build",
     "lexical_index_compact",
+    "lexical_index_maintain",
     "load_star_schema",
     "normalize_headers",
     "read_csv",

@@ -380,3 +380,23 @@ def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
     lexical_index_attach(spark, prefix, path, num_buckets)
     return sum(1 for f in os.listdir(post_dir)
                if f.endswith(".parquet"))
+
+
+def lexical_index_maintain(spark: SparkSession, prefix: str, path: str,
+                           num_buckets: int = 8,
+                           max_files_per_bucket: int = 8,
+                           parallelism: int = 1) -> bool:
+    """Close the lexical append→fragmentation→compact loop (the
+    lexical twin of ivf_index_maintain's drift gate): count the
+    postings files (driver-side directory listing, no data read) and
+    run ``lexical_index_compact`` only when fragmentation exceeds
+    ``max_files_per_bucket`` files per bucket — the scheduler-friendly
+    idempotent call a streaming ingest runs after every N batches.
+    Returns True when a compaction ran."""
+    post_dir = os.path.join(path, POSTINGS_SUBDIR)
+    n_files = sum(1 for f in os.listdir(post_dir)
+                  if f.endswith(".parquet"))
+    if n_files <= max_files_per_bucket * num_buckets:
+        return False
+    lexical_index_compact(spark, prefix, path, num_buckets, parallelism)
+    return True

@@ -248,3 +248,73 @@ def test_compact_merges_files_and_preserves_probe(spark, tmp_path):
             _corpus(spark, range(20, 25))).unionByName(
             _corpus(spark, range(25, 30))).unionByName(
             _corpus(spark, range(30, 34))))
+
+
+def test_maintain_compacts_only_past_fragmentation_threshold(spark,
+                                                             tmp_path):
+    """The maintain gate is the scheduler hook: below the
+    files-per-bucket threshold it is a metadata-only no-op; past it,
+    one compaction runs and the gate goes quiet again."""
+    from jcf_nb_migration_spark.io.lexical import lexical_index_maintain
+
+    path = str(tmp_path / "lex_mnt")
+    lexical_index_build(_corpus(spark, range(10)), "lexti_mnt", path,
+                        num_buckets=4)
+    # fresh build: 4 files, threshold 1/bucket -> no-op
+    assert lexical_index_maintain(spark, "lexti_mnt", path,
+                                  num_buckets=4,
+                                  max_files_per_bucket=1) is False
+    for b in range(4):  # fragment past 1 file/bucket
+        lexical_index_append(_corpus(spark, range(10 + 3 * b,
+                                                  13 + 3 * b)),
+                             "lexti_mnt", path, num_buckets=4,
+                             batch_id=b)
+    before = _probe_rows(spark, "lexti_mnt", path)
+    assert lexical_index_maintain(spark, "lexti_mnt", path,
+                                  num_buckets=4,
+                                  max_files_per_bucket=1) is True
+    assert _probe_rows(spark, "lexti_mnt", path) == before
+    # post-compact: quiet again
+    assert lexical_index_maintain(spark, "lexti_mnt", path,
+                                  num_buckets=4,
+                                  max_files_per_bucket=1) is False
+
+
+def test_probe_is_term_agnostic(spark, tmp_path):
+    """Every other parity check uses the registry's fixed BM25_TERMS;
+    this pins bm25_probe for an ARBITRARY term set against a pure-
+    Python BM25 computed from first principles on the same corpus —
+    the serving layer must not be accidentally specialized to the
+    shipped query."""
+    import math
+
+    docs = {i: ["filler%d" % (i % 4)] * (1 + i % 3)
+            + ["alpha"] * (i % 2) + (["beta"] if i % 3 == 0 else [])
+            for i in range(12)}
+    toks = _toks(spark, [(i, w) for i, w in docs.items()])
+    path = str(tmp_path / "lex_terms")
+    lexical_index_build(toks, "lexti_terms", path, num_buckets=4)
+    terms = ("alpha", "beta")
+    got = [(r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in
+           bm25_probe(spark, "lexti_terms", path, terms,
+                      BM25_K1, BM25_B, k=20).collect()]
+
+    n = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / n
+    df = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+    expect = []
+    for i, w in docs.items():
+        score, matched = 0.0, 0
+        for t in terms:
+            tf = w.count(t)
+            if not tf:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score += (idf * tf * (BM25_K1 + 1.0)
+                      / (tf + BM25_K1 * (1.0 - BM25_B
+                                         + BM25_B * len(w) / avgdl)))
+        if matched:
+            expect.append((i, matched, round(score, 9)))
+    expect.sort(key=lambda r: (-r[2], r[0]))
+    assert got == expect and len(got) > 0
