@@ -1011,16 +1011,28 @@ SRC_CAP = 15
 def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota (the per-domain cap crawl corpora
     apply so no domain dominates): keep the top {SRC_CAP} documents of
-    each source by a quality key. Physical shape: ONE window
-    partitioned by source — parallel across sources, no global sort;
-    at 100 TB a pathologically hot source is the only skew risk and
-    splits with the same salting used in salted_user_totals (rank
-    within salted sub-groups, keep rank <= cap after re-ranking the
-    cap*n_salt survivors — bounded second phase)."""
+    each source by a quality key. Physical shape (r9, upgraded from a
+    documented intent to the shipped plan): sources are FEW and HUGE —
+    a single window partitioned by source funnels corpus/n_sources
+    rows through one task each — so the rank runs SALTED two-phase,
+    the same exact rewrite as inverted_index_postings' top-k: phase 1
+    ranks within (source, doc_id%16) salt buckets and keeps ≤ cap per
+    bucket; phase 2 re-ranks the ≤ 16·cap survivors per source. Exact
+    by the survival argument (every global top-cap row has < cap rows
+    above it in its own bucket, and every survivor above it is itself
+    top-cap, so the re-rank reproduces the global rank values)."""
     docs = spread(t(spark, sf_dir, "documents"))
+    ws = Window.partitionBy("source", "salt") \
+        .orderBy(F.desc("n_chars"), "doc_id")
+    # bounded-window: const:320 — phase 2 sees ≤ 16 salts × SRC_CAP
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
-    return (docs.withColumn("src_rank",
-                            F.row_number().over(w).cast("int"))
+    survivors = (docs
+                 .withColumn("salt", (F.col("doc_id") % 16).cast("int"))
+                 .withColumn("rn", F.row_number().over(ws))
+                 .where(F.col("rn") <= SRC_CAP)
+                 .drop("rn", "salt"))
+    return (survivors.withColumn("src_rank",
+                                 F.row_number().over(w).cast("int"))
             .where(F.col("src_rank") <= SRC_CAP)
             .select("doc_id", "source", "n_chars", "src_rank")
             .orderBy("source", "src_rank"))
@@ -1057,18 +1069,26 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained k-means (bit-identical oracle replay, memoized across
     queries); within each cluster the keep order is the md5 of the
     vector id — content-stable, so reruns/retries/repartitions select
-    the SAME sample (the corpus_mixture_sample rule). One narrow
-    assignment pass + one window partitioned by cluster — parallel
-    across clusters, no global sort; a hot cluster splits with the
-    salted two-phase idiom if needed."""
+    the SAME sample (the corpus_mixture_sample rule). K-means yields
+    FEW, HUGE clusters (corpus/K rows each), so the rank runs the
+    salted two-phase (r9, same exact rewrite as source_quota_cap /
+    inverted_index_postings): per-(cluster, vec_id%16) top-cap first,
+    then re-rank the ≤ 16·cap survivors per cluster."""
     from jcf_nb_migration_spark.queries.advanced2 import cached_kmeans
     from jcf_nb_migration_spark.functions.similarity import ivf_assign
 
     emb = spread(t(spark, sf_dir, "embeddings"))
     assigned = ivf_assign(emb, cached_kmeans(emb, sf_dir))
-    w = Window.partitionBy("cluster").orderBy(
-        F.md5(F.col("vec_id").cast("string")), "vec_id")
-    return (assigned
+    key = F.md5(F.col("vec_id").cast("string"))
+    ws = Window.partitionBy("cluster", "salt").orderBy(key, "vec_id")
+    # bounded-window: const:320 — phase 2 sees ≤ 16 salts × CLUSTER_CAP
+    w = Window.partitionBy("cluster").orderBy(key, "vec_id")
+    survivors = (assigned
+                 .withColumn("salt", (F.col("vec_id") % 16).cast("int"))
+                 .withColumn("rn", F.row_number().over(ws))
+                 .where(F.col("rn") <= CLUSTER_CAP)
+                 .drop("rn", "salt"))
+    return (survivors
             .withColumn("samp_rank", F.row_number().over(w).cast("int"))
             .where(F.col("samp_rank") <= CLUSTER_CAP)
             .select("vec_id", "cluster", "samp_rank")
@@ -1655,8 +1675,21 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * F.col("corpus_n")
                               / (F.col("cluster_n") * F.col("corpus_tf")),
                               9).alias("lift")))
+    # per-cluster rows ≈ the filtered vocabulary — big enough at
+    # corpus scale to deserve the same salted two-phase top-k (r9);
+    # salt on the term hash (terms are strings, vec-id salts don't
+    # apply), exact by the usual survival argument
+    ws = Window.partitionBy("cluster", "salt") \
+        .orderBy(F.desc("lift"), "term")
+    # bounded-window: const:160 — phase 2 sees ≤ 16 salts × TOPIC_TOPK
     w = Window.partitionBy("cluster").orderBy(F.desc("lift"), "term")
-    return (scored.withColumn("rk", F.row_number().over(w))
+    survivors = (scored
+                 .withColumn("salt",
+                             F.pmod(F.hash("term"), F.lit(16)))
+                 .withColumn("rn", F.row_number().over(ws))
+                 .where(F.col("rn") <= TOPIC_TOPK)
+                 .drop("rn", "salt"))
+    return (survivors.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= TOPIC_TOPK)
             .select("cluster", "term", F.col("tf").cast("bigint").alias("tf"),
                     "lift")
