@@ -400,3 +400,54 @@ def lexical_index_maintain(spark: SparkSession, prefix: str, path: str,
         return False
     lexical_index_compact(spark, prefix, path, num_buckets, parallelism)
     return True
+
+
+POSITIONS_SUBDIR = "positions"
+
+
+def positional_index_build(toks: DataFrame, prefix: str, path: str,
+                           num_buckets: int = 8) -> None:
+    """Build the POSITIONAL index beside the frequency postings: a
+    ``<prefix>_positions`` bucketed catalog table ``(tok, doc_id,
+    pos)`` with one row per token OCCURRENCE (1-based position), the
+    layout phrase/proximity queries serve from. Same bucket geometry
+    and validation rules as the postings table (shared meta file);
+    a phrase probe becomes a bucket-pruned scan of its terms plus a
+    position-adjacency equi-join — never a corpus scan. Roughly
+    dl/|distinct| times larger than the postings table, which is why
+    it is a separate opt-in layout rather than a postings column."""
+    spark = toks.sparkSession
+    prefix = _checked_prefix(prefix)
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_positions")
+    occ = toks.select(
+        "doc_id", F.posexplode("w").alias("pos0", "tok")).select(
+        "tok", "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+    (occ.write.mode("overwrite")
+     .bucketBy(num_buckets, "tok").sortBy("tok")
+     .option("path", os.path.join(path, POSITIONS_SUBDIR))
+     .format("parquet").saveAsTable(f"{prefix}_positions"))
+    _write_meta(path, num_buckets)
+
+
+def phrase_probe(spark: SparkSession, prefix: str, path: str,
+                 phrase: tuple[str, str], k: int = 20) -> DataFrame:
+    """Serve an exact two-term phrase query from the positional index
+    — row-identical to the ad-hoc scan (queries.retrieval_ops.
+    phrase_match_docs) because both count the same integer adjacency
+    hits. Plan: ONE bucket-pruned scan of the positions table (≤2 of
+    the buckets listed), split into the two terms' position sets,
+    equi-joined on (doc_id, pos+1 = pos), grouped per doc. Columns:
+    doc_id, n_occurrences, first_pos."""
+    posi = (spark.table(f"{prefix}_positions")
+            .where(F.col("tok").isin(list(phrase))))
+    a = posi.where(F.col("tok") == phrase[0]).alias("a")
+    b = posi.where(F.col("tok") == phrase[1]).alias("b")
+    hits = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                   & (F.col("b.pos") == F.col("a.pos") + 1))
+            .select(F.col("a.doc_id").alias("doc_id"),
+                    F.col("a.pos").alias("pos")))
+    return (hits.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("pos").alias("first_pos"))
+            .orderBy(F.desc("n_occurrences"), "doc_id")
+            .limit(k))

@@ -790,3 +790,56 @@ def proximity_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("span").alias("min_span"))
             .orderBy("min_span", F.desc("n_pairs"), "doc_id")
             .limit(20))
+
+
+@query(
+    "phrase_match_served",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    occ AS (
+        SELECT doc_id, unnest(w) AS tok,
+               CAST(generate_subscripts(w, 1) AS BIGINT) AS pos
+        FROM toks
+    ),
+    hits AS (
+        SELECT a.doc_id, a.pos
+        FROM occ a JOIN occ b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(pos) AS first_pos
+    FROM hits GROUP BY doc_id
+    ORDER BY n_occurrences DESC, doc_id LIMIT 20
+    """,
+    tags=("retrieval", "phrase", "positional", "serving", "bucketed"),
+    # served twin of phrase_match_docs; term-keyed bucket-probe family
+    # driver-visible via bm25_top_docs_served (shared tags)
+    driver_visible=False,
+)
+def phrase_match_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval SERVED from the persisted positional
+    index (io/lexical.positional_index_build): the build pays the one
+    posexplode corpus pass into a tok-bucketed (tok, doc_id, pos)
+    table; the probe is a bucket-pruned scan of the phrase's two terms
+    + the positional adjacency equi-join — at 100 TB every phrase
+    query reads two buckets' worth of positions, never the corpus.
+    Oracle is phrase_match_docs' verbatim (integer adjacency counts —
+    the served path must be row-identical to the ad-hoc scan).
+    Rebuilds per call for determinism, like bm25_top_docs_served;
+    the serve half alone is ``phrase_probe``."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.lexical import (phrase_probe,
+                                                   positional_index_build)
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"positx_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "jcf_positional_index",
+                        spark.sparkContext.applicationId, tag)
+    positional_index_build(toks, prefix, path, num_buckets=8)
+    return phrase_probe(spark, prefix, path, PHRASE, k=20)

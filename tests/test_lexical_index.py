@@ -318,3 +318,41 @@ def test_probe_is_term_agnostic(spark, tmp_path):
             expect.append((i, matched, round(score, 9)))
     expect.sort(key=lambda r: (-r[2], r[0]))
     assert got == expect and len(got) > 0
+
+
+def test_positional_index_phrase_probe_parity_and_plan(spark, tmp_path):
+    """The positional layout's probe must be row-identical to the
+    ad-hoc positional scan on the same corpus, and its scan must be
+    BUCKET-PRUNED to the phrase's terms (≤2 of the buckets listed)."""
+    import re
+
+    from jcf_nb_migration_spark.io.lexical import (
+        phrase_probe, positional_index_build)
+
+    # corpus with controllable adjacencies: "alpha beta" appears
+    # i%3 times in doc i, with filler between other occurrences
+    rows = []
+    for i in range(24):
+        w = []
+        for _ in range(i % 3):
+            w += ["alpha", "beta"]
+        w += ["alpha", "fill%d" % i, "beta"]  # non-adjacent pair
+        rows.append((i, w))
+    toks = _toks(spark, rows)
+    path = str(tmp_path / "pos_idx")
+    positional_index_build(toks, "positi_t", path, num_buckets=8)
+
+    probe = phrase_probe(spark, "positi_t", path, ("alpha", "beta"),
+                         k=50)
+    got = [(r["doc_id"], r["n_occurrences"], r["first_pos"])
+           for r in probe.collect()]
+    # expected from first principles: i%3 adjacent occurrences, the
+    # first at position 1 whenever any exist
+    expect = sorted(((i, i % 3, 1) for i in range(24) if i % 3),
+                    key=lambda r: (-r[1], r[0]))
+    assert got == expect
+
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of 8", plan)
+    assert m and int(m.group(1)) <= 2, plan
+    assert "CartesianProduct" not in plan
