@@ -1,0 +1,99 @@
+"""Retrieval serving lifecycle: the build-once / serve-many / maintain
+loop a RAG stack runs against a 100 TB corpus, composed from the
+persisted index layouts in io/lexical.py.
+
+    documents
+      → tokenize (codegen'd whitespace tokens)
+      → BUILD: tok-bucketed postings table + additive corpus stats
+               (+ the opt-in positional table for phrase queries)
+      → SERVE: BM25 probes (bucket-pruned scan, ZERO Exchange on the
+               tok-keyed df aggregate), phrase / proximity probes
+               (bucket-pruned positional adjacency joins)
+      → INGEST: ledgered micro-batch appends (at-least-once delivery
+               made effectively-once)
+      → MAINTAIN: fragmentation-gated compaction
+
+At 100 TB the build is the one corpus pass; every probe after it reads
+a few buckets' worth of postings. The same functions back the
+oracle-checked queries bm25_top_docs_served / phrase_match_served —
+this example strings them into the operational loop.
+
+Usage: PYTHONPATH=. python examples/retrieval_serving.py [sf_dir] [idx_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+
+def serve_demo(spark, sf_dir: str, idx_dir: str) -> dict:
+    """Run the full lifecycle; returns a summary dict (tested by
+    tests/test_e2e_demo.py)."""
+    from jcf_nb_migration_spark.functions import text as T
+    from jcf_nb_migration_spark.io.lexical import (
+        bm25_probe, lexical_index_append, lexical_index_build,
+        lexical_index_maintain, phrase_probe, positional_index_build,
+        proximity_probe)
+    from jcf_nb_migration_spark.queries.retrieval_ops import (
+        BM25_B, BM25_K1, BM25_TERMS, PHRASE, PROX_TERMS, PROX_WINDOW)
+    from jcf_nb_migration_spark.registry import t
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    base = toks.where(F.col("doc_id") % 10 != 0)
+    batches = [toks.where(F.col("doc_id") % 10 == r) for r in (0,)]
+
+    # BUILD once (the corpus pass), both layouts
+    lexical_index_build(base, "demo_lex", os.path.join(idx_dir, "lex"))
+    positional_index_build(toks, "demo_pos",
+                           os.path.join(idx_dir, "pos"))
+
+    # INGEST: ledgered micro-batch append (replays are no-ops)
+    appended = [lexical_index_append(b, "demo_lex",
+                                     os.path.join(idx_dir, "lex"),
+                                     batch_id=i)
+                for i, b in enumerate(batches)]
+
+    # MAINTAIN: compact when fragmented (no-op on this tiny demo
+    # unless the threshold is forced down)
+    compacted = lexical_index_maintain(
+        spark, "demo_lex", os.path.join(idx_dir, "lex"),
+        max_files_per_bucket=1)
+
+    # SERVE: the three probe families
+    bm25 = bm25_probe(spark, "demo_lex", os.path.join(idx_dir, "lex"),
+                      BM25_TERMS, BM25_K1, BM25_B, k=10).collect()
+    phrase = phrase_probe(spark, "demo_pos",
+                          os.path.join(idx_dir, "pos"), PHRASE,
+                          k=10).collect()
+    prox = proximity_probe(spark, "demo_pos",
+                           os.path.join(idx_dir, "pos"), PROX_TERMS,
+                           window=PROX_WINDOW, k=10).collect()
+    return {
+        "appended": appended,
+        "compacted": compacted,
+        "bm25_top": [(r["doc_id"], r["bm25"]) for r in bm25],
+        "phrase_hits": [(r["doc_id"], r["n_occurrences"])
+                        for r in phrase],
+        "proximity_hits": [(r["doc_id"], r["min_span"]) for r in prox],
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    idx_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/retrieval_serving_demo"
+    from jcf_nb_migration_spark import get_spark
+
+    spark = get_spark("retrieval-serving-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+    summary = serve_demo(spark, sf_dir, idx_dir)
+    for k, v in summary.items():
+        print(f"{k}: {v}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

