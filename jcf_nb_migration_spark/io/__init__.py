@@ -12,6 +12,7 @@ from jcf_nb_migration_spark.io.lexical import (
     lexical_index_compact,
     lexical_index_maintain,
     phrase_probe,
+    positional_index_append,
     positional_index_build,
     proximity_probe,
 )
@@ -28,6 +29,7 @@ __all__ = [
     "lexical_index_compact",
     "lexical_index_maintain",
     "phrase_probe",
+    "positional_index_append",
     "positional_index_build",
     "proximity_probe",
     "load_star_schema",

@@ -475,3 +475,42 @@ def proximity_probe(spark: SparkSession, prefix: str, path: str,
                  F.min("span").alias("min_span"))
             .orderBy("min_span", F.desc("n_pairs"), "doc_id")
             .limit(k))
+
+
+def positional_index_append(new_toks: DataFrame, prefix: str,
+                            path: str, num_buckets: int = 8,
+                            batch_id: int | str | None = None) -> bool:
+    """Append a new document batch to the positional index under the
+    same contract as lexical_index_append: catalog + bucket-count
+    validation, new bucket files only, batch-id replay ledger (shared
+    helpers). Probe parity with a rebuild holds by construction —
+    phrase/proximity hits are per-document position facts, and new
+    docs are NEW doc_ids."""
+    spark = new_toks.sparkSession
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_positions"
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"{table} is not registered in this session's catalog — "
+            "run positional_index_build first")
+    declared = _table_num_buckets(spark, table)
+    if declared != num_buckets:
+        raise ValueError(
+            f"{table} is bucketed into {declared} buckets but the "
+            f"append was asked for {num_buckets}")
+    _check_meta(path, num_buckets)
+    from jcf_nb_migration_spark.io.layout import (_ledger_commit,
+                                                  _ledger_skip)
+
+    marker, skip = _ledger_skip(path, batch_id)
+    if skip:
+        return False
+    occ = new_toks.select(
+        "doc_id", F.posexplode("w").alias("pos0", "tok")).select(
+        "tok", "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"))
+    (occ.write.mode("append")
+     .bucketBy(num_buckets, "tok").sortBy("tok")
+     .option("path", os.path.join(path, POSITIONS_SUBDIR))
+     .format("parquet").saveAsTable(table))
+    _ledger_commit(marker)
+    return True

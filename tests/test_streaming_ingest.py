@@ -204,3 +204,64 @@ def test_stream_ingest_appends_lexical_index(spark, tmp_path):
     assert lexical_index_append(replay, "lexti_stream", idx,
                                 num_buckets=8, batch_id=0) is False
     assert probe("lexti_stream", idx) == got
+
+
+def test_stream_ingest_appends_positional_index(spark, tmp_path):
+    """The positional layout joins the streaming-maintained family:
+    foreachBatch appends under the ledger, streamed index phrase-probes
+    identically to a one-shot build, replays are no-ops."""
+    from jcf_nb_migration_spark.io.lexical import (
+        phrase_probe, positional_index_append, positional_index_build)
+
+    def text(i):
+        core = "alpha beta " * (1 + i % 3)
+        return core + f"fill{i} alpha end{i} beta"
+
+    def toks_of(df):
+        return df.select(
+            "doc_id",
+            F.filter(F.split("text", r"\s+"),
+                     lambda x: x != "").alias("w"))
+
+    all_docs = _mk_docs(spark, [(i, text(i)) for i in range(24)])
+    base = all_docs.where(F.col("doc_id") < 8)
+    idx = str(tmp_path / "pos_stream_idx")
+    positional_index_build(toks_of(base), "positi_stream", idx,
+                           num_buckets=8)
+
+    src = str(tmp_path / "pos_incoming")
+    os.makedirs(src, exist_ok=True)
+
+    def ingest(batch_df, batch_id):
+        positional_index_append(toks_of(batch_df), "positi_stream",
+                                idx, num_buckets=8, batch_id=batch_id)
+
+    q = (spark.readStream.schema("doc_id bigint, text string")
+         .parquet(src).writeStream.foreachBatch(ingest).start())
+    try:
+        for lo, hi in ((8, 16), (16, 24)):
+            all_docs.where((F.col("doc_id") >= lo)
+                           & (F.col("doc_id") < hi)) \
+                .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rb = str(tmp_path / "pos_oneshot")
+    positional_index_build(toks_of(all_docs), "positi_oneshot", rb,
+                           num_buckets=8)
+
+    def probe(prefix, path):
+        return [(r["doc_id"], r["n_occurrences"], r["first_pos"])
+                for r in phrase_probe(spark, prefix, path,
+                                      ("alpha", "beta"), k=50)
+                .collect()]
+
+    got = probe("positi_stream", idx)
+    assert got == probe("positi_oneshot", rb) and len(got) == 24
+
+    replay = toks_of(all_docs.where((F.col("doc_id") >= 8)
+                                    & (F.col("doc_id") < 16)))
+    assert positional_index_append(replay, "positi_stream", idx,
+                                   num_buckets=8, batch_id=0) is False
+    assert probe("positi_stream", idx) == got
