@@ -422,8 +422,29 @@ def hyperplane_signs(n_planes: int, dim: int) -> list[list[int]]:
     return planes
 
 
-def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
-    """Bucket id = Σ_p (dot(vec, plane_p) >= 0) · 2^p."""
+def lsh_bucket(vec: Column | str, planes: list[list[int]]) -> Column:
+    """Bucket id = Σ_p (dot(vec, plane_p) >= 0) · 2^p.
+
+    Pass the COLUMN NAME (string) for the fast construction path: the
+    whole bucket computation is then ONE JVM-parsed SQL expression
+    (planes as a nested double-array literal, plane index folded by
+    ``aggregate``) instead of n_planes × (zip_with + aggregate)
+    Python-lambda Column trees — ~10× cheaper to build over py4j,
+    which is real money when the bench constructs the plan per run.
+    Bit-identical to the Column path (pinned in tests/test_ann.py):
+    the per-plane dot is the same cast-to-double, left-to-right
+    multiply-add fold, the sign test the same ``>= 0``, and the bit
+    weights exact integers whose sum order cannot matter."""
+    if isinstance(vec, str):
+        arr = "array(" + ",".join(
+            "array(" + ",".join(f"{float(s)}D" for s in row) + ")"
+            for row in planes) + ")"
+        return F.expr(
+            f"cast(aggregate(sequence(0, {len(planes) - 1}), 0, "
+            f"(acc, p) -> acc + if(aggregate(zip_with("
+            f"transform(`{vec}`, x -> cast(x as double)), "
+            f"element_at({arr}, p + 1), (x, y) -> x * y), 0D, "
+            f"(a, v) -> a + v) >= 0D, shiftleft(1, p), 0)) as int)")
     bucket = None
     for p, signs in enumerate(planes):
         plane = F.lit([float(s) for s in signs])  # one literal node
@@ -442,7 +463,7 @@ def lsh_ann_same_bucket(emb: DataFrame, probe_id: int, n_planes: int = 6,
     planes = hyperplane_signs(n_planes, dim)
     with_bucket = emb.select(
         F.col(id_col), F.col(vec_col),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     probe = F.broadcast(
         with_bucket.where(F.col(id_col) == probe_id)
@@ -476,7 +497,7 @@ def lsh_ann_multiprobe(emb: DataFrame, probe_id: int, n_planes: int = 6,
     planes = hyperplane_signs(n_planes, dim)
     with_bucket = emb.select(
         F.col(id_col), F.col(vec_col),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     masks = [0] + [1 << p for p in range(n_planes)]
     probe = F.broadcast(

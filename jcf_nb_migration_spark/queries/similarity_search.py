@@ -382,7 +382,7 @@ def ann_lsh_batch_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = S.hyperplane_signs(6, 64)
     bucketed = emb.select(
         "vec_id", "embedding",
-        S.lsh_bucket(F.col("embedding"), planes).alias("bucket"))
+        S.lsh_bucket("embedding", planes).alias("bucket"))
     probes = (bucketed.where(F.col("vec_id") < N_BATCH_PROBES)
               .select(F.col("vec_id").alias("pid"),
                       F.col("embedding").alias("pvec"),

@@ -299,3 +299,24 @@ def test_residual_adc_recall_not_worse_than_raw(spark):
                 for r in qs["ivf_ann_multiprobe"].fn(
                     spark, SF_SMALL).collect()}
     assert len(mp & exact_mp) >= 1
+
+
+def test_lsh_bucket_expr_path_matches_column_path(spark):
+    """lsh_bucket's fast string/F.expr construction path must produce
+    bit-identical bucket ids to the unrolled Column-API path on the
+    real embeddings fixture (same casts, same fold order, same sign
+    test) — the serving and dedup bucket assignments depend on it."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    planes = S.hyperplane_signs(6, 64)
+    both = emb.select(
+        "vec_id",
+        S.lsh_bucket("embedding", planes).alias("b_expr"),
+        S.lsh_bucket(F.col("embedding"), planes).alias("b_col"))
+    assert both.where(F.col("b_expr") != F.col("b_col")).count() == 0
+    assert both.where(F.col("b_expr").isNull()).count() == 0
