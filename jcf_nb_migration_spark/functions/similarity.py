@@ -17,6 +17,7 @@ bucketed on ``bucket`` so probes prune partitions.
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -435,6 +436,13 @@ def lsh_bucket(vec: Column | str, planes: list[list[int]]) -> Column:
     the per-plane dot is the same cast-to-double, left-to-right
     multiply-add fold, the sign test the same ``>= 0``, and the bit
     weights exact integers whose sum order cannot matter."""
+    if not planes:
+        raise ValueError("lsh_bucket needs at least one hyperplane")
+    if isinstance(vec, str) and not re.match(r"^[A-Za-z_][A-Za-z0-9_]*$",
+                                             vec):
+        # qualified / exotic names: let F.col resolve them instead of
+        # guessing at quoting inside the SQL string
+        vec = F.col(vec)
     if isinstance(vec, str):
         arr = "array(" + ",".join(
             "array(" + ",".join(f"{float(s)}D" for s in row) + ")"

@@ -13,6 +13,7 @@ from jcf_nb_migration_spark.io.lexical import (
     lexical_index_maintain,
     phrase_probe,
     positional_index_append,
+    positional_index_attach,
     positional_index_build,
     proximity_probe,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "lexical_index_maintain",
     "phrase_probe",
     "positional_index_append",
+    "positional_index_attach",
     "positional_index_build",
     "proximity_probe",
     "load_star_schema",

@@ -111,6 +111,40 @@ def _write_meta(path: str, num_buckets: int) -> None:
         json.dump({"num_buckets": num_buckets}, fh)
 
 
+def _require_bucketed_table(spark: SparkSession, table: str,
+                            num_buckets: int, path: str,
+                            build_fn: str) -> None:
+    """Shared append-side preamble: the table must be registered (a
+    bare saveAsTable append would CREATE a possibly-mismatched spec),
+    its declared bucket count must match the caller's, and the on-disk
+    meta must agree (catches fresh-session wrong-count attaches)."""
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"{table} is not registered in this session's catalog — "
+            f"run {build_fn} (or the matching attach) first")
+    declared = _table_num_buckets(spark, table)
+    if declared != num_buckets:
+        raise ValueError(
+            f"{table} is bucketed into {declared} buckets but the "
+            f"caller asked for {num_buckets}; a mismatch would corrupt "
+            "bucket pruning")
+    _check_meta(path, num_buckets)
+
+
+def _check_table_at(spark: SparkSession, table: str, path: str,
+                    subdir: str) -> None:
+    """Probe-side location validation: the registered table must point
+    at THIS index's directory — a stale same-prefix registration from
+    an earlier build elsewhere would otherwise serve the wrong index
+    silently."""
+    registered = _table_location(spark, table)
+    expected = os.path.realpath(os.path.join(path, subdir))
+    if registered != expected:
+        raise ValueError(
+            f"{table} is registered at {registered}, not {expected} — "
+            "DROP the stale table and re-attach this index")
+
+
 def _check_meta(path: str, num_buckets: int) -> None:
     """Validate the caller's bucket count against the count the index
     was BUILT with (recorded in the on-disk meta file) — the catalog
@@ -248,19 +282,8 @@ def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
     spark = new_toks.sparkSession
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_postings"
-    if not spark.catalog.tableExists(table):
-        raise ValueError(
-            f"{table} is not registered in this session's catalog — "
-            "run lexical_index_build or lexical_index_attach first "
-            "(appending through a bare saveAsTable would create a "
-            "table whose bucket spec may not match the on-disk files)")
-    declared = _table_num_buckets(spark, table)
-    if declared != num_buckets:
-        raise ValueError(
-            f"{table} is bucketed into {declared} buckets but the "
-            f"append was asked for {num_buckets}; a mismatched append "
-            "would corrupt bucket pruning")
-    _check_meta(path, num_buckets)
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "lexical_index_build")
     from jcf_nb_migration_spark.io.layout import (_ledger_commit,
                                                   _ledger_skip)
 
@@ -393,7 +416,12 @@ def lexical_index_maintain(spark: SparkSession, prefix: str, path: str,
     ``max_files_per_bucket`` files per bucket — the scheduler-friendly
     idempotent call a streaming ingest runs after every N batches.
     Returns True when a compaction ran."""
+    _check_meta(path, num_buckets)
     post_dir = os.path.join(path, POSTINGS_SUBDIR)
+    if not os.path.isdir(post_dir):
+        raise ValueError(
+            f"no postings directory at {post_dir} — build the index "
+            "first (lexical_index_build)")
     n_files = sum(1 for f in os.listdir(post_dir)
                   if f.endswith(".parquet"))
     if n_files <= max_files_per_bucket * num_buckets:
@@ -405,28 +433,68 @@ def lexical_index_maintain(spark: SparkSession, prefix: str, path: str,
 POSITIONS_SUBDIR = "positions"
 
 
+def _occurrences_frame(toks: DataFrame) -> DataFrame:
+    """``toks(doc_id, w)`` → ``(tok, doc_id, pos)`` with 1-based
+    positions — the positional layout's row shape, single-sourced so
+    build and append can never encode positions differently."""
+    return (toks
+            .select("doc_id",
+                    F.posexplode("w").alias("pos0", "tok"))
+            .select("tok", "doc_id",
+                    (F.col("pos0") + 1).cast("bigint").alias("pos")))
+
+
 def positional_index_build(toks: DataFrame, prefix: str, path: str,
                            num_buckets: int = 8) -> None:
-    """Build the POSITIONAL index beside the frequency postings: a
-    ``<prefix>_positions`` bucketed catalog table ``(tok, doc_id,
-    pos)`` with one row per token OCCURRENCE (1-based position), the
-    layout phrase/proximity queries serve from. Same bucket geometry
-    and validation rules as the postings table (shared meta file);
-    a phrase probe becomes a bucket-pruned scan of its terms plus a
-    position-adjacency equi-join — never a corpus scan. Roughly
-    dl/|distinct| times larger than the postings table, which is why
-    it is a separate opt-in layout rather than a postings column."""
+    """Build (or rebuild) the POSITIONAL index: a ``<prefix>_positions``
+    bucketed catalog table ``(tok, doc_id, pos)`` with one row per
+    token OCCURRENCE (1-based position), the layout phrase/proximity
+    queries serve from. A phrase probe becomes a bucket-pruned scan of
+    its terms plus a position-adjacency equi-join — never a corpus
+    scan. Roughly dl/|distinct| times larger than the frequency
+    postings, which is why it is a separate opt-in layout rather than
+    a postings column.
+
+    The index OWNS ``path`` exclusively (like lexical_index_build's):
+    a rebuild clears the prior files, meta, AND append ledger — stale
+    batch markers would otherwise silently skip replayed batches after
+    a rebuild. Do NOT point it at a lexical index's path: the two
+    layouts each own their directory (separate meta and ledgers)."""
+    import shutil
+
     spark = toks.sparkSession
     prefix = _checked_prefix(prefix)
     spark.sql(f"DROP TABLE IF EXISTS {prefix}_positions")
-    occ = toks.select(
-        "doc_id", F.posexplode("w").alias("pos0", "tok")).select(
-        "tok", "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"))
-    (occ.write.mode("overwrite")
+    shutil.rmtree(path, ignore_errors=True)
+    (_occurrences_frame(toks).write.mode("overwrite")
      .bucketBy(num_buckets, "tok").sortBy("tok")
      .option("path", os.path.join(path, POSITIONS_SUBDIR))
      .format("parquet").saveAsTable(f"{prefix}_positions"))
     _write_meta(path, num_buckets)
+
+
+def positional_index_attach(spark: SparkSession, prefix: str,
+                            path: str, num_buckets: int = 8) -> None:
+    """Register an existing on-disk positional index into a fresh
+    session's catalog — the positional counterpart of
+    lexical_index_attach, with the same bucket-count (meta + declared)
+    and LOCATION validation."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_positions"
+    _check_meta(path, num_buckets)
+    spark.sql(f"""
+        CREATE TABLE IF NOT EXISTS {table}
+        (tok STRING, doc_id BIGINT, pos BIGINT)
+        USING parquet
+        CLUSTERED BY (tok) SORTED BY (tok) INTO {num_buckets} BUCKETS
+        LOCATION '{_sql_path(os.path.join(path, POSITIONS_SUBDIR))}'
+    """)
+    declared = _table_num_buckets(spark, table)
+    if declared != num_buckets:
+        raise ValueError(
+            f"{table} is registered with {declared} buckets but the "
+            f"caller expects {num_buckets}")
+    _check_table_at(spark, table, path, POSITIONS_SUBDIR)
 
 
 def phrase_probe(spark: SparkSession, prefix: str, path: str,
@@ -438,6 +506,8 @@ def phrase_probe(spark: SparkSession, prefix: str, path: str,
     the buckets listed), split into the two terms' position sets,
     equi-joined on (doc_id, pos+1 = pos), grouped per doc. Columns:
     doc_id, n_occurrences, first_pos."""
+    _check_table_at(spark, f"{prefix}_positions", path,
+                    POSITIONS_SUBDIR)
     posi = (spark.table(f"{prefix}_positions")
             .where(F.col("tok").isin(list(phrase))))
     a = posi.where(F.col("tok") == phrase[0]).alias("a")
@@ -461,6 +531,8 @@ def proximity_probe(spark: SparkSession, prefix: str, path: str,
     bucket-pruned two-term read as phrase_probe; the band predicate
     |pos_a − pos_b| ≤ window rides the doc_id equi-join. Columns:
     doc_id, n_pairs, min_span."""
+    _check_table_at(spark, f"{prefix}_positions", path,
+                    POSITIONS_SUBDIR)
     posi = (spark.table(f"{prefix}_positions")
             .where(F.col("tok").isin(list(terms))))
     a = posi.where(F.col("tok") == terms[0]).alias("a")
@@ -489,26 +561,15 @@ def positional_index_append(new_toks: DataFrame, prefix: str,
     spark = new_toks.sparkSession
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_positions"
-    if not spark.catalog.tableExists(table):
-        raise ValueError(
-            f"{table} is not registered in this session's catalog — "
-            "run positional_index_build first")
-    declared = _table_num_buckets(spark, table)
-    if declared != num_buckets:
-        raise ValueError(
-            f"{table} is bucketed into {declared} buckets but the "
-            f"append was asked for {num_buckets}")
-    _check_meta(path, num_buckets)
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "positional_index_build")
     from jcf_nb_migration_spark.io.layout import (_ledger_commit,
                                                   _ledger_skip)
 
     marker, skip = _ledger_skip(path, batch_id)
     if skip:
         return False
-    occ = new_toks.select(
-        "doc_id", F.posexplode("w").alias("pos0", "tok")).select(
-        "tok", "doc_id", (F.col("pos0") + 1).cast("bigint").alias("pos"))
-    (occ.write.mode("append")
+    (_occurrences_frame(new_toks).write.mode("append")
      .bucketBy(num_buckets, "tok").sortBy("tok")
      .option("path", os.path.join(path, POSITIONS_SUBDIR))
      .format("parquet").saveAsTable(table))

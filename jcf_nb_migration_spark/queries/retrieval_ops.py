@@ -686,9 +686,10 @@ def _positions(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
                     (F.col("pos0") + 1).cast("bigint").alias("pos")))
 
 
-@query(
-    "phrase_match_docs",
-    oracle=f"""
+# Single-sourced phrase oracle: the ad-hoc scan and the served-index
+# query MUST stay row-identical, so they share one SQL text (the
+# module's _sql_bm25_ctes precedent).
+_SQL_PHRASE_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     occ AS (
         SELECT doc_id, unnest(w) AS tok,
@@ -706,7 +707,12 @@ def _positions(docs: DataFrame, terms: tuple[str, ...]) -> DataFrame:
            MIN(pos) AS first_pos
     FROM hits GROUP BY doc_id
     ORDER BY n_occurrences DESC, doc_id LIMIT 20
-    """,
+    """
+
+
+@query(
+    "phrase_match_docs",
+    oracle=_SQL_PHRASE_ORACLE,
     tags=("retrieval", "phrase", "positional"),
     # positional twin of the bag-of-words scorers; term-keyed postings
     # pattern driver-visible via bm25_top_docs_served (shared
@@ -794,25 +800,7 @@ def proximity_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "phrase_match_served",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
-    occ AS (
-        SELECT doc_id, unnest(w) AS tok,
-               CAST(generate_subscripts(w, 1) AS BIGINT) AS pos
-        FROM toks
-    ),
-    hits AS (
-        SELECT a.doc_id, a.pos
-        FROM occ a JOIN occ b
-          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-           MIN(pos) AS first_pos
-    FROM hits GROUP BY doc_id
-    ORDER BY n_occurrences DESC, doc_id LIMIT 20
-    """,
+    oracle=_SQL_PHRASE_ORACLE,
     tags=("retrieval", "phrase", "positional", "serving", "bucketed"),
     # served twin of phrase_match_docs; term-keyed bucket-probe family
     # driver-visible via bm25_top_docs_served (shared tags)

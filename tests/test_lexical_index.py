@@ -392,3 +392,78 @@ def test_positional_proximity_probe_matches_adhoc(spark, tmp_path):
             expect.append((i, len(spans), min(spans)))
     expect.sort(key=lambda r: (r[2], -r[1], r[0]))
     assert got == expect and len(got) > 0
+
+
+def test_positional_attach_and_stale_location_guard(spark, tmp_path):
+    """Fresh-session serving of the positional layout: attach
+    re-registers the on-disk index (probes work), and a probe against
+    a DIFFERENT path than the registered one refuses instead of
+    silently serving the wrong index."""
+    from jcf_nb_migration_spark.io.lexical import (
+        phrase_probe, positional_index_append, positional_index_attach,
+        positional_index_build)
+
+    rows = [(i, ["alpha", "beta", "w%d" % i]) for i in range(10)]
+    path = str(tmp_path / "pos_att")
+    positional_index_build(_toks(spark, rows), "positi_att", path,
+                           num_buckets=4)
+    expect = [(r["doc_id"], r["n_occurrences"]) for r in
+              phrase_probe(spark, "positi_att", path,
+                           ("alpha", "beta"), k=20).collect()]
+    spark.sql("DROP TABLE positi_att_positions")
+    positional_index_attach(spark, "positi_att", path, num_buckets=4)
+    got = [(r["doc_id"], r["n_occurrences"]) for r in
+           phrase_probe(spark, "positi_att", path,
+                        ("alpha", "beta"), k=20).collect()]
+    assert got == expect and len(got) == 10
+    # appends work post-attach (fresh-session ingest)
+    assert positional_index_append(
+        _toks(spark, [(10, ["alpha", "beta"])]), "positi_att", path,
+        num_buckets=4) is True
+    # probing the registered prefix against a DIFFERENT path refuses
+    with pytest.raises(ValueError, match="registered at"):
+        phrase_probe(spark, "positi_att", str(tmp_path / "elsewhere"),
+                     ("alpha", "beta"))
+    # attach with the wrong bucket count refuses via the on-disk meta
+    spark.sql("DROP TABLE positi_att_positions")
+    with pytest.raises(ValueError, match="built with 4 buckets"):
+        positional_index_attach(spark, "positi_att", path,
+                                num_buckets=8)
+
+
+def test_positional_rebuild_clears_ledger(spark, tmp_path):
+    """A rebuild must clear the append ledger: stale batch markers
+    would otherwise skip replayed batches after the rebuild, silently
+    losing documents from the index."""
+    from jcf_nb_migration_spark.io.lexical import (
+        phrase_probe, positional_index_append, positional_index_build)
+
+    path = str(tmp_path / "pos_rb")
+    batch = _toks(spark, [(50, ["alpha", "beta"])])
+    positional_index_build(
+        _toks(spark, [(i, ["alpha", "x"]) for i in range(5)]),
+        "positi_rb", path, num_buckets=4)
+    assert positional_index_append(batch, "positi_rb", path,
+                                   num_buckets=4, batch_id=0) is True
+    # rebuild, then replay the SAME batch_id — it must land again
+    positional_index_build(
+        _toks(spark, [(i, ["alpha", "x"]) for i in range(5)]),
+        "positi_rb", path, num_buckets=4)
+    assert positional_index_append(batch, "positi_rb", path,
+                                   num_buckets=4, batch_id=0) is True
+    hits = phrase_probe(spark, "positi_rb", path,
+                        ("alpha", "beta"), k=5).collect()
+    assert [r["doc_id"] for r in hits] == [50]
+
+
+def test_maintain_validates_meta_and_path(spark, tmp_path):
+    from jcf_nb_migration_spark.io.lexical import lexical_index_maintain
+
+    path = str(tmp_path / "lex_mv")
+    lexical_index_build(_corpus(spark, range(8)), "lexti_mv", path,
+                        num_buckets=4)
+    with pytest.raises(ValueError, match="built with 4 buckets"):
+        lexical_index_maintain(spark, "lexti_mv", path, num_buckets=8)
+    with pytest.raises(ValueError, match="no postings directory|built"):
+        lexical_index_maintain(spark, "lexti_mv",
+                               str(tmp_path / "nope"), num_buckets=4)
