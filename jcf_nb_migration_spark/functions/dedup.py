@@ -217,14 +217,19 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 
 def _signatures_from_shingles(sh: DataFrame, id_col: str,
                               k: int) -> DataFrame:
-    h32 = minhash_base_hash(F.col("shingle"))
+    # base hash projected ONCE and referenced by name in the k affine
+    # aggregates — same values (Catalyst CSEs the subtree at runtime
+    # anyway), but the Column tree is built once instead of k times
+    # over py4j, which the bench's rebuild-per-run methodology pays
+    h = sh.select(F.col(id_col),
+                  minhash_base_hash(F.col("shingle")).alias("__h32"))
     aggs = [
-        F.min((F.lit(minhash_coef(i, "a")) * h32
+        F.min((F.lit(minhash_coef(i, "a")) * F.col("__h32")
                + F.lit(minhash_coef(i, "b"))) % F.lit(MINHASH_P))
          .alias(f"h{i}")
         for i in range(k)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return h.groupBy(id_col).agg(*aggs)
 
 
 def band_table(sigs: DataFrame, id_col: str,
