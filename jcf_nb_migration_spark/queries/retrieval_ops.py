@@ -745,9 +745,7 @@ def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
-@query(
-    "proximity_ranked_docs",
-    oracle=f"""
+_SQL_PROX_ORACLE = f"""
     WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
     occ AS (
         SELECT doc_id, unnest(w) AS tok,
@@ -766,7 +764,12 @@ def phrase_match_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(span) AS min_span
     FROM pairs GROUP BY doc_id
     ORDER BY min_span, n_pairs DESC, doc_id LIMIT 20
-    """,
+    """
+
+
+@query(
+    "proximity_ranked_docs",
+    oracle=_SQL_PROX_ORACLE,
     tags=("retrieval", "proximity", "positional"),
     # same positional-postings plan family as phrase_match_docs;
     # driver-visible via bm25_top_docs_served (shared 'retrieval' tag)
@@ -831,3 +834,34 @@ def phrase_match_served(spark: SparkSession, sf_dir: str) -> DataFrame:
                         spark.sparkContext.applicationId, tag)
     positional_index_build(toks, prefix, path, num_buckets=8)
     return phrase_probe(spark, prefix, path, PHRASE, k=20)
+
+
+@query(
+    "proximity_ranked_served",
+    oracle=_SQL_PROX_ORACLE,
+    tags=("retrieval", "proximity", "positional", "serving",
+          "bucketed"),
+    # served twin of proximity_ranked_docs; same bucket-probe family
+    # as phrase_match_served / bm25_top_docs_served
+    driver_visible=False,
+)
+def proximity_ranked_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity retrieval SERVED from the persisted positional index
+    (io/lexical.proximity_probe): same build-once/probe-bucket-pruned
+    contract as phrase_match_served, same oracle text as the ad-hoc
+    proximity_ranked_docs — the served path must be row-identical."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.lexical import (
+        positional_index_build, proximity_probe)
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"positx_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "jcf_positional_index",
+                        spark.sparkContext.applicationId, tag)
+    positional_index_build(toks, prefix, path, num_buckets=8)
+    return proximity_probe(spark, prefix, path, PROX_TERMS,
+                           window=PROX_WINDOW, k=20)

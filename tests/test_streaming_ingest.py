@@ -265,3 +265,63 @@ def test_stream_ingest_appends_positional_index(spark, tmp_path):
     assert positional_index_append(replay, "positi_stream", idx,
                                    num_buckets=8, batch_id=0) is False
     assert probe("positi_stream", idx) == got
+
+
+def test_stream_ingest_appends_ivfadc_index(spark, tmp_path):
+    """r9: the IVFADC (residual-PQ) index joins the streaming-
+    maintained family — foreachBatch encodes each embedding micro-batch
+    under FROZEN geometry and appends via the ledger; the streamed
+    index must ADC-probe identically to a one-shot build, and a
+    replayed batch must be a no-op."""
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.io.layout import (
+        _residuals_frame, ivfadc_index_append, ivfadc_index_build,
+        ivfadc_index_probe)
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    centroids = S.kmeans_train(base, k=8, iters=2)
+    res = _residuals_frame(base, centroids).persist()
+    books = S.pq_train(res, m=4, k=8, iters=2, vec_col="rvec")
+    res.unpersist()
+
+    idx = str(tmp_path / "adc_stream_idx")
+    ivfadc_index_build(base, centroids, books, idx)
+
+    src = str(tmp_path / "adc_incoming")
+    os.makedirs(src, exist_ok=True)
+
+    def ingest(batch_df, batch_id):
+        ivfadc_index_append(batch_df, centroids, books, idx,
+                            batch_id=batch_id)
+
+    stream = spark.readStream \
+        .schema("vec_id bigint, embedding array<float>").parquet(src)
+    q = stream.writeStream.foreachBatch(ingest).start()
+    try:
+        for rem in (1, 2):
+            emb.where(F.col("vec_id") % 3 == rem) \
+                .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    full = str(tmp_path / "adc_oneshot")
+    ivfadc_index_build(emb, centroids, books, full)
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+
+    def probe(path):
+        return [(r["neighbor_id"], int(r["cluster"]), r["adc"]) for r in
+                ivfadc_index_probe(spark, path, centroids, books, pvec,
+                                   k=10, nprobe=2,
+                                   exclude_id=0).collect()]
+
+    got = probe(idx)
+    assert got == probe(full) and len(got) == 10
+
+    replay = emb.where(F.col("vec_id") % 3 == 1)
+    assert ivfadc_index_append(replay, centroids, books, idx,
+                               batch_id=0) is False
+    assert probe(idx) == got
