@@ -68,6 +68,27 @@ COMMENTARY = {
         "denominator is a partitioned window over the aggregated "
         "(partkey, suppkey) frame, so the fact is never rescanned; "
         "qualifying-supplier key set semi-joins suppliers."),
+    "bm25_top_docs_served": (
+        "Persisted-index serving plan (r9): bucket-pruned postings "
+        "FileScan (SelectedBucketsCount — non-matching buckets never "
+        "listed), tok-keyed df groupBy satisfied by the bucketed "
+        "scan's hash distribution (ZERO Exchange on the tok side, "
+        "guarded in tests/test_lexical_index.py), df + additive "
+        "(N, avgdl) stats broadcast back, ONE shuffle total (the "
+        "matched-postings score groupBy), TakeOrderedAndProject cap."),
+    "phrase_match_served": (
+        "Positional-index serving plan (r9): each phrase term reads "
+        "its own bucket-pruned slice of the positions table "
+        "(SelectedBucketsCount: 1 out of 8 per side), the adjacency "
+        "self-join is doc_id-equi-keyed over the two terms' "
+        "query-bounded position sets, and the per-doc occurrence "
+        "groupBy is the only corpus-derived shuffle — bounded by "
+        "phrase hits."),
+    "proximity_ranked_served": (
+        "Same bucket-pruned two-term read as phrase_match_served; "
+        "the |pos_a − pos_b| ≤ w band predicate rides the doc_id "
+        "equi-join as a post-join filter — the join never widens "
+        "beyond matched documents' term positions.")
 }
 
 
