@@ -115,6 +115,7 @@ COVERED_BY: dict[str, str] = {
     "proximity_ranked_docs": "bm25_top_docs_served",
     "phrase_match_served": "bm25_top_docs_served",
     "proximity_ranked_served": "bm25_top_docs_served",
+    "bm25_filtered_served": "bm25_top_docs_served",
     # --- corpus assembly / sampling --------------------------------------
     "corpus_global_shuffle": "corpus_mixture_sample",  # salted-hash
     #   key projection + repartition family

@@ -308,7 +308,8 @@ def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
 
 def bm25_probe(spark: SparkSession, prefix: str, path: str,
                terms: tuple[str, ...], k1: float, b: float,
-               k: int = 20) -> DataFrame:
+               k: int = 20,
+               allowed: DataFrame | None = None) -> DataFrame:
     """Serve BM25 top-k from the materialized index — bit-identical to
     the ad-hoc scorer (queries.retrieval_ops._bm25_frames) because the
     double-precision expression tree is the same and every input
@@ -319,7 +320,14 @@ def bm25_probe(spark: SparkSession, prefix: str, path: str,
     bucket column), df = groupBy on the bucket key — NO Exchange, the
     bucketed scan already satisfies the distribution — broadcast back,
     tiny stats scan crossJoined, one groupBy(doc_id) bounded by the
-    matched postings. Columns: doc_id, n_terms_matched, bm25."""
+    matched postings. Columns: doc_id, n_terms_matched, bm25.
+
+    ``allowed`` (a frame with a ``doc_id`` column) applies METADATA-
+    FILTERED search — the standard serving semantics: scores come from
+    the GLOBAL index statistics (df, N, avgdl are corpus facts, not
+    filter-relative), the filter gates which documents may appear in
+    the result, via a semi-join on the scored frame BEFORE the top-k
+    cut (so the cut returns k allowed docs, not k-minus-filtered)."""
     post = (spark.table(f"{prefix}_postings")
             .where(F.col("tok").isin(list(terms))))
     dfreq = post.groupBy("tok").agg(
@@ -334,13 +342,16 @@ def bm25_probe(spark: SparkSession, prefix: str, path: str,
                 / (F.col("df") + 0.5))
     denom = (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
                                  / F.col("avgdl")))
-    return (post.join(F.broadcast(dfreq), "tok")
-            .crossJoin(F.broadcast(stats))
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_terms_matched"),
-                 F.round(F.sum(idf * F.col("tf") * (k1 + 1.0) / denom),
-                         9).alias("bm25"))
-            .orderBy(F.desc("bm25"), "doc_id")
+    scored = (post.join(F.broadcast(dfreq), "tok")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_terms_matched"),
+                   F.round(F.sum(idf * F.col("tf") * (k1 + 1.0) / denom),
+                           9).alias("bm25")))
+    if allowed is not None:
+        scored = scored.join(allowed.select("doc_id"), "doc_id",
+                             "left_semi")
+    return (scored.orderBy(F.desc("bm25"), "doc_id")
             .limit(k))
 
 

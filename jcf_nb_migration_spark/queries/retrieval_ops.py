@@ -865,3 +865,47 @@ def proximity_ranked_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     positional_index_build(toks, prefix, path, num_buckets=8)
     return proximity_probe(spark, prefix, path, PROX_TERMS,
                            window=PROX_WINDOW, k=20)
+
+
+@query(
+    "bm25_filtered_served",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    {_sql_bm25_ctes()}
+    SELECT bm.doc_id, bm.n_terms_matched, bm.bm25
+    FROM bm
+    WHERE bm.doc_id IN (SELECT doc_id FROM documents
+                        WHERE lang = '{RPE_LANG}')
+    ORDER BY bm.bm25 DESC, bm.doc_id LIMIT 20
+    """,
+    tags=("retrieval", "bm25", "serving", "bucketed", "filtered"),
+    # metadata-filtered serving: same probe family as
+    # bm25_top_docs_served (shared tags)
+    driver_visible=False,
+)
+def bm25_filtered_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-FILTERED BM25 serving — the other half of every RAG
+    query ("top documents about X, but only lang='en'"): scores come
+    from the GLOBAL index statistics (df/N/avgdl are corpus facts —
+    filter-relative scoring would change ranks whenever the filter
+    changes), the metadata predicate gates the result set via a
+    semi-join on the scored frame BEFORE the top-k cut. The filter
+    side is a narrow metadata projection (pushed-predicate scan); at
+    100 TB it broadcasts or semi-joins on doc_id without touching the
+    postings read."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.lexical import (bm25_probe,
+                                                   lexical_index_build)
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"lexidx_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "jcf_lexical_index",
+                        spark.sparkContext.applicationId, tag)
+    lexical_index_build(toks, prefix, path, num_buckets=8)
+    allowed = docs.where(F.col("lang") == RPE_LANG).select("doc_id")
+    return bm25_probe(spark, prefix, path, BM25_TERMS,
+                      BM25_K1, BM25_B, k=20, allowed=allowed)

@@ -467,3 +467,25 @@ def test_maintain_validates_meta_and_path(spark, tmp_path):
     with pytest.raises(ValueError, match="no postings directory|built"):
         lexical_index_maintain(spark, "lexti_mv",
                                str(tmp_path / "nope"), num_buckets=4)
+
+
+def test_filtered_probe_gates_before_topk(spark, tmp_path):
+    """Metadata-filtered serving semantics: global stats, filter gates
+    the result BEFORE the top-k cut (k allowed docs come back, not
+    k-minus-filtered), and scores equal the unfiltered probe's for
+    the surviving docs."""
+    toks = _corpus(spark, range(30))
+    path = str(tmp_path / "lex_filt")
+    lexical_index_build(toks, "lexti_flt", path, num_buckets=8)
+    unfiltered = {r[0]: r for r in _probe_rows(spark, "lexti_flt", path)}
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(30) if i % 2 == 0], "doc_id bigint")
+    got = [(r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in
+           bm25_probe(spark, "lexti_flt", path, TERMS,
+                      BM25_K1, BM25_B, k=5, allowed=allowed).collect()]
+    assert len(got) == 5
+    assert all(d % 2 == 0 for d, _, _ in got)
+    # scores are the GLOBAL ones, order preserved within allowed
+    assert got == sorted(
+        (unfiltered[d] for d in unfiltered if d % 2 == 0),
+        key=lambda r: (-r[2], r[0]))[:5]
