@@ -116,6 +116,9 @@ COVERED_BY: dict[str, str] = {
     "phrase_match_served": "bm25_top_docs_served",
     "proximity_ranked_served": "bm25_top_docs_served",
     "bm25_filtered_served": "bm25_top_docs_served",
+    "doc_fetch_served": "bm25_top_docs_served",  # same bucket-probe
+    #   serving family; the docstore fetch side (literal-IN bucket
+    #   pruning, zero Exchange) is plan-pinned in tests/test_docstore.py
     # --- corpus assembly / sampling --------------------------------------
     "corpus_global_shuffle": "corpus_mixture_sample",  # salted-hash
     #   key projection + repartition family

@@ -4,6 +4,14 @@ from jcf_nb_migration_spark.io.readers import (
     read_csv,
     read_parquet,
 )
+from jcf_nb_migration_spark.io.docstore import (
+    docstore_append,
+    docstore_attach,
+    docstore_build,
+    docstore_compact,
+    docstore_fetch,
+    docstore_maintain,
+)
 from jcf_nb_migration_spark.io.lexical import (
     bm25_probe,
     lexical_index_append,
@@ -24,6 +32,12 @@ from jcf_nb_migration_spark.io.writers import (
 
 __all__ = [
     "bm25_probe",
+    "docstore_append",
+    "docstore_attach",
+    "docstore_build",
+    "docstore_compact",
+    "docstore_fetch",
+    "docstore_maintain",
     "lexical_index_append",
     "lexical_index_attach",
     "lexical_index_build",

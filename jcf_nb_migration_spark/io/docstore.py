@@ -1,0 +1,243 @@
+"""Persisted document store — the fetch-by-id half of the serving
+stack (reference scope: the content the reference's migration keeps per
+row, main.py's full-frame CSV sinks, re-expressed as a point-lookup
+layout for the 100 TB serving path).
+
+The lexical/positional/vector indexes (io/lexical.py, io/layout.py)
+answer "WHICH documents match" — they return doc_ids. A RAG serving
+loop then needs the documents themselves, and joining k ids back
+against a corpus-sized parquet scan would read every file for a
+20-row fetch. The docstore is the layout that makes the fetch cheap:
+
+- ``<prefix>_docs`` — the corpus as a BUCKETED catalog table, bucketed
+  AND sorted by ``doc_id`` (external parquet under ``path/docs``). The
+  build is the one corpus pass; after it, a fetch of k literal ids is
+  a BUCKET-PRUNED scan (``SelectedBucketsCount ≤ k`` in the FileScan —
+  non-matching buckets are never listed) and the ``sortBy(doc_id)``
+  min/max stats prune row groups WITHIN each bucket file, so the bytes
+  read scale with k, not the corpus.
+- ``path/_appended_batches`` — the same committed-batch replay ledger
+  the lexical/positional/IVF layouts share (io/layout._ledger_skip),
+  so a Structured Streaming foreachBatch ingest is effectively-once.
+- ``path/_index_meta.json`` — bucket count (validated on every attach
+  and append, as in io/lexical) plus the table's column DDL, so a
+  fresh session can re-register the table without the caller having to
+  restate the schema.
+
+At 100 TB the fetch pattern is exactly a key-value point lookup
+expressed in Spark's storage model: the id list arrives from a probe
+(top-k) or a client request, lands as literal ``IN`` predicates, and
+bucket pruning turns the "join" into opening a handful of files.
+Fragmentation from streamed appends is handled by the shared
+staged-rewrite compactor (io/lexical._compact_bucketed_table), gated
+behind ``docstore_maintain``.
+
+Local-FS assumption: build cleanup, the ledger, and the compactor's
+directory swap are driver-local filesystem calls — the same documented
+stand-in as the other layouts; on HDFS/S3 route them through the
+Hadoop FileSystem API or a transactional table format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.io.lexical import (
+    META_FILE,
+    _IDENT,
+    _check_meta,
+    _check_table_at,
+    _checked_prefix,
+    _compact_bucketed_table,
+    _require_bucketed_table,
+    _sql_path,
+    _table_num_buckets,
+)
+
+DOCS_SUBDIR = "docs"
+
+
+def _schema_ddl(df: DataFrame) -> str:
+    """Column DDL for the meta file / attach statement. Names are
+    validated as identifiers (they land inside CREATE TABLE), types
+    come from Catalyst's own ``simpleString`` (valid DDL by
+    construction)."""
+    cols = []
+    for fld in df.schema.fields:
+        if not _IDENT.match(fld.name):
+            raise ValueError(
+                f"docstore column name must be a SQL identifier, "
+                f"got {fld.name!r}")
+        cols.append(f"{fld.name} {fld.dataType.simpleString()}")
+    return ", ".join(cols)
+
+
+def _write_meta(path: str, num_buckets: int, columns: str) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, META_FILE), "w") as fh:
+        json.dump({"num_buckets": num_buckets, "columns": columns}, fh)
+
+
+def _meta_columns(path: str) -> str:
+    meta_path = os.path.join(path, META_FILE)
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no docstore meta at {meta_path} — attach needs the "
+            "column DDL recorded by docstore_build")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    if "columns" not in meta:
+        raise ValueError(
+            f"meta at {meta_path} records no column DDL — not a "
+            "docstore index?")
+    return meta["columns"]
+
+
+def docstore_build(docs: DataFrame, prefix: str, path: str,
+                   num_buckets: int = 8) -> None:
+    """Build (or rebuild) the document store from ``docs`` (any frame
+    with a ``doc_id`` column; every column is stored). The index OWNS
+    ``path`` exclusively — a rebuild clears prior files, meta, AND the
+    append ledger (stale batch markers would silently skip replayed
+    batches after a rebuild)."""
+    import shutil
+
+    if "doc_id" not in docs.columns:
+        raise ValueError("docstore frame must have a doc_id column")
+    spark = docs.sparkSession
+    prefix = _checked_prefix(prefix)
+    ddl = _schema_ddl(docs)
+    spark.sql(f"DROP TABLE IF EXISTS {prefix}_docs")
+    shutil.rmtree(path, ignore_errors=True)
+    (docs.write.mode("overwrite")
+     .bucketBy(num_buckets, "doc_id").sortBy("doc_id")
+     .option("path", os.path.join(path, DOCS_SUBDIR))
+     .format("parquet").saveAsTable(f"{prefix}_docs"))
+    _write_meta(path, num_buckets, ddl)
+
+
+def docstore_attach(spark: SparkSession, prefix: str, path: str,
+                    num_buckets: int = 8) -> None:
+    """Register an existing on-disk docstore into a fresh session's
+    catalog (the in-memory-catalog stand-in for a metastore). The
+    column DDL comes from the build's meta record; bucket count and
+    LOCATION are validated exactly as in lexical_index_attach."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_docs"
+    _check_meta(path, num_buckets)  # against the BUILD's recorded count
+    columns = _meta_columns(path)
+    spark.sql(f"""
+        CREATE TABLE IF NOT EXISTS {table} ({columns})
+        USING parquet
+        CLUSTERED BY (doc_id) SORTED BY (doc_id)
+        INTO {num_buckets} BUCKETS
+        LOCATION '{_sql_path(os.path.join(path, DOCS_SUBDIR))}'
+    """)
+    declared = _table_num_buckets(spark, table)
+    if declared != num_buckets:
+        raise ValueError(
+            f"{table} is registered with {declared} buckets but the "
+            f"caller expects {num_buckets}; bucket pruning would "
+            "silently fetch from the wrong buckets")
+    _check_table_at(spark, table, path, DOCS_SUBDIR)
+
+
+def docstore_append(new_docs: DataFrame, prefix: str, path: str,
+                    num_buckets: int = 8,
+                    batch_id: int | str | None = None) -> bool:
+    """Append a new document batch under the shared appendable-layout
+    contract (io/lexical.lexical_index_append): registered-table +
+    bucket-count validation, new bucket files only, batch-id replay
+    ledger. New docs must be NEW doc_ids — an update needs a
+    transactional format; upstream dedup owns that here."""
+    spark = new_docs.sparkSession
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_docs"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "docstore_build")
+    from jcf_nb_migration_spark.io.layout import (_ledger_commit,
+                                                  _ledger_skip)
+
+    marker, skip = _ledger_skip(path, batch_id)
+    if skip:
+        return False  # replayed delivery: already appended
+    (new_docs.select(*spark.table(table).columns)
+     .write.mode("append")
+     .bucketBy(num_buckets, "doc_id").sortBy("doc_id")
+     .option("path", os.path.join(path, DOCS_SUBDIR))
+     .format("parquet").saveAsTable(table))
+    _ledger_commit(marker)
+    return True
+
+
+def docstore_fetch(spark: SparkSession, prefix: str, path: str,
+                   doc_ids) -> DataFrame:
+    """Point-fetch documents by literal id list. The ids land as an
+    ``IN`` predicate on the bucket column, so the plan is a
+    bucket-pruned scan (``SelectedBucketsCount ≤ |ids|``) with row-group
+    min/max pruning inside each bucket file — no join, no shuffle, no
+    corpus scan. This is the serve-side call a probe's top-k feeds
+    (the id list is request-bounded by construction).
+
+    Plan note: with the default ``autoBucketedScan`` the planner marks
+    the scan ``Bucketed: false`` (no join/agg needs the distribution),
+    but the file-level bucket pruning still applies — the non-bucketed
+    read path filters files through the same bucket set, it just
+    doesn't print ``SelectedBucketsCount``. The plan test disables
+    autoBucketedScan to make the pruning visible and countable."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_docs"
+    _check_table_at(spark, table, path, DOCS_SUBDIR)
+    ids = [int(i) for i in doc_ids]
+    return spark.table(table).where(F.col("doc_id").isin(ids))
+
+
+def docstore_compact(spark: SparkSession, prefix: str, path: str,
+                     num_buckets: int = 8,
+                     parallelism: int = 1) -> int:
+    """Merge streamed-in bucket files back to ~one file per bucket via
+    the shared staged-rewrite compactor. Fetch results are invariant
+    (file layout is invisible to a point lookup); the append ledger is
+    untouched — compaction reorganizes files, it does not open a new
+    epoch. Returns the compacted file count."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_docs"
+    if not spark.catalog.tableExists(table):
+        raise ValueError(
+            f"{table} is not registered — attach the docstore first")
+    declared = _table_num_buckets(spark, table)
+    if declared != num_buckets:
+        raise ValueError(
+            f"{table} is bucketed into {declared} buckets, not "
+            f"{num_buckets}")
+    _check_meta(path, num_buckets)
+    return _compact_bucketed_table(
+        spark, table, path, DOCS_SUBDIR, "doc_id", num_buckets,
+        parallelism,
+        lambda: docstore_attach(spark, prefix, path, num_buckets))
+
+
+def docstore_maintain(spark: SparkSession, prefix: str, path: str,
+                      num_buckets: int = 8,
+                      max_files_per_bucket: int = 8,
+                      parallelism: int = 1) -> bool:
+    """Fragmentation-gated compaction (the docstore twin of
+    lexical_index_maintain): a driver-side file count, compact only
+    past ``max_files_per_bucket`` files per bucket. Returns True when
+    a compaction ran."""
+    _check_meta(path, num_buckets)
+    docs_dir = os.path.join(path, DOCS_SUBDIR)
+    if not os.path.isdir(docs_dir):
+        raise ValueError(
+            f"no docs directory at {docs_dir} — build the docstore "
+            "first (docstore_build)")
+    n_files = sum(1 for f in os.listdir(docs_dir)
+                  if f.endswith(".parquet"))
+    if n_files <= max_files_per_bucket * num_buckets:
+        return False
+    docstore_compact(spark, prefix, path, num_buckets, parallelism)
+    return True

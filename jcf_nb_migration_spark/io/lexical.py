@@ -355,6 +355,39 @@ def bm25_probe(spark: SparkSession, prefix: str, path: str,
             .limit(k))
 
 
+def _compact_bucketed_table(spark: SparkSession, table: str, path: str,
+                            subdir: str, bucket_col: str,
+                            num_buckets: int, parallelism: int,
+                            reattach) -> int:
+    """Staged-rewrite-and-swap core shared by the lexical and docstore
+    compactors: rebuild the bucketed table FROM ITS OWN FILES into a
+    staging dir (one file per bucket per task), swap via two directory
+    renames, drop + re-register the catalog entry (``reattach``).
+    Returns the compacted file count. Validation is the caller's job —
+    this helper only reorganizes files."""
+    import shutil
+
+    data_dir = os.path.join(path, subdir)
+    staging = data_dir.rstrip("/") + ".compact"
+    # coalesce, not repartition: narrow (no shuffle), and the bucketed
+    # writer splits each task's rows by bucket id itself.
+    (spark.table(table).coalesce(parallelism)
+     .write.mode("overwrite")
+     .bucketBy(num_buckets, bucket_col).sortBy(bucket_col)
+     .option("path", staging)
+     .format("parquet").saveAsTable(f"{table}_compact"))
+    old = data_dir.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)  # a crashed prior swap
+    os.rename(data_dir, old)
+    os.rename(staging, data_dir)
+    shutil.rmtree(old)
+    spark.sql(f"DROP TABLE {table}_compact")
+    spark.sql(f"DROP TABLE {table}")
+    reattach()
+    return sum(1 for f in os.listdir(data_dir)
+               if f.endswith(".parquet"))
+
+
 def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
                           num_buckets: int = 8,
                           parallelism: int = 1) -> int:
@@ -379,9 +412,10 @@ def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
     so the output is ≤ parallelism × num_buckets files. The default 1
     gives exactly one file per bucket; raise it when one task can't
     comfortably sort the whole index (the output stays a massive
-    reduction from per-batch accretion either way)."""
-    import shutil
+    reduction from per-batch accretion either way).
 
+    The staged write completes BEFORE any rename, so it reads the live
+    files directly — no defensive materialization needed."""
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_postings"
     if not spark.catalog.tableExists(table):
@@ -393,27 +427,10 @@ def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
             f"{table} is bucketed into {declared} buckets, not "
             f"{num_buckets}")
     _check_meta(path, num_buckets)
-    post_dir = os.path.join(path, POSTINGS_SUBDIR)
-    staging = post_dir.rstrip("/") + ".compact"
-    # the staged write completes BEFORE any rename, so it reads the
-    # live files directly — no defensive materialization needed.
-    # coalesce, not repartition: narrow (no shuffle), and the bucketed
-    # writer splits each task's rows by bucket id itself.
-    (spark.table(table).coalesce(parallelism)
-     .write.mode("overwrite")
-     .bucketBy(num_buckets, "tok").sortBy("tok")
-     .option("path", staging)
-     .format("parquet").saveAsTable(f"{prefix}_postings_compact"))
-    old = post_dir.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)  # a crashed prior swap
-    os.rename(post_dir, old)
-    os.rename(staging, post_dir)
-    shutil.rmtree(old)
-    spark.sql(f"DROP TABLE {prefix}_postings_compact")
-    spark.sql(f"DROP TABLE {table}")
-    lexical_index_attach(spark, prefix, path, num_buckets)
-    return sum(1 for f in os.listdir(post_dir)
-               if f.endswith(".parquet"))
+    return _compact_bucketed_table(
+        spark, table, path, POSTINGS_SUBDIR, "tok", num_buckets,
+        parallelism,
+        lambda: lexical_index_attach(spark, prefix, path, num_buckets))
 
 
 def lexical_index_maintain(spark: SparkSession, prefix: str, path: str,

@@ -909,3 +909,70 @@ def bm25_filtered_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowed = docs.where(F.col("lang") == RPE_LANG).select("doc_id")
     return bm25_probe(spark, prefix, path, BM25_TERMS,
                       BM25_K1, BM25_B, k=20, allowed=allowed)
+
+
+@query(
+    "doc_fetch_served",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    {_sql_bm25_ctes()},
+    topk AS (
+        SELECT doc_id, bm25 FROM bm
+        ORDER BY bm25 DESC, doc_id LIMIT 10
+    )
+    SELECT k.doc_id, k.bm25, doc.source, doc.lang, doc.n_chars,
+           substr(doc.text, 1, 40) AS preview
+    FROM topk k JOIN documents doc ON doc.doc_id = k.doc_id
+    ORDER BY k.bm25 DESC, k.doc_id
+    """,
+    tags=("retrieval", "serving", "bucketed", "docstore"),
+    # fetch-by-id completes the bucket-probe serving family that
+    # bm25_top_docs_served keeps driver-visible (shared tags)
+    driver_visible=False,
+)
+def doc_fetch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE serving loop — rank, then fetch content: BM25
+    top-10 from the persisted lexical index (io/lexical.bm25_probe),
+    then the documents themselves from the persisted doc_id-bucketed
+    DOCSTORE (io/docstore.docstore_fetch). The ranked ids are
+    request-bounded (k=10), so collecting them driver-side is the
+    serving pattern itself — the id list lands as a literal IN
+    predicate on the docstore's bucket column, making the content
+    fetch a bucket-pruned point lookup (bytes read scale with k, not
+    the corpus) instead of a join against a corpus-sized scan. At
+    100 TB: one postings read (≤|terms| buckets) + one content read
+    (≤k buckets); the corpus passes happened once at build time.
+    Rebuilds both layouts per call for determinism, like the other
+    *_served queries; a deployment builds once and serves many."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.docstore import (docstore_build,
+                                                    docstore_fetch)
+    from jcf_nb_migration_spark.io.lexical import (bm25_probe,
+                                                   lexical_index_build)
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lex_prefix = f"lexidx_{tag}"
+    lex_path = os.path.join(tempfile.gettempdir(), "jcf_lexical_index",
+                            spark.sparkContext.applicationId, tag)
+    lexical_index_build(toks, lex_prefix, lex_path, num_buckets=8)
+    ds_prefix = f"docst_{tag}"
+    ds_path = os.path.join(tempfile.gettempdir(), "jcf_docstore",
+                           spark.sparkContext.applicationId, tag)
+    docstore_build(docs, ds_prefix, ds_path, num_buckets=8)
+
+    hits = bm25_probe(spark, lex_prefix, lex_path, BM25_TERMS,
+                      BM25_K1, BM25_B, k=10).select("doc_id", "bm25")
+    # k=10 rows — the request-bounded id list every serving fetch
+    # starts from (NOT a corpus collect)
+    ranked = [(r["doc_id"], r["bm25"]) for r in hits.collect()]
+    scores = spark.createDataFrame(ranked, "doc_id bigint, bm25 double")
+    fetched = docstore_fetch(spark, ds_prefix, ds_path,
+                             [i for i, _ in ranked])
+    return (fetched.join(F.broadcast(scores), "doc_id")
+            .select("doc_id", "bm25", "source", "lang", "n_chars",
+                    F.substring("text", 1, 40).alias("preview"))
+            .orderBy(F.desc("bm25"), "doc_id"))

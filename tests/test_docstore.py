@@ -1,0 +1,202 @@
+"""Persisted document store (io/docstore.py) — the fetch-by-id half
+of the serving stack. Pins the module's three claims:
+
+1. Fetch correctness: point lookups return exactly the requested
+   documents with all columns, before and after appends/compaction,
+   and across a fresh-session attach.
+2. Plan shape: the id list lands as a pushed ``In`` filter and the
+   scan is bucket-pruned (``SelectedBucketsCount ≤ |ids|`` — made
+   visible by disabling autoBucketedScan; the default path prunes the
+   same files without printing the count) with ZERO Exchange.
+3. Safety rails: shared replay-ledger idempotence, catalog/bucket-count
+   validation, meta-recorded schema on attach, exclusive-path rebuild
+   clearing the ledger.
+"""
+
+import os
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.io.docstore import (
+    DOCS_SUBDIR,
+    docstore_append,
+    docstore_attach,
+    docstore_build,
+    docstore_compact,
+    docstore_fetch,
+    docstore_maintain,
+)
+
+SCHEMA = "doc_id bigint, text string, lang string, n_chars bigint"
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"body of doc {i}", "en" if i % 2 else "de", 100 + i)
+         for i in ids], SCHEMA)
+
+
+def _fetch_rows(spark, prefix, path, ids):
+    return sorted(
+        (r["doc_id"], r["text"], r["lang"], r["n_chars"]) for r in
+        docstore_fetch(spark, prefix, path, ids).collect())
+
+
+def test_build_fetch_returns_requested_docs(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    docstore_build(_docs(spark, range(50)), "dst_base", path,
+                   num_buckets=8)
+    got = _fetch_rows(spark, "dst_base", path, [3, 17, 42])
+    assert got == [(3, "body of doc 3", "en", 103),
+                   (17, "body of doc 17", "en", 117),
+                   (42, "body of doc 42", "de", 142)]
+    # absent ids simply don't come back
+    assert _fetch_rows(spark, "dst_base", path, [3, 9999]) == [
+        (3, "body of doc 3", "en", 103)]
+
+
+def test_fetch_plan_bucket_pruned_no_exchange(spark, tmp_path):
+    path = str(tmp_path / "ds_plan")
+    docstore_build(_docs(spark, range(200)), "dst_plan", path,
+                   num_buckets=8)
+    ids = [7, 31, 101]
+    old = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        f = docstore_fetch(spark, "dst_plan", path, ids)
+        plan = f._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", old)
+    assert "Exchange" not in plan, plan
+    assert "PushedFilters: [In(doc_id" in plan, plan
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m and int(m.group(1)) <= len(ids) and m.group(2) == "8", plan
+    # default path: same pushed filter, scan demoted but still pruned
+    # at file granularity (Spark's non-bucketed read path filters
+    # through the same bucket set) — pin the pushed filter is intact
+    plan_default = (docstore_fetch(spark, "dst_plan", path, ids)
+                    ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [In(doc_id" in plan_default, plan_default
+    assert "Exchange" not in plan_default, plan_default
+
+
+def test_append_fetch_matches_rebuild(spark, tmp_path):
+    path = str(tmp_path / "ds_app")
+    docstore_build(_docs(spark, range(30)), "dst_app", path,
+                   num_buckets=4)
+    assert docstore_append(_docs(spark, range(30, 40)), "dst_app",
+                           path, num_buckets=4, batch_id=0) is True
+    rb = str(tmp_path / "ds_rb")
+    docstore_build(_docs(spark, range(40)), "dst_rb", rb, num_buckets=4)
+    ids = [5, 29, 33, 39]
+    assert (_fetch_rows(spark, "dst_app", path, ids)
+            == _fetch_rows(spark, "dst_rb", rb, ids))
+
+
+def test_append_replay_ledger_idempotent(spark, tmp_path):
+    path = str(tmp_path / "ds_rp")
+    docstore_build(_docs(spark, range(10)), "dst_rp", path,
+                   num_buckets=4)
+    batch = _docs(spark, range(10, 15))
+    assert docstore_append(batch, "dst_rp", path, num_buckets=4,
+                           batch_id=7) is True
+    n = spark.table("dst_rp_docs").count()
+    assert docstore_append(batch, "dst_rp", path, num_buckets=4,
+                           batch_id=7) is False
+    assert spark.table("dst_rp_docs").count() == n
+
+
+def test_attach_restores_schema_from_meta(spark, tmp_path):
+    path = str(tmp_path / "ds_att")
+    docstore_build(_docs(spark, range(20)), "dst_att", path,
+                   num_buckets=4)
+    expect = _fetch_rows(spark, "dst_att", path, [1, 2, 3])
+    spark.sql("DROP TABLE dst_att_docs")
+    docstore_attach(spark, "dst_att", path, num_buckets=4)
+    assert _fetch_rows(spark, "dst_att", path, [1, 2, 3]) == expect
+    assert [f.name for f in spark.table("dst_att_docs").schema.fields] \
+        == ["doc_id", "text", "lang", "n_chars"]
+    # appends work post-attach (fresh-session ingest)
+    assert docstore_append(_docs(spark, range(20, 22)), "dst_att",
+                           path, num_buckets=4) is True
+    # wrong bucket count refuses via the on-disk meta
+    spark.sql("DROP TABLE dst_att_docs")
+    with pytest.raises(ValueError, match="built with 4 buckets"):
+        docstore_attach(spark, "dst_att", path, num_buckets=8)
+
+
+def test_fetch_stale_location_refuses(spark, tmp_path):
+    path = str(tmp_path / "ds_loc")
+    docstore_build(_docs(spark, range(5)), "dst_loc", path,
+                   num_buckets=4)
+    with pytest.raises(ValueError, match="registered at"):
+        docstore_fetch(spark, "dst_loc", str(tmp_path / "elsewhere"),
+                       [1])
+
+
+def test_append_requires_catalog_table(spark, tmp_path):
+    with pytest.raises(ValueError, match="not registered"):
+        docstore_append(_docs(spark, range(3)), "dst_ghost",
+                        str(tmp_path / "ghost"))
+
+
+def test_build_requires_doc_id_and_identifier_columns(spark, tmp_path):
+    with pytest.raises(ValueError, match="doc_id"):
+        docstore_build(spark.createDataFrame([(1,)], "x bigint"),
+                       "dst_bad", str(tmp_path / "bad"))
+    bad = (spark.createDataFrame([(1, "a")], "doc_id bigint, t string")
+           .withColumnRenamed("t", "bad name"))
+    with pytest.raises(ValueError, match="identifier"):
+        docstore_build(bad, "dst_bad2", str(tmp_path / "bad2"))
+
+
+def test_rebuild_clears_ledger(spark, tmp_path):
+    path = str(tmp_path / "ds_rb2")
+    batch = _docs(spark, [50])
+    docstore_build(_docs(spark, range(5)), "dst_rb2", path,
+                   num_buckets=4)
+    assert docstore_append(batch, "dst_rb2", path, num_buckets=4,
+                           batch_id=0) is True
+    docstore_build(_docs(spark, range(5)), "dst_rb2", path,
+                   num_buckets=4)
+    # same batch_id must land again after the rebuild
+    assert docstore_append(batch, "dst_rb2", path, num_buckets=4,
+                           batch_id=0) is True
+    assert _fetch_rows(spark, "dst_rb2", path, [50]) == [
+        (50, "body of doc 50", "de", 150)]
+
+
+def test_compact_preserves_fetch_and_ledger_epoch(spark, tmp_path):
+    path = str(tmp_path / "ds_cmp")
+    docstore_build(_docs(spark, range(12)), "dst_cmp", path,
+                   num_buckets=4)
+    for b in range(3):
+        docstore_append(_docs(spark, range(12 + 4 * b, 16 + 4 * b)),
+                        "dst_cmp", path, num_buckets=4, batch_id=b)
+    docs_dir = os.path.join(path, DOCS_SUBDIR)
+    n_before = sum(1 for f in os.listdir(docs_dir)
+                   if f.endswith(".parquet"))
+    ids = [0, 13, 19, 23]
+    before = _fetch_rows(spark, "dst_cmp", path, ids)
+    n_after = docstore_compact(spark, "dst_cmp", path, num_buckets=4)
+    assert n_after <= 4 < n_before
+    assert _fetch_rows(spark, "dst_cmp", path, ids) == before
+    # ledger epoch unchanged: a replayed committed batch still skips
+    assert docstore_append(_docs(spark, range(12, 16)), "dst_cmp",
+                           path, num_buckets=4, batch_id=0) is False
+    # maintain gate: quiet post-compact, fires past the threshold
+    assert docstore_maintain(spark, "dst_cmp", path, num_buckets=4,
+                             max_files_per_bucket=1) is False
+    for b in range(10, 15):
+        docstore_append(_docs(spark, [100 + b]), "dst_cmp", path,
+                        num_buckets=4, batch_id=b)
+    assert docstore_maintain(spark, "dst_cmp", path, num_buckets=4,
+                             max_files_per_bucket=1) is True
+    assert _fetch_rows(spark, "dst_cmp", path, [110, 114]) == [
+        (110, "body of doc 110", "de", 210),
+        (114, "body of doc 114", "de", 214)]

@@ -88,7 +88,15 @@ COMMENTARY = {
         "Same bucket-pruned two-term read as phrase_match_served; "
         "the |pos_a − pos_b| ≤ w band predicate rides the doc_id "
         "equi-join as a post-join filter — the join never widens "
-        "beyond matched documents' term positions.")
+        "beyond matched documents' term positions."),
+    "doc_fetch_served": (
+        "The complete rank→fetch serving loop (r9): BM25 probe plan "
+        "as in bm25_top_docs_served, then the k ranked ids land as a "
+        "literal IN predicate on the docstore's doc_id bucket column "
+        "— a bucket-pruned point lookup (file-level bucket-set "
+        "pruning + sortBy(doc_id) row-group min/max, pinned in "
+        "tests/test_docstore.py), broadcast score join-back, zero "
+        "corpus-sized shuffles at serve time.")
 }
 
 
