@@ -325,3 +325,55 @@ def test_stream_ingest_appends_ivfadc_index(spark, tmp_path):
     assert ivfadc_index_append(replay, centroids, books, idx,
                                batch_id=0) is False
     assert probe(idx) == got
+
+
+def test_stream_ingest_appends_docstore(spark, tmp_path):
+    """The docstore joins the appendable-layout streaming contract
+    (r9): a document stream lands content batches via foreachBatch →
+    docstore_append under the shared batch-id ledger. After two
+    deliveries, point fetches against the streamed store must match a
+    one-shot build over all documents, and a replayed delivery must be
+    a ledger-skipped no-op."""
+    from jcf_nb_migration_spark.io.docstore import (
+        docstore_append, docstore_build, docstore_fetch)
+
+    all_docs = _mk_docs(spark, [(i, f"content {i}") for i in range(30)])
+    base = all_docs.where(F.col("doc_id") < 10)
+    idx = str(tmp_path / "ds_stream_idx")
+    docstore_build(base, "dst_stream", idx, num_buckets=8)
+
+    src = str(tmp_path / "ds_incoming")
+    os.makedirs(src, exist_ok=True)
+
+    def ingest(batch_df, batch_id):
+        docstore_append(batch_df, "dst_stream", idx,
+                        num_buckets=8, batch_id=batch_id)
+
+    stream = spark.readStream.schema("doc_id bigint, text string") \
+        .parquet(src)
+    q = stream.writeStream.foreachBatch(ingest).start()
+    try:
+        for lo, hi in ((10, 20), (20, 30)):
+            all_docs.where((F.col("doc_id") >= lo)
+                           & (F.col("doc_id") < hi)) \
+                .coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rb = str(tmp_path / "ds_oneshot")
+    docstore_build(all_docs, "dst_oneshot", rb, num_buckets=8)
+
+    ids = [0, 5, 12, 19, 23, 29]
+
+    def fetch(prefix, path):
+        return sorted((r["doc_id"], r["text"]) for r in
+                      docstore_fetch(spark, prefix, path, ids).collect())
+
+    got = fetch("dst_stream", idx)
+    assert got == fetch("dst_oneshot", rb) and len(got) == len(ids)
+    # replayed delivery: the ledger skips, the store is unchanged
+    assert docstore_append(
+        all_docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
+        "dst_stream", idx, num_buckets=8, batch_id=0) is False
+    assert fetch("dst_stream", idx) == got
