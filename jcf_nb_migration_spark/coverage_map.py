@@ -36,28 +36,33 @@ COVERED_BY: dict[str, str] = {
     "pq_codes": "ivfpq_ann_probe",
     "ivfpq_residual_codes": "ivfpq_ann_probe",  # IVFADC-proper:
     #   PQ trained on residuals vs the coarse centroid
-    # ivfadc_residual_probe rotated INTO the driver window in r6
-    "ivfadc_residual_multiprobe": "ivfpq_ann_probe",  # nprobe=2 with
-    #   per-probed-cluster residuals
+    # ivfadc_residual_multiprobe rotated INTO the driver window r9
+    # (second wave), superseding ivfadc_residual_probe:
+    "ivfadc_residual_probe": "ivfadc_residual_multiprobe",  # nprobe=1
+    #   special case of the same residual-ADC scorer
     "triplet_mining_ann": "hard_negative_mining_ann",  # same candidate
     #   generator, positive+negative windows joined
     "embedding_quantize_int8": "ivfpq_ann_probe",
-    "quantized_rerank_topk": "ivfpq_ann_probe",  # compressed-first
-    #   scoring + exact re-rank (ADC sibling); coarse scan via
-    #   ann_brute_force_topk
+    # quantized_rerank_topk rotated INTO the driver window r9
     "embedding_norm_stats": "knn_ann_label_propagation",
     "embedding_normalize": "knn_ann_label_propagation",
-    "part_name_fuzzy_pairs": "fuzzy_name_matches",  # blocked fuzzy
-    #   pair join (length-band blocking + edit-distance verify)
-    "record_linkage_merge": "fuzzy_name_matches",  # two-table
-    #   deletion-blocked linkage + per-incoming top-1 survivorship
+    # record_linkage_merge rotated INTO the driver window r9 (second
+    # wave), superseding fuzzy_name_matches as the blocking witness:
+    "fuzzy_name_matches": "record_linkage_merge",
+    "part_name_fuzzy_pairs": "record_linkage_merge",  # blocked fuzzy
+    #   pair join (deletion-key blocking + edit-distance verify)
     # --- dedup -----------------------------------------------------------
-    "dedup_clusters": "dedup_clusters_lsh",
-    # iterative equi-join+groupBy power iteration, frequency-capped
-    # gram edges — both patterns in dedup_clusters_lsh / decontaminate:
-    "linkgraph_bfs_reachability": "dedup_clusters_lsh",  # per-level
+    # dedup_clusters_lsh rotated OUT in the r9 second wave (green
+    # r2-r8); the iterative contraction engine stays visible via the
+    # certified-CC queries:
+    "dedup_clusters_lsh": "linkgraph_cc_certified",  # same
+    #   star-contraction fixpoint engine (functions/graph.py) over
+    #   LSH-band edges instead of linkgraph edges
+    "dedup_clusters": "linkgraph_cc_certified",  # same engine, exact
+    #   all-pairs edges
+    "linkgraph_bfs_reachability": "linkgraph_cc_certified",  # per-level
     #   frontier equi-join (WITH RECURSIVE declarative twin)
-    "linkgraph_triangles": "dedup_clusters_lsh",  # ordered-edge
+    "linkgraph_triangles": "linkgraph_cc_certified",  # ordered-edge
     #   two-equi-join enumeration over the same capped gram graph
     # linkgraph_cc_starcontraction rotated INTO the driver window r7
     "dedup_ngram_jaccard": "minhash_lsh_dedup",
@@ -69,25 +74,34 @@ COVERED_BY: dict[str, str] = {
     "media_perceptual_dedup": "minhash_lsh_dedup",  # average-hash
     #   fingerprint + the same pigeonhole-banded Hamming machinery
     #   over the multimodal payload column
-    "lsh_incremental_dedup": "minhash_lsh_dedup",
+    # lsh_incremental_dedup rotated INTO the driver window r9
     # bloom_incremental_dedup rotated INTO the driver window r7
     "doc_fingerprint": "bloom_incremental_dedup",  # md5 fingerprint
     #   projection + fingerprint-keyed groupBy
     "source_dedup_matrix": "bloom_incremental_dedup",  # fingerprint-group counts
     #   self-joined into the cross-source duplicate-provenance matrix
     # --- text / curation -------------------------------------------------
-    "corpus_vocabulary": "bpe_merge_table",
-    "doc_subword_stats": "doc_bpe_stats",
+    # bpe_merge_table / doc_bpe_stats rotated OUT in the r9 second
+    # wave (green r3-r8); the BPE trainer loop is pinned by
+    # tests/test_text_bpe.py and the text-family scans stay visible:
+    "bpe_merge_table": "token_pmi_pairs",  # vocabulary-keyed
+    #   aggregate + join chain (the trainer's per-round pair counts)
+    "doc_bpe_stats": "doc_token_stats",
+    "corpus_vocabulary": "doc_token_stats",
+    "doc_subword_stats": "doc_token_stats",
     "doc_winnow_fingerprints": "doc_token_stats",
     "doc_bigram_lm_score": "decontaminate_ngrams",
-    "token_pmi_pairs": "decontaminate_ngrams",  # log-free PMI-ratio
-    #   ranking over the same vocabulary-keyed join chain
+    # token_pmi_pairs rotated INTO the driver window r9
     "term_source_dispersion": "inverted_index_postings",  # stacked term-key
     #   count rollups + ordered take (boilerplate detector)
-    "gopher_quality_flags": "doc_token_stats",  # narrow per-doc
-    #   token-stat projection, no shuffle
-    "logreg_calibration": "logreg_gd_training",  # serve half:
-    #   one codegen'd scoring scan under the trained weights
+    # gopher_quality_flags rotated INTO the driver window r9
+    # logreg_gd_training rotated OUT in the r9 second wave (green
+    # r5-r8); the iterative fixed-point-aggregate loop stays visible
+    # via linkgraph_pagerank:
+    "logreg_gd_training": "linkgraph_pagerank",  # per-round
+    #   map-side-combinable aggregate + bounded driver state update
+    "logreg_calibration": "doc_quality_linear_model",  # one codegen'd
+    #   linear-scoring scan (hashed-feature dot product, no shuffle)
     "doc_lang_id": "doc_token_stats",
     "code_switch_profile": "doc_token_stats",  # chunk explode +
     #   per-doc lang-mix rollup (paragraph_dedup's shuffle graph)
@@ -98,27 +112,35 @@ COVERED_BY: dict[str, str] = {
     "corpus_release_report": "decontaminate_ngrams",  # dataset-card
     #   rollup: shared base + four 1-row aggregates crossJoined; the
     #   heavy branch is decontaminate's n-gram equi-join
-    # curation_pipeline_e2e rotated INTO the driver window in r6
+    # curation_pipeline_e2e rotated OUT in the r9 second wave (green
+    # r6-r8); every stage stays individually visible:
+    "curation_pipeline_e2e": "corpus_mixture_sample",  # composed
+    #   curation chain — stages witnessed by dedup_exact,
+    #   minhash_lsh_dedup, decontaminate_ngrams (all visible)
     "semantic_decontamination": "hard_negative_mining_ann",  # broadcast
     #   bench side + JVM cosine fold + per-vector top-1 window
     "source_quota_cap": "inverted_index_postings",  # top-k-per-key window
-    "cluster_balanced_sample": "semdedup_prune",
-    "cluster_topic_terms": "semdedup_prune",  # k-means assignment +
-    #   tf-lift per-cluster top-k (topic labels for curation reports)
+    # semdedup_prune rotated OUT in the r9 second wave (green r4-r8):
+    "semdedup_prune": "lsh_incremental_dedup",  # standing-index
+    #   candidate shortlist + per-doc keep/drop verdict
+    "cluster_balanced_sample": "corpus_mixture_sample",  # k-means
+    #   assignment + per-cluster budgeted sample
+    "cluster_topic_terms": "corpus_mixture_sample",  # k-means
+    #   assignment + tf-lift per-cluster top-k (curation reports)
 
     # --- retrieval -------------------------------------------------------
     # bm25_top_docs rotated INTO the driver window r7
     # rrf_fusion rotated INTO the driver window r7
     # positional retrieval (r9): term-filtered postings + bounded
     # positional self-join — the term-keyed probe family
-    "phrase_match_docs": "bm25_top_docs_served",
-    "proximity_ranked_docs": "bm25_top_docs_served",
-    "phrase_match_served": "bm25_top_docs_served",
-    "proximity_ranked_served": "bm25_top_docs_served",
-    "bm25_filtered_served": "bm25_top_docs_served",
-    "doc_fetch_served": "bm25_top_docs_served",  # same bucket-probe
-    #   serving family; the docstore fetch side (literal-IN bucket
-    #   pruning, zero Exchange) is plan-pinned in tests/test_docstore.py
+    # phrase_match_served / bm25_filtered_served / doc_fetch_served
+    # rotated INTO the driver window r9 (second wave)
+    "phrase_match_docs": "phrase_match_served",  # ad-hoc scan twin of
+    #   the served probe (same oracle text, same positional join)
+    "proximity_ranked_docs": "phrase_match_served",  # same
+    #   term-filtered positional self-join, band vs adjacency
+    "proximity_ranked_served": "phrase_match_served",  # same
+    #   bucket-pruned two-term positional read, band vs adjacency
     # --- corpus assembly / sampling --------------------------------------
     "corpus_global_shuffle": "corpus_mixture_sample",  # salted-hash
     #   key projection + repartition family
@@ -146,7 +168,7 @@ COVERED_BY: dict[str, str] = {
     #   one-row rollup (privacy audit)
     "user_active_streaks": "latest_event_per_user",  # user-keyed ordered
     #   window (lag/cumsum islands)
-    "session_conversion_funnel": "event_sessionization",  # lag/cumsum
+    "session_conversion_funnel": "event_funnel_conversion",  # lag/cumsum
     #   sessions + staged conditional-min funnel joins
     "dq_expectations": "table_counts",  # bounded rule-grid
     #   aggregate rollup
@@ -170,7 +192,9 @@ COVERED_BY: dict[str, str] = {
     #   one-row rollup per candidate key (salting decision input)
     "daily_new_users": "latest_event_per_user",  # user-keyed min-date
     #   window + date rollup
-    "promo_session_attribution": "event_sessionization",  # session
+    "promo_session_attribution": "cogroup_asof_pandas",  # session
+    #   interval-join + attribution pick — the as-of time-band
+    #   pair-join family (cogroup_asof_pandas driver-visible);
     #   intervals x broadcast promo calendar overlap join
     # --- relational / TPC-H shapes --------------------------------------
     # r7 rotation: six 5-6x-green incumbents OUT (history preserved in
@@ -240,7 +264,7 @@ COVERED_BY: dict[str, str] = {
     "nation_metrics_unpivot": "lineitem_cube",  # unpivot/stack
     #   over the cube family's EXPAND
     "order_value_ranks": "latest_event_per_user",
-    "association_rules_pairs": "dedup_clusters_lsh",  # basket-key
+    "association_rules_pairs": "token_pmi_pairs",  # basket-key
     #   self-equi-join pair derivation + broadcast stats (Apriori k=2)
     "cohort_ltv_curve": "latest_event_per_user",  # cohort attribution
     #   + grid-bounded per-cohort running sum
@@ -251,7 +275,7 @@ COVERED_BY: dict[str, str] = {
     #   union + merge groupBy (incremental_agg_merge with retraction)
     "corpus_novelty_curve": "decontaminate_ngrams",  # min-per-gram survivor
     #   + join-back over decontaminate's gram explode
-    "event_sequence_pattern": "event_sessionization",  # per-key
+    "event_sequence_pattern": "latest_event_per_user",  # per-key
     #   ordered collect + codegen'd regex
     # --- CDC / temporal --------------------------------------------------
     "orders_upsert": "customer_scd2_history",
@@ -261,7 +285,9 @@ COVERED_BY: dict[str, str] = {
     #   UDF surface; same per-doc stat output as the built-in path
     "volume_shipping_report": "local_supplier_volume",  # Q7: the
     #   broadcast-dim star join with nation joined twice
-    "large_volume_customers": "returned_item_report",  # Q18:
+    # large_volume_customers rotated INTO the driver window r9
+    # (second wave). Q18 notes kept for history:
+    # Q18:
     #   agg-subquery semi-join + re-aggregate
     "regional_min_balance_supplier": "local_supplier_volume",  # Q2:
     #   correlated scalar-MIN decorrelated to a min-per-group
@@ -276,19 +302,31 @@ COVERED_BY: dict[str, str] = {
     #   rank arithmetic over a population-bounded window
     "user_cohort_retention": "latest_event_per_user",  # cohort min-date
     #   window + offset-grid rollup
-    "events_variant_extract": "events_json_bucket",
-    "user_event_type_map": "events_json_bucket",  # typed from_json
+    # events_variant_extract rotated INTO the driver window r9,
+    # superseding events_json_bucket as the JSON-extraction witness:
+    "events_json_bucket": "events_variant_extract",
+    "user_event_type_map": "events_variant_extract",  # typed from_json
     #   + map HOF chain, canonical sorted rendering
-    "events_schema_profile": "events_json_bucket",  # variant_explode
+    "events_schema_profile": "events_variant_extract",  # variant_explode
     #   generator + bounded-grid agg; same parse->extract->agg scan
-    "session_window_counts": "event_sessionization",  # gap-based
+    # event_sessionization rotated OUT in the r9 second wave (green
+    # r1-r8); the per-user ordered-window family stays visible:
+    "event_sessionization": "latest_event_per_user",  # per-user
+    #   ordered window scan (lag/gap marking vs top-1 pick)
+    "session_window_counts": "streaming_hourly_counts",  # gap-based
     #   session assignment (lag/cumsum) + count
     "sliding_window_counts": "streaming_hourly_counts",
     "stream_static_enrich": "streaming_hourly_counts",
     "streaming_dedup": "streaming_hourly_counts",
-    "streaming_interval_join": "range_join_error_click",  # stream twin
+    # range_join_error_click rotated OUT in the r9 second wave (green
+    # r1-r8); the events-pair time-band join stays visible via
+    # asof_click_before_error:
+    "range_join_error_click": "cogroup_asof_pandas",  # same
+    #   events pair-match semantics (banded |ts diff| vs as-of pick);
+    #   the JVM banded equi-join plan is pinned in test_plans.py
+    "streaming_interval_join": "streaming_hourly_counts",  # stream twin
     #   of the driver-visible batch interval join; real readStream
-    "streaming_interval_join_louter": "range_join_error_click",  # left-outer
+    "streaming_interval_join_louter": "streaming_hourly_counts",  # left-outer
     #   stream-stream interval join, watermark-gated NULLs
     "streaming_pit_enrich": "customer_scd2_history",  # stream-static
     #   SCD2 range join, stateless — batch twin orders_pit_customer_join

@@ -268,6 +268,10 @@ def asof_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND abs(epoch_us(c.ts) - epoch_us(e.ts)) <= 120 * 1000000
     """,
     tags=("range-join", "bucketed"),
+    # green r1-r8; rotated OUT in the r9 second wave — the
+    # events-pair interval predicate stays visible via
+    # asof_click_before_error (same bucketed pair-join family)
+    driver_visible=False,
 )
 def range_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval join (|Δt| ≤ 120 s, same user) via time-bucket

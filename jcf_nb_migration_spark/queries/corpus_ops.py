@@ -96,6 +96,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM walk GROUP BY node
     """,
     tags=("dedup", "clustering", "iterative", "lsh"),
+    # green r2-r8; rotated OUT in the r9 second wave — the certified
+    # star-contraction CC engine stays visible via
+    # linkgraph_cc_certified / linkgraph_cc_starcontraction
+    driver_visible=False,
 )
 def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end linear dedup: banded MinHash LSH candidates →

@@ -240,6 +240,10 @@ SEMDEDUP_TAU = 0.35  # same near-dup bar as embedding_dedup_pairs
     FROM assigned s LEFT JOIN drops d ON d.vid = s.vec_id
     """,
     tags=("curation", "dedup", "semantic", "kmeans"),
+    # green r4-r8; rotated OUT in the r9 second wave — the
+    # cluster-shortlist dedup family stays visible via
+    # lsh_incremental_dedup / bloom_incremental_dedup
+    driver_visible=False,
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, SemDeDup-style: k-means the embedding space
@@ -559,10 +563,7 @@ LSH_OLD_MAX = 250  # doc_id < this = the standing (already-indexed) corpus
     ORDER BY d.doc_id
     """,
     tags=("curation", "dedup", "lsh", "incremental"),
-    # kept local to fit the 50-name driver window; the band-table
-    # equi-join + exact-verify physical shape is driver-visible via
-    # minhash_lsh_dedup (whole-corpus variant of the same index)
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name)
 )
 def lsh_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest NEAR-dup dedup against the standing MinHash
@@ -870,7 +871,7 @@ def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM feat ORDER BY doc_id
     """,
     tags=("curation", "quality", "gopher"),
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name)
 )
 def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Gopher/MassiveText document-level quality rules as exact
@@ -1340,10 +1341,10 @@ PIPE_KEEP_PCT = 80  # content-stable final sampling rate (percent)
     ) ORDER BY stage
     """,
     tags=("curation", "pipeline", "e2e", "funnel"),
-    # rotated INTO the driver window in r6 (VERDICT r5 item 7): the
-    # composed funnel is the single most representative query in the
-    # repo — its stages are dedup_exact + minhash_lsh_dedup +
-    # decontaminate_ngrams chained end-to-end
+    # green r6-r8; rotated OUT in the r9 second wave — its stages
+    # (dedup_exact, minhash_lsh_dedup, decontaminate_ngrams) all stay
+    # individually driver-visible
+    driver_visible=False,
 )
 def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END training-data curation funnel with the REAL

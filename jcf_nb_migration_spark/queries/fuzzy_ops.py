@@ -52,8 +52,10 @@ from jcf_nb_migration_spark.registry import query, t
     ORDER BY c.c_custkey
     """,
     tags=("fuzzy-join", "entity-resolution", "blocking"),
-    # driver-visible (rotated in r5, displacing doc_lang_id whose
-    # narrow-scan pattern doc_quality_score still witnesses)
+    # green r5-r8; rotated OUT in the r9 second wave — superseded by
+    # record_linkage_merge (two-table variant of the same deletion-
+    # key blocking + edit-distance verify)
+    driver_visible=False,
 )
 def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate self-join: for every customer, how many other
@@ -150,10 +152,8 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("fuzzy-join", "entity-resolution", "record-linkage",
           "golden-record", "survivorship"),
-    # two-table variant of fuzzy_name_matches' blocking
-    # (driver-visible); per-incoming top-1 window bounded by the
-    # candidate count
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name;
+    # supersedes fuzzy_name_matches as the blocking family's witness)
 )
 def record_linkage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage with survivorship — the incoming-batch-vs-master

@@ -97,8 +97,9 @@ _SQL_ROWS = " UNION ALL ".join(
     SELECT * FROM ({_SQL_ROWS}) ORDER BY iter
     """,
     tags=("ml", "training", "iterative", "gradient-descent"),
-    # driver-visible (rotated in r5, displacing doc_repetition_stats
-    # whose gram-explode pattern decontaminate_ngrams still witnesses)
+    # green r5-r8; rotated OUT in the r9 second wave — the iterative
+    # fixed-point-aggregate family stays visible via linkgraph_pagerank
+    driver_visible=False,
 )
 def logreg_gd_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a linear classifier (is this document English?) on three

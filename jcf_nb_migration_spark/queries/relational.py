@@ -369,6 +369,9 @@ def user_running_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM marked GROUP BY user_id ORDER BY user_id
     """,
     tags=("window", "sessionization"),
+    # green r1-r8; rotated OUT in the r9 second wave — the per-user
+    # ordered-window family stays visible via latest_event_per_user
+    driver_visible=False,
 )
 def event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: lag(ts) gap > 30 min starts a new session. The
@@ -474,6 +477,9 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1 ORDER BY 1
     """,
     tags=("json", "agg"),
+    # green r1-r8; rotated OUT in the r9 second wave — superseded by
+    # events_variant_extract as the JSON-extraction witness
+    driver_visible=False,
 )
 def events_json_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: parse the props JSON payload

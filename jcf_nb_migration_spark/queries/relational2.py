@@ -188,7 +188,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id ORDER BY user_id
     """,
     tags=("json", "variant", "semi-structured"),
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name;
+    # supersedes events_json_bucket as the JSON family's witness)
 )
 def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props via the VARIANT type (Spark 4): parse the

@@ -434,10 +434,7 @@ Q18_QTY = 300  # large-volume order threshold
     LIMIT 20
     """,
     tags=("tpch-q18", "join", "having-subquery", "topk"),
-    # semi-join on an aggregated subquery + re-aggregate — the
-    # groupBy-HAVING-IN decorrelation family (driver-visible twins:
-    # returned_item_report's join+agg, shipping_priority's top-k)
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name)
 )
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers who placed orders totalling more

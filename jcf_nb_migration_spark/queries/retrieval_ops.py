@@ -805,9 +805,7 @@ def proximity_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "phrase_match_served",
     oracle=_SQL_PHRASE_ORACLE,
     tags=("retrieval", "phrase", "positional", "serving", "bucketed"),
-    # served twin of phrase_match_docs; term-keyed bucket-probe family
-    # driver-visible via bm25_top_docs_served (shared tags)
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name)
 )
 def phrase_match_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase retrieval SERVED from the persisted positional
@@ -879,9 +877,7 @@ def proximity_ranked_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY bm.bm25 DESC, bm.doc_id LIMIT 20
     """,
     tags=("retrieval", "bm25", "serving", "bucketed", "filtered"),
-    # metadata-filtered serving: same probe family as
-    # bm25_top_docs_served (shared tags)
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name)
 )
 def bm25_filtered_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """METADATA-FILTERED BM25 serving — the other half of every RAG
@@ -926,9 +922,7 @@ def bm25_filtered_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY k.bm25 DESC, k.doc_id
     """,
     tags=("retrieval", "serving", "bucketed", "docstore"),
-    # fetch-by-id completes the bucket-probe serving family that
-    # bm25_top_docs_served keeps driver-visible (shared tags)
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name)
 )
 def doc_fetch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE serving loop — rank, then fetch content: BM25

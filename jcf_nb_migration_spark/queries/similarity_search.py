@@ -705,10 +705,7 @@ RERANK_COARSE_N = 50  # candidates kept from the compressed-index pass
     LIMIT 10
     """,
     tags=("similarity", "quantization", "rerank", "ann", "composed"),
-    # compressed-first scoring + exact re-rank composes the int8 and
-    # brute-force pieces; coarse scan twin = ann_brute_force_topk,
-    # quantization twin = ivfpq_ann_probe (both driver-visible)
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name)
 )
 def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compressed-index read path every production vector store
@@ -934,9 +931,10 @@ def ivfpq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_sql_residual_adc_oracle(),
     tags=("similarity", "ann", "ivf", "pq", "residual", "adc",
           "composed"),
-    # rotated INTO the driver window in r6 (VERDICT r5 item 7): the
-    # hardest ANN read path — residual-index ADC over the frame built
-    # by ivfpq_residual_codes
+    # green r6-r8; rotated OUT in the r9 second wave — superseded by
+    # ivfadc_residual_multiprobe (same ADC scorer, nprobe=2: a strict
+    # superset of this plan)
+    driver_visible=False,
 )
 def ivfadc_residual_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete IVFADC read path on the RESIDUAL index: the probe
@@ -1067,9 +1065,8 @@ def _sql_residual_adc_multiprobe_oracle(nprobe: int = 2) -> str:
     oracle=_sql_residual_adc_multiprobe_oracle(2),
     tags=("similarity", "ann", "ivf", "pq", "residual", "adc",
           "multiprobe", "composed"),
-    # nprobe=2 variant of ivfadc_residual_probe; recall sibling
-    # ivf_ann_multiprobe (pattern driver-visible via ivfpq_ann_probe)
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name;
+    # supersedes ivfadc_residual_probe as the family's witness)
 )
 def ivfadc_residual_multiprobe(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

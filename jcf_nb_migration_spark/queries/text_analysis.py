@@ -232,6 +232,10 @@ def _sql_bpe_ctes(num_merges: int = T.BPE_NUM_MERGES) -> str:
     SELECT merge_rank, lhs, rhs FROM bpe_merges
     """,
     tags=("text", "bpe", "train"),
+    # green r3-r8; rotated OUT in the r9 second wave — the
+    # vocabulary-join text family stays visible via doc_token_stats /
+    # token_pmi_pairs; the BPE loop itself is pinned by test_text_bpe
+    driver_visible=False,
 )
 def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table itself (rank, lhs, rhs): one corpus
@@ -269,6 +273,9 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM doc_enc0 e JOIN bfinal f USING (doc_id)
     """,
     tags=("text", "bpe", "tokenize"),
+    # green r3-r8; rotated OUT in the r9 second wave (same family
+    # witnesses as bpe_merge_table)
+    driver_visible=False,
 )
 def doc_bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE token counts per document (the corpus-wide token-budget
@@ -866,9 +873,7 @@ PMI_MIN_COUNT = 5  # bigram support floor (PMI is noise below this)
     LIMIT 50
     """,
     tags=("text", "collocation", "pmi"),
-    # vocabulary-keyed join chain + scalar broadcast — the bigram-LM /
-    # tfidf physical family (decontaminate_ngrams driver-visible)
-    driver_visible=False,
+    # rotated INTO the driver window r9 second wave (first-time name)
 )
 def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: the 50 adjacent token pairs most associated
