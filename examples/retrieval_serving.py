@@ -5,12 +5,15 @@ persisted index layouts in io/lexical.py.
     documents
       → tokenize (codegen'd whitespace tokens)
       → BUILD: tok-bucketed postings table + additive corpus stats
-               (+ the opt-in positional table for phrase queries)
+               (+ the opt-in positional table for phrase queries,
+               + the doc_id-bucketed docstore for content fetches)
       → SERVE: BM25 probes (bucket-pruned scan, ZERO Exchange on the
                tok-keyed df aggregate), phrase / proximity probes
                (bucket-pruned positional adjacency joins)
+      → FETCH: ranked ids → bucket-pruned point lookup of the content
+               (io/docstore.py — the rank→fetch loop)
       → INGEST: ledgered micro-batch appends (at-least-once delivery
-               made effectively-once)
+               made effectively-once; shared batch-id contract)
       → MAINTAIN: fragmentation-gated compaction
 
 At 100 TB the build is the one corpus pass; every probe after it reads
@@ -33,6 +36,8 @@ def serve_demo(spark, sf_dir: str, idx_dir: str) -> dict:
     """Run the full lifecycle; returns a summary dict (tested by
     tests/test_e2e_demo.py)."""
     from jcf_nb_migration_spark.functions import text as T
+    from jcf_nb_migration_spark.io.docstore import (
+        docstore_append, docstore_build, docstore_fetch)
     from jcf_nb_migration_spark.io.lexical import (
         bm25_probe, lexical_index_append, lexical_index_build,
         lexical_index_maintain, phrase_probe, positional_index_build,
@@ -46,16 +51,21 @@ def serve_demo(spark, sf_dir: str, idx_dir: str) -> dict:
     base = toks.where(F.col("doc_id") % 10 != 0)
     batches = [toks.where(F.col("doc_id") % 10 == r) for r in (0,)]
 
-    # BUILD once (the corpus pass), both layouts
+    # BUILD once (the corpus pass): both index layouts + the docstore
     lexical_index_build(base, "demo_lex", os.path.join(idx_dir, "lex"))
     positional_index_build(toks, "demo_pos",
                            os.path.join(idx_dir, "pos"))
+    docstore_build(docs.where(F.col("doc_id") % 10 != 0), "demo_ds",
+                   os.path.join(idx_dir, "ds"))
 
-    # INGEST: ledgered micro-batch append (replays are no-ops)
+    # INGEST: ledgered micro-batch append (replays are no-ops) —
+    # index and docstore share the batch-id contract
     appended = [lexical_index_append(b, "demo_lex",
                                      os.path.join(idx_dir, "lex"),
                                      batch_id=i)
                 for i, b in enumerate(batches)]
+    docstore_append(docs.where(F.col("doc_id") % 10 == 0), "demo_ds",
+                    os.path.join(idx_dir, "ds"), batch_id=0)
 
     # MAINTAIN: compact when fragmented (no-op on this tiny demo
     # unless the threshold is forced down)
@@ -72,9 +82,15 @@ def serve_demo(spark, sf_dir: str, idx_dir: str) -> dict:
     prox = proximity_probe(spark, "demo_pos",
                            os.path.join(idx_dir, "pos"), PROX_TERMS,
                            window=PROX_WINDOW, k=10).collect()
+    # FETCH: the ranked ids become a bucket-pruned point lookup of the
+    # content — the rank→fetch loop doc_fetch_served runs
+    fetched = docstore_fetch(spark, "demo_ds",
+                             os.path.join(idx_dir, "ds"),
+                             [r["doc_id"] for r in bm25]).collect()
     return {
         "appended": appended,
         "compacted": compacted,
+        "fetched": [(r["doc_id"], r["source"]) for r in fetched],
         "bm25_top": [(r["doc_id"], r["bm25"]) for r in bm25],
         "phrase_hits": [(r["doc_id"], r["n_occurrences"])
                         for r in phrase],

@@ -62,5 +62,8 @@ def test_retrieval_serving_demo(spark, tmp_path):
     assert s["appended"] == [True]
     assert s["compacted"] is True  # forced-low threshold after append
     assert len(s["bm25_top"]) == 10
+    # every ranked id's content comes back from the docstore
+    assert sorted(d for d, _ in s["fetched"]) == sorted(
+        d for d, _ in s["bm25_top"])
     assert len(s["phrase_hits"]) > 0
     assert len(s["proximity_hits"]) > 0
