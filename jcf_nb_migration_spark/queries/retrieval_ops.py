@@ -970,3 +970,121 @@ def doc_fetch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "bm25", "source", "lang", "n_chars",
                     F.substring("text", 1, 40).alias("preview"))
             .orderBy(F.desc("bm25"), "doc_id"))
+
+
+# Late-interaction (ColBERT-style) MaxSim reranking: token-level
+# pseudo-embeddings (hash-derived — deterministic stand-ins for a
+# learned projection; the PLAN is what a real deployment runs), BM25
+# candidate shortlist, per-query-term max-dot-product summed per doc.
+LI_DIM = 8          # pseudo-embedding dimensions
+LI_SHORTLIST = 50   # BM25 candidates reranked
+LI_TOP = 10
+
+
+def _li_sql_dims(tok_expr: str, prefix: str) -> str:
+    """SQL projections e{prefix}0..e{prefix}{LI_DIM-1}: per-dimension
+    hash-derived components in [-1, 1], textually mirroring the Spark
+    builder below (same salt scheme, same integer arithmetic, CAST to
+    DOUBLE before the division — DuckDB's bare 1000.0 is DECIMAL)."""
+    parts = []
+    for d in range(LI_DIM):
+        salted = f"concat('li{d}:', {tok_expr})"
+        parts.append(f"(({_sql_hash48(salted)} % 2001) - 1000)"
+                     f" / CAST(1000 AS DOUBLE) AS {prefix}{d}")
+    return ",\n               ".join(parts)
+
+
+def _li_dims(col, prefix: str):
+    """Spark twin of _li_sql_dims: LI_DIM hash-derived components."""
+    from jcf_nb_migration_spark.functions.text import token_hash48
+    return [(((token_hash48(col, f"li{d}") % 2001) - 1000)
+             / F.lit(1000.0)).alias(f"{prefix}{d}")
+            for d in range(LI_DIM)]
+
+
+_LI_DOT = " + ".join(f"q.q{d} * t.e{d}" for d in range(LI_DIM))
+
+
+@query(
+    "late_interaction_rerank",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    {_sql_bm25_ctes()},
+    short AS (
+        SELECT doc_id, bm25 FROM bm
+        ORDER BY bm25 DESC, doc_id LIMIT {LI_SHORTLIST}
+    ),
+    dtoks AS (
+        SELECT DISTINCT d.doc_id, tok FROM
+        (SELECT doc_id, unnest(w) AS tok FROM d) d
+        JOIN short USING (doc_id)
+    ),
+    temb AS (
+        SELECT doc_id, tok,
+               {_li_sql_dims('tok', 'e')}
+        FROM dtoks
+    ),
+    qemb AS (
+        SELECT qtok,
+               {_li_sql_dims('qtok', 'q')}
+        FROM (SELECT unnest([{_SQL_TERMS}]) AS qtok)
+    ),
+    dots AS (
+        SELECT t.doc_id, q.qtok, {_LI_DOT} AS dot
+        FROM temb t CROSS JOIN qemb q
+    ),
+    per_q AS (
+        SELECT doc_id, qtok, MAX(dot) AS maxsim
+        FROM dots GROUP BY doc_id, qtok
+    )
+    SELECT s.doc_id, s.bm25,
+           ROUND(SUM(p.maxsim), 9) AS li_score
+    FROM per_q p JOIN short s USING (doc_id)
+    GROUP BY s.doc_id, s.bm25
+    ORDER BY li_score DESC, s.doc_id LIMIT {LI_TOP}
+    """,
+    tags=("retrieval", "rerank", "late-interaction", "maxsim",
+          "composed"),
+    # BM25-shortlist + bounded rerank — the compressed-first/rerank
+    # family quantized_rerank_topk keeps driver-visible (shared tags)
+    driver_visible=False,
+)
+def late_interaction_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction reranking (the ColBERT/MaxSim retrieval stage
+    modern RAG stacks run between the cheap shortlist and the LLM):
+    BM25 produces a {LI_SHORTLIST}-doc candidate shortlist, then each
+    candidate is rescored by sum over query tokens of the MAX dot
+    product against the document's token embeddings. Token embeddings
+    here are hash-derived pseudo-vectors (deterministic, so DuckDB
+    replays them exactly); a deployment swaps in a learned projection
+    without touching the plan.
+
+    Plan: the ONLY corpus-sized work is the shared BM25 scorer (one tf
+    groupBy). Everything after the shortlist cut is request-bounded:
+    the doc-token frame is a semi-join against {LI_SHORTLIST} ids, the
+    query-embedding side is a {LI_DIM}-column LITERAL frame
+    (broadcast), the MaxSim join is shortlist-tokens × |query terms|,
+    and both groupBys key on shortlist doc_ids. At 100 TB the rerank
+    cost is a function of k and document length — never the corpus."""
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    _, bm = _bm25_frames(toks)
+    short = (bm.select("doc_id", "bm25")
+             .orderBy(F.desc("bm25"), "doc_id").limit(LI_SHORTLIST))
+    dtoks = (toks.join(short.select("doc_id"), "doc_id", "left_semi")
+             .select("doc_id", F.explode("w").alias("tok"))
+             .distinct())
+    temb = dtoks.select("doc_id", *_li_dims(F.col("tok"), "e")).alias("t")
+    qemb = (spark.createDataFrame([(w,) for w in BM25_TERMS],
+                                  "qtok string")
+            .select("qtok", *_li_dims(F.col("qtok"), "q")).alias("q"))
+    dot = sum((F.col(f"q.q{d}") * F.col(f"t.e{d}") for d in range(1, LI_DIM)),
+              F.col("q.q0") * F.col("t.e0"))
+    dots = (temb.crossJoin(F.broadcast(qemb))
+            .select(F.col("t.doc_id").alias("doc_id"), "qtok",
+                    dot.alias("dot")))
+    per_q = dots.groupBy("doc_id", "qtok").agg(F.max("dot").alias("maxsim"))
+    return (per_q.join(short, "doc_id")
+            .groupBy("doc_id", "bm25")
+            .agg(F.round(F.sum("maxsim"), 9).alias("li_score"))
+            .orderBy(F.desc("li_score"), "doc_id").limit(LI_TOP))
