@@ -196,9 +196,8 @@ COVERED_BY: dict[str, str] = {
     "daily_new_users": "latest_event_per_user",  # user-keyed min-date
     #   window + date rollup
     "promo_session_attribution": "cogroup_asof_pandas",  # session
-    #   interval-join + attribution pick — the as-of time-band
-    #   pair-join family (cogroup_asof_pandas driver-visible);
-    #   intervals x broadcast promo calendar overlap join
+    #   intervals x broadcast promo calendar overlap join + as-of
+    #   attribution pick — the time-band pair-join family
     # --- relational / TPC-H shapes --------------------------------------
     # r7 rotation: six 5-6x-green incumbents OUT (history preserved in
     # CORRECTNESS_r1-r6) to admit the never-checked families above.

@@ -40,59 +40,64 @@ Hadoop FileSystem API or a transactional table format.
 
 from __future__ import annotations
 
-import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.io.lexical import (
-    META_FILE,
     _IDENT,
     _check_meta,
     _check_table_at,
     _checked_prefix,
     _compact_bucketed_table,
+    _read_meta,
     _require_bucketed_table,
     _sql_path,
     _table_num_buckets,
+    _write_meta,
 )
 
 DOCS_SUBDIR = "docs"
 
+# simpleString() output that is safe to interpolate into CREATE TABLE:
+# type names, digits, nesting/precision punctuation. A nested struct
+# whose FIELD names carry quotes or other exotica falls outside this
+# set (simpleString embeds field names verbatim) and is rejected at
+# build time rather than producing broken/injectable DDL at attach.
+_TYPE_DDL = re.compile(r"^[A-Za-z0-9_<>,:() ]+$")
+
 
 def _schema_ddl(df: DataFrame) -> str:
     """Column DDL for the meta file / attach statement. Names are
-    validated as identifiers (they land inside CREATE TABLE), types
-    come from Catalyst's own ``simpleString`` (valid DDL by
-    construction)."""
+    validated as identifiers and types (Catalyst ``simpleString``)
+    against a safe DDL charset — both land inside CREATE TABLE."""
     cols = []
     for fld in df.schema.fields:
         if not _IDENT.match(fld.name):
             raise ValueError(
                 f"docstore column name must be a SQL identifier, "
                 f"got {fld.name!r}")
-        cols.append(f"{fld.name} {fld.dataType.simpleString()}")
+        ts = fld.dataType.simpleString()
+        if not _TYPE_DDL.match(ts):
+            raise ValueError(
+                f"docstore column {fld.name!r} has a type whose DDL "
+                f"rendering contains unsafe characters ({ts!r}) — "
+                "rename nested fields to plain identifiers")
+        cols.append(f"{fld.name} {ts}")
     return ", ".join(cols)
 
 
-def _write_meta(path: str, num_buckets: int, columns: str) -> None:
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, META_FILE), "w") as fh:
-        json.dump({"num_buckets": num_buckets, "columns": columns}, fh)
-
-
 def _meta_columns(path: str) -> str:
-    meta_path = os.path.join(path, META_FILE)
-    if not os.path.exists(meta_path):
+    meta = _read_meta(path)
+    if meta is None:
         raise ValueError(
-            f"no docstore meta at {meta_path} — attach needs the "
+            f"no docstore meta under {path} — attach needs the "
             "column DDL recorded by docstore_build")
-    with open(meta_path) as fh:
-        meta = json.load(fh)
     if "columns" not in meta:
         raise ValueError(
-            f"meta at {meta_path} records no column DDL — not a "
+            f"meta under {path} records no column DDL — not a "
             "docstore index?")
     return meta["columns"]
 
@@ -108,6 +113,11 @@ def docstore_build(docs: DataFrame, prefix: str, path: str,
 
     if "doc_id" not in docs.columns:
         raise ValueError("docstore frame must have a doc_id column")
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"docstore doc_id must be an integral type (fetch ids are "
+            f"literal integers), got {id_type}")
     spark = docs.sparkSession
     prefix = _checked_prefix(prefix)
     ddl = _schema_ddl(docs)
@@ -117,7 +127,7 @@ def docstore_build(docs: DataFrame, prefix: str, path: str,
      .bucketBy(num_buckets, "doc_id").sortBy("doc_id")
      .option("path", os.path.join(path, DOCS_SUBDIR))
      .format("parquet").saveAsTable(f"{prefix}_docs"))
-    _write_meta(path, num_buckets, ddl)
+    _write_meta(path, num_buckets, extra={"columns": ddl})
 
 
 def docstore_attach(spark: SparkSession, prefix: str, path: str,
@@ -158,7 +168,7 @@ def docstore_append(new_docs: DataFrame, prefix: str, path: str,
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_docs"
     _require_bucketed_table(spark, table, num_buckets, path,
-                            "docstore_build")
+                            "docstore_build", DOCS_SUBDIR)
     from jcf_nb_migration_spark.io.layout import (_ledger_commit,
                                                   _ledger_skip)
 
@@ -192,7 +202,13 @@ def docstore_fetch(spark: SparkSession, prefix: str, path: str,
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_docs"
     _check_table_at(spark, table, path, DOCS_SUBDIR)
-    ids = [int(i) for i in doc_ids]
+    ids = list(doc_ids)
+    bad = [i for i in ids
+           if isinstance(i, bool) or not isinstance(i, int)]
+    if bad:
+        raise TypeError(
+            f"docstore ids must be plain ints (doc_id is integral by "
+            f"the build contract), got {bad[:3]!r}")
     return spark.table(table).where(F.col("doc_id").isin(ids))
 
 
@@ -206,15 +222,11 @@ def docstore_compact(spark: SparkSession, prefix: str, path: str,
     epoch. Returns the compacted file count."""
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_docs"
-    if not spark.catalog.tableExists(table):
-        raise ValueError(
-            f"{table} is not registered — attach the docstore first")
-    declared = _table_num_buckets(spark, table)
-    if declared != num_buckets:
-        raise ValueError(
-            f"{table} is bucketed into {declared} buckets, not "
-            f"{num_buckets}")
-    _check_meta(path, num_buckets)
+    # full write-side preamble INCLUDING the location guard: compacting
+    # under a stale same-prefix registration would destructively
+    # overwrite this path with another store's rows
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "docstore_build", DOCS_SUBDIR)
     return _compact_bucketed_table(
         spark, table, path, DOCS_SUBDIR, "doc_id", num_buckets,
         parallelism,

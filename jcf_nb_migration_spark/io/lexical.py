@@ -103,21 +103,39 @@ def _table_location(spark: SparkSession, table: str) -> str | None:
     return None
 
 
-def _write_meta(path: str, num_buckets: int) -> None:
+def _write_meta(path: str, num_buckets: int,
+                extra: dict | None = None) -> None:
     import json
 
     os.makedirs(path, exist_ok=True)
+    meta = {"num_buckets": num_buckets, **(extra or {})}
     with open(os.path.join(path, META_FILE), "w") as fh:
-        json.dump({"num_buckets": num_buckets}, fh)
+        json.dump(meta, fh)
+
+
+def _read_meta(path: str) -> dict | None:
+    """Parsed on-disk meta record, or None for a pre-meta index."""
+    import json
+
+    meta_path = os.path.join(path, META_FILE)
+    if not os.path.exists(meta_path):
+        return None
+    with open(meta_path) as fh:
+        return json.load(fh)
 
 
 def _require_bucketed_table(spark: SparkSession, table: str,
                             num_buckets: int, path: str,
-                            build_fn: str) -> None:
-    """Shared append-side preamble: the table must be registered (a
-    bare saveAsTable append would CREATE a possibly-mismatched spec),
-    its declared bucket count must match the caller's, and the on-disk
-    meta must agree (catches fresh-session wrong-count attaches)."""
+                            build_fn: str, subdir: str) -> None:
+    """Shared WRITE-side preamble (appends and compaction): the table
+    must be registered (a bare saveAsTable append would CREATE a
+    possibly-mismatched spec), its declared bucket count must match
+    the caller's, the on-disk meta must agree (catches fresh-session
+    wrong-count attaches), and the registration must point at THIS
+    index's directory — a stale same-prefix registration from an
+    earlier build elsewhere would otherwise append (or, worse,
+    compact: a destructive rewrite) the WRONG index's rows into this
+    path."""
     if not spark.catalog.tableExists(table):
         raise ValueError(
             f"{table} is not registered in this session's catalog — "
@@ -129,6 +147,7 @@ def _require_bucketed_table(spark: SparkSession, table: str,
             f"caller asked for {num_buckets}; a mismatch would corrupt "
             "bucket pruning")
     _check_meta(path, num_buckets)
+    _check_table_at(spark, table, path, subdir)
 
 
 def _check_table_at(spark: SparkSession, table: str, path: str,
@@ -151,13 +170,10 @@ def _check_meta(path: str, num_buckets: int) -> None:
     can't catch a fresh-session attach that declares a wrong count,
     because CREATE TABLE would happily register the wrong spec over
     the existing files and mis-prune silently."""
-    import json
-
-    meta_path = os.path.join(path, META_FILE)
-    if not os.path.exists(meta_path):
+    meta = _read_meta(path)
+    if meta is None:
         return  # pre-meta index: catalog validation still applies
-    with open(meta_path) as fh:
-        built = json.load(fh)["num_buckets"]
+    built = meta["num_buckets"]
     if built != num_buckets:
         raise ValueError(
             f"index at {path} was built with {built} buckets, caller "
@@ -283,7 +299,7 @@ def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_postings"
     _require_bucketed_table(spark, table, num_buckets, path,
-                            "lexical_index_build")
+                            "lexical_index_build", POSTINGS_SUBDIR)
     from jcf_nb_migration_spark.io.layout import (_ledger_commit,
                                                   _ledger_skip)
 
@@ -418,15 +434,11 @@ def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
     files directly — no defensive materialization needed."""
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_postings"
-    if not spark.catalog.tableExists(table):
-        raise ValueError(
-            f"{table} is not registered — attach the index first")
-    declared = _table_num_buckets(spark, table)
-    if declared != num_buckets:
-        raise ValueError(
-            f"{table} is bucketed into {declared} buckets, not "
-            f"{num_buckets}")
-    _check_meta(path, num_buckets)
+    # full write-side preamble INCLUDING the location guard: compacting
+    # under a stale same-prefix registration would destructively
+    # overwrite this path with another index's rows
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "lexical_index_build", POSTINGS_SUBDIR)
     return _compact_bucketed_table(
         spark, table, path, POSTINGS_SUBDIR, "tok", num_buckets,
         parallelism,
@@ -590,7 +602,7 @@ def positional_index_append(new_toks: DataFrame, prefix: str,
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_positions"
     _require_bucketed_table(spark, table, num_buckets, path,
-                            "positional_index_build")
+                            "positional_index_build", POSITIONS_SUBDIR)
     from jcf_nb_migration_spark.io.layout import (_ledger_commit,
                                                   _ledger_skip)
 

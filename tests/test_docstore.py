@@ -200,3 +200,47 @@ def test_compact_preserves_fetch_and_ledger_epoch(spark, tmp_path):
     assert _fetch_rows(spark, "dst_cmp", path, [110, 114]) == [
         (110, "body of doc 110", "de", 210),
         (114, "body of doc 114", "de", 214)]
+
+
+def test_write_paths_refuse_stale_registration(spark, tmp_path):
+    """The write-side location guard (r9 review fix): with a same-
+    prefix table registered at A, pointing append or compact at a
+    DIFFERENT path must refuse — compacting under a stale registration
+    would destructively overwrite the target path with A's rows."""
+    a = str(tmp_path / "ds_a")
+    b = str(tmp_path / "ds_b")
+    docstore_build(_docs(spark, range(5)), "dst_stale", a, num_buckets=4)
+    with pytest.raises(ValueError, match="registered at"):
+        docstore_append(_docs(spark, [9]), "dst_stale", b, num_buckets=4)
+    with pytest.raises(ValueError, match="registered at"):
+        docstore_compact(spark, "dst_stale", b, num_buckets=4)
+    # and the scenario from the review: b holds another VALID store
+    docstore_build(_docs(spark, range(50, 55)), "dst_other", b,
+                   num_buckets=4)
+    with pytest.raises(ValueError, match="registered at"):
+        docstore_compact(spark, "dst_stale", b, num_buckets=4)
+    # b's store is untouched
+    assert _fetch_rows(spark, "dst_other", b, [51]) == [
+        (51, "body of doc 51", "en", 151)]
+
+
+def test_fetch_rejects_non_int_ids(spark, tmp_path):
+    """Fetch ids must be plain ints: floats would silently truncate
+    (17.9 -> doc 17), strings contradict the integral-doc_id build
+    contract (r9 review fix)."""
+    path = str(tmp_path / "ds_ids")
+    docstore_build(_docs(spark, range(5)), "dst_ids", path,
+                   num_buckets=4)
+    with pytest.raises(TypeError, match="plain ints"):
+        docstore_fetch(spark, "dst_ids", path, [17.9])
+    with pytest.raises(TypeError, match="plain ints"):
+        docstore_fetch(spark, "dst_ids", path, ["doc-17"])
+    with pytest.raises(TypeError, match="plain ints"):
+        docstore_fetch(spark, "dst_ids", path, [True])
+
+
+def test_build_requires_integral_doc_id(spark, tmp_path):
+    with pytest.raises(ValueError, match="integral"):
+        docstore_build(
+            spark.createDataFrame([("a", 1)], "doc_id string, v bigint"),
+            "dst_strid", str(tmp_path / "strid"))

@@ -489,3 +489,21 @@ def test_filtered_probe_gates_before_topk(spark, tmp_path):
     assert got == sorted(
         (unfiltered[d] for d in unfiltered if d % 2 == 0),
         key=lambda r: (-r[2], r[0]))[:5]
+
+
+def test_write_paths_refuse_stale_registration(spark, tmp_path):
+    """Write-side location guard (r9 review fix): with lexti_stale
+    registered at path A, appending to or compacting a DIFFERENT path
+    under the same prefix must refuse instead of mixing indexes (the
+    compact case would destructively overwrite the target path)."""
+    from jcf_nb_migration_spark.io.lexical import lexical_index_compact
+
+    a = str(tmp_path / "lex_a")
+    b = str(tmp_path / "lex_b")
+    lexical_index_build(_corpus(spark, range(8)), "lexti_stale", a,
+                        num_buckets=4)
+    with pytest.raises(ValueError, match="registered at"):
+        lexical_index_append(_corpus(spark, range(8, 10)),
+                             "lexti_stale", b, num_buckets=4)
+    with pytest.raises(ValueError, match="registered at"):
+        lexical_index_compact(spark, "lexti_stale", b, num_buckets=4)
