@@ -538,24 +538,32 @@ def positional_index_attach(spark: SparkSession, prefix: str,
 
 
 def phrase_probe(spark: SparkSession, prefix: str, path: str,
-                 phrase: tuple[str, str], k: int = 20) -> DataFrame:
-    """Serve an exact two-term phrase query from the positional index
-    — row-identical to the ad-hoc scan (queries.retrieval_ops.
-    phrase_match_docs) because both count the same integer adjacency
-    hits. Plan: ONE bucket-pruned scan of the positions table (≤2 of
-    the buckets listed), split into the two terms' position sets,
-    equi-joined on (doc_id, pos+1 = pos), grouped per doc. Columns:
-    doc_id, n_occurrences, first_pos."""
+                 phrase: tuple[str, ...], k: int = 20) -> DataFrame:
+    """Serve an exact N-term phrase query from the positional index —
+    for the two-term case row-identical to the ad-hoc scan
+    (queries.retrieval_ops.phrase_match_docs) because both count the
+    same integer adjacency hits. Plan: ONE bucket-pruned scan of the
+    positions table (≤|distinct terms| of the buckets listed), split
+    into per-term position sets, chained equi-joins on
+    (doc_id, pos_i = pos_0 + i) — each join keyed on doc_id with the
+    position offset riding the key, so the intermediate never widens
+    beyond documents that still match the phrase prefix. Grouped per
+    doc. Columns: doc_id, n_occurrences, first_pos."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_probe needs at least two terms")
     _check_table_at(spark, f"{prefix}_positions", path,
                     POSITIONS_SUBDIR)
     posi = (spark.table(f"{prefix}_positions")
-            .where(F.col("tok").isin(list(phrase))))
-    a = posi.where(F.col("tok") == phrase[0]).alias("a")
-    b = posi.where(F.col("tok") == phrase[1]).alias("b")
-    hits = (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
-                   & (F.col("b.pos") == F.col("a.pos") + 1))
-            .select(F.col("a.doc_id").alias("doc_id"),
-                    F.col("a.pos").alias("pos")))
+            .where(F.col("tok").isin(list(set(phrase)))))
+    hits = (posi.where(F.col("tok") == phrase[0])
+            .select("doc_id", F.col("pos").alias("pos")))
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = (posi.where(F.col("tok") == term)
+               .select(F.col("doc_id").alias("n_doc"),
+                       F.col("pos").alias("n_pos")))
+        hits = (hits.join(nxt, (F.col("doc_id") == F.col("n_doc"))
+                          & (F.col("n_pos") == F.col("pos") + i))
+                .select("doc_id", "pos"))
     return (hits.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_occurrences"),
                  F.min("pos").alias("first_pos"))

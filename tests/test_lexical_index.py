@@ -507,3 +507,39 @@ def test_write_paths_refuse_stale_registration(spark, tmp_path):
                              "lexti_stale", b, num_buckets=4)
     with pytest.raises(ValueError, match="registered at"):
         lexical_index_compact(spark, "lexti_stale", b, num_buckets=4)
+
+
+def test_phrase_probe_n_term(spark, tmp_path):
+    """The generalized N-term phrase probe (r9): a three-term phrase
+    served from the positional index, pinned against first-principles
+    occurrence counts; single-term phrases refuse."""
+    from jcf_nb_migration_spark.io.lexical import (
+        phrase_probe, positional_index_build)
+
+    rows = []
+    for i in range(20):
+        w = []
+        for _ in range(i % 4):
+            w += ["alpha", "beta", "gamma"]       # full-phrase hits
+        w += ["alpha", "beta", "x", "gamma"]       # 2-term prefix only
+        w += ["alpha", "gamma", "beta"]            # scrambled
+        rows.append((i, w))
+    toks = _toks(spark, rows)
+    path = str(tmp_path / "pos_n")
+    positional_index_build(toks, "positi_n", path, num_buckets=8)
+
+    got = [(r["doc_id"], r["n_occurrences"], r["first_pos"]) for r in
+           phrase_probe(spark, "positi_n", path,
+                        ("alpha", "beta", "gamma"), k=50).collect()]
+    expect = sorted(((i, i % 4, 1) for i in range(20) if i % 4),
+                    key=lambda r: (-r[1], r[0]))
+    assert got == expect and len(got) > 0
+
+    # the 2-term prefix still matches every doc (the i%4==0 ones too)
+    got2 = phrase_probe(spark, "positi_n", path,
+                        ("alpha", "beta"), k=50).collect()
+    assert len(got2) == 20
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="at least two"):
+        phrase_probe(spark, "positi_n", path, ("alpha",))

@@ -96,7 +96,16 @@ COMMENTARY = {
         "— a bucket-pruned point lookup (file-level bucket-set "
         "pruning + sortBy(doc_id) row-group min/max, pinned in "
         "tests/test_docstore.py), broadcast score join-back, zero "
-        "corpus-sized shuffles at serve time.")
+        "corpus-sized shuffles at serve time."),
+    "late_interaction_rerank": (
+        "ColBERT-style MaxSim second stage (r9): the only corpus-"
+        "sized work is the shared BM25 tf groupBy; the 50-doc "
+        "shortlist cut bounds everything after it — doc tokens via a "
+        "left-semi join on shortlist ids, query embeddings a 3-row "
+        "broadcast literal frame, MaxSim a BroadcastNestedLoopJoin of "
+        "shortlist-tokens x query-terms, both rescoring groupBys "
+        "keyed on shortlist doc_ids. 3-point probe: 0.88x on 10x "
+        "data, 1.09x on 3x (fixed-cost-dominated).")
 }
 
 
