@@ -538,7 +538,8 @@ def positional_index_attach(spark: SparkSession, prefix: str,
 
 
 def phrase_probe(spark: SparkSession, prefix: str, path: str,
-                 phrase: tuple[str, ...], k: int = 20) -> DataFrame:
+                 phrase: tuple[str, ...], k: int = 20,
+                 allowed: DataFrame | None = None) -> DataFrame:
     """Serve an exact N-term phrase query from the positional index —
     for the two-term case row-identical to the ad-hoc scan
     (queries.retrieval_ops.phrase_match_docs) because both count the
@@ -548,7 +549,12 @@ def phrase_probe(spark: SparkSession, prefix: str, path: str,
     (doc_id, pos_i = pos_0 + i) — each join keyed on doc_id with the
     position offset riding the key, so the intermediate never widens
     beyond documents that still match the phrase prefix. Grouped per
-    doc. Columns: doc_id, n_occurrences, first_pos."""
+    doc. Columns: doc_id, n_occurrences, first_pos.
+
+    ``allowed`` applies metadata-filtered serving with the same
+    semantics as bm25_probe's: occurrence counts are document facts
+    (filter-invariant), the gate semi-joins the per-doc frame BEFORE
+    the top-k cut so k allowed docs come back."""
     if len(phrase) < 2:
         raise ValueError("phrase_probe needs at least two terms")
     _check_table_at(spark, f"{prefix}_positions", path,
@@ -564,21 +570,26 @@ def phrase_probe(spark: SparkSession, prefix: str, path: str,
         hits = (hits.join(nxt, (F.col("doc_id") == F.col("n_doc"))
                           & (F.col("n_pos") == F.col("pos") + i))
                 .select("doc_id", "pos"))
-    return (hits.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_occurrences"),
-                 F.min("pos").alias("first_pos"))
-            .orderBy(F.desc("n_occurrences"), "doc_id")
+    per_doc = (hits.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                    F.min("pos").alias("first_pos")))
+    if allowed is not None:
+        per_doc = per_doc.join(allowed.select("doc_id"), "doc_id",
+                               "left_semi")
+    return (per_doc.orderBy(F.desc("n_occurrences"), "doc_id")
             .limit(k))
 
 def proximity_probe(spark: SparkSession, prefix: str, path: str,
                     terms: tuple[str, str], window: int = 5,
-                    k: int = 20) -> DataFrame:
+                    k: int = 20,
+                    allowed: DataFrame | None = None) -> DataFrame:
     """Serve an unordered proximity query (terms within ``window``
     tokens) from the positional index — the served twin of
     queries.retrieval_ops.proximity_ranked_docs' ad-hoc scan. Same
     bucket-pruned two-term read as phrase_probe; the band predicate
     |pos_a − pos_b| ≤ window rides the doc_id equi-join. Columns:
-    doc_id, n_pairs, min_span."""
+    doc_id, n_pairs, min_span. ``allowed`` gates the per-doc frame
+    before the top-k cut (bm25_probe's filtered-serving semantics)."""
     _check_table_at(spark, f"{prefix}_positions", path,
                     POSITIONS_SUBDIR)
     posi = (spark.table(f"{prefix}_positions")
@@ -590,10 +601,13 @@ def proximity_probe(spark: SparkSession, prefix: str, path: str,
                     & (span <= window))
              .select(F.col("a.doc_id").alias("doc_id"),
                      span.alias("span")))
-    return (pairs.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_pairs"),
-                 F.min("span").alias("min_span"))
-            .orderBy("min_span", F.desc("n_pairs"), "doc_id")
+    per_doc = (pairs.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_pairs"),
+                    F.min("span").alias("min_span")))
+    if allowed is not None:
+        per_doc = per_doc.join(allowed.select("doc_id"), "doc_id",
+                               "left_semi")
+    return (per_doc.orderBy("min_span", F.desc("n_pairs"), "doc_id")
             .limit(k))
 
 

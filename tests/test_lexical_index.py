@@ -543,3 +543,34 @@ def test_phrase_probe_n_term(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="at least two"):
         phrase_probe(spark, "positi_n", path, ("alpha",))
+
+
+def test_positional_probes_filtered_gate_before_topk(spark, tmp_path):
+    """Metadata-filtered positional serving (r9): the allowed gate
+    semi-joins BEFORE the top-k cut for both probes, counts stay the
+    GLOBAL document facts for the surviving docs."""
+    from jcf_nb_migration_spark.io.lexical import (
+        phrase_probe, positional_index_build, proximity_probe)
+
+    rows = [(i, ["alpha", "beta"] * (1 + i % 3) + ["pad"])
+            for i in range(20)]
+    toks = _toks(spark, rows)
+    path = str(tmp_path / "pos_filt")
+    positional_index_build(toks, "positi_flt", path, num_buckets=4)
+    allowed = spark.createDataFrame(
+        [(i,) for i in range(20) if i % 2 == 0], "doc_id bigint")
+
+    unf = {r["doc_id"]: (r["n_occurrences"], r["first_pos"]) for r in
+           phrase_probe(spark, "positi_flt", path, ("alpha", "beta"),
+                        k=50).collect()}
+    got = [(r["doc_id"], r["n_occurrences"], r["first_pos"]) for r in
+           phrase_probe(spark, "positi_flt", path, ("alpha", "beta"),
+                        k=5, allowed=allowed).collect()]
+    assert len(got) == 5 and all(d % 2 == 0 for d, _, _ in got)
+    assert all((n, p) == unf[d] for d, n, p in got)
+
+    prox = proximity_probe(spark, "positi_flt", path,
+                           ("alpha", "beta"), window=2, k=5,
+                           allowed=allowed).collect()
+    assert len(prox) == 5
+    assert all(r["doc_id"] % 2 == 0 for r in prox)
