@@ -232,7 +232,9 @@ def lexical_index_build(toks: DataFrame, prefix: str, path: str,
          .bucketBy(num_buckets, "tok").sortBy("tok")
          .option("path", os.path.join(path, POSTINGS_SUBDIR))
          .format("parquet").saveAsTable(f"{prefix}_postings"))
-        (_stats_frame(toks, "base").write.mode("overwrite")
+        # 1-row frame: coalesce so the stats sidecar is one file per
+        # batch, not one per shuffle partition (probe footer-opens)
+        (_stats_frame(toks, "base").coalesce(1).write.mode("overwrite")
          .parquet(os.path.join(path, STATS_SUBDIR)))
         _write_meta(path, num_buckets)
     finally:
@@ -314,7 +316,8 @@ def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
          .format("parquet").saveAsTable(f"{prefix}_postings"))
         (_stats_frame(new_toks,
                       "unledgered" if batch_id is None
-                      else str(batch_id)).write.mode("append")
+                      else str(batch_id)).coalesce(1)
+         .write.mode("append")
          .parquet(os.path.join(path, STATS_SUBDIR)))
     finally:
         new_toks.unpersist()

@@ -44,6 +44,26 @@ def _fetch_rows(spark, prefix, path, ids):
         docstore_fetch(spark, prefix, path, ids).collect())
 
 
+def _files_opened(df):
+    """Files actually contained in the scan's FilePartitions — the
+    post-bucket-filter read set (the numFiles METRIC counts the
+    pre-filter listing, so it cannot show bucket pruning)."""
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def find_scan(node):
+        if "Scan" in node.nodeName() and "Row" not in node.nodeName():
+            return node
+        ch = node.children().iterator()
+        while ch.hasNext():
+            r = find_scan(ch.next())
+            if r:
+                return r
+        return None
+
+    rdd = find_scan(plan).inputRDD()
+    return sum(len(list(p.files())) for p in rdd.partitions())
+
+
 def test_build_fetch_returns_requested_docs(spark, tmp_path):
     path = str(tmp_path / "ds")
     docstore_build(_docs(spark, range(50)), "dst_base", path,
@@ -76,13 +96,24 @@ def test_fetch_plan_bucket_pruned_no_exchange(spark, tmp_path):
     assert "PushedFilters: [In(doc_id" in plan, plan
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m and int(m.group(1)) <= len(ids) and m.group(2) == "8", plan
-    # default path: same pushed filter, scan demoted but still pruned
-    # at file granularity (Spark's non-bucketed read path filters
-    # through the same bucket set) — pin the pushed filter is intact
-    plan_default = (docstore_fetch(spark, "dst_plan", path, ids)
-                    ._jdf.queryExecution().executedPlan().toString())
+    # default path: the scan is demoted (Bucketed: false) but Spark's
+    # non-bucketed read path filters files through the SAME bucket set
+    # (FileSourceScanExec.createReadRDD's shouldProcess) — pin it by
+    # counting the files actually placed into the scan's
+    # FilePartitions, which must be ≤ the target buckets' share
+    fd = docstore_fetch(spark, "dst_plan", path, ids)
+    plan_default = fd._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(doc_id" in plan_default, plan_default
     assert "Exchange" not in plan_default, plan_default
+    total_files = sum(1 for f in os.listdir(os.path.join(path,
+                                                         DOCS_SUBDIR))
+                      if f.endswith(".parquet"))
+    opened = _files_opened(fd)
+    assert opened <= len(ids) * total_files / 8, (opened, total_files)
+    # single-id fetch: exactly one bucket's files
+    assert _files_opened(
+        docstore_fetch(spark, "dst_plan", path, [7])) \
+        <= total_files / 8
 
 
 def test_append_fetch_matches_rebuild(spark, tmp_path):

@@ -1,0 +1,185 @@
+"""Serving-path latency: probe-only vs ad-hoc recompute.
+
+The *_served registry queries rebuild their index on every call so the
+driver's oracle comparison stays deterministic and self-contained —
+which means no committed artifact shows the number a deployment
+actually cares about: the latency of a probe against an ALREADY-BUILT
+index vs recomputing from the corpus. This tool builds each serving
+layout once at the target SF, then times (best of N):
+
+- BM25:    bm25_probe (bucket-pruned postings scan)   vs the ad-hoc
+           corpus-pass scorer (bm25_top_docs's plan)
+- phrase:  phrase_probe (positional index)            vs the ad-hoc
+           posexplode scan (phrase_match_docs's plan)
+- fetch:   docstore_fetch (literal-IN bucket pruning) vs a full-scan
+           filter over documents.parquet for the same ids
+
+Prints one JSON line. Usage:
+    PYTHONPATH=. python tools/serving_bench.py [sf_dir] [runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+
+def _best_of(n, fn):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 4)
+
+
+def _data_touched(df) -> dict:
+    """Files and bytes actually placed into every scan's
+    FilePartitions — the POST-bucket-filter read set, i.e. the
+    scale-PROPORTIONAL cost the wall-clock comparison can't show at
+    fixture SF (where constant plan/JIT overheads dominate both
+    paths). The numFiles/filesSize METRICS count the pre-filter
+    listing and would hide bucket pruning; AQE wrapper and query-stage
+    nodes are traversed into."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    out = {"files": 0, "bytes": 0}
+
+    def walk(node):
+        name = node.nodeName()
+        if "AdaptiveSparkPlan" in name:
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        if "Scan" in name and "Row" not in name:
+            try:
+                for p in node.inputRDD().partitions():
+                    for f in list(p.files()):
+                        out["files"] += 1
+                        out["bytes"] += f.length()
+            except Exception:
+                pass  # non-file scans (in-memory literal frames)
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+
+    walk(plan)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark import get_spark
+    from jcf_nb_migration_spark.functions import text as T
+    from jcf_nb_migration_spark.io.docstore import (docstore_build,
+                                                    docstore_fetch)
+    from jcf_nb_migration_spark.io.lexical import (bm25_probe,
+                                                   lexical_index_build,
+                                                   phrase_probe,
+                                                   positional_index_build)
+    from jcf_nb_migration_spark.queries.retrieval_ops import (
+        BM25_B, BM25_K1, BM25_TERMS, PHRASE, _bm25_frames, _positions)
+    from jcf_nb_migration_spark.registry import t
+
+    spark = get_spark("serving-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = os.path.join(tempfile.gettempdir(), "jcf_serving_bench",
+                        spark.sparkContext.applicationId)
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+
+    t0 = time.time()
+    lexical_index_build(toks, "svb_lex", os.path.join(base, "lex"))
+    positional_index_build(toks, "svb_pos", os.path.join(base, "pos"))
+    docstore_build(docs, "svb_ds", os.path.join(base, "ds"))
+    build_sec = round(time.time() - t0, 3)
+
+    # the operational lifecycle compacts after the parallel build
+    # (one file per bucket — a parallel write leaves one file per
+    # task×bucket, and every probe pays a footer-open per file)
+    from jcf_nb_migration_spark.io.docstore import docstore_compact
+    from jcf_nb_migration_spark.io.lexical import lexical_index_compact
+    t0 = time.time()
+    lexical_index_compact(spark, "svb_lex", os.path.join(base, "lex"))
+    docstore_compact(spark, "svb_ds", os.path.join(base, "ds"))
+    compact_sec = round(time.time() - t0, 3)
+
+    # --- BM25: probe vs ad-hoc corpus pass
+    def bm25_served():
+        bm25_probe(spark, "svb_lex", os.path.join(base, "lex"),
+                   BM25_TERMS, BM25_K1, BM25_B, k=20).collect()
+
+    def bm25_adhoc():
+        _, bm = _bm25_frames(toks)
+        (bm.orderBy(F.desc("bm25"), "doc_id").limit(20)).collect()
+
+    # --- phrase: probe vs ad-hoc positional scan
+    def phrase_served():
+        phrase_probe(spark, "svb_pos", os.path.join(base, "pos"),
+                     PHRASE, k=20).collect()
+
+    def phrase_adhoc():
+        occ = _positions(docs, PHRASE)
+        a = occ.where(F.col("tok") == PHRASE[0]).alias("a")
+        b = occ.where(F.col("tok") == PHRASE[1]).alias("b")
+        (a.join(b, (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("b.pos") == F.col("a.pos") + 1))
+         .groupBy(F.col("a.doc_id"))
+         .count().orderBy(F.desc("count"), "doc_id")
+         .limit(20)).collect()
+
+    # --- fetch: docstore point lookup vs full-scan filter
+    ids = [r["doc_id"] for r in bm25_probe(
+        spark, "svb_lex", os.path.join(base, "lex"),
+        BM25_TERMS, BM25_K1, BM25_B, k=10).collect()]
+
+    def fetch_served():
+        docstore_fetch(spark, "svb_ds", os.path.join(base, "ds"),
+                       ids).collect()
+
+    def fetch_adhoc():
+        docs.where(F.col("doc_id").isin(ids)).collect()
+
+    # scale-proportional evidence: bytes/files the executed scans read
+    probe_df = bm25_probe(spark, "svb_lex", os.path.join(base, "lex"),
+                          BM25_TERMS, BM25_K1, BM25_B, k=20)
+    _, bm_adhoc = _bm25_frames(toks)
+    fetch_df = docstore_fetch(spark, "svb_ds", os.path.join(base, "ds"),
+                              ids)
+    out = {
+        "sf_dir": sf_dir, "runs": runs, "build_sec": build_sec,
+        "compact_sec": compact_sec,
+        "bm25": {"served": _best_of(runs, bm25_served),
+                 "adhoc": _best_of(runs, bm25_adhoc),
+                 "served_touched": _data_touched(probe_df),
+                 "adhoc_touched": _data_touched(
+                     bm_adhoc.orderBy(F.desc("bm25"), "doc_id")
+                     .limit(20))},
+        "phrase": {"served": _best_of(runs, phrase_served),
+                   "adhoc": _best_of(runs, phrase_adhoc)},
+        "fetch": {"served": _best_of(runs, fetch_served),
+                  "adhoc": _best_of(runs, fetch_adhoc),
+                  "served_touched": _data_touched(fetch_df),
+                  "adhoc_touched": _data_touched(
+                      docs.where(F.col("doc_id").isin(ids)))},
+    }
+    for fam in ("bm25", "phrase", "fetch"):
+        served, adhoc = out[fam]["served"], out[fam]["adhoc"]
+        out[fam]["speedup"] = round(adhoc / served, 2) if served else None
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
