@@ -275,3 +275,28 @@ def test_build_requires_integral_doc_id(spark, tmp_path):
         docstore_build(
             spark.createDataFrame([("a", 1)], "doc_id string, v bigint"),
             "dst_strid", str(tmp_path / "strid"))
+
+
+def test_serving_bench_tool_smoke():
+    """tools/serving_bench.py runs end-to-end at the small fixture and
+    emits the JSON contract (families, latency + data-touched keys) —
+    pins the tool's imports and the FilePartition metric walker."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    out = subprocess.run(
+        [sys.executable, "tools/serving_bench.py",
+         "/root/testdata/sf0.001", "1"],
+        cwd=repo, capture_output=True, text=True, timeout=420,
+        env={**__import__("os").environ, "PYTHONPATH": str(repo)})
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    for fam in ("bm25", "phrase", "fetch"):
+        assert rep[fam]["served"] > 0 and rep[fam]["adhoc"] > 0
+    assert rep["bm25"]["served_touched"]["bytes"] > 0
+    assert (rep["bm25"]["adhoc_touched"]["bytes"]
+            > rep["bm25"]["served_touched"]["bytes"])
+    assert rep["compact_sec"] > 0
