@@ -11,6 +11,8 @@ layout once at the target SF, then times (best of N):
            corpus-pass scorer (bm25_top_docs's plan)
 - phrase:  phrase_probe (positional index)            vs the ad-hoc
            posexplode scan (phrase_match_docs's plan)
+- ANN:     ivf_index_probe (nprobe partition dirs)    vs the on-the-fly
+           IVF probe that re-assigns the corpus per query
 - fetch:   docstore_fetch (literal-IN bucket pruning) vs a full-scan
            filter over documents.parquet for the same ids
 
@@ -79,9 +81,12 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from jcf_nb_migration_spark import get_spark
+    from jcf_nb_migration_spark.functions import similarity as S
     from jcf_nb_migration_spark.functions import text as T
     from jcf_nb_migration_spark.io.docstore import (docstore_build,
                                                     docstore_fetch)
+    from jcf_nb_migration_spark.io.layout import (ivf_index_probe,
+                                                  ivf_index_write)
     from jcf_nb_migration_spark.io.lexical import (bm25_probe,
                                                    lexical_index_build,
                                                    phrase_probe,
@@ -138,6 +143,22 @@ def main() -> int:
          .count().orderBy(F.desc("count"), "doc_id")
          .limit(20)).collect()
 
+    # --- ANN: partition-pruned IVF index vs brute-force corpus scan
+    emb = t(spark, sf_dir, "embeddings")
+    centroids = S.kmeans_train(emb, k=8, iters=2)
+    ivf_path = os.path.join(base, "ivf")
+    t0 = time.time()
+    ivf_index_write(emb, centroids, ivf_path)
+    ivf_build_sec = round(time.time() - t0, 3)
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+
+    def ann_served():
+        ivf_index_probe(spark, ivf_path, centroids, pvec,
+                        k=10, nprobe=2, exclude_id=0).collect()
+
+    def ann_adhoc():
+        S.ivf_ann_probe(emb, centroids, 0, k=10, nprobe=2).collect()
+
     # --- fetch: docstore point lookup vs full-scan filter
     ids = [r["doc_id"] for r in bm25_probe(
         spark, "svb_lex", os.path.join(base, "lex"),
@@ -158,7 +179,12 @@ def main() -> int:
                               ids)
     out = {
         "sf_dir": sf_dir, "runs": runs, "build_sec": build_sec,
-        "compact_sec": compact_sec,
+        "compact_sec": compact_sec, "ivf_build_sec": ivf_build_sec,
+        "ann": {"served": _best_of(runs, ann_served),
+                "adhoc": _best_of(runs, ann_adhoc),
+                "served_touched": _data_touched(
+                    ivf_index_probe(spark, ivf_path, centroids, pvec,
+                                    k=10, nprobe=2, exclude_id=0))},
         "bm25": {"served": _best_of(runs, bm25_served),
                  "adhoc": _best_of(runs, bm25_adhoc),
                  "served_touched": _data_touched(probe_df),
@@ -173,7 +199,7 @@ def main() -> int:
                   "adhoc_touched": _data_touched(
                       docs.where(F.col("doc_id").isin(ids)))},
     }
-    for fam in ("bm25", "phrase", "fetch"):
+    for fam in ("bm25", "phrase", "fetch", "ann"):
         served, adhoc = out[fam]["served"], out[fam]["adhoc"]
         out[fam]["speedup"] = round(adhoc / served, 2) if served else None
     print(json.dumps(out))
