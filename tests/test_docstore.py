@@ -294,8 +294,9 @@ def test_serving_bench_tool_smoke():
         env={**__import__("os").environ, "PYTHONPATH": str(repo)})
     assert out.returncode == 0, out.stderr[-2000:]
     rep = json.loads(out.stdout.strip().splitlines()[-1])
-    for fam in ("bm25", "phrase", "fetch"):
+    for fam in ("bm25", "phrase", "fetch", "ann"):
         assert rep[fam]["served"] > 0 and rep[fam]["adhoc"] > 0
+    assert rep["ann"]["served_touched"]["files"] > 0
     assert rep["bm25"]["served_touched"]["bytes"] > 0
     assert (rep["bm25"]["adhoc_touched"]["bytes"]
             > rep["bm25"]["served_touched"]["bytes"])
