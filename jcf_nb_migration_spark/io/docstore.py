@@ -62,29 +62,54 @@ from jcf_nb_migration_spark.io.lexical import (
 DOCS_SUBDIR = "docs"
 
 # simpleString() output that is safe to interpolate into CREATE TABLE:
-# type names, digits, nesting/precision punctuation. A nested struct
-# whose FIELD names carry quotes or other exotica falls outside this
-# set (simpleString embeds field names verbatim) and is rejected at
-# build time rather than producing broken/injectable DDL at attach.
+# type names, digits, nesting/precision punctuation, and the spaces
+# legitimate types carry ("interval day to second"). Field NAMES at
+# every nesting level are validated structurally (below) because a
+# space-bearing nested name would pass this charset yet still break
+# the attach statement.
 _TYPE_DDL = re.compile(r"^[A-Za-z0-9_<>,:() ]+$")
+
+
+def _check_nested_names(dtype, col: str) -> None:
+    """Every field name at every nesting level must be a plain
+    identifier — simpleString() embeds nested names verbatim, so a
+    name with a space or quote would produce unparseable (or
+    injectable) DDL at attach time. Validated structurally on the
+    Catalyst type tree, not on the rendered string."""
+    from pyspark.sql import types as sqltypes
+
+    if isinstance(dtype, sqltypes.StructType):
+        for f in dtype.fields:
+            if not _IDENT.match(f.name):
+                raise ValueError(
+                    f"docstore column {col!r} has a nested field name "
+                    f"that is not a SQL identifier: {f.name!r} — "
+                    "rename it before storing")
+            _check_nested_names(f.dataType, col)
+    elif isinstance(dtype, sqltypes.ArrayType):
+        _check_nested_names(dtype.elementType, col)
+    elif isinstance(dtype, sqltypes.MapType):
+        _check_nested_names(dtype.keyType, col)
+        _check_nested_names(dtype.valueType, col)
 
 
 def _schema_ddl(df: DataFrame) -> str:
     """Column DDL for the meta file / attach statement. Names are
-    validated as identifiers and types (Catalyst ``simpleString``)
-    against a safe DDL charset — both land inside CREATE TABLE."""
+    validated as identifiers at EVERY nesting level and types
+    (Catalyst ``simpleString``) against a safe DDL charset — both land
+    inside CREATE TABLE."""
     cols = []
     for fld in df.schema.fields:
         if not _IDENT.match(fld.name):
             raise ValueError(
                 f"docstore column name must be a SQL identifier, "
                 f"got {fld.name!r}")
+        _check_nested_names(fld.dataType, fld.name)
         ts = fld.dataType.simpleString()
         if not _TYPE_DDL.match(ts):
             raise ValueError(
                 f"docstore column {fld.name!r} has a type whose DDL "
-                f"rendering contains unsafe characters ({ts!r}) — "
-                "rename nested fields to plain identifiers")
+                f"rendering contains unsafe characters ({ts!r})")
         cols.append(f"{fld.name} {ts}")
     return ", ".join(cols)
 
@@ -202,13 +227,16 @@ def docstore_fetch(spark: SparkSession, prefix: str, path: str,
     prefix = _checked_prefix(prefix)
     table = f"{prefix}_docs"
     _check_table_at(spark, table, path, DOCS_SUBDIR)
-    ids = list(doc_ids)
-    bad = [i for i in ids
-           if isinstance(i, bool) or not isinstance(i, int)]
+    import numbers
+
+    bad = [i for i in doc_ids
+           if isinstance(i, bool) or not isinstance(i, numbers.Integral)]
     if bad:
         raise TypeError(
-            f"docstore ids must be plain ints (doc_id is integral by "
-            f"the build contract), got {bad[:3]!r}")
+            f"docstore ids must be integers (doc_id is integral by "
+            f"the build contract; floats would silently truncate), "
+            f"got {bad[:3]!r}")
+    ids = [int(i) for i in doc_ids]  # numpy/pandas ints -> builtin
     return spark.table(table).where(F.col("doc_id").isin(ids))
 
 

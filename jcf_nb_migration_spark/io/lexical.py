@@ -82,25 +82,34 @@ def _sql_path(path: str) -> str:
     return path.replace("'", "''")
 
 
-def _table_num_buckets(spark: SparkSession, table: str) -> int | None:
-    """Bucket count of a catalog table (None when the table isn't
-    bucketed). Reads DESCRIBE EXTENDED — catalog metadata only."""
+def _describe_table(spark: SparkSession, table: str) \
+        -> tuple[int | None, str | None]:
+    """(num_buckets, location) of a catalog table from ONE DESCRIBE
+    EXTENDED pass — the write-side preamble needs both, and a streamed
+    ingest runs it per micro-batch, so one catalog round-trip, not
+    two. Location is normalized to a plain filesystem path (file:
+    scheme stripped, symlinks resolved)."""
+    buckets, loc = None, None
     for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
         if row["col_name"] == "Num Buckets":
-            return int(row["data_type"])
-    return None
+            buckets = int(row["data_type"])
+        elif row["col_name"] == "Location":
+            raw = row["data_type"]
+            if raw.startswith("file:"):
+                raw = raw[len("file:"):]
+            loc = os.path.realpath(raw)
+    return buckets, loc
+
+
+def _table_num_buckets(spark: SparkSession, table: str) -> int | None:
+    """Bucket count of a catalog table (None when the table isn't
+    bucketed)."""
+    return _describe_table(spark, table)[0]
 
 
 def _table_location(spark: SparkSession, table: str) -> str | None:
-    """Registered LOCATION of a catalog table, normalized to a plain
-    filesystem path (strips the file: scheme, resolves symlinks)."""
-    for row in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
-        if row["col_name"] == "Location":
-            loc = row["data_type"]
-            if loc.startswith("file:"):
-                loc = loc[len("file:"):]
-            return os.path.realpath(loc)
-    return None
+    """Registered LOCATION of a catalog table, normalized."""
+    return _describe_table(spark, table)[1]
 
 
 def _write_meta(path: str, num_buckets: int,
@@ -140,14 +149,18 @@ def _require_bucketed_table(spark: SparkSession, table: str,
         raise ValueError(
             f"{table} is not registered in this session's catalog — "
             f"run {build_fn} (or the matching attach) first")
-    declared = _table_num_buckets(spark, table)
+    declared, registered = _describe_table(spark, table)
     if declared != num_buckets:
         raise ValueError(
             f"{table} is bucketed into {declared} buckets but the "
             f"caller asked for {num_buckets}; a mismatch would corrupt "
             "bucket pruning")
     _check_meta(path, num_buckets)
-    _check_table_at(spark, table, path, subdir)
+    expected = os.path.realpath(os.path.join(path, subdir))
+    if registered != expected:
+        raise ValueError(
+            f"{table} is registered at {registered}, not {expected} — "
+            "DROP the stale table and re-attach this index")
 
 
 def _check_table_at(spark: SparkSession, table: str, path: str,
@@ -639,4 +652,45 @@ def positional_index_append(new_toks: DataFrame, prefix: str,
      .option("path", os.path.join(path, POSITIONS_SUBDIR))
      .format("parquet").saveAsTable(table))
     _ledger_commit(marker)
+    return True
+
+
+def positional_index_compact(spark: SparkSession, prefix: str,
+                             path: str, num_buckets: int = 8,
+                             parallelism: int = 1) -> int:
+    """Compact a streamed-into positional index — the positional twin
+    of lexical_index_compact, via the same staged-rewrite helper (one
+    file per bucket per task, directory swap, re-attach). Probe
+    results are invariant (phrase/proximity hits are per-row position
+    facts, insensitive to file layout); the append ledger is
+    untouched. Returns the compacted file count."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_positions"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "positional_index_build", POSITIONS_SUBDIR)
+    return _compact_bucketed_table(
+        spark, table, path, POSITIONS_SUBDIR, "tok", num_buckets,
+        parallelism,
+        lambda: positional_index_attach(spark, prefix, path,
+                                        num_buckets))
+
+
+def positional_index_maintain(spark: SparkSession, prefix: str,
+                              path: str, num_buckets: int = 8,
+                              max_files_per_bucket: int = 8,
+                              parallelism: int = 1) -> bool:
+    """Fragmentation-gated positional compaction (the positional twin
+    of lexical_index_maintain). Returns True when a compaction ran."""
+    _check_meta(path, num_buckets)
+    pos_dir = os.path.join(path, POSITIONS_SUBDIR)
+    if not os.path.isdir(pos_dir):
+        raise ValueError(
+            f"no positions directory at {pos_dir} — build the index "
+            "first (positional_index_build)")
+    n_files = sum(1 for f in os.listdir(pos_dir)
+                  if f.endswith(".parquet"))
+    if n_files <= max_files_per_bucket * num_buckets:
+        return False
+    positional_index_compact(spark, prefix, path, num_buckets,
+                             parallelism)
     return True

@@ -78,3 +78,41 @@ def duckdb_with_views(sf_dir: str):
         con.execute(
             f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
     return con
+
+
+def files_touched(df) -> dict:
+    """Files and bytes actually placed into every scan's
+    FilePartitions after execution — the POST-bucket-filter read set.
+    Spark's numFiles/filesSize scan METRICS count the pre-filter
+    listing, so they cannot show bucket pruning; this walks the
+    executed plan (through AQE wrapper and query-stage nodes) and
+    counts the PartitionedFiles the tasks were actually given. Shared
+    by tests/test_docstore.py and tools/serving_bench.py."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    out = {"files": 0, "bytes": 0, "names": []}
+
+    def walk(node):
+        name = node.nodeName()
+        if "AdaptiveSparkPlan" in name:
+            walk(node.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(node.plan())
+            return
+        if "Scan" in name and "Row" not in name:
+            try:
+                for p in node.inputRDD().partitions():
+                    for f in list(p.files()):
+                        out["files"] += 1
+                        out["bytes"] += f.length()
+                        out["names"].append(
+                            f.urlEncodedPath().split("/")[-1])
+            except Exception:
+                pass  # non-file scans (in-memory literal frames)
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+
+    walk(plan)
+    return out

@@ -44,24 +44,16 @@ def _fetch_rows(spark, prefix, path, ids):
         docstore_fetch(spark, prefix, path, ids).collect())
 
 
-def _files_opened(df):
-    """Files actually contained in the scan's FilePartitions — the
-    post-bucket-filter read set (the numFiles METRIC counts the
-    pre-filter listing, so it cannot show bucket pruning)."""
-    plan = df._jdf.queryExecution().executedPlan()
+def _opened_buckets(df):
+    """Bucket ids of the files actually placed into the scan's
+    FilePartitions — the post-bucket-filter read set (the numFiles
+    METRIC counts the pre-filter listing, so it cannot show bucket
+    pruning). Bucket id parsed from Spark's bucketed file naming
+    (..._NNNNN.c000...)."""
+    from jcf_nb_migration_spark.testing import files_touched
 
-    def find_scan(node):
-        if "Scan" in node.nodeName() and "Row" not in node.nodeName():
-            return node
-        ch = node.children().iterator()
-        while ch.hasNext():
-            r = find_scan(ch.next())
-            if r:
-                return r
-        return None
-
-    rdd = find_scan(plan).inputRDD()
-    return sum(len(list(p.files())) for p in rdd.partitions())
+    names = files_touched(df)["names"]
+    return [int(re.search(r"_(\d{5})\.", n).group(1)) for n in names]
 
 
 def test_build_fetch_returns_requested_docs(spark, tmp_path):
@@ -105,15 +97,18 @@ def test_fetch_plan_bucket_pruned_no_exchange(spark, tmp_path):
     plan_default = fd._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(doc_id" in plan_default, plan_default
     assert "Exchange" not in plan_default, plan_default
-    total_files = sum(1 for f in os.listdir(os.path.join(path,
-                                                         DOCS_SUBDIR))
-                      if f.endswith(".parquet"))
-    opened = _files_opened(fd)
-    assert opened <= len(ids) * total_files / 8, (opened, total_files)
+    # exact membership check, no file-uniformity assumption: the
+    # buckets of the opened files must be exactly the ids' buckets
+    # (bucket id = pmod(hash(doc_id), n) — Spark's bucketizer IS the
+    # SQL murmur3 hash)
+    target = {r[0] for r in spark.createDataFrame(
+        [(i,) for i in ids], "doc_id bigint")
+        .select(F.expr("pmod(hash(doc_id), 8)")).collect()}
+    opened = set(_opened_buckets(fd))
+    assert opened == target, (opened, target)
     # single-id fetch: exactly one bucket's files
-    assert _files_opened(
-        docstore_fetch(spark, "dst_plan", path, [7])) \
-        <= total_files / 8
+    assert len(set(_opened_buckets(
+        docstore_fetch(spark, "dst_plan", path, [7])))) == 1
 
 
 def test_append_fetch_matches_rebuild(spark, tmp_path):
@@ -262,11 +257,11 @@ def test_fetch_rejects_non_int_ids(spark, tmp_path):
     path = str(tmp_path / "ds_ids")
     docstore_build(_docs(spark, range(5)), "dst_ids", path,
                    num_buckets=4)
-    with pytest.raises(TypeError, match="plain ints"):
+    with pytest.raises(TypeError, match="must be integers"):
         docstore_fetch(spark, "dst_ids", path, [17.9])
-    with pytest.raises(TypeError, match="plain ints"):
+    with pytest.raises(TypeError, match="must be integers"):
         docstore_fetch(spark, "dst_ids", path, ["doc-17"])
-    with pytest.raises(TypeError, match="plain ints"):
+    with pytest.raises(TypeError, match="must be integers"):
         docstore_fetch(spark, "dst_ids", path, [True])
 
 
@@ -301,3 +296,16 @@ def test_serving_bench_tool_smoke():
     assert (rep["bm25"]["adhoc_touched"]["bytes"]
             > rep["bm25"]["served_touched"]["bytes"])
     assert rep["compact_sec"] > 0
+
+
+def test_build_rejects_nested_bad_field_names(spark, tmp_path):
+    """Nested struct field names land verbatim in the attach DDL —
+    a space- or quote-bearing nested name must be rejected at BUILD
+    time, not fail (or inject) at attach (r9 review fix)."""
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame(
+        [(1, 2)], "doc_id bigint, x bigint").select(
+        "doc_id", F.struct(F.col("x").alias("my field")).alias("s"))
+    with pytest.raises(ValueError, match="nested field name"):
+        docstore_build(bad, "dst_nest", str(tmp_path / "nest"))

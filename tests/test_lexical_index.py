@@ -574,3 +574,45 @@ def test_positional_probes_filtered_gate_before_topk(spark, tmp_path):
                            allowed=allowed).collect()
     assert len(prox) == 5
     assert all(r["doc_id"] % 2 == 0 for r in prox)
+
+
+def test_positional_compact_and_maintain(spark, tmp_path):
+    """positional_index_compact merges streamed bucket files without
+    changing any probe result; the maintain gate fires only past the
+    fragmentation threshold (the positional twin of the lexical
+    pins)."""
+    import os
+
+    from jcf_nb_migration_spark.io.lexical import (
+        POSITIONS_SUBDIR, phrase_probe, positional_index_append,
+        positional_index_build, positional_index_compact,
+        positional_index_maintain)
+
+    rows = [(i, ["alpha", "beta"] * (1 + i % 2)) for i in range(10)]
+    path = str(tmp_path / "pos_cmp")
+    positional_index_build(_toks(spark, rows), "positi_cmp", path,
+                           num_buckets=4)
+    for b in range(3):
+        positional_index_append(
+            _toks(spark, [(20 + b, ["alpha", "beta"])]),
+            "positi_cmp", path, num_buckets=4, batch_id=b)
+    pos_dir = os.path.join(path, POSITIONS_SUBDIR)
+    n_before = sum(1 for f in os.listdir(pos_dir)
+                   if f.endswith(".parquet"))
+    before = [(r["doc_id"], r["n_occurrences"]) for r in
+              phrase_probe(spark, "positi_cmp", path,
+                           ("alpha", "beta"), k=50).collect()]
+    n_after = positional_index_compact(spark, "positi_cmp", path,
+                                       num_buckets=4)
+    assert n_after <= 4 < n_before
+    got = [(r["doc_id"], r["n_occurrences"]) for r in
+           phrase_probe(spark, "positi_cmp", path,
+                        ("alpha", "beta"), k=50).collect()]
+    assert got == before
+    # ledger epoch unchanged; maintain quiet post-compact
+    assert positional_index_append(
+        _toks(spark, [(20, ["alpha", "beta"])]), "positi_cmp", path,
+        num_buckets=4, batch_id=0) is False
+    assert positional_index_maintain(spark, "positi_cmp", path,
+                                     num_buckets=4,
+                                     max_files_per_bucket=1) is False

@@ -39,39 +39,14 @@ def _best_of(n, fn):
 
 
 def _data_touched(df) -> dict:
-    """Files and bytes actually placed into every scan's
-    FilePartitions — the POST-bucket-filter read set, i.e. the
-    scale-PROPORTIONAL cost the wall-clock comparison can't show at
-    fixture SF (where constant plan/JIT overheads dominate both
-    paths). The numFiles/filesSize METRICS count the pre-filter
-    listing and would hide bucket pruning; AQE wrapper and query-stage
-    nodes are traversed into."""
-    df.collect()
-    plan = df._jdf.queryExecution().executedPlan()
-    out = {"files": 0, "bytes": 0}
+    """Post-bucket-filter read set (files + bytes) via the shared
+    FilePartition walker (jcf_nb_migration_spark.testing.files_touched
+    — see its docstring for why the numFiles METRIC can't show bucket
+    pruning)."""
+    from jcf_nb_migration_spark.testing import files_touched
 
-    def walk(node):
-        name = node.nodeName()
-        if "AdaptiveSparkPlan" in name:
-            walk(node.executedPlan())
-            return
-        if "QueryStage" in name:
-            walk(node.plan())
-            return
-        if "Scan" in name and "Row" not in name:
-            try:
-                for p in node.inputRDD().partitions():
-                    for f in list(p.files()):
-                        out["files"] += 1
-                        out["bytes"] += f.length()
-            except Exception:
-                pass  # non-file scans (in-memory literal frames)
-        ch = node.children().iterator()
-        while ch.hasNext():
-            walk(ch.next())
-
-    walk(plan)
-    return out
+    out = files_touched(df)
+    return {"files": out["files"], "bytes": out["bytes"]}
 
 
 def main() -> int:
@@ -113,9 +88,12 @@ def main() -> int:
     # (one file per bucket — a parallel write leaves one file per
     # task×bucket, and every probe pays a footer-open per file)
     from jcf_nb_migration_spark.io.docstore import docstore_compact
-    from jcf_nb_migration_spark.io.lexical import lexical_index_compact
+    from jcf_nb_migration_spark.io.lexical import (
+        lexical_index_compact, positional_index_compact)
     t0 = time.time()
     lexical_index_compact(spark, "svb_lex", os.path.join(base, "lex"))
+    positional_index_compact(spark, "svb_pos",
+                             os.path.join(base, "pos"))
     docstore_compact(spark, "svb_ds", os.path.join(base, "ds"))
     compact_sec = round(time.time() - t0, 3)
 
