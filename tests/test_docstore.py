@@ -9,8 +9,11 @@ of the serving stack. Pins the module's three claims:
    visible by disabling autoBucketedScan; the default path prunes the
    same files without printing the count) with ZERO Exchange.
 3. Safety rails: shared replay-ledger idempotence, catalog/bucket-count
-   validation, meta-recorded schema on attach, exclusive-path rebuild
-   clearing the ledger.
+   validation, meta-recorded schema on attach (field names validated
+   at every nesting level), write-side stale-registration guards,
+   integral-id fetch contract, exclusive-path rebuild clearing the
+   ledger.
+4. The serving_bench tool's end-to-end contract (smoke test).
 """
 
 import os
