@@ -44,6 +44,8 @@ COVERED_BY: dict[str, str] = {
     #   generator, positive+negative windows joined
     "embedding_quantize_int8": "ivfpq_ann_probe",
     # quantized_rerank_topk rotated INTO the driver window r9
+    "late_interaction_served": "doc_fetch_served",  # lexical-probe
+    #   shortlist + docstore-as-forward-index fetch + shared MaxSim
     "late_interaction_rerank": "quantized_rerank_topk",  # shortlist +
     #   bounded rerank (MaxSim over hash-derived token embeddings vs
     #   exact-cosine over dequantized vectors — same two-stage plan)

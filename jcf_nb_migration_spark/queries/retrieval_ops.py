@@ -1074,6 +1074,16 @@ def late_interaction_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtoks = (toks.join(short.select("doc_id"), "doc_id", "left_semi")
              .select("doc_id", F.explode("w").alias("tok"))
              .distinct())
+    return _maxsim_rescore(spark, dtoks, short)
+
+
+def _maxsim_rescore(spark: SparkSession, dtoks: DataFrame,
+                    short: DataFrame) -> DataFrame:
+    """Shared MaxSim second stage: ``dtoks(doc_id, tok)`` (distinct
+    shortlist-doc tokens) × the literal query-embedding frame →
+    per-(doc, query-term) max dot → per-doc sum, joined back to
+    ``short(doc_id, bm25)``. Single-sourced so the ad-hoc and served
+    late-interaction queries can never drift apart."""
     temb = dtoks.select("doc_id", *_li_dims(F.col("tok"), "e")).alias("t")
     qemb = (spark.createDataFrame([(w,) for w in BM25_TERMS],
                                   "qtok string")
@@ -1088,3 +1098,91 @@ def late_interaction_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id", "bm25")
             .agg(F.round(F.sum("maxsim"), 9).alias("li_score"))
             .orderBy(F.desc("li_score"), "doc_id").limit(LI_TOP))
+
+
+@query(
+    "late_interaction_served",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    {_sql_bm25_ctes()},
+    short AS (
+        SELECT doc_id, bm25 FROM bm
+        ORDER BY bm25 DESC, doc_id LIMIT {LI_SHORTLIST}
+    ),
+    dtoks AS (
+        SELECT DISTINCT d.doc_id, tok FROM
+        (SELECT doc_id, unnest(w) AS tok FROM d) d
+        JOIN short USING (doc_id)
+    ),
+    temb AS (
+        SELECT doc_id, tok,
+               {_li_sql_dims('tok', 'e')}
+        FROM dtoks
+    ),
+    qemb AS (
+        SELECT qtok,
+               {_li_sql_dims('qtok', 'q')}
+        FROM (SELECT unnest([{_SQL_TERMS}]) AS qtok)
+    ),
+    dots AS (
+        SELECT t.doc_id, q.qtok, {_LI_DOT} AS dot
+        FROM temb t CROSS JOIN qemb q
+    ),
+    per_q AS (
+        SELECT doc_id, qtok, MAX(dot) AS maxsim
+        FROM dots GROUP BY doc_id, qtok
+    )
+    SELECT s.doc_id, s.bm25,
+           ROUND(SUM(p.maxsim), 9) AS li_score
+    FROM per_q p JOIN short s USING (doc_id)
+    GROUP BY s.doc_id, s.bm25
+    ORDER BY li_score DESC, s.doc_id LIMIT {LI_TOP}
+    """,
+    tags=("retrieval", "rerank", "late-interaction", "maxsim",
+          "serving", "bucketed", "docstore", "composed"),
+    # served twin of late_interaction_rerank; bucket-probe serving
+    # family driver-visible via doc_fetch_served (shared tags)
+    driver_visible=False,
+)
+def late_interaction_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction reranking answered ENTIRELY from persisted
+    layouts — no corpus pass at serve time: the BM25 shortlist comes
+    from the lexical index probe (bucket-pruned, io/lexical.py), and
+    the shortlist docs' TOKENS come from the docstore used as a
+    FORWARD index (doc_id-bucketed table whose stored column is the
+    token array) via a bucket-pruned point fetch — this is why a
+    search stack keeps both an inverted and a forward index. The
+    MaxSim rescore is the shared ``_maxsim_rescore`` (single-sourced
+    with the ad-hoc query), so the oracle is the ad-hoc oracle
+    verbatim. At 100 TB a rerank request reads |terms| postings
+    buckets + |shortlist| docstore buckets — never the corpus.
+    Rebuilds per call for determinism like the other *_served
+    queries."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.docstore import (docstore_build,
+                                                    docstore_fetch)
+    from jcf_nb_migration_spark.io.lexical import (bm25_probe,
+                                                   lexical_index_build)
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lex_path = os.path.join(tempfile.gettempdir(), "jcf_lexical_index",
+                            spark.sparkContext.applicationId, tag)
+    lexical_index_build(toks, f"lexidx_{tag}", lex_path, num_buckets=8)
+    fwd_path = os.path.join(tempfile.gettempdir(), "jcf_fwd_index",
+                            spark.sparkContext.applicationId, tag)
+    docstore_build(toks, f"fwdidx_{tag}", fwd_path, num_buckets=8)
+
+    ranked = [(r["doc_id"], r["bm25"]) for r in
+              bm25_probe(spark, f"lexidx_{tag}", lex_path, BM25_TERMS,
+                         BM25_K1, BM25_B, k=LI_SHORTLIST)
+              .select("doc_id", "bm25").collect()]
+    short = spark.createDataFrame(ranked, "doc_id bigint, bm25 double")
+    fetched = docstore_fetch(spark, f"fwdidx_{tag}", fwd_path,
+                             [i for i, _ in ranked])
+    dtoks = (fetched.select("doc_id", F.explode("w").alias("tok"))
+             .distinct())
+    return _maxsim_rescore(spark, dtoks, F.broadcast(short))
