@@ -105,7 +105,14 @@ COMMENTARY = {
         "broadcast literal frame, MaxSim a BroadcastNestedLoopJoin of "
         "shortlist-tokens x query-terms, both rescoring groupBys "
         "keyed on shortlist doc_ids. 3-point probe: 0.88x on 10x "
-        "data, 1.09x on 3x (fixed-cost-dominated).")
+        "data, 1.09x on 3x (fixed-cost-dominated)."),
+    "late_interaction_served": (
+        "The served MaxSim twin (r9): shortlist from the lexical-index "
+        "probe (bucket-pruned postings scan), shortlist tokens from "
+        "the docstore used as a FORWARD index (doc_id-bucketed point "
+        "fetch), shared _maxsim_rescore — zero corpus passes at serve "
+        "time; reads |terms| postings buckets + |shortlist| docstore "
+        "buckets. 3-point probe: 1.14x on 10x data, 1.01x on 3x.")
 }
 
 
