@@ -5,7 +5,9 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...} plus self-documentation fields —
 per-query raw run series ("runs"), host loadavg before/after
-("loadavg"), and "notes" flagging any query measured >1.3x its
+("loadavg"), a fixed-loop CPU calibration ("cpu_calib_sec" — loadavg
+cannot see neighbor load on a shared host; normalize totals by this
+before reading regressions), and "notes" flagging any query measured >1.3x its
 committed best (bench_best.json). The r4→r5 rounds each burned a
 round-trip diagnosing driver-run inflation that turned out to be
 background host load; with the raw series + loadavg in the artifact a
@@ -66,6 +68,17 @@ def main() -> None:
         "ran_under_load": load_readings[-1] > gate,
     }
     load_start = os.getloadavg()
+
+    # CPU calibration fingerprint: loadavg cannot see NEIGHBOR load on
+    # a shared host (runs at loadavg ~0 have measured 30% apart), so
+    # time a fixed pure-Python loop and record it. Artifacts become
+    # comparable: a run whose calib_sec is 1.3x another's ran on a
+    # 1.3x-slower effective CPU — normalize before reading regressions.
+    t0 = time.time()
+    acc = 0
+    for i in range(3_000_000):
+        acc += i * i
+    calib_sec = round(time.time() - t0, 4)
 
     from jcf_nb_migration_spark import get_spark
     from jcf_nb_migration_spark.registry import all_queries
@@ -133,6 +146,7 @@ def main() -> None:
         "loadavg": {"start": list(load_start),
                     "end": list(os.getloadavg())},
         "load_gate": load_gate,
+        "cpu_calib_sec": calib_sec,
         "notes": notes,
     }
     print(json.dumps(out))
