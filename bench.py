@@ -5,9 +5,10 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...} plus self-documentation fields —
 per-query raw run series ("runs"), host loadavg before/after
-("loadavg"), a fixed-loop CPU calibration ("cpu_calib_sec" — loadavg
-cannot see neighbor load on a shared host; normalize totals by this
-before reading regressions), and "notes" flagging any query measured >1.3x its
+("loadavg"), fixed-loop CPU calibrations at start AND end
+("cpu_calib_sec" — loadavg cannot see neighbor load on a shared host;
+normalize totals by these before reading regressions, and a large
+start/end gap flags contention arriving mid-run), and "notes" flagging any query measured >1.3x its
 committed best (bench_best.json). The r4→r5 rounds each burned a
 round-trip diagnosing driver-run inflation that turned out to be
 background host load; with the raw series + loadavg in the artifact a
@@ -74,11 +75,14 @@ def main() -> None:
     # time a fixed pure-Python loop and record it. Artifacts become
     # comparable: a run whose calib_sec is 1.3x another's ran on a
     # 1.3x-slower effective CPU — normalize before reading regressions.
-    t0 = time.time()
-    acc = 0
-    for i in range(3_000_000):
-        acc += i * i
-    calib_sec = round(time.time() - t0, 4)
+    def _cpu_calib() -> float:
+        t0 = time.time()
+        acc = 0
+        for i in range(3_000_000):
+            acc += i * i
+        return round(time.time() - t0, 4)
+
+    calib_sec = _cpu_calib()
 
     from jcf_nb_migration_spark import get_spark
     from jcf_nb_migration_spark.registry import all_queries
@@ -146,7 +150,7 @@ def main() -> None:
         "loadavg": {"start": list(load_start),
                     "end": list(os.getloadavg())},
         "load_gate": load_gate,
-        "cpu_calib_sec": calib_sec,
+        "cpu_calib_sec": {"start": calib_sec, "end": _cpu_calib()},
         "notes": notes,
     }
     print(json.dumps(out))
