@@ -14,8 +14,10 @@ round-trip diagnosing driver-run inflation that turned out to be
 background host load; with the raw series + loadavg in the artifact a
 noisy run identifies itself. A pre-flight load gate ("load_gate" in
 the artifact) additionally backs off once when the 1-min loadavg
-exceeds $SPARK_GRAFT_LOAD_GATE (default 2.0) and self-flags in
-"notes" when the run proceeded under load anyway.
+exceeds $SPARK_GRAFT_LOAD_GATE (default 2.0) OR the calibration loop
+exceeds $SPARK_GRAFT_CALIB_GATE (default 0.35 s — catches neighbor
+contention loadavg can't see), and self-flags in "notes" when the run
+proceeded under load anyway.
 
 Each query is executed with the noop sink (full computation, no
 collect/serialization overhead) after a session warm-up, best of
@@ -56,25 +58,13 @@ def main() -> None:
     # measurement, it doesn't refuse to produce one.
     gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
     backoff_s = int(os.environ.get("SPARK_GRAFT_LOAD_BACKOFF_SEC", "20"))
-    load_readings = [round(os.getloadavg()[0], 3)]
-    if load_readings[0] > gate:
-        print(f"load gate: 1-min loadavg {load_readings[0]} > {gate}; "
-              f"backing off {backoff_s}s and re-checking", file=sys.stderr)
-        time.sleep(backoff_s)
-        load_readings.append(round(os.getloadavg()[0], 3))
-    load_gate = {
-        "threshold": gate,
-        "readings_1min": load_readings,
-        "backed_off_sec": backoff_s if len(load_readings) > 1 else 0,
-        "ran_under_load": load_readings[-1] > gate,
-    }
-    load_start = os.getloadavg()
 
     # CPU calibration fingerprint: loadavg cannot see NEIGHBOR load on
-    # a shared host (runs at loadavg ~0 have measured 30% apart), so
-    # time a fixed pure-Python loop and record it. Artifacts become
-    # comparable: a run whose calib_sec is 1.3x another's ran on a
-    # 1.3x-slower effective CPU — normalize before reading regressions.
+    # a shared host (same-day loadavg≈0 runs have measured 9.8 s vs
+    # 12.6 s totals), so time a fixed pure-Python loop. Artifacts
+    # become comparable — a run whose calib is 1.3x another's ran on a
+    # 1.3x-slower effective CPU — and the gate below backs off on a
+    # slow calibration exactly as it does on high loadavg.
     def _cpu_calib() -> float:
         t0 = time.time()
         acc = 0
@@ -82,7 +72,28 @@ def main() -> None:
             acc += i * i
         return round(time.time() - t0, 4)
 
-    calib_sec = _cpu_calib()
+    calib_gate = float(os.environ.get("SPARK_GRAFT_CALIB_GATE", "0.35"))
+    load_readings = [round(os.getloadavg()[0], 3)]
+    calib_readings = [_cpu_calib()]
+    if load_readings[0] > gate or calib_readings[0] > calib_gate:
+        print(f"load gate: 1-min loadavg {load_readings[0]} (gate "
+              f"{gate}) / cpu calib {calib_readings[0]}s (gate "
+              f"{calib_gate}); backing off {backoff_s}s and "
+              "re-checking", file=sys.stderr)
+        time.sleep(backoff_s)
+        load_readings.append(round(os.getloadavg()[0], 3))
+        calib_readings.append(_cpu_calib())
+    load_gate = {
+        "threshold": gate,
+        "calib_threshold": calib_gate,
+        "readings_1min": load_readings,
+        "calib_readings": calib_readings,
+        "backed_off_sec": backoff_s if len(load_readings) > 1 else 0,
+        "ran_under_load": (load_readings[-1] > gate
+                           or calib_readings[-1] > calib_gate),
+    }
+    load_start = os.getloadavg()
+    calib_sec = calib_readings[-1]
 
     from jcf_nb_migration_spark import get_spark
     from jcf_nb_migration_spark.registry import all_queries
