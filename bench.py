@@ -146,11 +146,20 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     if load_gate["ran_under_load"]:
+        # Name the gate that actually tripped — a loadavg-phrased note
+        # on a calibration-only trip mislabels the self-diagnosis.
+        tripped = []
+        if load_readings[-1] > gate:
+            tripped.append(
+                f"1-min loadavg {load_readings[-1]} > gate {gate}")
+        if calib_readings[-1] > calib_gate:
+            tripped.append(
+                f"cpu calibration {calib_readings[-1]}s > gate "
+                f"{calib_gate}s")
         notes.append(
-            f"ran under ambient load (1-min loadavg "
-            f"{load_gate['readings_1min'][-1]} > gate {gate} after "
-            "backoff): treat timings as upper bounds; compare the "
-            "per-query runs series against bench_best.json")
+            "ran under ambient load (" + "; ".join(tripped) +
+            " after backoff): treat timings as upper bounds; compare "
+            "the per-query runs series against bench_best.json")
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),

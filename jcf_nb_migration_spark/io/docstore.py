@@ -197,6 +197,28 @@ def docstore_append(new_docs: DataFrame, prefix: str, path: str,
     from jcf_nb_migration_spark.io.layout import (_ledger_commit,
                                                   _ledger_skip)
 
+    # Structural type validation against the table schema: mode(
+    # "append") happily writes parquet files with a drifted physical
+    # type (e.g. doc_id as double), which breaks every later
+    # fetch/compact read — fail loudly before any file lands, the
+    # append-side twin of docstore_build's doc_id integrality check.
+    table_types = {f.name: f.dataType.simpleString()
+                   for f in spark.table(table).schema.fields}
+    missing = [c for c in table_types if c not in new_docs.columns]
+    if missing:
+        raise ValueError(
+            f"append batch is missing docstore columns {missing}")
+    drifted = [
+        f"{f.name}: batch {f.dataType.simpleString()} != table "
+        f"{table_types[f.name]}"
+        for f in new_docs.schema.fields
+        if f.name in table_types
+        and f.dataType.simpleString() != table_types[f.name]]
+    if drifted:
+        raise ValueError(
+            "append batch column types drifted from the docstore "
+            "schema (a type-mismatched parquet append corrupts later "
+            "reads): " + "; ".join(drifted))
     marker, skip = _ledger_skip(path, batch_id)
     if skip:
         return False  # replayed delivery: already appended

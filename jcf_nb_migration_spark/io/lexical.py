@@ -360,6 +360,10 @@ def bm25_probe(spark: SparkSession, prefix: str, path: str,
     filter-relative), the filter gates which documents may appear in
     the result, via a semi-join on the scored frame BEFORE the top-k
     cut (so the cut returns k allowed docs, not k-minus-filtered)."""
+    # Split-brain guard (same as phrase/proximity/docstore probes):
+    # postings come from the catalog but N/avgdl come from path/stats —
+    # a stale same-prefix registration would silently mix indexes.
+    _check_table_at(spark, f"{prefix}_postings", path, POSTINGS_SUBDIR)
     post = (spark.table(f"{prefix}_postings")
             .where(F.col("tok").isin(list(terms))))
     dfreq = post.groupBy("tok").agg(

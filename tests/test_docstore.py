@@ -312,3 +312,30 @@ def test_build_rejects_nested_bad_field_names(spark, tmp_path):
         "doc_id", F.struct(F.col("x").alias("my field")).alias("s"))
     with pytest.raises(ValueError, match="nested field name"):
         docstore_build(bad, "dst_nest", str(tmp_path / "nest"))
+
+
+def test_append_refuses_type_drift(spark, tmp_path):
+    """ADVICE r9 (low): an append batch whose column TYPE drifted from
+    the table schema (doc_id as double, n_chars as string) must refuse
+    before writing — mode("append") would otherwise land parquet files
+    with a mismatched physical type that breaks every later
+    fetch/compact read. Missing columns refuse with a clear message
+    too (previously a bare AnalysisException from the select)."""
+    path = str(tmp_path / "ds_drift")
+    docstore_build(_docs(spark, range(5)), "dst_drift", path,
+                   num_buckets=4)
+    drifted = spark.createDataFrame(
+        [(9.0, "body of doc 9", "en", "109")],
+        "doc_id double, text string, lang string, n_chars string")
+    with pytest.raises(ValueError, match="types drifted"):
+        docstore_append(drifted, "dst_drift", path, num_buckets=4)
+    missing = spark.createDataFrame(
+        [(9, "body of doc 9")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="missing docstore columns"):
+        docstore_append(missing, "dst_drift", path, num_buckets=4)
+    # extra columns in the batch are fine — the select projects them
+    # away; the store's schema is authoritative
+    extra = _docs(spark, [9]).withColumn("extra", F.lit("x"))
+    assert docstore_append(extra, "dst_drift", path, num_buckets=4)
+    assert _fetch_rows(spark, "dst_drift", path, [9]) == [
+        (9, "body of doc 9", "en", 109)]

@@ -616,3 +616,21 @@ def test_positional_compact_and_maintain(spark, tmp_path):
     assert positional_index_maintain(spark, "positi_cmp", path,
                                      num_buckets=4,
                                      max_files_per_bucket=1) is False
+
+
+def test_bm25_probe_refuses_stale_registration(spark, tmp_path):
+    """ADVICE r9 (medium): bm25_probe mixes catalog postings with
+    path-side stats (N/avgdl) — with lexti_bmstale registered at path
+    A, probing path B must refuse instead of scoring A's postings
+    with B's statistics (the split-brain the attach error documents).
+    Regression guard: the other three probes already had this check;
+    bm25_probe was the one serving entry point without it."""
+    a = str(tmp_path / "lex_bm_a")
+    b = str(tmp_path / "lex_bm_b")
+    lexical_index_build(_corpus(spark, range(8)), "lexti_bmstale", a,
+                        num_buckets=4)
+    # sanity: probing the registered path works
+    assert bm25_probe(spark, "lexti_bmstale", a, TERMS,
+                      BM25_K1, BM25_B, k=5).count() > 0
+    with pytest.raises(ValueError, match="registered at"):
+        bm25_probe(spark, "lexti_bmstale", b, TERMS, BM25_K1, BM25_B)
