@@ -26,31 +26,28 @@ from __future__ import annotations
 COVERED_BY: dict[str, str] = {
     # --- ANN / similarity ------------------------------------------------
     # bucket/cluster-shortlist equi-join + per-probe ranking window:
-    "ann_lsh_batch_probes": "knn_ann_label_propagation",
+    "ann_lsh_batch_probes": "hard_negative_mining_ann",
     "ann_lsh_bucketed": "hard_negative_mining_ann",
-    "ann_lsh_multiprobe": "knn_ann_label_propagation",
-    "ivf_ann_multiprobe": "knn_ann_label_propagation",
-    "ivf_ann_probe": "ivfpq_ann_probe",
-    "knn_label_propagation": "knn_ann_label_propagation",
+    "ann_lsh_multiprobe": "hard_negative_mining_ann",
+    "ivf_ann_multiprobe": "hard_negative_mining_ann",
+    "ivf_ann_probe": "ivfadc_residual_multiprobe",
+    "knn_label_propagation": "hard_negative_mining_ann",
     "hard_negative_mining": "hard_negative_mining_ann",
-    "pq_codes": "ivfpq_ann_probe",
-    "ivfpq_residual_codes": "ivfpq_ann_probe",  # IVFADC-proper:
-    #   PQ trained on residuals vs the coarse centroid
+    "pq_codes": "ivfadc_residual_multiprobe",
+    "ivfpq_residual_codes": "ivfadc_residual_multiprobe",
     # ivfadc_residual_multiprobe rotated INTO the driver window r9
     # (second wave), superseding ivfadc_residual_probe:
     "ivfadc_residual_probe": "ivfadc_residual_multiprobe",  # nprobe=1
     #   special case of the same residual-ADC scorer
     "triplet_mining_ann": "hard_negative_mining_ann",  # same candidate
     #   generator, positive+negative windows joined
-    "embedding_quantize_int8": "ivfpq_ann_probe",
+    "embedding_quantize_int8": "ivfadc_residual_multiprobe",
     # quantized_rerank_topk rotated INTO the driver window r9
-    "late_interaction_served": "doc_fetch_served",  # lexical-probe
-    #   shortlist + docstore-as-forward-index fetch + shared MaxSim
     "late_interaction_rerank": "quantized_rerank_topk",  # shortlist +
     #   bounded rerank (MaxSim over hash-derived token embeddings vs
     #   exact-cosine over dequantized vectors — same two-stage plan)
-    "embedding_norm_stats": "knn_ann_label_propagation",
-    "embedding_normalize": "knn_ann_label_propagation",
+    "embedding_norm_stats": "hard_negative_mining_ann",
+    "embedding_normalize": "hard_negative_mining_ann",
     # record_linkage_merge rotated INTO the driver window r9 (second
     # wave), superseding fuzzy_name_matches as the blocking witness:
     "fuzzy_name_matches": "record_linkage_merge",
@@ -67,24 +64,19 @@ COVERED_BY: dict[str, str] = {
     #   all-pairs edges
     "linkgraph_bfs_reachability": "linkgraph_cc_certified",  # per-level
     #   frontier equi-join (WITH RECURSIVE declarative twin)
-    "linkgraph_triangles": "linkgraph_cc_certified",  # ordered-edge
-    #   two-equi-join enumeration over the same capped gram graph
     # linkgraph_cc_starcontraction rotated INTO the driver window r7
     "dedup_ngram_jaccard": "minhash_lsh_dedup",
     "doc_containment_pairs": "minhash_lsh_dedup",  # rare-shingle
     #   candidate equi-join + full-set verify, asymmetric metric
     # paragraph_dedup rotated INTO the driver window r7
     "minhash_signatures": "minhash_lsh_dedup",
-    "simhash_fingerprints": "minhash_lsh_dedup",
     "media_perceptual_dedup": "minhash_lsh_dedup",  # average-hash
     #   fingerprint + the same pigeonhole-banded Hamming machinery
     #   over the multimodal payload column
     # lsh_incremental_dedup rotated INTO the driver window r9
     # bloom_incremental_dedup rotated INTO the driver window r7
-    "doc_fingerprint": "bloom_incremental_dedup",  # md5 fingerprint
-    #   projection + fingerprint-keyed groupBy
-    "source_dedup_matrix": "bloom_incremental_dedup",  # fingerprint-group counts
-    #   self-joined into the cross-source duplicate-provenance matrix
+    "doc_fingerprint": "simhash_fingerprints",  # per-doc fingerprint projection over the same tokenized scan
+    "source_dedup_matrix": "simhash_fingerprints",
     # --- text / curation -------------------------------------------------
     # bpe_merge_table / doc_bpe_stats rotated OUT in the r9 second
     # wave (green r3-r8); the BPE trainer loop is pinned by
@@ -119,19 +111,15 @@ COVERED_BY: dict[str, str] = {
     #   heavy branch is decontaminate's n-gram equi-join
     # curation_pipeline_e2e rotated OUT in the r9 second wave (green
     # r6-r8); every stage stays individually visible:
-    "curation_pipeline_e2e": "corpus_mixture_sample",  # composed
-    #   curation chain — stages witnessed by dedup_exact,
-    #   minhash_lsh_dedup, decontaminate_ngrams (all visible)
+    "curation_pipeline_e2e": "weighted_corpus_sample",
     "semantic_decontamination": "hard_negative_mining_ann",  # broadcast
     #   bench side + JVM cosine fold + per-vector top-1 window
     "source_quota_cap": "inverted_index_postings",  # top-k-per-key window
     # semdedup_prune rotated OUT in the r9 second wave (green r4-r8):
     "semdedup_prune": "lsh_incremental_dedup",  # standing-index
     #   candidate shortlist + per-doc keep/drop verdict
-    "cluster_balanced_sample": "corpus_mixture_sample",  # k-means
-    #   assignment + per-cluster budgeted sample
-    "cluster_topic_terms": "corpus_mixture_sample",  # k-means
-    #   assignment + tf-lift per-cluster top-k (curation reports)
+    "cluster_balanced_sample": "weighted_corpus_sample",
+    "cluster_topic_terms": "weighted_corpus_sample",
 
     # --- retrieval -------------------------------------------------------
     # bm25_top_docs rotated INTO the driver window r7
@@ -142,21 +130,14 @@ COVERED_BY: dict[str, str] = {
     # rotated INTO the driver window r9 (second wave)
     "phrase_match_docs": "phrase_match_served",  # ad-hoc scan twin of
     #   the served probe (same oracle text, same positional join)
-    "proximity_ranked_docs": "phrase_match_served",  # same
-    #   term-filtered positional self-join, band vs adjacency
     "proximity_ranked_served": "phrase_match_served",  # same
     #   bucket-pruned two-term positional read, band vs adjacency
     # --- corpus assembly / sampling --------------------------------------
-    "corpus_global_shuffle": "corpus_mixture_sample",  # salted-hash
-    #   key projection + repartition family
-    "corpus_split_assign": "corpus_mixture_sample",  # deterministic
-    #   hash-router projection, same md5 bucket arithmetic
-    "stratified_sample": "corpus_mixture_sample",
-    "dsir_importance": "corpus_mixture_sample",  # weighted sampling
-    #   over broadcast per-source stats
-    "weighted_corpus_sample": "corpus_mixture_sample",  # fixed-budget
-    #   weighted priority sample (A-ES analogue, TakeOrdered)
-    "source_sampling_weights": "corpus_mixture_sample",
+    "corpus_global_shuffle": "weighted_corpus_sample",  # same deterministic-hash row assignment over the corpus scan
+    "corpus_split_assign": "weighted_corpus_sample",  # same deterministic-hash row assignment over the corpus scan
+    "stratified_sample": "weighted_corpus_sample",
+    "dsir_importance": "weighted_corpus_sample",  # deterministic weighted selection over the same per-doc score scan
+    "source_sampling_weights": "weighted_corpus_sample",
     "doc_chunk_overlap": "multimodal_frame_sample",  # per-row fan-out
     #   (posexplode grid) + bounded rollup
     "packing_efficiency_report": "multimodal_frame_sample",  # const
@@ -165,24 +146,16 @@ COVERED_BY: dict[str, str] = {
         "pytest:test_plans two-phase prefix sum (no visible twin; "
         "bucket-subtotal + per-bucket window shape is plan-guarded)",
     # --- profiling / sketches -------------------------------------------
-    "cms_token_counts": "heavy_hitters_topk",
-    "hll_sketch_union": "heavy_hitters_topk",
-    "customer_column_profile": "table_counts",  # per-column
-    #   aggregate rollup union
-    "k_anonymity_audit": "table_counts",  # quasi-id groupBy +
-    #   one-row rollup (privacy audit)
+    "customer_column_profile": "join_key_skew_profile",
+    "k_anonymity_audit": "join_key_skew_profile",  # grouped-count distribution rollup, same profile-agg plan
     "user_active_streaks": "latest_event_per_user",  # user-keyed ordered
     #   window (lag/cumsum islands)
     "session_conversion_funnel": "event_funnel_conversion",  # lag/cumsum
     #   sessions + staged conditional-min funnel joins
-    "dq_expectations": "table_counts",  # bounded rule-grid
-    #   aggregate rollup
-    "referential_integrity_audit": "customer_scd2_history",  # fused
-    #   anti-join orphan counts (the pre-join FK audit)
-    "daily_volume_anomalies": "table_counts",  # integer-exact moment
-    #   rollup broadcast back (volume/freshness monitor)
-    "benford_first_digit": "table_counts",  # 9-value groupBy +
-    #   broadcast scalar; constants precomputed, no runtime log
+    "dq_expectations": "join_key_skew_profile",  # bounded per-check aggregates unioned into one report frame
+    "referential_integrity_audit": "sole_failing_supplier",
+    "daily_volume_anomalies": "join_key_skew_profile",
+    "benford_first_digit": "join_key_skew_profile",
     "source_embedding_drift": "pricing_summary",  # group agg over a
     #   pushed-filter scan + broadcast scalar compare
     "source_report_card": "pricing_summary",  # multi-branch
@@ -193,8 +166,6 @@ COVERED_BY: dict[str, str] = {
     #   ordinal rank + broadcast per-segment clamp bounds
     "quantity_price_correlation": "pricing_summary",  # scan-agg moments
     #   (sum/sumsq/cross) in one pass
-    "join_key_skew_profile": "table_counts",  # per-key count +
-    #   one-row rollup per candidate key (salting decision input)
     "daily_new_users": "latest_event_per_user",  # user-keyed min-date
     #   window + date rollup
     "promo_session_attribution": "cogroup_asof_pandas",  # session
@@ -207,25 +178,16 @@ COVERED_BY: dict[str, str] = {
     #   + concat derived column (C5/C6) — chained string-op projection
     "customer_account_flags": "part_clean_chain",  # when/otherwise
     #   masked assignment + membership/equality filters (F5/F6/C11)
-    "part_merge_chain": "customer_tags",  # coalesce-concat fold +
-    #   audit column (T2) — same build-array/fold column algebra
+    "part_merge_chain": "part_clean_chain",
     "salted_user_totals": "latest_event_per_user",  # explicit-salt
     #   two-phase agg on the same events keys; AQE skew twin pinned in
     #   tests/test_plans.py::test_aqe_splits_skewed_join
     "pii_scrub_stats": "part_clean_chain",  # regex-replace narrow
     #   projection; plan pinned by test_plans::test_pii_scrub_is_narrow
-    "mktsegment_distinct": "heavy_hitters_topk",  # per-column
-    #   distinct rollup (A1/S5 sink family)
-    "customers_with_urgent_orders": "customer_scd2_history",  # semi join
-    #   (EXISTS) on the customer key
-    "customers_without_orders": "customer_scd2_history",  # anti join on the
-    #   customer key
-    "high_balance_never_fulfilled": "customer_scd2_history",  # EXCEPT as
-    #   filtered anti join
-    "sole_failing_supplier": "customer_scd2_history",  # Q21 semi+anti
-    #   chain on one fact scan
-    "idle_rich_customers": "customer_scd2_history",  # Q22 anti join +
-    #   broadcast scalar-agg threshold
+    "mktsegment_distinct": "hll_sketch_union",  # distinct-value family; HLL is the sketched twin of exact distinct
+    "customers_with_urgent_orders": "sole_failing_supplier",  # left-semi existence join (q21 is the semi+anti composite)
+    "customers_without_orders": "idle_rich_customers",  # left-anti non-existence join (q22 is the anti+scalar composite)
+    "high_balance_never_fulfilled": "idle_rich_customers",  # EXCEPT compiles to the same left-anti shape
     "discounted_brand_revenue": "local_supplier_volume",
     "nation_trade_volume": "local_supplier_volume",  # broadcast-dim star
     #   join + group agg (Q5 family)
@@ -234,31 +196,22 @@ COVERED_BY: dict[str, str] = {
     #   two-level group agg (Q13 family)
     "top_supplier_revenue": "local_supplier_volume",  # broadcast-dim
     #   join + agg + top-k (Q15 family)
-    "nation_market_share": "local_supplier_volume",  # two-level star
-    #   join + share-of-total agg (Q8 family)
     "promo_revenue_share": "returned_item_report",
     "profit_by_nation_year": "local_supplier_volume",  # same star-join
     #   + broadcast-dim graph, regex dim filter pushed to the part scan
-    "important_supplier_share": "table_counts",  # scalar-agg
-    #   broadcast-back pattern (idle_rich_customers chain)
-    "part_supplier_variety": "heavy_hitters_topk",  # two-phase
-    #   distinct aggregate (visible twin after mktsegment_distinct's
-    #   r7 rotation); broadcast anti join via document_purge
+    "important_supplier_share": "nation_market_share",
+    "part_supplier_variety": "hll_sketch_union",  # count-distinct rollup; HLL is its mergeable approximation
     "lateral_top_customers": "latest_event_per_user",  # decorrelated
     #   lateral = per-key ranked take (window twin)
-    "nullsafe_cohort_compare": "customer_tags",  # nullable-key
-    #   full-outer hash join (EqualNullSafe stays an equi-key)
-    "customer_set_ops": "customer_scd2_history",  # INTERSECT/
-    #   EXCEPT plan as the same semi/anti joins
+    "nullsafe_cohort_compare": "returned_item_report",
+    "customer_set_ops": "idle_rich_customers",  # INTERSECT/EXCEPT compile to semi/anti joins on the same keys
     "small_quantity_revenue": "returned_item_report",  # filtered
     #   join + scalar agg (Q17 family)
     "top_revenue_customers": "returned_item_report",
     "priority_shipmode_report": "returned_item_report",  # filtered
     #   orders⋈lineitem join + small group agg (was covered by
     #   late_shipment_priority_count before its r6 rotation out)
-    "late_shipment_priority_count": "customer_scd2_history",  # semi
-    #   join (EXISTS) + group count — rotated OUT of the window r6;
-    #   SCD2's anti/semi-join machinery is the same plan family
+    "late_shipment_priority_count": "sole_failing_supplier",  # semi join with extra non-equi residual, same existence pattern
     "supplier_nation_directory": "local_supplier_volume",  # broadcast
     #   dim equi-join + projection/rename — rotated OUT r6
     "order_status_pivot": "lineitem_cube",  # pivot = the same
@@ -282,9 +235,8 @@ COVERED_BY: dict[str, str] = {
     "event_sequence_pattern": "latest_event_per_user",  # per-key
     #   ordered collect + codegen'd regex
     # --- CDC / temporal --------------------------------------------------
-    "orders_upsert": "customer_scd2_history",
-    "orders_pit_customer_join": "customer_scd2_history",
-    "orders_snapshot_diff": "customer_scd2_history",
+    "orders_upsert": "orders_pit_customer_join",  # keyed CDC merge-latest over the same orders feed the PIT join consumes
+    "orders_snapshot_diff": "orders_pit_customer_join",  # full-outer keyed compare of the same CDC snapshots the PIT join versions
     "scalar_iter_doc_stats": "doc_token_stats",  # SCALAR_ITER pandas
     #   UDF surface; same per-doc stat output as the built-in path
     "volume_shipping_report": "local_supplier_volume",  # Q7: the
@@ -297,15 +249,12 @@ COVERED_BY: dict[str, str] = {
     #   correlated scalar-MIN decorrelated to a min-per-group
     #   join-back over broadcast bounded dims
     # --- events / time series -------------------------------------------
-    "events_hourly": "streaming_hourly_counts",  # hour-window group
-    #   count — the batch twin of the stream
+    "events_hourly": "streaming_interval_join",  # batch event-time agg; the streamed event-time shape stays visible here
     "user_rolling_7d": "latest_event_per_user",  # RANGE frame variant
     "event_type_transition_matrix": "latest_event_per_user",  # lag
     #   window + double rollup (Markov matrix)
     "signup_to_purchase_latency": "customer_balance_deciles",  # ordinal-median
     #   rank arithmetic over a population-bounded window
-    "user_cohort_retention": "latest_event_per_user",  # cohort min-date
-    #   window + offset-grid rollup
     # events_variant_extract rotated INTO the driver window r9,
     # superseding events_json_bucket as the JSON-extraction witness:
     "events_json_bucket": "events_variant_extract",
@@ -317,25 +266,18 @@ COVERED_BY: dict[str, str] = {
     # r1-r8); the per-user ordered-window family stays visible:
     "event_sessionization": "latest_event_per_user",  # per-user
     #   ordered window scan (lag/gap marking vs top-1 pick)
-    "session_window_counts": "streaming_hourly_counts",  # gap-based
-    #   session assignment (lag/cumsum) + count
-    "sliding_window_counts": "streaming_hourly_counts",
-    "stream_static_enrich": "streaming_hourly_counts",
-    "streaming_dedup": "streaming_hourly_counts",
+    "session_window_counts": "streaming_interval_join",
+    "sliding_window_counts": "streaming_interval_join",
+    "stream_static_enrich": "streaming_interval_join",
+    "streaming_dedup": "streaming_interval_join",
     # range_join_error_click rotated OUT in the r9 second wave (green
     # r1-r8); the events-pair time-band join stays visible via
     # asof_click_before_error:
     "range_join_error_click": "cogroup_asof_pandas",  # same
     #   events pair-match semantics (banded |ts diff| vs as-of pick);
     #   the JVM banded equi-join plan is pinned in test_plans.py
-    "streaming_interval_join": "streaming_hourly_counts",  # stream twin
-    #   of the driver-visible batch interval join; real readStream
-    "streaming_interval_join_louter": "streaming_hourly_counts",  # left-outer
-    #   stream-stream interval join, watermark-gated NULLs
-    "streaming_pit_enrich": "customer_scd2_history",  # stream-static
-    #   SCD2 range join, stateless — batch twin orders_pit_customer_join
-    #   left-outer variant; watermark-gated NULL emission encoded
-    #   exactly in its oracle
+    "streaming_interval_join_louter": "streaming_interval_join",
+    "streaming_pit_enrich": "orders_pit_customer_join",
     "stateful_running_totals":
         "pytest:test_streaming applyInPandasWithState (no visible "
         "twin; exact-oracle + checkpoint-restart tests pin it)",
@@ -345,8 +287,6 @@ COVERED_BY: dict[str, str] = {
     "doc_chunk_spans_udtf": "multimodal_frame_sample",  # python
     #   row fan-out surface (UDTF generator vs mapInPandas)
     "grouped_price_model": "multimodal_frame_sample",
-    "weighted_median_gagg": "multimodal_frame_sample",  # GROUPED_AGG
-    #   pandas-UDF surface (scalar-per-group Arrow aggregate)
     "pysource_synthdocs":
         "pytest:test_pysource Python DataSource batch reader (no "
         "visible twin; ordered per-band digest oracle runs locally)",
@@ -362,12 +302,11 @@ COVERED_BY: dict[str, str] = {
     #   as-of carry family; cogroup_asof_pandas also visible now
     #   (still benched)
     "price_quantiles": "customer_balance_deciles",  # two-phase rank
-    "approx_distinct_stats": "heavy_hitters_topk",  # sketch rollup
+    "approx_distinct_stats": "hll_sketch_union",
     "tfidf_top_terms": "inverted_index_postings",  # term-keyed rollup
     #   + top-k-per-key window
     "doc_quality_score": "doc_token_stats",  # narrow per-doc stats
-    "dedup_exact": "bloom_incremental_dedup",  # fingerprint groupBy
-    #   survivor selection (still benched)
+    "dedup_exact": "simhash_fingerprints",
     "embedding_dedup_pairs": "hard_negative_mining_ann",  # blocked
     #   pair join + JVM cosine fold (still benched)
     "forecast_revenue": "pricing_summary",  # pushed-filter scan-agg
@@ -376,13 +315,29 @@ COVERED_BY: dict[str, str] = {
     #   mapInPandas/mapInArrow surface
     "lookup_replace_nation": "local_supplier_volume",  # broadcast-dim
     #   lookup join, unmatched-wiped semantics pytest-pinned
-    "document_purge": "customer_scd2_history",  # semi/anti-join purge
+    "document_purge": "part_clean_chain",
     "simhash_near_pairs": "minhash_lsh_dedup",  # banded candidate
     #   equi-join near-dup pairs
-    "ann_brute_force_topk": "knn_ann_label_propagation",  # JVM cosine
-    #   fold + top-k (still benched)
+    "ann_brute_force_topk": "hard_negative_mining_ann",
     "shipping_priority": "returned_item_report",  # filtered join +
     #   group agg + distributed take (still benched)
     "user_hourly_resample": "latest_event_per_user",  # event-keyed
     #   window family (grid gap-fill pytest-pinned in oracles)
+    # --- r10 rotation: multi-green incumbents rotated out; each keeps
+    #     a same-pattern visible twin ------------------------------------
+    "customer_scd2_history": "orders_pit_customer_join",
+    "customer_tags": "part_clean_chain",
+    "table_counts": "join_key_skew_profile",  # union of per-table counts; same bounded grouped-count profile plan
+    "streaming_hourly_counts": "streaming_interval_join",
+    "corpus_mixture_sample": "weighted_corpus_sample",
+    "ivfpq_ann_probe": "ivfadc_residual_multiprobe",
+    "knn_ann_label_propagation": "hard_negative_mining_ann",
+    "bm25_top_docs": "bm25_top_docs_served",
+    "paragraph_dedup": "duplicate_spans",
+    "rrf_fusion": "retrieval_pipeline_e2e",
+    "linkgraph_cc_starcontraction": "linkgraph_cc_certified",
+    "bloom_incremental_dedup": "lsh_incremental_dedup",
+    "large_volume_customers": "returned_item_report",
+    "trigram_backoff_score": "gopher_quality_flags",
+    "heavy_hitters_topk": "cms_token_counts",
 }

@@ -193,6 +193,10 @@ def _ann_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY probe_id
     """,
     tags=("similarity", "knn", "ann", "composed"),
+    # rotated OUT of the driver window r10 (green in 5 driver
+    # rounds); pattern twin: hard_negative_mining_ann
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def knn_ann_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN label propagation fed by the IVF ANN index instead of a
@@ -507,6 +511,10 @@ def _sql_ivfpq_oracle() -> str:
     tags=("similarity", "ann", "ivf", "pq", "adc"),
     # driver-visible: the composed IVF-PQ read path (replaced
     # ann_lsh_multiprobe in r4 — harder shape, criterion 3)
+    # rotated OUT of the driver window r10 (green in 6 driver
+    # rounds); pattern twin: ivfadc_residual_multiprobe
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def ivfpq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ, the composed FAISS read path: trained coarse quantizer

@@ -465,8 +465,6 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM deg), 9) AS global_clustering
     """,
     tags=("graph", "triangles", "clustering-coefficient"),
-    driver_visible=False,  # gram-fused equi-join pattern covered by
-    #                        decontaminate_ngrams / dedup_clusters_lsh
 )
 def linkgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the
@@ -630,6 +628,10 @@ _SQL_CC_ORACLE = f"""
     # iterative equi-join+groupBy contraction — pattern driver-visible
     # via dedup_clusters_lsh; convergence vs union-find pinned in
     # tests/test_linkgraph.py
+    # rotated OUT of the driver window r10 (green in 3 driver
+    # rounds); pattern twin: linkgraph_cc_certified
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def linkgraph_cc_starcontraction(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
@@ -740,9 +742,6 @@ WSAMPLE_SCALE = 1_000_000_000  # fixed-point priority resolution
     LIMIT {WSAMPLE_K}
     """,
     tags=("curation", "sampling", "weighted", "deterministic"),
-    # hash-priority ordered take — corpus_mixture_sample's
-    # content-stable hash + shipping_priority's TakeOrdered
-    driver_visible=False,
 )
 def weighted_corpus_sample(spark: SparkSession,
                            sf_dir: str) -> DataFrame:

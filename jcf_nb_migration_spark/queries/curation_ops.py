@@ -357,6 +357,10 @@ SAMPLE_MOD = 1_000_000  # hash-uniform resolution for sampling rates
           < tot.total_tokens * {SAMPLE_MOD}
     """,
     tags=("curation", "sampling", "mixture"),
+    # rotated OUT of the driver window r10 (green in 6 driver
+    # rounds); pattern twin: weighted_corpus_sample
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget mixture sampling: give every source an equal share
@@ -457,6 +461,10 @@ def _sql_bloom_pos(i: int) -> str:
     tags=("curation", "dedup", "bloom", "incremental"),
     # kept local to fit the 50-name driver window; the incremental-
     # ingest pattern's exact half is driver-visible via dedup_exact
+    # rotated OUT of the driver window r10 (green in 3 driver
+    # rounds); pattern twin: lsh_incremental_dedup
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def bloom_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup with a Bloom filter, in pure DataFrame
@@ -1176,6 +1184,10 @@ LM_REF_SOURCES = ("src1", "src2")  # held-out "reference corpus" the
     tags=("curation", "quality", "lm", "backoff"),
     # rotated INTO the driver window r9 (vocabulary-keyed join-chain
     # witness)
+    # rotated OUT of the driver window r10 (green in 1 driver
+    # round); pattern twin: gopher_quality_flags
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trigram stupid-backoff language-model score against a HELD-OUT

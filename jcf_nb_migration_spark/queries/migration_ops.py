@@ -35,6 +35,10 @@ from jcf_nb_migration_spark.registry import query, t
     FROM customer
     """,
     tags=("migration", "tags", "T1"),
+    # rotated OUT of the driver window r10 (green in 9 driver
+    # rounds); pattern twin: part_clean_chain
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def customer_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 tag derivation: trigger columns → ordered, deduped,

@@ -290,10 +290,6 @@ def doc_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("pandas-udf", "grouped-agg", "robust-stats"),
-    # the GROUPED_AGG pandas-UDF surface (scalar per group inside
-    # .agg()); physical family = grouped_price_model's per-group Arrow
-    # batch, driver-visible via multimodal_decode
-    driver_visible=False,
 )
 def weighted_median_gagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median price per return flag via a

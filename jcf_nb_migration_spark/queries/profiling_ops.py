@@ -187,6 +187,10 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("scd2", "cdc", "upsert"),
     # driver-visible representative of the CDC/merge pattern (replaced
     # orders_upsert in r4: criterion 3, harder shape stays visible)
+    # rotated OUT of the driver window r10 (green in 6 driver
+    # rounds); pattern twin: orders_pit_customer_join
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type 2 (functions/upsert.scd2_merge):
@@ -219,7 +223,6 @@ def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
     tags=("approx", "hll", "sketch-merge"),
-    driver_visible=False,
 )
 def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Apache DataSketches HLL,
@@ -281,7 +284,6 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY version ORDER BY version
     """,
     tags=("scd2", "point-in-time", "temporal-join"),
-    driver_visible=False,
 )
 def orders_pit_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each order picks the dimension VERSION that
@@ -522,8 +524,6 @@ def _sql_cms_bucket(tok_expr: str, j: str) -> str:
     ORDER BY exact_count DESC, token
     """,
     tags=("approx", "sketch", "count-min", "mergeable"),
-    driver_visible=False,  # sketch-as-bounded-groupBy pattern covered
-    #                        by approx_distinct_stats in the window
 )
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over corpus token frequencies, checked against
@@ -824,9 +824,6 @@ def _skew_profile_sql(col: str) -> str:
                                ("l_orderkey", "l_partkey", "l_suppkey"))
             + " ORDER BY join_key"),
     tags=("profiling", "skew", "diagnostics"),
-    # per-key count + one-row rollup per candidate key; the
-    # table_counts / customer_column_profile physical family
-    driver_visible=False,
 )
 def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis — the profile that DECIDES between

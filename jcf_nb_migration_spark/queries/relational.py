@@ -577,6 +577,10 @@ def customer_account_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'events', COUNT(*) FROM events
     """,
     tags=("count", "union"),
+    # rotated OUT of the driver window r10 (green in 8 driver
+    # rounds); pattern twin: join_key_skew_profile
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shape checks (A2/T5): row counts as data, via union — parquet
@@ -702,9 +706,6 @@ def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     tags=("anti-join", "scalar-subquery", "tpch-q22"),
-    # TPC-H Q22 shape; kept local to fit the 50-name driver window
-    # (anti-join is driver-visible via document_purge).
-    driver_visible=False,
 )
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers with above-average balance and no
@@ -752,9 +753,6 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10
     """,
     tags=("semi-join", "anti-join", "tpch-q21"),
-    # TPC-H Q21 shape (late→returned, no commit/receipt dates in the
-    # fixture); kept local to fit the 50-name driver window.
-    driver_visible=False,
 )
 def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the ONLY supplier with a

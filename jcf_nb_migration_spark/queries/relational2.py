@@ -386,8 +386,6 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM allrev GROUP BY o_year ORDER BY o_year
     """,
     tags=("tpch-shape", "multi-join", "conditional-share", "tpch-q8"),
-    driver_visible=False,  # broadcast-dim star join covered by
-    #                        local_supplier_volume
 )
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_2's share of ASIA's PROMO-part market by

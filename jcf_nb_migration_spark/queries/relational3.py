@@ -435,6 +435,10 @@ Q18_QTY = 300  # large-volume order threshold
     """,
     tags=("tpch-q18", "join", "having-subquery", "topk"),
     # rotated INTO the driver window r9 second wave (first-time name)
+    # rotated OUT of the driver window r10 (green in 1 driver
+    # round); pattern twin: returned_item_report
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: customers who placed orders totalling more

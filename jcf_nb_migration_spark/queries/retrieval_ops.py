@@ -126,6 +126,10 @@ def _bm25_frames(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
     tags=("retrieval", "bm25", "ranking"),
     # kept local to fit the 50-name driver window; the unbounded-key
     # tf join pattern is driver-visible via tfidf_top_terms
+    # rotated OUT of the driver window r10 (green in 3 driver
+    # rounds); pattern twin: bm25_top_docs_served
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 documents for a fixed term query — the lexical
@@ -234,6 +238,10 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("approx", "sketch", "heavy-hitters"),
     # rotated INTO the driver window r9 (sketch-family witness after
     # approx_distinct_stats rotated out)
+    # rotated OUT of the driver window r10 (green in 1 driver
+    # round); pattern twin: cms_token_counts
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary heavy hitters, sketch-gated like
@@ -436,6 +444,10 @@ RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
     ORDER BY rrf DESC, doc_id LIMIT 10
     """,
     tags=("retrieval", "rrf", "rank-fusion"),
+    # rotated OUT of the driver window r10 (green in 3 driver
+    # rounds); pattern twin: retrieval_pipeline_e2e
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion (Cormack et al.) of two retrieval lists
@@ -771,9 +783,6 @@ _SQL_PROX_ORACLE = f"""
     "proximity_ranked_docs",
     oracle=_SQL_PROX_ORACLE,
     tags=("retrieval", "proximity", "positional"),
-    # same positional-postings plan family as phrase_match_docs;
-    # driver-visible via bm25_top_docs_served (shared 'retrieval' tag)
-    driver_visible=False,
 )
 def proximity_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity retrieval: documents where "spark" and "merge" occur
@@ -1140,9 +1149,6 @@ def _maxsim_rescore(spark: SparkSession, dtoks: DataFrame,
     """,
     tags=("retrieval", "rerank", "late-interaction", "maxsim",
           "serving", "bucketed", "docstore", "composed"),
-    # served twin of late_interaction_rerank; bucket-probe serving
-    # family driver-visible via doc_fetch_served (shared tags)
-    driver_visible=False,
 )
 def late_interaction_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction reranking answered ENTIRELY from persisted

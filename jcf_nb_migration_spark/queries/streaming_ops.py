@@ -22,6 +22,10 @@ from jcf_nb_migration_spark.streaming import events as SE
     FROM events GROUP BY 1, 2
     """,
     tags=("streaming", "window", "watermark"),
+    # rotated OUT of the driver window r10 (green in 8 driver
+    # rounds); pattern twin: streaming_interval_join
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows with a 1-hour watermark, executed as an
@@ -216,10 +220,6 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE e.event_type = 'error'
     """,
     tags=("streaming", "stream-stream-join", "interval"),
-    # real readStream; kept local to fit the 50-name driver window —
-    # the batch interval-join physical pattern is driver-visible via
-    # range_join_error_click
-    driver_visible=False,
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join executed as an ACTUAL streaming

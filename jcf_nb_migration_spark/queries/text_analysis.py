@@ -584,7 +584,6 @@ def _sql_simhash_cte(bits: int = D.SIMHASH_BITS) -> str:
     SELECT * FROM fps
     """,
     tags=("dedup", "simhash"),
-    driver_visible=False,
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document (±1 votes per hash bit over the
@@ -666,6 +665,10 @@ PARA_W = 10  # words per pseudo-paragraph (the fixture text has no
     # explode → hash-partitioned window → per-doc agg: the same
     # shuffle graph as dedup_exact (md5-window survivor pick) plus
     # decontaminate_ngrams' explode; both driver-visible
+    # rotated OUT of the driver window r10 (green in 3 driver
+    # rounds); pattern twin: duplicate_spans
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style paragraph-level exact dedup: every document is split
@@ -1080,8 +1083,10 @@ def code_switch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
     tags=("dedup", "provenance", "matrix", "cross-source"),
-    # fingerprint groupBy + per-fingerprint self-equi-join — the
-    # dedup_exact machinery aggregated into the mirror-site report
+    # kept local: 0 rows at sf0.01 (no cross-source duplicate pairs
+    # in the small fixture) makes it a trivially-hashing window
+    # entry; pattern twin: simhash_fingerprints (coverage_map.py);
+    # still oracle-run at every pytest, non-empty at sf0.1.
     driver_visible=False,
 )
 def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:

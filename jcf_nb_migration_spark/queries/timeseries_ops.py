@@ -296,9 +296,6 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY r.cohort_week, r.week_offset
     """,
     tags=("cohort", "retention", "double-agg"),
-    driver_visible=False,  # user-keyed agg + join-back; pattern
-    #                        covered by latest_event_per_user +
-    #                        customer_order_distribution family
 )
 def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucket into the absolute week of
