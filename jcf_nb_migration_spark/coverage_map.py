@@ -340,4 +340,8 @@ COVERED_BY: dict[str, str] = {
     "large_volume_customers": "returned_item_report",
     "trigram_backoff_score": "gopher_quality_flags",
     "heavy_hitters_topk": "cms_token_counts",
+    # --- r10 serving-index mutation queries (new; each serves the
+    #     probe pattern its visible twin already pins) ---------------
+    "bm25_tombstone_served": "bm25_top_docs_served",
+    "docstore_upsert_fetch": "doc_fetch_served",
 }

@@ -181,27 +181,14 @@ def docstore_attach(spark: SparkSession, prefix: str, path: str,
     _check_table_at(spark, table, path, DOCS_SUBDIR)
 
 
-def docstore_append(new_docs: DataFrame, prefix: str, path: str,
-                    num_buckets: int = 8,
-                    batch_id: int | str | None = None) -> bool:
-    """Append a new document batch under the shared appendable-layout
-    contract (io/lexical.lexical_index_append): registered-table +
-    bucket-count validation, new bucket files only, batch-id replay
-    ledger. New docs must be NEW doc_ids — an update needs a
-    transactional format; upstream dedup owns that here."""
-    spark = new_docs.sparkSession
-    prefix = _checked_prefix(prefix)
-    table = f"{prefix}_docs"
-    _require_bucketed_table(spark, table, num_buckets, path,
-                            "docstore_build", DOCS_SUBDIR)
-    from jcf_nb_migration_spark.io.layout import (_ledger_commit,
-                                                  _ledger_skip)
-
-    # Structural type validation against the table schema: mode(
-    # "append") happily writes parquet files with a drifted physical
-    # type (e.g. doc_id as double), which breaks every later
-    # fetch/compact read — fail loudly before any file lands, the
-    # append-side twin of docstore_build's doc_id integrality check.
+def _check_batch_schema(spark: SparkSession, table: str,
+                        new_docs: DataFrame) -> None:
+    """Structural type validation against the table schema:
+    ``mode("append")`` (and the COW staging writer) happily write
+    parquet files with a drifted physical type (e.g. doc_id as
+    double), which breaks every later fetch/compact read — fail
+    loudly before any file lands, the write-side twin of
+    docstore_build's doc_id integrality check."""
     table_types = {f.name: f.dataType.simpleString()
                    for f in spark.table(table).schema.fields}
     missing = [c for c in table_types if c not in new_docs.columns]
@@ -219,6 +206,25 @@ def docstore_append(new_docs: DataFrame, prefix: str, path: str,
             "append batch column types drifted from the docstore "
             "schema (a type-mismatched parquet append corrupts later "
             "reads): " + "; ".join(drifted))
+
+
+def docstore_append(new_docs: DataFrame, prefix: str, path: str,
+                    num_buckets: int = 8,
+                    batch_id: int | str | None = None) -> bool:
+    """Append a new document batch under the shared appendable-layout
+    contract (io/lexical.lexical_index_append): registered-table +
+    bucket-count validation, new bucket files only, batch-id replay
+    ledger. New docs must be NEW doc_ids — an update needs a
+    transactional format; upstream dedup owns that here."""
+    spark = new_docs.sparkSession
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_docs"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "docstore_build", DOCS_SUBDIR)
+    from jcf_nb_migration_spark.io.layout import (_ledger_commit,
+                                                  _ledger_skip)
+
+    _check_batch_schema(spark, table, new_docs)
     marker, skip = _ledger_skip(path, batch_id)
     if skip:
         return False  # replayed delivery: already appended
@@ -302,4 +308,178 @@ def docstore_maintain(spark: SparkSession, prefix: str, path: str,
     if n_files <= max_files_per_bucket * num_buckets:
         return False
     docstore_compact(spark, prefix, path, num_buckets, parallelism)
+    return True
+
+
+_BUCKET_FILE_RE = re.compile(r"_(\d{5})\.")
+
+
+def _file_bucket_id(name: str) -> int | None:
+    """Bucket id from Spark's bucketed file naming
+    (``..._NNNNN.c000...``), or None for non-bucketed artifacts."""
+    m = _BUCKET_FILE_RE.search(name)
+    return int(m.group(1)) if m else None
+
+
+def _touched_buckets(ids_frame: DataFrame, num_buckets: int) -> set:
+    """Bucket ids the batch's doc_ids hash into, computed with the
+    SAME expression Spark's bucketizer uses (pmod(murmur3, n) — pinned
+    by the docstore plan test) so the rewrite set can never miss a
+    file. Bounded by num_buckets, so the collect is control plane."""
+    rows = (ids_frame.select(
+        F.pmod(F.hash("doc_id"), F.lit(num_buckets)).alias("b"))
+        .distinct().collect())
+    return {r["b"] for r in rows}
+
+
+def _rewrite_touched_buckets(spark: SparkSession, table: str,
+                             path: str, num_buckets: int,
+                             touched: set, transform) -> int:
+    """Copy-on-write core shared by upsert and delete: rewrite ONLY
+    the bucket files the batch touches. The store is bucketed by
+    doc_id, so a keyed mutation maps to a bounded set of buckets —
+    unlike the tok-bucketed lexical postings, where one document
+    spreads across every bucket and deletion must be lazy
+    (io/lexical.lexical_index_delete).
+
+    Steps: read the current rows of the touched buckets (their files
+    only — never a store scan), apply ``transform`` (anti-join out
+    replaced/deleted ids, union new rows), stage the result as a
+    bucketed write beside the data dir, then swap: old touched files
+    move aside, staged files move in, REFRESH drops the cached file
+    listing. Untouched bucket files are never opened, read, or
+    renamed — byte-identical before and after (pinned in
+    tests/test_docstore.py). A crash between the two move phases
+    strands rows in ``docs.cowold`` (documented local-FS stand-in, as
+    for the compactor's swap); the next COW call clears residue.
+    Returns the number of staged files moved in."""
+    import shutil
+
+    data_dir = os.path.join(path, DOCS_SUBDIR)
+    staging = data_dir.rstrip("/") + ".cowstage"
+    old_dir = data_dir.rstrip("/") + ".cowold"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old_dir, ignore_errors=True)  # crashed prior swap
+    old_files = [f for f in os.listdir(data_dir)
+                 if f.endswith(".parquet")
+                 and _file_bucket_id(f) in touched]
+    schema = spark.table(table).schema
+    if old_files:
+        cur = spark.read.schema(schema).parquet(
+            *[os.path.join(data_dir, f) for f in old_files])
+    else:
+        cur = spark.createDataFrame([], schema)
+    stage_table = f"{table}_cowstage"
+    spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
+    # coalesce(1): one file per touched bucket; the staged volume is
+    # the touched buckets' rows, a 1/num_buckets-scale slice per
+    # bucket, not the corpus.
+    (transform(cur).coalesce(1).write.mode("overwrite")
+     .bucketBy(num_buckets, "doc_id").sortBy("doc_id")
+     .option("path", staging)
+     .format("parquet").saveAsTable(stage_table))
+    spark.sql(f"DROP TABLE {stage_table}")  # external: files remain
+    os.makedirs(old_dir, exist_ok=True)
+    for f in old_files:
+        os.rename(os.path.join(data_dir, f), os.path.join(old_dir, f))
+    n_new = 0
+    for f in os.listdir(staging):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(staging, f),
+                      os.path.join(data_dir, f))
+            n_new += 1
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(old_dir)
+    spark.sql(f"REFRESH TABLE {table}")
+    return n_new
+
+
+def docstore_upsert(new_docs: DataFrame, prefix: str, path: str,
+                    num_buckets: int = 8,
+                    batch_id: int | str | None = None) -> bool:
+    """MERGE a batch into the store: rows whose doc_id already exists
+    REPLACE the stored row, new doc_ids insert — Delta's MERGE INTO
+    semantics on plain parquet, via copy-on-write of only the touched
+    buckets. Batch ids must be unique within the batch (two versions
+    of one doc in a single merge is ambiguous — raise, don't pick).
+    Ledger-idempotent under ``cow-<batch_id>``; the ledger namespace
+    is shared with appends, so one batch id means one mutation."""
+    spark = new_docs.sparkSession
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_docs"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "docstore_build", DOCS_SUBDIR)
+    _check_batch_schema(spark, table, new_docs)
+    from jcf_nb_migration_spark.io.layout import (_ledger_commit,
+                                                  _ledger_skip)
+
+    marker, skip = _ledger_skip(
+        path, None if batch_id is None else f"cow-{batch_id}")
+    if skip:
+        return False
+    new_docs = new_docs.select(*spark.table(table).columns).persist()
+    try:
+        counts = new_docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("d")).head()
+        if counts["n"] != counts["d"]:
+            raise ValueError(
+                f"upsert batch has {counts['n'] - counts['d']} "
+                "duplicate doc_id(s) — two versions of one document "
+                "in a single merge is ambiguous")
+        if counts["n"] == 0:
+            _ledger_commit(marker)
+            return True
+        ids = new_docs.select("doc_id")
+        touched = _touched_buckets(ids, num_buckets)
+        _rewrite_touched_buckets(
+            spark, table, path, num_buckets, touched,
+            lambda cur: (cur.join(F.broadcast(ids), "doc_id",
+                                  "left_anti")
+                         .unionByName(new_docs)))
+    finally:
+        new_docs.unpersist()
+    _ledger_commit(marker)
+    return True
+
+
+def docstore_delete(spark: SparkSession, prefix: str, path: str,
+                    doc_ids, num_buckets: int = 8,
+                    batch_id: int | str | None = None) -> bool:
+    """Physically delete documents by id — the GDPR-style purge the
+    reference's test-row purge (main.py:258-329, T3) needs on the
+    SERVING side: the doc_id-bucketed layout makes eager deletion a
+    bounded copy-on-write (only the ids' buckets rewrite), so the
+    content is gone from disk when the call returns — no tombstone
+    window, unlike the tok-bucketed lexical index where deletion is
+    lazy by necessity. Ids absent from the store are no-ops.
+    Ledger-idempotent under ``cowdel-<batch_id>``."""
+    import numbers
+
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_docs"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "docstore_build", DOCS_SUBDIR)
+    bad = [i for i in doc_ids
+           if isinstance(i, bool) or not isinstance(i, numbers.Integral)]
+    if bad:
+        raise TypeError(f"delete ids must be integers, got {bad[:3]!r}")
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        return False
+    from jcf_nb_migration_spark.io.layout import (_ledger_commit,
+                                                  _ledger_skip)
+
+    marker, skip = _ledger_skip(
+        path, None if batch_id is None else f"cowdel-{batch_id}")
+    if skip:
+        return False
+    ids_frame = spark.createDataFrame([(i,) for i in ids],
+                                      "doc_id bigint")
+    touched = _touched_buckets(ids_frame, num_buckets)
+    _rewrite_touched_buckets(
+        spark, table, path, num_buckets, touched,
+        lambda cur: cur.join(F.broadcast(ids_frame), "doc_id",
+                             "left_anti"))
+    _ledger_commit(marker)
     return True

@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 
 STATS_SUBDIR = "stats"
 POSTINGS_SUBDIR = "postings"
+TOMBSTONES_SUBDIR = "tombstones"
 LEDGER_SUBDIR = "_appended_batches"
 META_FILE = "_index_meta.json"
 
@@ -338,6 +339,135 @@ def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
     return True
 
 
+def tombstone_ids(spark: SparkSession, path: str) -> DataFrame | None:
+    """Distinct tombstoned ``doc_id``s of the index at ``path``, or
+    None when no deletion has ever landed. Tombstone batches are tiny
+    (request-bounded delete lists), so the frame broadcasts by
+    construction at every probe."""
+    tomb_dir = os.path.join(path, TOMBSTONES_SUBDIR)
+    if not os.path.isdir(tomb_dir):
+        return None
+    return spark.read.parquet(tomb_dir).select("doc_id").distinct()
+
+
+def _without_tombstoned(per_doc: DataFrame, spark: SparkSession,
+                        path: str) -> DataFrame:
+    """Apply lazy-deletion semantics to a per-doc result frame:
+    tombstoned documents never appear in results. A broadcast
+    left-anti join — the tombstone side is delete-request-bounded,
+    never corpus-sized."""
+    tomb = tombstone_ids(spark, path)
+    if tomb is None:
+        return per_doc
+    return per_doc.join(F.broadcast(tomb), "doc_id", "left_anti")
+
+
+def lexical_index_delete(spark: SparkSession, prefix: str, path: str,
+                         doc_ids, num_buckets: int = 8,
+                         batch_id: int | str | None = None) -> bool:
+    """Delete documents from the serving index LAZILY (Lucene's
+    delete-then-merge model): the ids land in a tombstone sidecar and
+    every probe excludes them from RESULTS immediately, while the
+    corpus statistics (df, N, avgdl) keep counting the deleted
+    documents until ``lexical_index_vacuum`` physically reclaims them
+    — exactly the scoring Lucene serves between a delete and a segment
+    merge. The alternative — eager physical deletion — would rewrite
+    EVERY bucket on every delete batch, because postings are bucketed
+    by ``tok`` and one document's postings spread across all buckets.
+
+    ``doc_ids`` is a request-bounded list of integers (the same
+    contract as docstore_fetch); ids absent from the index are
+    harmless no-ops. Ledger-idempotent under ``del-<batch_id>``
+    markers (the namespace is shared with appends, so a delete and an
+    append must not reuse one batch id)."""
+    import numbers
+
+    prefix = _checked_prefix(prefix)
+    _require_bucketed_table(spark, f"{prefix}_postings", num_buckets,
+                            path, "lexical_index_build",
+                            POSTINGS_SUBDIR)
+    bad = [i for i in doc_ids
+           if isinstance(i, bool) or not isinstance(i, numbers.Integral)]
+    if bad:
+        raise TypeError(
+            f"delete ids must be integers, got {bad[:3]!r}")
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        return False
+    from jcf_nb_migration_spark.io.layout import (_ledger_commit,
+                                                  _ledger_skip)
+
+    marker, skip = _ledger_skip(
+        path, None if batch_id is None else f"del-{batch_id}")
+    if skip:
+        return False
+    (spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+     .coalesce(1).write.mode("append")
+     .parquet(os.path.join(path, TOMBSTONES_SUBDIR)))
+    _ledger_commit(marker)
+    return True
+
+
+def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
+                         num_buckets: int = 8,
+                         parallelism: int = 1) -> dict:
+    """Physically reclaim tombstoned documents: rewrite the postings
+    table WITHOUT their rows (staged bucketed rebuild + swap, the
+    compaction machinery), consolidate the stats sidecar with the
+    reclaimed documents subtracted, and clear the tombstones. After a
+    vacuum, probes score exactly as a fresh build over the surviving
+    corpus.
+
+    Stats reconciliation comes from the postings being dropped (each
+    document's ``dl`` rides on its postings rows), so it is exact for
+    every tombstoned document that HAS postings. A zero-token document
+    has no postings to reconcile from; its +1 in n_docs survives until
+    a full rebuild (its sum_dl contribution is 0 and it can never
+    match a query, so only the avgdl denominator is off by the empty
+    count — documented, not silent). Returns
+    ``{"reclaimed_docs": n, "reclaimed_postings": m}``."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_postings"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "lexical_index_build", POSTINGS_SUBDIR)
+    tomb = tombstone_ids(spark, path)
+    if tomb is None:
+        return {"reclaimed_docs": 0, "reclaimed_postings": 0}
+    import shutil
+
+    # Reconcile BEFORE the swap, from the live postings: per-doc dl
+    # (constant within a doc's postings), counted once per doc.
+    dead = (spark.table(table)
+            .join(F.broadcast(tomb), "doc_id", "left_semi"))
+    dead_stats = (dead.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+                  .head())
+    n_dead = int(dead_stats["n"])
+    dl_dead = int(dead_stats["s"])
+    n_postings = dead.count()
+    old = (spark.read.parquet(os.path.join(path, STATS_SUBDIR))
+           .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
+           .head())
+    live = (spark.table(table)
+            .join(F.broadcast(tomb), "doc_id", "left_anti"))
+    _compact_bucketed_table(
+        spark, table, path, POSTINGS_SUBDIR, "tok", num_buckets,
+        parallelism,
+        lambda: lexical_index_attach(spark, prefix, path, num_buckets),
+        frame=live)
+    # One consolidated stats row replacing the whole sidecar; the
+    # epoch tag makes post-vacuum artifacts self-describing.
+    (spark.createDataFrame(
+        [("vacuum", int(old["n"]) - n_dead, int(old["s"]) - dl_dead)],
+        "batch_id string, n_docs bigint, sum_dl bigint")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, STATS_SUBDIR)))
+    shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
+                  ignore_errors=True)
+    return {"reclaimed_docs": n_dead, "reclaimed_postings": n_postings}
+
+
 def bm25_probe(spark: SparkSession, prefix: str, path: str,
                terms: tuple[str, ...], k1: float, b: float,
                k: int = 20,
@@ -387,6 +517,11 @@ def bm25_probe(spark: SparkSession, prefix: str, path: str,
     if allowed is not None:
         scored = scored.join(allowed.select("doc_id"), "doc_id",
                              "left_semi")
+    # Lazy-deletion gate (lexical_index_delete): tombstoned docs never
+    # surface, while df/N/avgdl keep counting them until vacuum —
+    # Lucene's delete-then-merge scoring, applied before the top-k cut
+    # so k surviving docs come back.
+    scored = _without_tombstoned(scored, spark, path)
     return (scored.orderBy(F.desc("bm25"), "doc_id")
             .limit(k))
 
@@ -394,20 +529,24 @@ def bm25_probe(spark: SparkSession, prefix: str, path: str,
 def _compact_bucketed_table(spark: SparkSession, table: str, path: str,
                             subdir: str, bucket_col: str,
                             num_buckets: int, parallelism: int,
-                            reattach) -> int:
+                            reattach, frame: DataFrame | None = None) -> int:
     """Staged-rewrite-and-swap core shared by the lexical and docstore
     compactors: rebuild the bucketed table FROM ITS OWN FILES into a
     staging dir (one file per bucket per task), swap via two directory
     renames, drop + re-register the catalog entry (``reattach``).
-    Returns the compacted file count. Validation is the caller's job —
-    this helper only reorganizes files."""
+    ``frame`` substitutes the rows being rewritten (vacuum passes the
+    table minus tombstoned docs); it must derive from the live table
+    so the staged write completes before any rename. Returns the
+    compacted file count. Validation is the caller's job — this helper
+    only reorganizes files."""
     import shutil
 
     data_dir = os.path.join(path, subdir)
     staging = data_dir.rstrip("/") + ".compact"
     # coalesce, not repartition: narrow (no shuffle), and the bucketed
     # writer splits each task's rows by bucket id itself.
-    (spark.table(table).coalesce(parallelism)
+    ((spark.table(table) if frame is None else frame)
+     .coalesce(parallelism)
      .write.mode("overwrite")
      .bucketBy(num_buckets, bucket_col).sortBy(bucket_col)
      .option("path", staging)
@@ -596,6 +735,8 @@ def phrase_probe(spark: SparkSession, prefix: str, path: str,
     if allowed is not None:
         per_doc = per_doc.join(allowed.select("doc_id"), "doc_id",
                                "left_semi")
+    # positional layouts share the lexical tombstone sidecar semantics
+    per_doc = _without_tombstoned(per_doc, spark, path)
     return (per_doc.orderBy(F.desc("n_occurrences"), "doc_id")
             .limit(k))
 
@@ -627,6 +768,7 @@ def proximity_probe(spark: SparkSession, prefix: str, path: str,
     if allowed is not None:
         per_doc = per_doc.join(allowed.select("doc_id"), "doc_id",
                                "left_semi")
+    per_doc = _without_tombstoned(per_doc, spark, path)
     return (per_doc.orderBy("min_span", F.desc("n_pairs"), "doc_id")
             .limit(k))
 
@@ -697,4 +839,42 @@ def positional_index_maintain(spark: SparkSession, prefix: str,
         return False
     positional_index_compact(spark, prefix, path, num_buckets,
                              parallelism)
+    return True
+
+
+def positional_index_delete(spark: SparkSession, prefix: str,
+                            path: str, doc_ids, num_buckets: int = 8,
+                            batch_id: int | str | None = None) -> bool:
+    """Lazy deletion for the positional layout — same tombstone
+    sidecar and probe-side exclusion as lexical_index_delete (the
+    positions table is tok-bucketed too, so eager deletion would
+    rewrite every bucket). phrase_probe/proximity_probe exclude
+    tombstoned docs immediately; physical reclaim rides the next
+    rebuild (positions carry no corpus stats, so there is nothing to
+    reconcile — a compaction-time reclaim variant would mirror
+    lexical_index_vacuum's frame filter)."""
+    import numbers
+
+    prefix = _checked_prefix(prefix)
+    _require_bucketed_table(spark, f"{prefix}_positions", num_buckets,
+                            path, "positional_index_build",
+                            POSITIONS_SUBDIR)
+    bad = [i for i in doc_ids
+           if isinstance(i, bool) or not isinstance(i, numbers.Integral)]
+    if bad:
+        raise TypeError(f"delete ids must be integers, got {bad[:3]!r}")
+    ids = sorted({int(i) for i in doc_ids})
+    if not ids:
+        return False
+    from jcf_nb_migration_spark.io.layout import (_ledger_commit,
+                                                  _ledger_skip)
+
+    marker, skip = _ledger_skip(
+        path, None if batch_id is None else f"del-{batch_id}")
+    if skip:
+        return False
+    (spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+     .coalesce(1).write.mode("append")
+     .parquet(os.path.join(path, TOMBSTONES_SUBDIR)))
+    _ledger_commit(marker)
     return True

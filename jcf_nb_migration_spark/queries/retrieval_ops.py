@@ -1192,3 +1192,147 @@ def late_interaction_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtoks = (fetched.select("doc_id", F.explode("w").alias("tok"))
              .distinct())
     return _maxsim_rescore(spark, dtoks, F.broadcast(short))
+
+
+# Serving-index MUTATION queries (r10): the delete/upsert lifecycle a
+# long-lived 100 TB serving deployment runs between rebuilds. Each
+# rebuilds its scratch layout per call (determinism, like the other
+# *_served queries), applies the mutation, and serves from the mutated
+# index — so the driver's oracle hash checks the MUTATED state.
+
+
+@query(
+    "bm25_tombstone_served",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    {_sql_bm25_ctes()}
+    SELECT doc_id, n_terms_matched, bm25
+    FROM bm WHERE doc_id % 5 <> 0
+    ORDER BY bm25 DESC, doc_id LIMIT 20
+    """,
+    tags=("retrieval", "bm25", "serving", "bucketed", "delete",
+          "tombstone"),
+    # new in r10; serving-probe pattern driver-visible via
+    # bm25_top_docs_served (shared retrieval/bm25/serving tags)
+    driver_visible=False,
+)
+def bm25_tombstone_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 serving under LAZY DELETION (io/lexical.
+    lexical_index_delete): every doc_id ≡ 0 (mod 5) is deleted from
+    the persisted index, and the probe excludes them from results
+    while df/N/avgdl still count them — Lucene's delete-then-merge
+    scoring, the semantics a real engine serves between a delete and a
+    segment merge (``lexical_index_vacuum`` is the merge). The oracle
+    states exactly that: full-corpus BM25 statistics, deleted docs
+    filtered from the result before the top-k cut.
+
+    Deletion must be lazy HERE because postings are bucketed by
+    ``tok`` — one document's postings spread across every bucket, so
+    eager physical deletion would rewrite the whole index per batch
+    (contrast docstore_delete, where the doc_id-bucketed layout makes
+    eager COW bounded). The collected delete-id list is the simulated
+    delete REQUEST (request-bounded by nature), not an operator data
+    path."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.lexical import (bm25_probe,
+                                                   lexical_index_build,
+                                                   lexical_index_delete)
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"lexdel_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "jcf_lexical_tomb",
+                        spark.sparkContext.applicationId, tag)
+    lexical_index_build(toks, prefix, path, num_buckets=8)
+    del_ids = [r["doc_id"] for r in
+               docs.where(F.col("doc_id") % 5 == 0)
+               .select("doc_id").collect()]
+    lexical_index_delete(spark, prefix, path, del_ids, num_buckets=8)
+    return bm25_probe(spark, prefix, path, BM25_TERMS,
+                      BM25_K1, BM25_B, k=20)
+
+
+UPSERT_MOD = 17        # doc_id % 17 == 5 rows get a v2 payload
+UPSERT_NEW = (1, 2, 3)  # new doc_ids appended past max(doc_id)
+UPSERT_FETCH = (1, 2, 3, 5, 22, 39)  # untouched + updated spread
+
+
+@query(
+    "docstore_upsert_fetch",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    upd AS (
+        SELECT doc_id, 'v2:' || text AS text, 'v2' AS lang,
+               source, n_chars
+        FROM documents WHERE doc_id % {UPSERT_MOD} = 5
+    ),
+    newd AS (
+        SELECT m + k AS doc_id, 'new doc ' || k AS text,
+               'new' AS lang, 'upsert' AS source,
+               CAST(length('new doc ' || k) AS BIGINT) AS n_chars
+        FROM mx, (SELECT unnest([{", ".join(map(str, UPSERT_NEW))}]) AS k)
+    ),
+    merged AS (
+        SELECT * FROM upd
+        UNION ALL SELECT * FROM newd
+        UNION ALL SELECT doc_id, text, lang, source, n_chars
+                  FROM documents WHERE doc_id % {UPSERT_MOD} <> 5
+    ),
+    ids AS (
+        SELECT unnest([{", ".join(map(str, UPSERT_FETCH))}]) AS doc_id
+        UNION ALL SELECT m + k
+        FROM mx, (SELECT unnest([{", ".join(map(str, UPSERT_NEW))}]) AS k)
+    )
+    SELECT m.doc_id, m.text, m.lang, m.source, m.n_chars
+    FROM merged m JOIN ids USING (doc_id)
+    ORDER BY m.doc_id
+    """,
+    tags=("serving", "docstore", "upsert", "cow", "bucketed"),
+    # new in r10; bucket-pruned docstore fetch pattern driver-visible
+    # via doc_fetch_served (shared serving/docstore/bucketed tags)
+    driver_visible=False,
+)
+def docstore_upsert_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the persisted docstore (io/docstore.
+    docstore_upsert): documents with doc_id ≡ 5 (mod 17) are replaced
+    by a v2 payload and three brand-new doc_ids insert, via
+    copy-on-write of ONLY the touched buckets — untouched bucket files
+    stay byte-identical (pinned in tests/test_docstore.py). The fetch
+    then reads a fixed id spread crossing updated, untouched, and
+    inserted documents, so the oracle hash certifies all three merge
+    outcomes at once. The max(doc_id) collect is a one-scalar
+    control-plane agg (new ids must not collide with existing ones)."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.docstore import (docstore_build,
+                                                    docstore_fetch,
+                                                    docstore_upsert)
+
+    docs = (spread(t(spark, sf_dir, "documents"))
+            .select("doc_id", "text", "lang", "source", "n_chars"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"docstu_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "jcf_docstore_cow",
+                        spark.sparkContext.applicationId, tag)
+    docstore_build(docs, prefix, path, num_buckets=8)
+    max_id = docs.agg(F.max("doc_id")).head()[0]
+    updated = (docs.where(F.col("doc_id") % UPSERT_MOD == 5)
+               .select("doc_id",
+                       F.concat(F.lit("v2:"), F.col("text"))
+                        .alias("text"),
+                       F.lit("v2").alias("lang"), "source", "n_chars"))
+    new_rows = spark.createDataFrame(
+        [(max_id + k, f"new doc {k}", "new", "upsert",
+          len(f"new doc {k}")) for k in UPSERT_NEW],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    docstore_upsert(updated.unionByName(new_rows), prefix, path,
+                    num_buckets=8)
+    fetch_ids = list(UPSERT_FETCH) + [max_id + k for k in UPSERT_NEW]
+    return (docstore_fetch(spark, prefix, path, fetch_ids)
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .orderBy("doc_id"))

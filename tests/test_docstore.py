@@ -339,3 +339,135 @@ def test_append_refuses_type_drift(spark, tmp_path):
     assert docstore_append(extra, "dst_drift", path, num_buckets=4)
     assert _fetch_rows(spark, "dst_drift", path, [9]) == [
         (9, "body of doc 9", "en", 109)]
+
+
+# --- r10: copy-on-write upsert/delete ---------------------------------
+
+
+def _file_hashes(path):
+    """name -> md5 of every parquet file under the docs dir."""
+    import hashlib
+
+    d = os.path.join(path, DOCS_SUBDIR)
+    return {f: hashlib.md5(open(os.path.join(d, f), "rb").read())
+            .hexdigest()
+            for f in os.listdir(d) if f.endswith(".parquet")}
+
+
+def test_upsert_updates_inserts_touched_buckets_only(spark, tmp_path):
+    """MERGE semantics via COW: existing ids replaced, new ids
+    inserted — and every parquet file of an UNTOUCHED bucket is
+    byte-identical afterwards (the rewrite is bounded by the batch's
+    buckets, the core 100 TB claim)."""
+    from jcf_nb_migration_spark.io.docstore import (_file_bucket_id,
+                                                    _touched_buckets,
+                                                    docstore_upsert)
+
+    path = str(tmp_path / "ds_cow")
+    docstore_build(_docs(spark, range(20)), "dst_cow", path,
+                   num_buckets=4)
+    before = _file_hashes(path)
+    batch = spark.createDataFrame(
+        [(3, "v2 of 3", "xx", 999), (11, "v2 of 11", "xx", 998),
+         (100, "brand new", "new", 9)], SCHEMA)
+    assert docstore_upsert(batch, "dst_cow", path, num_buckets=4,
+                           batch_id="m1") is True
+    touched = _touched_buckets(batch.select("doc_id"), 4)
+    after = _file_hashes(path)
+    for name, h in before.items():
+        if _file_bucket_id(name) not in touched:
+            assert after.get(name) == h, f"untouched file {name} changed"
+        else:
+            assert name not in after  # old touched files replaced
+    assert _fetch_rows(spark, "dst_cow", path, [3, 11, 100, 5]) == [
+        (3, "v2 of 3", "xx", 999), (5, "body of doc 5", "en", 105),
+        (11, "v2 of 11", "xx", 998), (100, "brand new", "new", 9)]
+    # ledger: replaying the same batch id is a no-op
+    assert docstore_upsert(batch, "dst_cow", path, num_buckets=4,
+                           batch_id="m1") is False
+    # duplicate ids within one batch are ambiguous -> raise
+    dup = spark.createDataFrame(
+        [(7, "a", "en", 1), (7, "b", "en", 2)], SCHEMA)
+    with pytest.raises(ValueError, match="duplicate doc_id"):
+        docstore_upsert(dup, "dst_cow", path, num_buckets=4)
+    # type drift refuses before any file lands (shared check)
+    drifted = spark.createDataFrame(
+        [(9.0, "x", "en", "9")],
+        "doc_id double, text string, lang string, n_chars string")
+    with pytest.raises(ValueError, match="types drifted"):
+        docstore_upsert(drifted, "dst_cow", path, num_buckets=4)
+
+
+def test_delete_removes_rows_cow(spark, tmp_path):
+    """Eager physical deletion: deleted ids are gone from disk when
+    the call returns (fetch finds nothing), other rows and untouched
+    bucket files are intact; absent ids are no-ops; ledger replays
+    skip."""
+    from jcf_nb_migration_spark.io.docstore import (_file_bucket_id,
+                                                    _touched_buckets,
+                                                    docstore_delete)
+
+    path = str(tmp_path / "ds_del")
+    docstore_build(_docs(spark, range(16)), "dst_del", path,
+                   num_buckets=4)
+    before = _file_hashes(path)
+    ids_frame = spark.createDataFrame([(2,), (7,)], "doc_id bigint")
+    touched = _touched_buckets(ids_frame, 4)
+    assert docstore_delete(spark, "dst_del", path, [2, 7],
+                           num_buckets=4, batch_id="d1") is True
+    after = _file_hashes(path)
+    for name, h in before.items():
+        if _file_bucket_id(name) not in touched:
+            assert after.get(name) == h
+    assert docstore_fetch(spark, "dst_del", path, [2, 7]).count() == 0
+    assert _fetch_rows(spark, "dst_del", path, [1, 3]) == [
+        (1, "body of doc 1", "en", 101), (3, "body of doc 3", "en", 103)]
+    # replay + absent-id no-op + validation
+    assert docstore_delete(spark, "dst_del", path, [2, 7],
+                           num_buckets=4, batch_id="d1") is False
+    assert docstore_delete(spark, "dst_del", path, [999],
+                           num_buckets=4) is True
+    assert _fetch_rows(spark, "dst_del", path, [1])  # store intact
+    with pytest.raises(TypeError, match="integers"):
+        docstore_delete(spark, "dst_del", path, [1.5], num_buckets=4)
+    assert docstore_delete(spark, "dst_del", path, [],
+                           num_buckets=4) is False
+    with pytest.raises(ValueError, match="registered at"):
+        docstore_delete(spark, "dst_del", str(tmp_path / "elsewhere"),
+                        [1], num_buckets=4)
+
+
+def test_cow_clears_crashed_swap_residue(spark, tmp_path):
+    """A crash between the COW move phases strands .cowstage/.cowold
+    dirs; the next mutation clears them and completes."""
+    path = str(tmp_path / "ds_res")
+    docstore_build(_docs(spark, range(8)), "dst_res", path,
+                   num_buckets=4)
+    from jcf_nb_migration_spark.io.docstore import docstore_upsert
+
+    for residue in ("docs.cowstage", "docs.cowold"):
+        d = os.path.join(path, residue)
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, "junk.parquet"), "w").write("junk")
+    batch = spark.createDataFrame([(1, "v2", "xx", 1)], SCHEMA)
+    assert docstore_upsert(batch, "dst_res", path, num_buckets=4)
+    assert not os.path.isdir(os.path.join(path, "docs.cowstage"))
+    assert not os.path.isdir(os.path.join(path, "docs.cowold"))
+    assert _fetch_rows(spark, "dst_res", path, [1]) == [(1, "v2", "xx", 1)]
+
+
+def test_upsert_then_compact_preserves_fetch(spark, tmp_path):
+    """COW output composes with the shared compactor: post-compaction
+    fetch returns the merged state."""
+    from jcf_nb_migration_spark.io.docstore import docstore_upsert
+
+    path = str(tmp_path / "ds_cc")
+    docstore_build(_docs(spark, range(12)), "dst_cc", path,
+                   num_buckets=4)
+    batch = spark.createDataFrame(
+        [(4, "v2 of 4", "xx", 44), (50, "new 50", "new", 5)], SCHEMA)
+    docstore_upsert(batch, "dst_cc", path, num_buckets=4)
+    docstore_compact(spark, "dst_cc", path, num_buckets=4)
+    assert _fetch_rows(spark, "dst_cc", path, [4, 50, 6]) == [
+        (4, "v2 of 4", "xx", 44), (6, "body of doc 6", "de", 106),
+        (50, "new 50", "new", 5)]

@@ -634,3 +634,141 @@ def test_bm25_probe_refuses_stale_registration(spark, tmp_path):
                       BM25_K1, BM25_B, k=5).count() > 0
     with pytest.raises(ValueError, match="registered at"):
         bm25_probe(spark, "lexti_bmstale", b, TERMS, BM25_K1, BM25_B)
+
+
+# --- r10: lazy deletion (tombstones) + vacuum -------------------------
+
+
+def test_delete_excludes_results_keeps_stats(spark, tmp_path):
+    """Lucene's delete-then-merge scoring: tombstoned docs vanish from
+    results IMMEDIATELY, while surviving docs keep the exact scores
+    they had before the delete (df/N/avgdl still count the deleted
+    docs until vacuum). Postings files are untouched — deletion is a
+    sidecar write, not a rewrite."""
+    import os as _os
+
+    from jcf_nb_migration_spark.io.lexical import (POSTINGS_SUBDIR,
+                                                   lexical_index_delete)
+
+    path = str(tmp_path / "lex_tomb")
+    lexical_index_build(_corpus(spark, range(30)), "lexti_tomb", path,
+                        num_buckets=4)
+    before = _probe_rows(spark, "lexti_tomb", path, k=30)
+    assert len(before) > 4
+    victims = [before[0][0], before[2][0]]
+    files_before = sorted(_os.listdir(_os.path.join(path,
+                                                    POSTINGS_SUBDIR)))
+    assert lexical_index_delete(spark, "lexti_tomb", path, victims,
+                                num_buckets=4) is True
+    after = _probe_rows(spark, "lexti_tomb", path, k=30)
+    assert sorted(_os.listdir(_os.path.join(path, POSTINGS_SUBDIR))) \
+        == files_before  # lazy: no postings rewrite
+    assert [r[0] for r in after] == \
+        [r[0] for r in before if r[0] not in victims]
+    kept = {r[0]: r for r in before}
+    for row in after:
+        assert row == kept[row[0]]  # scores bit-identical pre-vacuum
+    # idempotent replay under a ledgered batch id
+    assert lexical_index_delete(spark, "lexti_tomb", path, victims,
+                                num_buckets=4, batch_id=1) is True
+    assert lexical_index_delete(spark, "lexti_tomb", path, victims,
+                                num_buckets=4, batch_id=1) is False
+    # validation: non-int ids, empty list, stale registration
+    with pytest.raises(TypeError, match="integers"):
+        lexical_index_delete(spark, "lexti_tomb", path, [1.5],
+                             num_buckets=4)
+    assert lexical_index_delete(spark, "lexti_tomb", path, [],
+                                num_buckets=4) is False
+    with pytest.raises(ValueError, match="registered at"):
+        lexical_index_delete(spark, "lexti_tomb",
+                             str(tmp_path / "elsewhere"), [3],
+                             num_buckets=4)
+
+
+def test_vacuum_matches_rebuild_without_deleted(spark, tmp_path):
+    """Physical reclaim: after vacuum the probe scores EXACTLY as a
+    fresh build over the surviving corpus (stats reconciled from the
+    dropped postings), tombstones are cleared, and the reclaimed
+    counts are reported. Victims are postings-bearing docs (the
+    reconcilable case; the empty-doc caveat is pinned below)."""
+    import os as _os
+
+    from jcf_nb_migration_spark.io.lexical import (TOMBSTONES_SUBDIR,
+                                                   lexical_index_delete,
+                                                   lexical_index_vacuum)
+
+    ids = range(30)
+    victims = [1, 2, 9]  # none ≡ 0 (mod 7): all have postings
+    path = str(tmp_path / "lex_vac")
+    lexical_index_build(_corpus(spark, ids), "lexti_vac", path,
+                        num_buckets=4)
+    lexical_index_delete(spark, "lexti_vac", path, victims,
+                         num_buckets=4)
+    out = lexical_index_vacuum(spark, "lexti_vac", path, num_buckets=4)
+    assert out["reclaimed_docs"] == len(victims)
+    assert out["reclaimed_postings"] > 0
+    assert not _os.path.isdir(_os.path.join(path, TOMBSTONES_SUBDIR))
+    rb_path = str(tmp_path / "lex_vac_rb")
+    lexical_index_build(
+        _corpus(spark, [i for i in ids if i not in victims]),
+        "lexti_vac_rb", rb_path, num_buckets=4)
+    got = _probe_rows(spark, "lexti_vac", path, k=30)
+    expect = _probe_rows(spark, "lexti_vac_rb", rb_path, k=30)
+    assert got == expect and len(got) > 0
+    # vacuum with no tombstones is a no-op
+    assert lexical_index_vacuum(spark, "lexti_vac", path,
+                                num_buckets=4) == {
+        "reclaimed_docs": 0, "reclaimed_postings": 0}
+
+
+def test_vacuum_empty_doc_caveat(spark, tmp_path):
+    """A zero-token document has no postings to reconcile from: the
+    vacuum reports 0 reclaimed docs and n_docs keeps its +1 (the
+    documented caveat — only the avgdl denominator is off, and the doc
+    can never match a query)."""
+    import os as _os
+
+    from jcf_nb_migration_spark.io.lexical import (STATS_SUBDIR,
+                                                   lexical_index_delete,
+                                                   lexical_index_vacuum)
+
+    path = str(tmp_path / "lex_vace")
+    lexical_index_build(_corpus(spark, range(15)), "lexti_vace", path,
+                        num_buckets=4)
+    stats0 = spark.read.parquet(
+        _os.path.join(path, STATS_SUBDIR)).agg(
+        F.sum("n_docs")).head()[0]
+    lexical_index_delete(spark, "lexti_vace", path, [0, 7],
+                         num_buckets=4)  # both ≡ 0 (mod 7): empty
+    out = lexical_index_vacuum(spark, "lexti_vace", path,
+                               num_buckets=4)
+    assert out == {"reclaimed_docs": 0, "reclaimed_postings": 0}
+    stats1 = spark.read.parquet(
+        _os.path.join(path, STATS_SUBDIR)).agg(
+        F.sum("n_docs")).head()[0]
+    assert stats1 == stats0  # +1s survive until rebuild, loudly docd
+
+
+def test_positional_delete_excludes_phrase_and_proximity(spark,
+                                                         tmp_path):
+    """The positional layout shares the tombstone semantics: deleted
+    docs vanish from phrase and proximity results immediately."""
+    from jcf_nb_migration_spark.io.lexical import (
+        phrase_probe, positional_index_build, positional_index_delete,
+        proximity_probe)
+
+    rows = [(i, ["alpha", "beta", "gap", "alpha", "beta"])
+            for i in range(8)]
+    path = str(tmp_path / "pos_tomb")
+    positional_index_build(_toks(spark, rows), "positi_tomb", path,
+                           num_buckets=4)
+    assert positional_index_delete(spark, "positi_tomb", path, [2, 5],
+                                   num_buckets=4) is True
+    ph = [r["doc_id"] for r in
+          phrase_probe(spark, "positi_tomb", path, ("alpha", "beta"),
+                       k=20).collect()]
+    px = [r["doc_id"] for r in
+          proximity_probe(spark, "positi_tomb", path,
+                          ("alpha", "beta"), window=3, k=20).collect()]
+    assert sorted(ph) == [0, 1, 3, 4, 6, 7]
+    assert sorted(px) == [0, 1, 3, 4, 6, 7]

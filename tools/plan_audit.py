@@ -112,7 +112,22 @@ COMMENTARY = {
         "the docstore used as a FORWARD index (doc_id-bucketed point "
         "fetch), shared _maxsim_rescore — zero corpus passes at serve "
         "time; reads |terms| postings buckets + |shortlist| docstore "
-        "buckets. 3-point probe: 1.14x on 10x data, 1.01x on 3x.")
+        "buckets. 3-point probe: 1.14x on 10x data, 1.01x on 3x."),
+    "bm25_tombstone_served": (
+        "Lazy deletion under the serving plan (r10): identical "
+        "bucket-pruned probe as bm25_top_docs_served plus ONE "
+        "broadcast left-anti join against the tombstone sidecar "
+        "(delete-request-bounded, never corpus-sized) applied before "
+        "the top-k cut; df/N/avgdl keep counting deleted docs until "
+        "vacuum — Lucene's delete-then-merge scoring, stated exactly "
+        "by the oracle."),
+    "docstore_upsert_fetch": (
+        "MERGE INTO on plain parquet (r10): the upsert rewrites ONLY "
+        "the batch's hash buckets (pmod(murmur3, n) — the same "
+        "expression the bucketizer uses, so the rewrite set can never "
+        "miss a file); untouched bucket files stay byte-identical "
+        "(pinned in tests/test_docstore.py). The serve half is the "
+        "standard bucket-pruned literal-IN point fetch."),
 }
 
 
