@@ -377,3 +377,59 @@ def test_stream_ingest_appends_docstore(spark, tmp_path):
         all_docs.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 20)),
         "dst_stream", idx, num_buckets=8, batch_id=0) is False
     assert fetch("dst_stream", idx) == got
+
+
+def test_stream_cdc_upserts_docstore(spark, tmp_path):
+    """A CDC stream drives MERGE semantics (r10): each micro-batch is
+    a mix of updates and inserts landed via foreachBatch →
+    docstore_upsert under the shared ledger. After two deliveries the
+    streamed store must fetch-match a one-shot build over the FINAL
+    state (latest version per doc_id), and a replayed delivery is a
+    ledger-skipped no-op — at-least-once delivery cannot double-apply
+    a merge."""
+    from jcf_nb_migration_spark.io.docstore import (
+        docstore_build, docstore_fetch, docstore_upsert)
+
+    base = _mk_docs(spark, [(i, f"v1 of {i}") for i in range(12)])
+    idx = str(tmp_path / "ds_cdc_idx")
+    docstore_build(base, "dst_cdc", idx, num_buckets=8)
+
+    src = str(tmp_path / "ds_cdc_incoming")
+    os.makedirs(src, exist_ok=True)
+
+    def ingest(batch_df, batch_id):
+        docstore_upsert(batch_df, "dst_cdc", idx,
+                        num_buckets=8, batch_id=batch_id)
+
+    stream = spark.readStream.schema("doc_id bigint, text string") \
+        .parquet(src)
+    q = stream.writeStream.foreachBatch(ingest).start()
+    b1 = [(3, "v2 of 3"), (7, "v2 of 7"), (20, "v1 of 20")]
+    b2 = [(3, "v3 of 3"), (21, "v1 of 21")]
+    try:
+        for rows in (b1, b2):
+            _mk_docs(spark, rows).coalesce(1) \
+                .write.mode("append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {i: f"v1 of {i}" for i in range(12)}
+    final.update({3: "v3 of 3", 7: "v2 of 7",
+                  20: "v1 of 20", 21: "v1 of 21"})
+    rb = str(tmp_path / "ds_cdc_oneshot")
+    docstore_build(_mk_docs(spark, sorted(final.items())),
+                   "dst_cdc_oneshot", rb, num_buckets=8)
+
+    ids = [0, 3, 7, 11, 20, 21]
+
+    def fetch(prefix, path):
+        return sorted((r["doc_id"], r["text"]) for r in
+                      docstore_fetch(spark, prefix, path, ids).collect())
+
+    got = fetch("dst_cdc", idx)
+    assert got == fetch("dst_cdc_oneshot", rb) and len(got) == len(ids)
+    # replay of micro-batch 0 (the b1 content) is skipped by the ledger
+    assert docstore_upsert(_mk_docs(spark, b1), "dst_cdc", idx,
+                           num_buckets=8, batch_id=0) is False
+    assert fetch("dst_cdc", idx) == got
