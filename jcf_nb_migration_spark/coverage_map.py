@@ -344,4 +344,7 @@ COVERED_BY: dict[str, str] = {
     #     probe pattern its visible twin already pins) ---------------
     "bm25_tombstone_served": "bm25_top_docs_served",
     "docstore_upsert_fetch": "doc_fetch_served",
+    "cobucketed_order_revenue": "returned_item_report",  # join+agg
+    #   result pattern; the zero-Exchange co-bucketed-join PLAN claim
+    #   is pinned by tests/test_plans.py (no oracle can see layout)
 }

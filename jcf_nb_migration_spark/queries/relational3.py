@@ -617,3 +617,76 @@ def excess_share_suppliers(spark: SparkSession,
             .select("s_suppkey", "s_name",
                     F.col("n_name").alias("nation"))
             .orderBy("s_suppkey"))
+
+
+@query(
+    "cobucketed_order_revenue",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY priority
+    """,
+    tags=("join", "bucketed", "co-located", "zero-shuffle"),
+    # new in r10; the join-agg result pattern is driver-visible via
+    # returned_item_report (shared 'join' tag); the zero-Exchange
+    # bucketed-join PLAN claim is pinned in tests/test_plans.py
+    driver_visible=False,
+)
+def cobucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join answered from CO-BUCKETED layouts: orders and
+    lineitem persisted bucketed (and sorted) on the order key with the
+    same bucket count (io/layout.write_bucketed), so the planner
+    proves both sides already share the required hash distribution and
+    elides BOTH SortMergeJoin exchanges (and, with one file per
+    bucket plus the legacy bucketedTableScan.outputOrdering conf, both
+    sorts) — at 100 TB the
+    biggest join in the schema becomes a zero-shuffle zip of bucket
+    pairs, paid for once at write time (the layout a warehouse keeps
+    for its hottest join key). Pinned in tests/test_plans.py::
+    test_cobucketed_join_elides_exchanges_and_sorts; rebuilt per call
+    (applicationId-keyed scratch) for determinism, like the *_served
+    queries. The oracle is the plain join — results are layout-
+    invariant, which is the point: bucketing buys the plan, not
+    different answers."""
+    import hashlib
+    import os
+    import tempfile
+
+    from jcf_nb_migration_spark.io.layout import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), "jcf_cobucket",
+                        spark.sparkContext.applicationId, tag)
+    ord_tbl, li_tbl = f"cobkt_ord_{tag}", f"cobkt_li_{tag}"
+    for tbl, frame, key in (
+            (ord_tbl,
+             t(spark, sf_dir, "orders")
+             .select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+            (li_tbl,
+             t(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_extendedprice", "l_discount"),
+             "l_orderkey")):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        # coalesce(1): ONE file per bucket, so the per-bucket sortBy
+        # order is usable and the SMJ's sorts elide too (multi-file
+        # buckets keep the distribution but lose provable sortedness)
+        (frame.coalesce(1).write.mode("overwrite")
+         .bucketBy(8, key).sortBy(key)
+         .option("path", os.path.join(base, tbl))
+         .format("parquet").saveAsTable(tbl))
+    o = spark.table(ord_tbl)
+    li = spark.table(li_tbl)
+    rev = (dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+    return (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy(F.col("o_orderpriority").alias("priority"))
+            .agg(F.countDistinct("o_orderkey").alias("n_orders"),
+                 F.count(F.lit(1)).alias("n_items"),
+                 F.sum(rev).cast("double").alias("revenue"))
+            .orderBy("priority"))

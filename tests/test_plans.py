@@ -503,3 +503,51 @@ def test_retrieval_pipeline_e2e_shortlists_are_equi(spark):
     # column-pruned); embeddings: bucketed corpus + probe row
     assert sum("documents" in ln for ln in locs) <= 6, plan
     assert sum("embeddings" in ln for ln in locs) <= 2, plan
+
+
+def test_cobucketed_join_elides_exchanges_and_sorts(spark):
+    """The co-located-join claim (r10, io/layout.write_bucketed
+    docstring): with orders and lineitem bucketed+sorted on the order
+    key at the same bucket count, a SortMergeJoin on that key needs
+    NEITHER exchange NOR sort — the scans already provide the hash
+    distribution and per-bucket order. Forced to SMJ via the merge
+    hint (at fixture scale the planner would broadcast; at 100 TB SMJ
+    is what AQE picks, and bucketing is what makes it shuffle-free)."""
+    from pyspark.sql import functions as F
+
+    # build the scratch layouts exactly as the query does
+    all_queries()["cobucketed_order_revenue"].fn(spark, SF_SMALL)
+    import hashlib
+
+    tag = hashlib.md5(SF_SMALL.encode()).hexdigest()[:8]
+    o = spark.table(f"cobkt_ord_{tag}")
+    li = spark.table(f"cobkt_li_{tag}")
+    joined = (o.hint("merge")
+              .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+              .select("o_orderkey", "l_extendedprice"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    # Sort elision additionally needs the scan to REPORT per-bucket
+    # order — off by default since Spark 3.0 because it is only sound
+    # with one file per bucket (which the coalesce(1) write guarantees
+    # here); under the documented conf the sorts disappear too.
+    conf = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, "true")
+        joined2 = (o.hint("merge")
+                   .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+                   .select("o_orderkey", "l_extendedprice"))
+        plan2 = joined2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan2, plan2
+        assert "Sort " not in plan2.replace("SortMergeJoin", "SMJ"), plan2
+    finally:
+        spark.conf.set(conf, prev)
+    # the full query adds exactly one exchange: the priority groupBy
+    # (partial+final around it); the join itself contributes none
+    full = all_queries()["cobucketed_order_revenue"].fn(spark, SF_SMALL)
+    fplan = full._jdf.queryExecution().executedPlan().toString()
+    assert fplan.count("Exchange hashpartitioning") <= 2, fplan
+    assert "CartesianProduct" not in fplan

@@ -128,6 +128,15 @@ COMMENTARY = {
         "miss a file); untouched bucket files stay byte-identical "
         "(pinned in tests/test_docstore.py). The serve half is the "
         "standard bucket-pruned literal-IN point fetch."),
+    "cobucketed_order_revenue": (
+        "Co-located fact⋈fact join (r10): orders and lineitem "
+        "bucketed+sorted on the order key at the same count, so the "
+        "SortMergeJoin needs ZERO exchanges (and zero sorts with one "
+        "file per bucket under the legacy outputOrdering conf — both "
+        "pinned in tests/test_plans.py); the only shuffle in the "
+        "query is the 5-group priority aggregate. At 100 TB the "
+        "schema's biggest join becomes a bucket-pair zip, paid once "
+        "at write time."),
 }
 
 
