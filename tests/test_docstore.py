@@ -298,6 +298,12 @@ def test_serving_bench_tool_smoke():
     assert rep["bm25"]["served_touched"]["bytes"] > 0
     assert (rep["bm25"]["adhoc_touched"]["bytes"]
             > rep["bm25"]["served_touched"]["bytes"])
+    # r10 mutation family: COW upsert/delete measured against the full
+    # rebuild they replace; the rewrite is bounded by touched buckets
+    assert rep["mutate"]["upsert_cow"] > 0
+    assert rep["mutate"]["delete_cow"] > 0
+    assert rep["mutate"]["full_rebuild"] > 0
+    assert 0 < rep["mutate"]["touched_buckets"] <= 8
     assert rep["compact_sec"] > 0
 
 

@@ -149,6 +149,38 @@ def main() -> int:
     def fetch_adhoc():
         docs.where(F.col("doc_id").isin(ids)).collect()
 
+    # --- mutate: COW upsert/delete vs the full rebuild it replaces
+    from jcf_nb_migration_spark.io.docstore import (_touched_buckets,
+                                                    docstore_delete,
+                                                    docstore_upsert)
+
+    batch = (docs.where(F.col("doc_id") % 997 == 0)
+             .withColumn("text", F.concat(F.lit("v2:"), F.col("text"))))
+    n_batch = batch.count()
+    touched = _touched_buckets(batch.select("doc_id"), 8)
+    victim = next(i for i in range(1, 10_000) if i not in ids)
+
+    def upsert_cow():  # no batch_id: every run exercises the rewrite
+        docstore_upsert(batch, "svb_ds", os.path.join(base, "ds"))
+
+    def delete_cow():  # first run deletes, later runs no-op rewrite
+        docstore_delete(spark, "svb_ds", os.path.join(base, "ds"),
+                        [victim])
+
+    def rebuild_full():
+        docstore_build(docs, "svb_ds_rb", os.path.join(base, "ds_rb"))
+
+    mutate = {
+        "batch_docs": int(n_batch),
+        "touched_buckets": len(touched),
+        "upsert_cow": _best_of(runs, upsert_cow),
+        "delete_cow": _best_of(runs, delete_cow),
+        "full_rebuild": _best_of(runs, rebuild_full),
+    }
+    mutate["rebuild_over_upsert"] = (
+        round(mutate["full_rebuild"] / mutate["upsert_cow"], 2)
+        if mutate["upsert_cow"] else None)
+
     # scale-proportional evidence: bytes/files the executed scans read
     probe_df = bm25_probe(spark, "svb_lex", os.path.join(base, "lex"),
                           BM25_TERMS, BM25_K1, BM25_B, k=20)
@@ -176,6 +208,7 @@ def main() -> int:
                   "served_touched": _data_touched(fetch_df),
                   "adhoc_touched": _data_touched(
                       docs.where(F.col("doc_id").isin(ids)))},
+        "mutate": mutate,
     }
     for fam in ("bm25", "phrase", "fetch", "ann"):
         served, adhoc = out[fam]["served"], out[fam]["adhoc"]
