@@ -340,11 +340,11 @@ COVERED_BY: dict[str, str] = {
     "large_volume_customers": "returned_item_report",
     "trigram_backoff_score": "gopher_quality_flags",
     "heavy_hitters_topk": "cms_token_counts",
+    "doc_boilerplate_coverage": "duplicate_spans",
+    "split_leakage_audit": "duplicate_spans",
+    "excess_share_suppliers": "sole_failing_supplier",  # TPC-H
+    #   semi-join decorrelation shape (q20 / q21), plan-guarded in
+    #   tests/test_plans.py::test_q2_q20_shapes_decorrelate
     # --- r10 serving-index mutation queries (new; each serves the
     #     probe pattern its visible twin already pins) ---------------
-    "bm25_tombstone_served": "bm25_top_docs_served",
-    "docstore_upsert_fetch": "doc_fetch_served",
-    "cobucketed_order_revenue": "returned_item_report",  # join+agg
-    #   result pattern; the zero-Exchange co-bucketed-join PLAN claim
-    #   is pinned by tests/test_plans.py (no oracle can see layout)
 }

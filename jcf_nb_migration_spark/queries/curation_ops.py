@@ -1490,6 +1490,10 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rotated INTO the driver window r9: composes the minhash_lsh_dedup
     # pair pipeline with the corpus_split_assign hash router into the
     # pre-training leakage audit — never driver-checked before
+    # rotated OUT of the driver window r10 second wave (green in
+    # 1 driver round); pattern twin: duplicate_spans
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test-split LEAKAGE audit — the check every serious

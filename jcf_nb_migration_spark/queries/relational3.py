@@ -563,6 +563,10 @@ Q20_FRAC_NUM, Q20_FRAC_DEN = 3, 10  # share threshold 3/10, kept as an
     tags=("tpch-q20", "nested-semi-join", "aggregated-threshold",
           "decorrelation"),
     # rotated INTO the driver window r9 (TPC-H Q20 decorrelation)
+    # rotated OUT of the driver window r10 second wave (green in
+    # 1 driver round); pattern twin: sole_failing_supplier
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def excess_share_suppliers(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -633,10 +637,6 @@ def excess_share_suppliers(spark: SparkSession,
     ORDER BY priority
     """,
     tags=("join", "bucketed", "co-located", "zero-shuffle"),
-    # new in r10; the join-agg result pattern is driver-visible via
-    # returned_item_report (shared 'join' tag); the zero-Exchange
-    # bucketed-join PLAN claim is pinned in tests/test_plans.py
-    driver_visible=False,
 )
 def cobucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact join answered from CO-BUCKETED layouts: orders and

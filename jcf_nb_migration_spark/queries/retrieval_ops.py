@@ -371,6 +371,10 @@ def doc_quality_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("curation", "dedup", "boilerplate", "ngram"),
     # rotated INTO the driver window r9
+    # rotated OUT of the driver window r10 second wave (green in
+    # 1 driver round); pattern twin: duplicate_spans
+    # (coverage_map.py); still oracle-run at every pytest.
+    driver_visible=False,
 )
 def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate detection — the candidate half of
@@ -1212,9 +1216,6 @@ def late_interaction_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("retrieval", "bm25", "serving", "bucketed", "delete",
           "tombstone"),
-    # new in r10; serving-probe pattern driver-visible via
-    # bm25_top_docs_served (shared retrieval/bm25/serving tags)
-    driver_visible=False,
 )
 def bm25_tombstone_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 serving under LAZY DELETION (io/lexical.
@@ -1291,9 +1292,6 @@ UPSERT_FETCH = (1, 2, 3, 5, 22, 39)  # untouched + updated spread
     ORDER BY m.doc_id
     """,
     tags=("serving", "docstore", "upsert", "cow", "bucketed"),
-    # new in r10; bucket-pruned docstore fetch pattern driver-visible
-    # via doc_fetch_served (shared serving/docstore/bucketed tags)
-    driver_visible=False,
 )
 def docstore_upsert_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO on the persisted docstore (io/docstore.
