@@ -303,7 +303,9 @@ def test_serving_bench_tool_smoke():
     assert rep["mutate"]["upsert_cow"] > 0
     assert rep["mutate"]["delete_cow"] > 0
     assert rep["mutate"]["full_rebuild"] > 0
-    assert 0 < rep["mutate"]["touched_buckets"] <= 8
+    assert 0 < rep["mutate"]["touched_buckets"] <= rep["mutate"]["num_buckets"]
+    # the scale signal: the COW rewrote a strict fraction of the store
+    assert 0 < rep["mutate"]["rewritten_bytes"] < rep["mutate"]["store_bytes"]
     assert rep["compact_sec"] > 0
 
 

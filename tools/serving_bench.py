@@ -149,34 +149,55 @@ def main() -> int:
     def fetch_adhoc():
         docs.where(F.col("doc_id").isin(ids)).collect()
 
-    # --- mutate: COW upsert/delete vs the full rebuild it replaces
-    from jcf_nb_migration_spark.io.docstore import (_touched_buckets,
+    # --- mutate: COW upsert/delete vs the full rebuild it replaces.
+    # A deployment-scale store has many buckets (so a keyed batch
+    # touches a tiny fraction); build the mutation target at 64
+    # buckets — with the 8-bucket store above, a 6-doc batch touches
+    # most buckets and the demo shows only COW's fixed costs. The
+    # scale-proportional signal is BYTES REWRITTEN vs store bytes
+    # (wall clock at this SF is driver-round-trip-dominated; at 100 TB
+    # the rebuild is corpus-sized and the COW stays batch-sized).
+    from jcf_nb_migration_spark.io.docstore import (DOCS_SUBDIR,
+                                                    _file_bucket_id,
+                                                    _touched_buckets,
                                                     docstore_delete,
                                                     docstore_upsert)
 
+    mut_path = os.path.join(base, "ds_mut")
+    docstore_build(docs, "svb_dsmut", mut_path, num_buckets=64)
     batch = (docs.where(F.col("doc_id") % 997 == 0)
              .withColumn("text", F.concat(F.lit("v2:"), F.col("text"))))
     n_batch = batch.count()
-    touched = _touched_buckets(batch.select("doc_id"), 8)
+    touched = _touched_buckets(batch.select("doc_id"), 64)
     victim = next(i for i in range(1, 10_000) if i not in ids)
 
     def upsert_cow():  # no batch_id: every run exercises the rewrite
-        docstore_upsert(batch, "svb_ds", os.path.join(base, "ds"))
+        docstore_upsert(batch, "svb_dsmut", mut_path, num_buckets=64)
 
     def delete_cow():  # first run deletes, later runs no-op rewrite
-        docstore_delete(spark, "svb_ds", os.path.join(base, "ds"),
-                        [victim])
+        docstore_delete(spark, "svb_dsmut", mut_path, [victim],
+                        num_buckets=64)
 
     def rebuild_full():
-        docstore_build(docs, "svb_ds_rb", os.path.join(base, "ds_rb"))
+        docstore_build(docs, "svb_ds_rb", os.path.join(base, "ds_rb"),
+                       num_buckets=64)
 
     mutate = {
         "batch_docs": int(n_batch),
+        "num_buckets": 64,
         "touched_buckets": len(touched),
         "upsert_cow": _best_of(runs, upsert_cow),
         "delete_cow": _best_of(runs, delete_cow),
         "full_rebuild": _best_of(runs, rebuild_full),
     }
+    mut_dir = os.path.join(mut_path, DOCS_SUBDIR)
+    sizes = {f: os.path.getsize(os.path.join(mut_dir, f))
+             for f in os.listdir(mut_dir) if f.endswith(".parquet")}
+    mutate["store_bytes"] = sum(sizes.values())
+    mutate["rewritten_bytes"] = sum(
+        sz for f, sz in sizes.items() if _file_bucket_id(f) in touched)
+    mutate["rewrite_fraction"] = round(
+        mutate["rewritten_bytes"] / mutate["store_bytes"], 4)
     mutate["rebuild_over_upsert"] = (
         round(mutate["full_rebuild"] / mutate["upsert_cow"], 2)
         if mutate["upsert_cow"] else None)
