@@ -607,20 +607,39 @@ def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
 def lexical_index_maintain(spark: SparkSession, prefix: str, path: str,
                            num_buckets: int = 8,
                            max_files_per_bucket: int = 8,
+                           max_deleted_fraction: float = 0.2,
                            parallelism: int = 1) -> bool:
-    """Close the lexical append→fragmentation→compact loop (the
-    lexical twin of ivf_index_maintain's drift gate): count the
-    postings files (driver-side directory listing, no data read) and
-    run ``lexical_index_compact`` only when fragmentation exceeds
-    ``max_files_per_bucket`` files per bucket — the scheduler-friendly
-    idempotent call a streaming ingest runs after every N batches.
-    Returns True when a compaction ran."""
+    """Close the lexical append/delete→degradation→reorganize loop
+    (the lexical twin of ivf_index_maintain's drift gate), with TWO
+    independent triggers, each the cheapest check that can see its
+    form of decay:
+
+    - fragmentation: postings file count (driver-side directory
+      listing, no data read) past ``max_files_per_bucket`` per bucket
+      → ``lexical_index_compact``;
+    - deletion debt: distinct tombstoned ids past
+      ``max_deleted_fraction`` of the stats-recorded corpus (one tiny
+      tombstone-sidecar count + the stats scalar — Lucene's
+      merge-on-deletes policy) → ``lexical_index_vacuum``, which also
+      compacts by construction (staged one-file-per-bucket rewrite).
+
+    The scheduler-friendly idempotent call a streaming ingest runs
+    after every N batches. Returns True when a reorganization ran."""
     _check_meta(path, num_buckets)
     post_dir = os.path.join(path, POSTINGS_SUBDIR)
     if not os.path.isdir(post_dir):
         raise ValueError(
             f"no postings directory at {post_dir} — build the index "
             "first (lexical_index_build)")
+    tomb = tombstone_ids(spark, path)
+    if tomb is not None:
+        n_tomb = tomb.count()
+        n_docs = (spark.read.parquet(os.path.join(path, STATS_SUBDIR))
+                  .agg(F.sum("n_docs")).head()[0]) or 0
+        if n_docs and n_tomb / n_docs > max_deleted_fraction:
+            lexical_index_vacuum(spark, prefix, path, num_buckets,
+                                 parallelism)
+            return True
     n_files = sum(1 for f in os.listdir(post_dir)
                   if f.endswith(".parquet"))
     if n_files <= max_files_per_bucket * num_buckets:
@@ -878,3 +897,39 @@ def positional_index_delete(spark: SparkSession, prefix: str,
      .parquet(os.path.join(path, TOMBSTONES_SUBDIR)))
     _ledger_commit(marker)
     return True
+
+
+def positional_index_vacuum(spark: SparkSession, prefix: str,
+                            path: str, num_buckets: int = 8,
+                            parallelism: int = 1) -> dict:
+    """Physically reclaim tombstoned documents from the positional
+    layout: staged bucketed rewrite without their rows, tombstones
+    cleared. Simpler than lexical_index_vacuum because positions carry
+    no corpus statistics — there is nothing to reconcile; probe parity
+    with a rebuild-without-the-docs is exact for every tombstoned id
+    (phrase/proximity hits are per-row position facts). Returns
+    ``{"reclaimed_docs": n, "reclaimed_positions": m}``."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_positions"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "positional_index_build", POSITIONS_SUBDIR)
+    tomb = tombstone_ids(spark, path)
+    if tomb is None:
+        return {"reclaimed_docs": 0, "reclaimed_positions": 0}
+    import shutil
+
+    dead = (spark.table(table)
+            .join(F.broadcast(tomb), "doc_id", "left_semi"))
+    n_docs = dead.select("doc_id").distinct().count()
+    n_rows = dead.count()
+    live = (spark.table(table)
+            .join(F.broadcast(tomb), "doc_id", "left_anti"))
+    _compact_bucketed_table(
+        spark, table, path, POSITIONS_SUBDIR, "tok", num_buckets,
+        parallelism,
+        lambda: positional_index_attach(spark, prefix, path,
+                                        num_buckets),
+        frame=live)
+    shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
+                  ignore_errors=True)
+    return {"reclaimed_docs": n_docs, "reclaimed_positions": n_rows}

@@ -772,3 +772,75 @@ def test_positional_delete_excludes_phrase_and_proximity(spark,
                           ("alpha", "beta"), window=3, k=20).collect()]
     assert sorted(ph) == [0, 1, 3, 4, 6, 7]
     assert sorted(px) == [0, 1, 3, 4, 6, 7]
+
+
+def test_maintain_vacuums_past_deletion_debt(spark, tmp_path):
+    """lexical_index_maintain's second trigger (r10): tombstones past
+    max_deleted_fraction of the corpus fire a vacuum (Lucene's
+    merge-on-deletes policy); below the threshold, no reorganization
+    runs and lazy scoring stays in force."""
+    import os as _os
+
+    from jcf_nb_migration_spark.io.lexical import (
+        TOMBSTONES_SUBDIR, lexical_index_delete, lexical_index_maintain)
+
+    path = str(tmp_path / "lex_mvac")
+    lexical_index_build(_corpus(spark, range(20)), "lexti_mvac", path,
+                        num_buckets=4)
+    lexical_index_delete(spark, "lexti_mvac", path, [1, 2],
+                         num_buckets=4)  # 10% < 20% threshold
+    assert lexical_index_maintain(spark, "lexti_mvac", path,
+                                  num_buckets=4) is False
+    assert _os.path.isdir(_os.path.join(path, TOMBSTONES_SUBDIR))
+    lexical_index_delete(spark, "lexti_mvac", path, [3, 4, 5],
+                         num_buckets=4)  # 25% > threshold
+    assert lexical_index_maintain(spark, "lexti_mvac", path,
+                                  num_buckets=4) is True
+    assert not _os.path.isdir(_os.path.join(path, TOMBSTONES_SUBDIR))
+    # post-vacuum scores == fresh build over survivors
+    rb = str(tmp_path / "lex_mvac_rb")
+    lexical_index_build(
+        _corpus(spark, [i for i in range(20) if i not in (1, 2, 3,
+                                                          4, 5)]),
+        "lexti_mvac_rb", rb, num_buckets=4)
+    assert _probe_rows(spark, "lexti_mvac", path) == \
+        _probe_rows(spark, "lexti_mvac_rb", rb)
+
+
+def test_positional_vacuum_matches_rebuild(spark, tmp_path):
+    """positional_index_vacuum: after reclaim, phrase hits equal a
+    fresh build without the deleted docs, tombstones are cleared, and
+    reclaimed counts are exact (positions carry no stats — parity is
+    unconditional, including for empty docs)."""
+    import os as _os
+
+    from jcf_nb_migration_spark.io.lexical import (
+        TOMBSTONES_SUBDIR, phrase_probe, positional_index_build,
+        positional_index_delete, positional_index_vacuum)
+
+    rows = [(i, ["alpha", "beta", "w%d" % i, "alpha", "beta"])
+            for i in range(10)]
+    path = str(tmp_path / "pos_vac")
+    positional_index_build(_toks(spark, rows), "positi_vac", path,
+                           num_buckets=4)
+    positional_index_delete(spark, "positi_vac", path, [3, 8],
+                            num_buckets=4)
+    out = positional_index_vacuum(spark, "positi_vac", path,
+                                  num_buckets=4)
+    assert out["reclaimed_docs"] == 2
+    assert out["reclaimed_positions"] == 10  # 5 tokens x 2 docs
+    assert not _os.path.isdir(_os.path.join(path, TOMBSTONES_SUBDIR))
+    rb = str(tmp_path / "pos_vac_rb")
+    positional_index_build(
+        _toks(spark, [r for r in rows if r[0] not in (3, 8)]),
+        "positi_vac_rb", rb, num_buckets=4)
+    got = [(r["doc_id"], r["n_occurrences"]) for r in
+           phrase_probe(spark, "positi_vac", path, ("alpha", "beta"),
+                        k=20).collect()]
+    expect = [(r["doc_id"], r["n_occurrences"]) for r in
+              phrase_probe(spark, "positi_vac_rb", rb,
+                           ("alpha", "beta"), k=20).collect()]
+    assert got == expect and len(got) == 8
+    assert positional_index_vacuum(spark, "positi_vac", path,
+                                   num_buckets=4) == {
+        "reclaimed_docs": 0, "reclaimed_positions": 0}
