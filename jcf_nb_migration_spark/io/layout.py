@@ -226,6 +226,7 @@ def ivfadc_index_probe(spark, path: str, centroids, books,
     idx = spark.read.parquet(path).where(F.col("cluster").isin(shortlist))
     if exclude_id is not None:
         idx = idx.where(F.col(id_col) != exclude_id)
+    idx = _without_vec_tombstoned(idx, spark, path, id_col)
     cand = idx.join(F.broadcast(pres), "cluster")
     sd = len(pv) // len(books)
     adc_terms = []
@@ -294,6 +295,9 @@ def ivf_index_probe(spark, path: str, centroids, probe_vec: list[float],
     idx = spark.read.parquet(path).where(F.col("cluster").isin(shortlist))
     if exclude_id is not None:
         idx = idx.where(F.col(id_col) != exclude_id)
+    # lazy-deletion gate (ivf_index_delete): tombstoned vectors never
+    # surface; reclaim rides vacuum or the next maintain rebuild
+    idx = _without_vec_tombstoned(idx, spark, path, id_col)
     plit = F.lit([float(x) for x in pv])
     return (idx.select(F.col(id_col).alias("neighbor_id"), "cluster",
                        S.cosine(F.col(vec_col), plit).alias("cos_sim"))
@@ -438,6 +442,9 @@ def ivf_index_maintain(spark, path: str, centroids,
 
     current = (spark.read.parquet(path)
                .select(id_col, vec_col, *extra_cols))
+    # the rebuild is also the reclaim point: tombstoned vectors
+    # (ivf_index_delete) drop out of the new epoch
+    current = _without_vec_tombstoned(current, spark, path, id_col)
     new_centroids = kmeans_train(current, k=k, iters=iters,
                                  id_col=id_col, vec_col=vec_col)
     staging = path.rstrip("/") + ".rebuild"
@@ -659,6 +666,10 @@ def ivfadc_index_maintain(spark, path: str, emb: DataFrame, centroids,
     if not any(r["retrain"] for r in report):
         return False, books
     m, k = len(books), len(books[0])
+    # rebuild = reclaim point for tombstoned vectors, as in
+    # ivf_index_maintain (emb is the raw table; the index's deletes
+    # must not re-enter the new epoch through it)
+    emb = _without_vec_tombstoned(emb, spark, path, id_col)
     res = _residuals_frame(emb, centroids, id_col, vec_col).persist()
     try:
         new_books = pq_train(res, m=m, k=k, iters=iters,
@@ -674,3 +685,110 @@ def ivfadc_index_maintain(spark, path: str, emb: DataFrame, centroids,
     os.rename(staging, path)
     shutil.rmtree(old)
     return True, new_books
+
+
+# ---- vector deletion (r10): tombstones + cluster-COW vacuum ---------
+
+VEC_TOMBSTONES_SUBDIR = "_tombstones"  # underscore-prefixed: hidden
+#   from spark.read.parquet(path)'s partition discovery, like the
+#   ledger and quant-stats sidecars
+
+
+def vec_tombstone_ids(spark, path: str):
+    """Distinct tombstoned vec_ids of the vector index at ``path``
+    (flat IVF and IVFADC share the sidecar), or None when no deletion
+    has landed. Delete requests are id-bounded, so the frame
+    broadcasts at every probe."""
+    tomb_dir = os.path.join(path, VEC_TOMBSTONES_SUBDIR)
+    if not os.path.isdir(tomb_dir):
+        return None
+    return spark.read.parquet(tomb_dir).select("vec_id").distinct()
+
+
+def ivf_index_delete(spark, path: str, vec_ids,
+                     batch_id=None) -> bool:
+    """Delete vectors from a materialized IVF/IVFADC index LAZILY:
+    ids land in a hidden tombstone sidecar and every probe excludes
+    them immediately; physical reclaim is ``ivf_index_vacuum`` (a
+    touched-cluster COW) or the next maintain rebuild. Lazy is the
+    right default here for a different reason than the lexical index:
+    a vector's cluster is only discoverable by scanning the inverted
+    lists for its id (the index is the only place the assignment
+    lives), so an eager delete would pay that scan on the hot path —
+    vacuum batches it. Ids absent from the index are no-ops.
+    Ledger-idempotent under ``vdel-<batch_id>``."""
+    import numbers
+
+    bad = [i for i in vec_ids
+           if isinstance(i, bool) or not isinstance(i, numbers.Integral)]
+    if bad:
+        raise TypeError(f"delete ids must be integers, got {bad[:3]!r}")
+    ids = sorted({int(i) for i in vec_ids})
+    if not ids:
+        return False
+    marker, skip = _ledger_skip(
+        path, None if batch_id is None else f"vdel-{batch_id}")
+    if skip:
+        return False
+    (spark.createDataFrame([(i,) for i in ids], "vec_id bigint")
+     .coalesce(1).write.mode("append")
+     .parquet(os.path.join(path, VEC_TOMBSTONES_SUBDIR)))
+    _ledger_commit(marker)
+    return True
+
+
+def _without_vec_tombstoned(idx, spark, path: str, id_col: str):
+    """Probe-side exclusion shared by ivf_index_probe and
+    ivfadc_index_probe: one broadcast anti-join against the
+    (request-bounded) tombstone set."""
+    tomb = vec_tombstone_ids(spark, path)
+    if tomb is None:
+        return idx
+    return idx.join(
+        F.broadcast(tomb.withColumnRenamed("vec_id", id_col)),
+        id_col, "left_anti")
+
+
+def ivf_index_vacuum(spark, path: str, id_col: str = "vec_id") -> dict:
+    """Physically reclaim tombstoned vectors: rewrite ONLY the cluster
+    directories that contain them (discovered by one id-column scan —
+    column-pruned, and the cost vacuum exists to batch), stage the
+    filtered rows beside the index, swap each touched ``cluster=K``
+    directory, clear the tombstones. Works unchanged for the flat IVF
+    layout (raw vectors) and the IVFADC layout (codes) — the rewrite
+    filters on the id column and never interprets the payload.
+    Returns ``{"reclaimed_ids": n, "touched_clusters": m}``."""
+    import shutil
+
+    tomb = vec_tombstone_ids(spark, path)
+    if tomb is None:
+        return {"reclaimed_ids": 0, "touched_clusters": 0}
+    tomb = tomb.withColumnRenamed("vec_id", id_col)
+    idx = spark.read.parquet(path)
+    dead = idx.join(F.broadcast(tomb), id_col, "left_semi")
+    touched = [r["cluster"] for r in
+               dead.select("cluster").distinct().collect()]
+    n_ids = dead.select(id_col).distinct().count()
+    if not touched:
+        shutil.rmtree(os.path.join(path, VEC_TOMBSTONES_SUBDIR),
+                      ignore_errors=True)
+        return {"reclaimed_ids": 0, "touched_clusters": 0}
+    staging = path.rstrip("/") + ".vacuum"
+    shutil.rmtree(staging, ignore_errors=True)
+    (idx.where(F.col("cluster").isin(touched))
+     .join(F.broadcast(tomb), id_col, "left_anti")
+     .write.mode("overwrite").partitionBy("cluster").parquet(staging))
+    for cid in touched:
+        live_dir = os.path.join(path, f"cluster={cid}")
+        staged_dir = os.path.join(staging, f"cluster={cid}")
+        old = live_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live_dir, old)
+        if os.path.isdir(staged_dir):  # absent = cluster fully deleted
+            os.rename(staged_dir, live_dir)
+        shutil.rmtree(old)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, VEC_TOMBSTONES_SUBDIR),
+                  ignore_errors=True)
+    return {"reclaimed_ids": int(n_ids),
+            "touched_clusters": len(touched)}

@@ -698,3 +698,101 @@ def test_ivfadc_quant_drift_flags_and_maintain_rebuilds(spark, tmp_path):
                     k=10, nprobe=2, exclude_id=0).collect()]
 
     assert probe(idx) == probe(fresh)
+
+
+def test_ivf_delete_excludes_then_vacuum_reclaims(spark, tmp_path):
+    """Vector deletion lifecycle (r10): tombstoned ids vanish from
+    probes immediately (files untouched — lazy), ivf_index_vacuum
+    rewrites ONLY the clusters that contained them (other cluster
+    dirs byte-untouched) and clears the sidecar, after which the
+    probe equals a from-scratch build without the deleted vectors.
+    Ledger replay of a delete batch is a no-op."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions import similarity as S
+    from jcf_nb_migration_spark.io.layout import (
+        VEC_TOMBSTONES_SUBDIR, ivf_index_delete, ivf_index_probe,
+        ivf_index_vacuum, ivf_index_write)
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    centroids = S.kmeans_train(emb, k=8, iters=2)
+    path = str(tmp_path / "ivf_del")
+    ivf_index_write(emb, centroids, path, extra_cols=("label",))
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+
+    def probe(p):
+        return [(r["neighbor_id"], r["cos_sim"]) for r in
+                ivf_index_probe(spark, p, centroids, pvec,
+                                k=8, nprobe=2, exclude_id=0).collect()]
+
+    before = probe(path)
+    victims = [before[0][0], before[3][0]]
+    files_pre = {p: p.stat().st_mtime_ns
+                 for p in pathlib.Path(path).rglob("cluster=*/*.parquet")}
+    assert ivf_index_delete(spark, path, victims, batch_id=1) is True
+    assert ivf_index_delete(spark, path, victims, batch_id=1) is False
+    after = probe(path)
+    survivors = [r for r in before if r[0] not in victims]
+    assert after[:len(survivors)] == survivors  # k back-fills from below
+    assert not set(victims) & {r[0] for r in after}
+    files_lazy = {p: p.stat().st_mtime_ns
+                  for p in pathlib.Path(path).rglob("cluster=*/*.parquet")}
+    assert files_lazy == files_pre  # lazy: no data rewrite yet
+    import pytest
+
+    with pytest.raises(TypeError, match="integers"):
+        ivf_index_delete(spark, path, [1.5])
+    assert ivf_index_delete(spark, path, []) is False
+
+    out = ivf_index_vacuum(spark, path)
+    assert out["reclaimed_ids"] == len(set(victims))
+    assert 0 < out["touched_clusters"] <= 2
+    assert not (pathlib.Path(path) / VEC_TOMBSTONES_SUBDIR).is_dir()
+    # untouched cluster dirs byte-identical (same files, same mtimes)
+    import re as _re
+
+    touched_dirs = set()
+    for p, ts in files_pre.items():
+        if p.exists() and p.stat().st_mtime_ns == ts:
+            continue
+        touched_dirs.add(p.parent.name)
+    assert len(touched_dirs) == out["touched_clusters"]
+    # post-vacuum probe == fresh build without the victims
+    rb = str(tmp_path / "ivf_del_rb")
+    ivf_index_write(emb.where(~F.col("vec_id").isin(victims)),
+                    centroids, rb, extra_cols=("label",))
+    assert probe(path) == probe(rb)
+    # vacuum with no tombstones is a no-op
+    assert ivf_index_vacuum(spark, path) == {
+        "reclaimed_ids": 0, "touched_clusters": 0}
+
+
+def test_ivfadc_probe_excludes_tombstoned(spark, tmp_path):
+    """The compressed (IVFADC) layout shares the tombstone sidecar:
+    deleted ids vanish from ADC probes immediately."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.io.layout import (
+        ivfadc_index_build, ivfadc_index_probe, ivf_index_delete)
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    emb, _base, _batch, centroids, books = _ivfadc_fixture(spark)
+    path = str(tmp_path / "adc_del")
+    ivfadc_index_build(emb, centroids, books, path)
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    before = [r["neighbor_id"] for r in
+              ivfadc_index_probe(spark, path, centroids, books, pvec,
+                                 k=8, nprobe=2, exclude_id=0).collect()]
+    victims = before[:2]
+    ivf_index_delete(spark, path, victims)
+    after = [r["neighbor_id"] for r in
+             ivfadc_index_probe(spark, path, centroids, books, pvec,
+                                k=8, nprobe=2, exclude_id=0).collect()]
+    assert not set(victims) & set(after)
+    surv = [i for i in before if i not in victims]
+    assert after[:len(surv)] == surv  # k back-fills from below
