@@ -14,7 +14,12 @@ persisted index layouts in io/lexical.py.
                (io/docstore.py — the rank→fetch loop)
       → INGEST: ledgered micro-batch appends (at-least-once delivery
                made effectively-once; shared batch-id contract)
-      → MAINTAIN: fragmentation-gated compaction
+      → MAINTAIN: fragmentation-gated compaction + deletion-debt
+               vacuum
+      → MUTATE: content corrections via bucket-COW MERGE
+               (docstore_upsert) and GDPR purges (tombstoned out of
+               ranking immediately, content COW-deleted, stats
+               reconciled at vacuum) — no corpus pass between rebuilds
 
 At 100 TB the build is the one corpus pass; every probe after it reads
 a few buckets' worth of postings. The same functions back the
@@ -87,7 +92,44 @@ def serve_demo(spark, sf_dir: str, idx_dir: str) -> dict:
     fetched = docstore_fetch(spark, "demo_ds",
                              os.path.join(idx_dir, "ds"),
                              [r["doc_id"] for r in bm25]).collect()
+
+    # MUTATE (r10): the lifecycle between rebuilds — a content
+    # correction (MERGE) and a GDPR purge, no corpus pass in either.
+    from jcf_nb_migration_spark.io.docstore import (docstore_delete,
+                                                    docstore_upsert)
+    from jcf_nb_migration_spark.io.lexical import (
+        lexical_index_delete, lexical_index_vacuum)
+
+    fixed_id = bm25[1]["doc_id"]   # v2 of one stored document: COW —
+    # only the buckets its id hashes into rewrite
+    docstore_upsert(
+        docs.where(F.col("doc_id") == fixed_id)
+        .withColumn("text", F.concat(F.lit("v2: "), F.col("text"))),
+        "demo_ds", os.path.join(idx_dir, "ds"), batch_id="fix-1")
+    purged_id = bm25[0]["doc_id"]  # GDPR purge: tombstoned out of
+    # ranking immediately (stats stay until vacuum — Lucene scoring),
+    # content physically gone from the docstore on return
+    lexical_index_delete(spark, "demo_lex",
+                         os.path.join(idx_dir, "lex"), [purged_id])
+    docstore_delete(spark, "demo_ds", os.path.join(idx_dir, "ds"),
+                    [purged_id], batch_id="purge-1")
+    bm25_after = bm25_probe(spark, "demo_lex",
+                            os.path.join(idx_dir, "lex"),
+                            BM25_TERMS, BM25_K1, BM25_B, k=10).collect()
+    vacuum = lexical_index_vacuum(spark, "demo_lex",
+                                  os.path.join(idx_dir, "lex"))
     return {
+        "fixed_id": fixed_id,
+        "fixed_text": docstore_fetch(
+            spark, "demo_ds", os.path.join(idx_dir, "ds"),
+            [fixed_id]).head()["text"],
+        "purged_id": purged_id,
+        "purged_still_ranked": any(r["doc_id"] == purged_id
+                                   for r in bm25_after),
+        "purged_content_rows": docstore_fetch(
+            spark, "demo_ds", os.path.join(idx_dir, "ds"),
+            [purged_id]).count(),
+        "vacuum": vacuum,
         "appended": appended,
         "compacted": compacted,
         "fetched": [(r["doc_id"], r["source"]) for r in fetched],

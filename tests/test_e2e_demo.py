@@ -67,3 +67,9 @@ def test_retrieval_serving_demo(spark, tmp_path):
         d for d, _ in s["bm25_top"])
     assert len(s["phrase_hits"]) > 0
     assert len(s["proximity_hits"]) > 0
+    # r10 mutation phase: the correction is served, the purged doc is
+    # out of ranking AND out of the content store, vacuum reclaimed it
+    assert s["fixed_text"].startswith("v2: ")
+    assert s["purged_still_ranked"] is False
+    assert s["purged_content_rows"] == 0
+    assert s["vacuum"]["reclaimed_docs"] == 1
