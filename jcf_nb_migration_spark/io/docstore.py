@@ -483,3 +483,56 @@ def docstore_delete(spark: SparkSession, prefix: str, path: str,
                              "left_anti"))
     _ledger_commit(marker)
     return True
+
+
+def docstore_add_columns(spark: SparkSession, prefix: str, path: str,
+                         new_cols: dict, num_buckets: int = 8) -> None:
+    """ADDITIVE schema evolution — the one evolution plain parquet
+    supports soundly without rewriting data: declare new nullable
+    columns on the table (and in the on-disk meta DDL, so fresh-
+    session attaches see them). Existing files simply lack the
+    columns and every read fills NULL (the parquet reader's
+    missing-column contract); rows written after the evolution carry
+    values, and the write-side schema check then REQUIRES the new
+    columns on every batch — an append still running the old producer
+    fails loudly instead of silently nulling the new field. Renames,
+    drops and type changes stay out of scope: on immutable parquet
+    they all require a rewrite (or a table format) — use
+    docstore_build for those.
+
+    ``new_cols`` maps column name → Catalyst ``simpleString`` type
+    (e.g. ``{"quality": "double"}``); names and types are validated
+    exactly as at build time (they land inside CREATE TABLE)."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_docs"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "docstore_build", DOCS_SUBDIR)
+    if not new_cols:
+        raise ValueError("docstore_add_columns needs at least one "
+                         "column")
+    existing = {f.name for f in spark.table(table).schema.fields}
+    parts = []
+    for name, ts in new_cols.items():
+        if not _IDENT.match(name):
+            raise ValueError(
+                f"new column name must be a SQL identifier, got "
+                f"{name!r}")
+        if name in existing:
+            raise ValueError(
+                f"column {name!r} already exists on {table}")
+        if not _TYPE_DDL.match(ts):
+            raise ValueError(
+                f"new column {name!r} has a type with unsafe DDL "
+                f"characters ({ts!r})")
+        parts.append(f"{name} {ts}")
+    meta = _read_meta(path)
+    columns = meta["columns"] + ", " + ", ".join(parts)
+    _write_meta(path, num_buckets,
+                extra={**{k: v for k, v in meta.items()
+                          if k != "num_buckets"},
+                       "columns": columns})
+    # the catalog entry's schema is immutable for bucketed parquet
+    # tables — drop and re-register from the evolved meta (files are
+    # untouched; LOCATION/bucket validation re-applies on attach)
+    spark.sql(f"DROP TABLE {table}")
+    docstore_attach(spark, prefix, path, num_buckets)

@@ -479,3 +479,47 @@ def test_upsert_then_compact_preserves_fetch(spark, tmp_path):
     assert _fetch_rows(spark, "dst_cc", path, [4, 50, 6]) == [
         (4, "v2 of 4", "xx", 44), (6, "body of doc 6", "de", 106),
         (50, "new 50", "new", 5)]
+
+
+def test_add_columns_additive_evolution(spark, tmp_path):
+    """Additive schema evolution (r10): new nullable columns declared
+    on table + meta; old rows read NULL (parquet missing-column
+    contract), post-evolution writes must carry the columns (the
+    schema check turns a stale producer into a loud failure, not a
+    silent null), and a fresh-session attach sees the evolved DDL."""
+    from jcf_nb_migration_spark.io.docstore import docstore_add_columns
+
+    path = str(tmp_path / "ds_evo")
+    docstore_build(_docs(spark, range(6)), "dst_evo", path,
+                   num_buckets=4)
+    docstore_add_columns(spark, "dst_evo", path,
+                         {"quality": "double", "split": "string"},
+                         num_buckets=4)
+    # old rows: nulls in the new columns, everything else intact
+    row = docstore_fetch(spark, "dst_evo", path, [2]).head()
+    assert row["text"] == "body of doc 2"
+    assert row["quality"] is None and row["split"] is None
+    # a stale producer (old 4-column batch) now fails loudly
+    with pytest.raises(ValueError, match="missing docstore columns"):
+        docstore_append(_docs(spark, [10]), "dst_evo", path,
+                        num_buckets=4)
+    # a current producer writes values for the evolved columns
+    batch = spark.createDataFrame(
+        [(10, "body of doc 10", "en", 110, 0.75, "train")],
+        SCHEMA + ", quality double, split string")
+    assert docstore_append(batch, "dst_evo", path, num_buckets=4)
+    got = docstore_fetch(spark, "dst_evo", path, [10]).head()
+    assert got["quality"] == 0.75 and got["split"] == "train"
+    # fresh-session attach reads the evolved meta DDL
+    spark.sql("DROP TABLE dst_evo_docs")
+    docstore_attach(spark, "dst_evo", path, num_buckets=4)
+    assert docstore_fetch(spark, "dst_evo", path, [2]).head()[
+        "quality"] is None
+    # guards: duplicate name, bad identifier, unsafe type, empty set
+    for bad, msg in (({"quality": "double"}, "already exists"),
+                     ({"bad name": "double"}, "identifier"),
+                     ({"x": "double'); drop"}, "unsafe"),
+                     ({}, "at least one")):
+        with pytest.raises(ValueError, match=msg):
+            docstore_add_columns(spark, "dst_evo", path, bad,
+                                 num_buckets=4)
