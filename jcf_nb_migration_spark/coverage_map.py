@@ -342,6 +342,7 @@ COVERED_BY: dict[str, str] = {
     "heavy_hitters_topk": "cms_token_counts",
     "doc_boilerplate_coverage": "duplicate_spans",
     "split_leakage_audit": "duplicate_spans",
+    "bm25_batch_served": "bm25_top_docs_served",
     "excess_share_suppliers": "sole_failing_supplier",  # TPC-H
     #   semi-join decorrelation shape (q20 / q21), plan-guarded in
     #   tests/test_plans.py::test_q2_q20_shapes_decorrelate

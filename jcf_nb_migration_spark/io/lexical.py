@@ -933,3 +933,60 @@ def positional_index_vacuum(spark: SparkSession, prefix: str,
     shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
                   ignore_errors=True)
     return {"reclaimed_docs": n_docs, "reclaimed_positions": n_rows}
+
+
+def bm25_batch_probe(spark: SparkSession, prefix: str, path: str,
+                     queries: DataFrame, k1: float, b: float,
+                     k: int = 20) -> DataFrame:
+    """Serve a BATCH of BM25 queries from ONE pass over the index —
+    the offline-eval / high-QPS shape where per-query probes would
+    re-open the same buckets N times. ``queries`` is the normalized
+    request table ``(query_id, tok)`` (request-bounded by nature, so
+    it broadcasts everywhere it appears).
+
+    Plan: ONE bucket-pruned postings scan covering the batch's
+    distinct terms (the union of the per-query bucket sets — each
+    bucket opened once, however many queries share it), df per term
+    computed once on the bucket key with ZERO Exchange (shared across
+    queries — document frequency is a corpus fact, not a query fact),
+    scores grouped by (query_id, doc_id), and the per-query top-k via
+    a query_id-PARTITIONED rank window (hash-distributed across the
+    cluster; no global sort). Single-query parity with ``bm25_probe``
+    is exact: identical expression tree, identical inputs. Tombstoned
+    docs are excluded per the lazy-deletion contract. Columns:
+    query_id, doc_id, n_terms_matched, bm25."""
+    from pyspark.sql import Window
+
+    _check_table_at(spark, f"{prefix}_postings", path, POSTINGS_SUBDIR)
+    terms = [r["tok"] for r in queries.select("tok").distinct().collect()]
+    if not terms:
+        raise ValueError("bm25_batch_probe needs at least one term")
+    post = (spark.table(f"{prefix}_postings")
+            .where(F.col("tok").isin(terms)))
+    dfreq = post.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"))
+    stats = (spark.read.parquet(os.path.join(path, STATS_SUBDIR))
+             .agg(F.sum("n_docs").alias("n_docs"),
+                  F.sum("sum_dl").alias("sum_dl"))
+             .select("n_docs",
+                     (F.col("sum_dl").cast("double") / F.col("n_docs"))
+                     .alias("avgdl")))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = (F.col("tf") + k1 * (1.0 - b + b * F.col("dl")
+                                 / F.col("avgdl")))
+    scored = (post
+              .join(F.broadcast(queries.select("query_id", "tok")
+                                .distinct()), "tok")
+              .join(F.broadcast(dfreq), "tok")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("query_id", "doc_id")
+              .agg(F.count(F.lit(1)).alias("n_terms_matched"),
+                   F.round(F.sum(idf * F.col("tf") * (k1 + 1.0)
+                                 / denom), 9).alias("bm25")))
+    scored = _without_tombstoned(scored, spark, path)
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"),
+                                               "doc_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k).drop("rn")
+            .orderBy("query_id", F.desc("bm25"), "doc_id"))

@@ -844,3 +844,57 @@ def test_positional_vacuum_matches_rebuild(spark, tmp_path):
     assert positional_index_vacuum(spark, "positi_vac", path,
                                    num_buckets=4) == {
         "reclaimed_docs": 0, "reclaimed_positions": 0}
+
+
+def test_batch_probe_single_query_parity_and_plan(spark, tmp_path):
+    """bm25_batch_probe (r10): a batch containing one query returns
+    exactly bm25_probe's rows for that query; a two-query batch keeps
+    per-query results independent (df shared, scores per query) and
+    respects tombstones. Plan: the postings scan is bucket-pruned once
+    for the whole batch and the tok-keyed df groupBy has ZERO
+    Exchange, as in the single probe."""
+    from jcf_nb_migration_spark.io.lexical import (bm25_batch_probe,
+                                                   lexical_index_delete)
+
+    path = str(tmp_path / "lex_batch")
+    lexical_index_build(_corpus(spark, range(30)), "lexti_bat", path,
+                        num_buckets=8)
+    queries = spark.createDataFrame(
+        [(7, w) for w in TERMS], "query_id bigint, tok string")
+    got = [(r["doc_id"], r["n_terms_matched"], r["bm25"]) for r in
+           bm25_batch_probe(spark, "lexti_bat", path, queries,
+                            BM25_K1, BM25_B, k=50).collect()]
+    assert got == _probe_rows(spark, "lexti_bat", path) and got
+    # two queries: each query's block equals its own single probe
+    q2 = spark.createDataFrame(
+        [(0, w) for w in TERMS] + [(1, "filler4"), (1, "filler8")],
+        "query_id bigint, tok string")
+    out = bm25_batch_probe(spark, "lexti_bat", path, q2,
+                           BM25_K1, BM25_B, k=50)
+    rows = out.collect()
+    blk0 = [(r["doc_id"], r["n_terms_matched"], r["bm25"])
+            for r in rows if r["query_id"] == 0]
+    blk1 = [r["doc_id"] for r in rows if r["query_id"] == 1]
+    assert blk0 == got and len(blk1) > 0
+    # plan: ≤ |batch terms| buckets listed once; df side shuffle-free
+    post = (spark.table("lexti_bat_postings")
+            .where(F.col("tok").isin(
+                [r["tok"] for r in q2.select("tok").distinct()
+                 .collect()])))
+    dfreq = post.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df"))
+    plan = dfreq._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "SelectedBucketsCount" in plan, plan
+    # tombstones apply to every query in the batch
+    victim = blk1[0]
+    lexical_index_delete(spark, "lexti_bat", path, [victim],
+                         num_buckets=8)
+    after = bm25_batch_probe(spark, "lexti_bat", path, q2,
+                             BM25_K1, BM25_B, k=50).collect()
+    assert victim not in {r["doc_id"] for r in after}
+    # empty batch refuses
+    empty = spark.createDataFrame([], "query_id bigint, tok string")
+    with pytest.raises(ValueError, match="at least one term"):
+        bm25_batch_probe(spark, "lexti_bat", path, empty,
+                         BM25_K1, BM25_B)
