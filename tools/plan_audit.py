@@ -128,6 +128,15 @@ COMMENTARY = {
         "miss a file); untouched bucket files stay byte-identical "
         "(pinned in tests/test_docstore.py). The serve half is the "
         "standard bucket-pruned literal-IN point fetch."),
+    "bm25_batch_served": (
+        "Batched BM25 serving (r10): ONE bucket-pruned postings scan "
+        "covers the batch's distinct terms (each bucket opened once, "
+        "however many queries share it), df per term computed once "
+        "with zero Exchange and shared across queries, scores grouped "
+        "by (query_id, doc_id), per-query top-k via a query_id-"
+        "PARTITIONED rank window — hash-distributed, never a global "
+        "sort. Single-query parity with bm25_probe pinned in "
+        "tests/test_lexical_index.py."),
     "cobucketed_order_revenue": (
         "Co-located fact⋈fact join (r10): orders and lineitem "
         "bucketed+sorted on the order key at the same count, so the "
