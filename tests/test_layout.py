@@ -796,3 +796,37 @@ def test_ivfadc_probe_excludes_tombstoned(spark, tmp_path):
     assert not set(victims) & set(after)
     surv = [i for i in before if i not in victims]
     assert after[:len(surv)] == surv  # k back-fills from below
+
+
+def test_ivfadc_vacuum_matches_rebuild(spark, tmp_path):
+    """ivf_index_vacuum is layout-agnostic (filters on the id column,
+    never interprets the payload): on the IVFADC codes layout, vacuum
+    + probe equals an index rebuilt without the deleted vectors."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.io.layout import (
+        VEC_TOMBSTONES_SUBDIR, ivfadc_index_build, ivfadc_index_probe,
+        ivf_index_delete, ivf_index_vacuum)
+
+    import pathlib
+
+    emb, _base, _batch, centroids, books = _ivfadc_fixture(spark)
+    path = str(tmp_path / "adc_vac")
+    ivfadc_index_build(emb, centroids, books, path)
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+
+    def probe(p):
+        return [(r["neighbor_id"], r["adc"]) for r in
+                ivfadc_index_probe(spark, p, centroids, books, pvec,
+                                   k=8, nprobe=2,
+                                   exclude_id=0).collect()]
+
+    victims = [i for i, _ in probe(path)[:2]]
+    ivf_index_delete(spark, path, victims)
+    out = ivf_index_vacuum(spark, path)
+    assert out["reclaimed_ids"] == len(victims)
+    assert not (pathlib.Path(path) / VEC_TOMBSTONES_SUBDIR).is_dir()
+    rb = str(tmp_path / "adc_vac_rb")
+    ivfadc_index_build(emb.where(~F.col("vec_id").isin(victims)),
+                       centroids, books, rb)
+    assert probe(path) == probe(rb) and len(probe(path)) == 8

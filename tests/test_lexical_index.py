@@ -898,3 +898,29 @@ def test_batch_probe_single_query_parity_and_plan(spark, tmp_path):
     with pytest.raises(ValueError, match="at least one term"):
         bm25_batch_probe(spark, "lexti_bat", path, empty,
                          BM25_K1, BM25_B)
+
+
+def test_filtered_probe_composes_with_tombstones(spark, tmp_path):
+    """The two serve-time gates stack: metadata-filtered search
+    (allowed semi-join) AND lazy deletion (tombstone anti-join) both
+    apply before the top-k cut — a tombstoned doc never surfaces even
+    when the metadata filter allows it, and scores stay global-stat
+    exact."""
+    from jcf_nb_migration_spark.io.lexical import lexical_index_delete
+
+    path = str(tmp_path / "lex_fltomb")
+    lexical_index_build(_corpus(spark, range(30)), "lexti_ft", path,
+                        num_buckets=4)
+    evens = spark.createDataFrame([(i,) for i in range(0, 30, 2)],
+                                  "doc_id bigint")
+    base = [(r["doc_id"], r["bm25"]) for r in
+            bm25_probe(spark, "lexti_ft", path, TERMS, BM25_K1,
+                       BM25_B, k=30, allowed=evens).collect()]
+    assert base and all(d % 2 == 0 for d, _ in base)
+    victim = base[0][0]
+    lexical_index_delete(spark, "lexti_ft", path, [victim],
+                         num_buckets=4)
+    after = [(r["doc_id"], r["bm25"]) for r in
+             bm25_probe(spark, "lexti_ft", path, TERMS, BM25_K1,
+                        BM25_B, k=30, allowed=evens).collect()]
+    assert after == [r for r in base if r[0] != victim]

@@ -551,3 +551,30 @@ def test_cobucketed_join_elides_exchanges_and_sorts(spark):
     fplan = full._jdf.queryExecution().executedPlan().toString()
     assert fplan.count("Exchange hashpartitioning") <= 2, fplan
     assert "CartesianProduct" not in fplan
+
+
+def test_scratch_index_paths_are_application_keyed():
+    """Concurrency guard (r10, promoted from a verify-skill gotcha to
+    CI): every registry query that builds a scratch index under the
+    system temp dir MUST key the path by the Spark applicationId —
+    the full suite and the verify_local sweeps run concurrently on
+    this host and would rmtree each other's live index otherwise. A
+    new *_served query that forgets the key fails here, not as a
+    flaky sweep."""
+    import re
+    from pathlib import Path
+
+    qdir = (Path(__file__).resolve().parent.parent
+            / "jcf_nb_migration_spark" / "queries")
+    offenders = []
+    for f in sorted(qdir.glob("*.py")):
+        src = f.read_text()
+        for m in re.finditer(r"def (\w+)\([^)]*\).*?(?=\ndef |\Z)",
+                             src, re.S):
+            body = m.group(0)
+            if "tempfile.gettempdir()" in body \
+                    and "applicationId" not in body:
+                offenders.append(f"{f.name}:{m.group(1)}")
+    assert not offenders, (
+        "scratch index paths not keyed by applicationId: "
+        f"{offenders}")

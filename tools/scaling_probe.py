@@ -56,7 +56,11 @@ DEFAULT = ["minhash_lsh_dedup", "decontaminate_ngrams", "dedup_exact",
            "trigram_backoff_score", "curation_pipeline_e2e",
            "simhash_near_pairs", "embedding_dedup_pairs",
            "knn_ann_label_propagation", "duplicate_spans",
-           "linkgraph_pagerank", "bm25_top_docs", "sequence_packing"]
+           "linkgraph_pagerank", "bm25_top_docs", "sequence_packing",
+           # r10 serving-mutation + co-bucketed surfaces, watched
+           # per-round like the rest of the heavy list
+           "bm25_tombstone_served", "docstore_upsert_fetch",
+           "cobucketed_order_revenue", "bm25_batch_served"]
 
 # the bench headline set (VERDICT r6 item 5: full three-point table)
 HEADLINE = ["asof_click_before_error", "ann_brute_force_topk",
