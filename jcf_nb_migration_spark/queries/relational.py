@@ -36,7 +36,7 @@ _SQL_REV = ("CAST(l_extendedprice AS DECIMAL(18,4))"
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity', 'sum_qty')},
            {sql_dsum('l_extendedprice', 'sum_base_price')},
-           CAST(SUM({_SQL_REV}) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM({_SQL_REV}) AS DOUBLE), 4) AS sum_disc_price,
            {sql_davg('l_quantity', 'avg_qty')},
            {sql_davg('l_extendedprice', 'avg_price')},
            {sql_davg('l_discount', 'avg_disc')},
@@ -60,7 +60,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            F.sum(_rev()).cast("double").alias("sum_disc_price"),
+            # round(4): the sum is 4-decimal-EXACT in decimal; rounding
+            # the converted double pins the one digit where Spark's
+            # decimal(28,4)->double and DuckDB's decimal(38,4)->double
+            # conversions can differ by 1 ulp once the sum passes ~1e10
+            # (found by the derived-3x sweep, r10) — identical doubles
+            # at every real SF, convergent at any scale.
+            F.round(F.sum(_rev()).cast("double"), 4)
+             .alias("sum_disc_price"),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),

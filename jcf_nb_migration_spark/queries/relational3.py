@@ -629,9 +629,9 @@ def excess_share_suppliers(spark: SparkSession,
     SELECT o.o_orderpriority AS priority,
            COUNT(DISTINCT o.o_orderkey) AS n_orders,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                     * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
-                AS DOUBLE) AS revenue
+                AS DOUBLE), 4) AS revenue
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     ORDER BY priority
@@ -688,5 +688,7 @@ def cobucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("o_orderpriority").alias("priority"))
             .agg(F.countDistinct("o_orderkey").alias("n_orders"),
                  F.count(F.lit(1)).alias("n_items"),
-                 F.sum(rev).cast("double").alias("revenue"))
+                 # round(4): 4-decimal-exact sum; see pricing_summary
+                 F.round(F.sum(rev).cast("double"), 4)
+                  .alias("revenue"))
             .orderBy("priority"))

@@ -37,12 +37,21 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_session_confs(spark)
     src_file = os.path.join(sf_dir, "events.parquet")
-    d = tempfile.mkdtemp(prefix="jcf_events_stream_")
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
     schema = spark.read.parquet(src_file).schema
-    st = spark.readStream.schema(schema).format("parquet").load(d)
+    if os.path.isdir(src_file):
+        # Spark-written table (the derived probe fixtures): already a
+        # directory of part files — the file stream source reads it
+        # natively. The symlink adapter below would nest it one level
+        # deep, where the source silently discovers ZERO files (found
+        # by the r10 derived-3x sweep).
+        src_dir = src_file
+    else:
+        d = tempfile.mkdtemp(prefix="jcf_events_stream_")
+        link = os.path.join(d, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src_file, link)
+        src_dir = d
+    st = spark.readStream.schema(schema).format("parquet").load(src_dir)
     return normalize_event_ts(st)
 
 
@@ -406,12 +415,19 @@ def table_stream_source(spark: SparkSession, sf_dir: str,
 
     ensure_session_confs(spark)
     src_file = os.path.join(sf_dir, f"{table}.parquet")
-    d = tempfile.mkdtemp(prefix=f"jcf_{table}_stream_")
-    link = os.path.join(d, f"{table}.parquet")
-    if not os.path.exists(link):
-        os.symlink(src_file, link)
     schema = spark.read.parquet(src_file).schema
-    return spark.readStream.schema(schema).format("parquet").load(d)
+    if os.path.isdir(src_file):
+        # directory-of-parts table: stream it natively (the symlink
+        # adapter would nest it and discover zero files — see
+        # events_stream_source)
+        src_dir = src_file
+    else:
+        d = tempfile.mkdtemp(prefix=f"jcf_{table}_stream_")
+        link = os.path.join(d, f"{table}.parquet")
+        if not os.path.exists(link):
+            os.symlink(src_file, link)
+        src_dir = d
+    return spark.readStream.schema(schema).format("parquet").load(src_dir)
 
 
 def pit_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,6 +5,7 @@ Spark-vs-DuckDB oracle comparison used by tests and tools/verify_local.py.
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -75,8 +76,13 @@ def duckdb_with_views(sf_dir: str):
     con = duckdb.connect()
     for name in ("region", "nation", "customer", "supplier", "part",
                  "orders", "lineitem", "events", "documents", "embeddings"):
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.isdir(path):
+            # Spark-written table: a DIRECTORY of part files (the
+            # derived probe fixtures) — glob the parts for DuckDB
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+            f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     return con
 
 
