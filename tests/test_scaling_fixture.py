@@ -1,5 +1,5 @@
-"""The derived sf0.3 probe fixture's replica semantics are
-load-bearing for every three-point scaling claim in NOTES.md — pin
+"""The derived sf0.3 / sf1 probe fixtures' replica semantics are
+load-bearing for every three/four-point scaling claim in NOTES.md — pin
 them on tiny in-memory frames so a probe edit can't silently break
 the 'replicas are disjoint but structurally identical' contract."""
 
@@ -56,6 +56,32 @@ def test_document_replica_permutes_text_preserving_shape(spark):
     assert got[10_000_006]["text"] == "xyz"
     # non-key metadata passes through
     assert got[10_000_005]["lang"] == "en"
+
+
+def test_perm_table_supports_ten_pairwise_distinct_replicas():
+    # the ~sf1 fourth point takes 9 offset replicas: every perm must
+    # be a true permutation of the vowels, none the identity, and all
+    # pairwise distinct (so EVERY replica pair decorrelates, not just
+    # each replica vs the original)
+    from scaling_probe import _PERMS
+    assert len(_PERMS) == 9
+    assert all(sorted(p) == list("aeiou") for p in _PERMS)
+    assert "aeiou" not in _PERMS
+    assert len(set(_PERMS)) == 9
+
+
+def test_high_replica_sign_pattern_distinct_and_norm_preserving(spark):
+    # replica 9 (the last fourth-point replica): period-18 square
+    # wave — still ±1 (norm-preserving) and distinct from replica 1's
+    emb = spark.createDataFrame(
+        [(1, [float(i) for i in range(1, 21)], 7)],
+        "vec_id bigint, embedding array<float>, label int")
+    v9 = _replica(emb, "embeddings", 9, "uieao").head()["embedding"]
+    v1 = _replica(emb, "embeddings", 1, "uoiea").head()["embedding"]
+    orig = [float(i) for i in range(1, 21)]
+    assert [abs(x) for x in v9] == orig
+    assert v9[:9] == orig[:9] and v9[9] == -orig[9]  # flips at j=9
+    assert v9 != v1 and v9 != orig
 
 
 def test_lineitem_replica_moves_referential_keys_together(spark):

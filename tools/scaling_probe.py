@@ -41,7 +41,17 @@ recorded as evidence, and the 0.3d/0.1 ratio should stay near the 3x
 data factor as the 0.1/0.01 ratio stays near 10x. Every registered
 query is third-point-eligible (the derived dir carries all 10 tables).
 
-Usage: PYTHONPATH=. python tools/scaling_probe.py [--third-point] [query ...]
+Fourth point (--fourth-point): same construction with TEN replicas of
+sf0.1 — a derived ~sf1 (~100x the sf0.01 rows). Each replica gets a
+distinct vowel permutation / sign-pattern period, so every PAIR of
+replicas is decorrelated, not just each replica vs the original. A
+four-point curve (0.01 → 0.1 → 0.3d → 1.0d, 100x end to end) is the
+strongest local evidence that a plan's growth is output-bound: the
+1.0d/0.1 wall-clock ratio should land well under the 10x data factor
+on local[32] while recorded output rows track the data factor.
+
+Usage: PYTHONPATH=. python tools/scaling_probe.py \
+           [--third-point] [--fourth-point] [query ...]
 """
 
 from __future__ import annotations
@@ -74,9 +84,19 @@ HEADLINE = ["asof_click_before_error", "ann_brute_force_topk",
 # --third-point with no explicit queries probes the headline set
 THIRD_POINT_DEFAULT = HEADLINE
 
-DERIVED_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".probe_fixtures", "sf0.3_full")
+_FIXTURES_ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".probe_fixtures")
+DERIVED_DIR = os.path.join(_FIXTURES_ROOT, "sf0.3_full")
+DERIVED10_DIR = os.path.join(_FIXTURES_ROOT, "sf1_full")
 _ID_OFF = 10_000_000
+
+# nine pairwise-distinct vowel permutations (replicas 1..9): any two
+# replicas' texts differ wherever the source text has a vowel the two
+# permutations map differently, so CROSS-replica shingle overlap dies
+# between every pair, while lengths / token boundaries / each
+# replica's internal duplicate structure are preserved
+_PERMS = ["uoiea", "eioua", "iouae", "ouaei", "uaeio",
+          "aeuio", "eaiou", "oiuea", "uieao"]
 
 # per-table bigint key columns offset per replica (referential keys
 # move together; bounded-dim keys n_nationkey/r_regionkey do not move)
@@ -100,9 +120,10 @@ _KEY_COLS = {
 
 
 def _replica(src, table: str, i: int, perm: str):
-    """Replica i (1 or 2) of one sf0.1 table: keys offset, content
+    """Replica i (1..9) of one sf0.1 table: keys offset, content
     deterministically permuted where cross-replica overlap would
-    otherwise fake duplicate pairs."""
+    otherwise fake duplicate pairs. The sign-pattern period scales
+    with i, so every pair of replicas gets distinct patterns."""
     from pyspark.sql import functions as F
 
     cols = []
@@ -122,32 +143,45 @@ def _replica(src, table: str, i: int, perm: str):
     return src.select(*cols)
 
 
-def ensure_derived_sf03(spark) -> str:
-    """Build (once) the derived ~sf0.3 fixture dir — ALL tables."""
-    marker = os.path.join(DERIVED_DIR, "_COMPLETE")
+def _ensure_derived(spark, out_dir: str, replicas: int) -> str:
+    """Build (once) a derived fixture dir of `replicas` x sf0.1 —
+    ALL tables, replica keys offset, content decorrelated pairwise."""
+    marker = os.path.join(out_dir, "_COMPLETE")
     if os.path.exists(marker):
-        return DERIVED_DIR
+        return out_dir
     for table in _KEY_COLS:
         src = spark.read.parquet(
             f"/root/testdata/sf0.1/{table}.parquet")
         if _KEY_COLS[table]:  # replicate with offset keys
             reps = [src]
-            for i, perm in ((1, "uoiea"), (2, "eioua")):
-                reps.append(_replica(src, table, i, perm))
+            for i in range(1, replicas):
+                reps.append(_replica(src, table, i, _PERMS[i - 1]))
             df = reps[0]
             for r in reps[1:]:
                 df = df.unionByName(r)
         else:  # bounded dim: copy as-is
             df = src
         df.write.mode("overwrite").parquet(
-            os.path.join(DERIVED_DIR, f"{table}.parquet"))
+            os.path.join(out_dir, f"{table}.parquet"))
     open(marker, "w").close()
-    return DERIVED_DIR
+    return out_dir
+
+
+def ensure_derived_sf03(spark) -> str:
+    """Derived ~sf0.3 (3 replicas of sf0.1)."""
+    return _ensure_derived(spark, DERIVED_DIR, 3)
+
+
+def ensure_derived_sf1(spark) -> str:
+    """Derived ~sf1 (10 replicas of sf0.1 — 100x the sf0.01 rows)."""
+    return _ensure_derived(spark, DERIVED10_DIR, 10)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--third-point"]
-    third = "--third-point" in sys.argv[1:]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--third-point", "--fourth-point")]
+    fourth = "--fourth-point" in sys.argv[1:]
+    third = "--third-point" in sys.argv[1:] or fourth
     names = args or (THIRD_POINT_DEFAULT if third else DEFAULT)
     from jcf_nb_migration_spark import get_spark
     from jcf_nb_migration_spark.registry import all_queries
@@ -163,6 +197,8 @@ def main() -> int:
               ("0.1", "/root/testdata/sf0.1")]
     if third:
         points.append(("0.3d", ensure_derived_sf03(spark)))
+    if fourth:
+        points.append(("1.0d", ensure_derived_sf1(spark)))
     out = {}
     for name in names:
         row = {}
@@ -181,6 +217,8 @@ def main() -> int:
         row["ratio_10x_data"] = round(row["0.1"] / row["0.01"], 2)
         if third:
             row["ratio_3x_data"] = round(row["0.3d"] / row["0.1"], 2)
+        if fourth:
+            row["ratio_10x_derived"] = round(row["1.0d"] / row["0.1"], 2)
         out[name] = row
         print(json.dumps({name: row}))
     print(json.dumps({"summary": out}))
