@@ -62,6 +62,15 @@ def get_spark(app_name: str = "jcf-nb-migration-spark",
         master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
     if master is not None:
         builder = builder.master(master)
+    if master is None or master.startswith("local"):
+        # local mode runs driver + all executor threads in ONE JVM whose
+        # heap defaults to 1g — 32 concurrent hash-agg tasks OOM that
+        # long before the 128 GiB host is stressed (seen on the derived
+        # ~sf0.3 sweep). On a cluster spark-submit sets this; here it
+        # only takes effect when this call actually launches the JVM.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     for k, v in _SQL_CONFS.items():
         builder = builder.config(k, v)
     if extra_conf:
