@@ -83,11 +83,13 @@ COVERED_BY: dict[str, str] = {
     # tests/test_text_bpe.py and the text-family scans stay visible:
     "bpe_merge_table": "token_pmi_pairs",  # vocabulary-keyed
     #   aggregate + join chain (the trainer's per-round pair counts)
-    "doc_bpe_stats": "doc_token_stats",
-    "corpus_vocabulary": "doc_token_stats",
-    "doc_subword_stats": "doc_token_stats",
-    "doc_winnow_fingerprints": "doc_token_stats",
-    "doc_bigram_lm_score": "decontaminate_ngrams",
+    "doc_bpe_stats": "doc_subword_stats",
+    "corpus_vocabulary": "doc_subword_stats",
+    # doc_subword_stats rotated INTO the driver window r10 4th wave,
+    # superseding doc_token_stats as the token-explode witness:
+    "doc_token_stats": "doc_subword_stats",
+    "doc_winnow_fingerprints": "doc_subword_stats",
+    "doc_bigram_lm_score": "corpus_novelty_curve",
     # token_pmi_pairs rotated INTO the driver window r9
     "term_source_dispersion": "inverted_index_postings",  # stacked term-key
     #   count rollups + ordered take (boilerplate detector)
@@ -99,14 +101,14 @@ COVERED_BY: dict[str, str] = {
     #   map-side-combinable aggregate + bounded driver state update
     "logreg_calibration": "doc_quality_linear_model",  # one codegen'd
     #   linear-scoring scan (hashed-feature dot product, no shuffle)
-    "doc_lang_id": "doc_token_stats",
-    "code_switch_profile": "doc_token_stats",  # chunk explode +
+    "doc_lang_id": "doc_subword_stats",
+    "code_switch_profile": "doc_subword_stats",  # chunk explode +
     #   per-doc lang-mix rollup (paragraph_dedup's shuffle graph)
-    "doc_repetition_stats": "decontaminate_ngrams",  # gram-explode agg
+    "doc_repetition_stats": "corpus_novelty_curve",  # gram-explode agg
     #   (rotated out of the window r5 for logreg_gd_training)
-    "curation_funnel": "doc_token_stats",  # staged narrow
+    "curation_funnel": "doc_subword_stats",  # staged narrow
     #   quality filters over the same per-doc stats scan
-    "corpus_release_report": "decontaminate_ngrams",  # dataset-card
+    "corpus_release_report": "corpus_novelty_curve",  # dataset-card
     #   rollup: shared base + four 1-row aggregates crossJoined; the
     #   heavy branch is decontaminate's n-gram equi-join
     # curation_pipeline_e2e rotated OUT in the r9 second wave (green
@@ -138,9 +140,9 @@ COVERED_BY: dict[str, str] = {
     "stratified_sample": "weighted_corpus_sample",
     "dsir_importance": "weighted_corpus_sample",  # deterministic weighted selection over the same per-doc score scan
     "source_sampling_weights": "weighted_corpus_sample",
-    "doc_chunk_overlap": "multimodal_frame_sample",  # per-row fan-out
+    "doc_chunk_overlap": "arrow_doc_stats",  # per-row fan-out
     #   (posexplode grid) + bounded rollup
-    "packing_efficiency_report": "multimodal_frame_sample",  # const
+    "packing_efficiency_report": "arrow_doc_stats",  # const
     #   grid explode + small groupBy rollup
     "sequence_packing":
         "pytest:test_plans two-phase prefix sum (no visible twin; "
@@ -148,7 +150,7 @@ COVERED_BY: dict[str, str] = {
     # --- profiling / sketches -------------------------------------------
     "customer_column_profile": "join_key_skew_profile",
     "k_anonymity_audit": "join_key_skew_profile",  # grouped-count distribution rollup, same profile-agg plan
-    "user_active_streaks": "latest_event_per_user",  # user-keyed ordered
+    "user_active_streaks": "user_rolling_7d",  # user-keyed ordered
     #   window (lag/cumsum islands)
     "session_conversion_funnel": "event_funnel_conversion",  # lag/cumsum
     #   sessions + staged conditional-min funnel joins
@@ -166,7 +168,7 @@ COVERED_BY: dict[str, str] = {
     #   ordinal rank + broadcast per-segment clamp bounds
     "quantity_price_correlation": "pricing_summary",  # scan-agg moments
     #   (sum/sumsq/cross) in one pass
-    "daily_new_users": "latest_event_per_user",  # user-keyed min-date
+    "daily_new_users": "user_rolling_7d",  # user-keyed min-date
     #   window + date rollup
     "promo_session_attribution": "cogroup_asof_pandas",  # session
     #   intervals x broadcast promo calendar overlap join + as-of
@@ -174,84 +176,105 @@ COVERED_BY: dict[str, str] = {
     # --- relational / TPC-H shapes --------------------------------------
     # r7 rotation: six 5-6x-green incumbents OUT (history preserved in
     # CORRECTNESS_r1-r6) to admit the never-checked families above.
-    "orderdate_us_format": "part_clean_chain",  # positional substring
+    "orderdate_us_format": "gopher_quality_flags",  # positional substring
     #   + concat derived column (C5/C6) — chained string-op projection
-    "customer_account_flags": "part_clean_chain",  # when/otherwise
+    "customer_account_flags": "gopher_quality_flags",  # when/otherwise
     #   masked assignment + membership/equality filters (F5/F6/C11)
-    "part_merge_chain": "part_clean_chain",
-    "salted_user_totals": "latest_event_per_user",  # explicit-salt
+    "part_merge_chain": "gopher_quality_flags",
+    # part_clean_chain rotated OUT r10 4th wave (green r1-r9); the
+    # codegen'd regex/when-otherwise projection chain stays visible
+    # via gopher_quality_flags:
+    "part_clean_chain": "gopher_quality_flags",  # codegen'd regex +
+    #   when/otherwise projection chain over one table, no shuffle
+    "salted_user_totals": "user_rolling_7d",  # explicit-salt
     #   two-phase agg on the same events keys; AQE skew twin pinned in
     #   tests/test_plans.py::test_aqe_splits_skewed_join
-    "pii_scrub_stats": "part_clean_chain",  # regex-replace narrow
+    "pii_scrub_stats": "gopher_quality_flags",  # regex-replace narrow
     #   projection; plan pinned by test_plans::test_pii_scrub_is_narrow
     "mktsegment_distinct": "hll_sketch_union",  # distinct-value family; HLL is the sketched twin of exact distinct
     "customers_with_urgent_orders": "sole_failing_supplier",  # left-semi existence join (q21 is the semi+anti composite)
     "customers_without_orders": "idle_rich_customers",  # left-anti non-existence join (q22 is the anti+scalar composite)
     "high_balance_never_fulfilled": "idle_rich_customers",  # EXCEPT compiles to the same left-anti shape
-    "discounted_brand_revenue": "local_supplier_volume",
-    "nation_trade_volume": "local_supplier_volume",  # broadcast-dim star
-    #   join + group agg (Q5 family)
-    "regional_customer_distribution": "local_supplier_volume",
-    "customer_order_distribution": "returned_item_report",  # join +
+    "discounted_brand_revenue": "nation_trade_volume",
+    # nation_trade_volume rotated INTO the driver window r10 4th wave,
+    # superseding local_supplier_volume as the broadcast-dim star-join
+    # + group-agg witness (Q5/Q7 family):
+    "local_supplier_volume": "nation_trade_volume",  # broadcast-dim
+    #   star join + group agg (Q5 vs Q7, same physical family)
+    "regional_customer_distribution": "nation_trade_volume",
+    "customer_order_distribution": "top_revenue_customers",  # join +
     #   two-level group agg (Q13 family)
-    "top_supplier_revenue": "local_supplier_volume",  # broadcast-dim
+    "top_supplier_revenue": "nation_trade_volume",  # broadcast-dim
     #   join + agg + top-k (Q15 family)
-    "promo_revenue_share": "returned_item_report",
-    "profit_by_nation_year": "local_supplier_volume",  # same star-join
+    "promo_revenue_share": "top_revenue_customers",
+    "profit_by_nation_year": "nation_trade_volume",  # same star-join
     #   + broadcast-dim graph, regex dim filter pushed to the part scan
     "important_supplier_share": "nation_market_share",
     "part_supplier_variety": "hll_sketch_union",  # count-distinct rollup; HLL is its mergeable approximation
-    "lateral_top_customers": "latest_event_per_user",  # decorrelated
+    "lateral_top_customers": "user_rolling_7d",  # decorrelated
     #   lateral = per-key ranked take (window twin)
-    "nullsafe_cohort_compare": "returned_item_report",
+    "nullsafe_cohort_compare": "top_revenue_customers",
     "customer_set_ops": "idle_rich_customers",  # INTERSECT/EXCEPT compile to semi/anti joins on the same keys
-    "small_quantity_revenue": "returned_item_report",  # filtered
+    "small_quantity_revenue": "top_revenue_customers",  # filtered
     #   join + scalar agg (Q17 family)
-    "top_revenue_customers": "returned_item_report",
-    "priority_shipmode_report": "returned_item_report",  # filtered
+    # top_revenue_customers rotated INTO the driver window r10 4th
+    # wave, superseding returned_item_report as the join + agg +
+    # global-top-k witness (Q10 family):
+    "returned_item_report": "top_revenue_customers",
+    "priority_shipmode_report": "top_revenue_customers",  # filtered
     #   orders⋈lineitem join + small group agg (was covered by
     #   late_shipment_priority_count before its r6 rotation out)
     "late_shipment_priority_count": "sole_failing_supplier",  # semi join with extra non-equi residual, same existence pattern
-    "supplier_nation_directory": "local_supplier_volume",  # broadcast
+    "supplier_nation_directory": "nation_trade_volume",  # broadcast
     #   dim equi-join + projection/rename — rotated OUT r6
-    "order_status_pivot": "lineitem_cube",  # pivot = the same
+    "order_status_pivot": "nation_metrics_unpivot",  # pivot = the same
     #   grouping-sets/EXPAND plan family as cube
-    "part_brand_type_rollup": "lineitem_cube",  # ROLLUP
+    "part_brand_type_rollup": "nation_metrics_unpivot",  # ROLLUP
     #   grouping-sets (EXPAND) family
-    "nation_metrics_unpivot": "lineitem_cube",  # unpivot/stack
-    #   over the cube family's EXPAND
-    "order_value_ranks": "latest_event_per_user",
+    # nation_metrics_unpivot rotated INTO the driver window r10 4th
+    # wave, superseding lineitem_cube as the grouping-sets/reshape
+    # (EXPAND) witness:
+    "lineitem_cube": "nation_metrics_unpivot",  # grouping-sets/reshape
+    #   (EXPAND) family: cube vs unpivot of the same wide agg
+    "order_value_ranks": "user_rolling_7d",  # keyed ordered window
     "association_rules_pairs": "token_pmi_pairs",  # basket-key
     #   self-equi-join pair derivation + broadcast stats (Apriori k=2)
-    "cohort_ltv_curve": "latest_event_per_user",  # cohort attribution
+    "cohort_ltv_curve": "user_rolling_7d",  # cohort attribution
     #   + grid-bounded per-cohort running sum
-    "user_running_value": "latest_event_per_user",
+    "user_running_value": "user_rolling_7d",  # per-user running frame
+    #   (ROWS cumulative vs RANGE rolling, same window exchange)
     "incremental_agg_merge": "pricing_summary",  # partial-agg
     #   union + merge groupBy of the same scan-agg
     "retractable_agg_merge": "pricing_summary",  # signed-partial
     #   union + merge groupBy (incremental_agg_merge with retraction)
-    "corpus_novelty_curve": "decontaminate_ngrams",  # min-per-gram survivor
-    #   + join-back over decontaminate's gram explode
-    "event_sequence_pattern": "latest_event_per_user",  # per-key
+    # corpus_novelty_curve rotated INTO the driver window r10 4th
+    # wave, superseding decontaminate_ngrams as the shingle-explode +
+    # agg/join witness (decontaminate stays bench-measured):
+    "decontaminate_ngrams": "corpus_novelty_curve",
+    "event_sequence_pattern": "user_rolling_7d",  # per-key
     #   ordered collect + codegen'd regex
     # --- CDC / temporal --------------------------------------------------
     "orders_upsert": "orders_pit_customer_join",  # keyed CDC merge-latest over the same orders feed the PIT join consumes
     "orders_snapshot_diff": "orders_pit_customer_join",  # full-outer keyed compare of the same CDC snapshots the PIT join versions
-    "scalar_iter_doc_stats": "doc_token_stats",  # SCALAR_ITER pandas
+    "scalar_iter_doc_stats": "doc_subword_stats",  # SCALAR_ITER pandas
     #   UDF surface; same per-doc stat output as the built-in path
-    "volume_shipping_report": "local_supplier_volume",  # Q7: the
+    "volume_shipping_report": "nation_trade_volume",  # Q7: the
     #   broadcast-dim star join with nation joined twice
     # large_volume_customers rotated INTO the driver window r9
     # (second wave). Q18 notes kept for history:
     # Q18:
     #   agg-subquery semi-join + re-aggregate
-    "regional_min_balance_supplier": "local_supplier_volume",  # Q2:
+    "regional_min_balance_supplier": "nation_trade_volume",  # Q2:
     #   correlated scalar-MIN decorrelated to a min-per-group
     #   join-back over broadcast bounded dims
     # --- events / time series -------------------------------------------
     "events_hourly": "streaming_interval_join",  # batch event-time agg; the streamed event-time shape stays visible here
-    "user_rolling_7d": "latest_event_per_user",  # RANGE frame variant
-    "event_type_transition_matrix": "latest_event_per_user",  # lag
+    # user_rolling_7d rotated INTO the driver window r10 4th wave,
+    # superseding latest_event_per_user as the per-user event-time
+    # window witness:
+    "latest_event_per_user": "user_rolling_7d",  # per-user event-time
+    #   window (row_number top-1 vs RANGE-frame rolling sum)
+    "event_type_transition_matrix": "user_rolling_7d",  # lag
     #   window + double rollup (Markov matrix)
     "signup_to_purchase_latency": "customer_balance_deciles",  # ordinal-median
     #   rank arithmetic over a population-bounded window
@@ -264,12 +287,13 @@ COVERED_BY: dict[str, str] = {
     #   generator + bounded-grid agg; same parse->extract->agg scan
     # event_sessionization rotated OUT in the r9 second wave (green
     # r1-r8); the per-user ordered-window family stays visible:
-    "event_sessionization": "latest_event_per_user",  # per-user
+    "event_sessionization": "user_rolling_7d",  # per-user
     #   ordered window scan (lag/gap marking vs top-1 pick)
     "session_window_counts": "streaming_interval_join",
     "sliding_window_counts": "streaming_interval_join",
     "stream_static_enrich": "streaming_interval_join",
-    "streaming_dedup": "streaming_interval_join",
+    # streaming_dedup rotated INTO the driver window r10 4th wave
+    # (second real-readStream witness)
     # range_join_error_click rotated OUT in the r9 second wave (green
     # r1-r8); the events-pair time-band join stays visible via
     # asof_click_before_error:
@@ -282,11 +306,15 @@ COVERED_BY: dict[str, str] = {
         "pytest:test_streaming applyInPandasWithState (no visible "
         "twin; exact-oracle + checkpoint-restart tests pin it)",
     # --- python surfaces -------------------------------------------------
-    "arrow_doc_stats": "multimodal_frame_sample",  # Arrow-batched
-    #   mapInArrow per-doc stats
-    "doc_chunk_spans_udtf": "multimodal_frame_sample",  # python
+    # arrow_doc_stats rotated INTO the driver window r10 4th wave,
+    # superseding multimodal_frame_sample as the Arrow-batched Python
+    # map witness:
+    "multimodal_frame_sample": "arrow_doc_stats",  # Arrow-batched
+    #   Python map surface (mapInPandas fan-out vs mapInArrow)
+    "doc_chunk_spans_udtf": "arrow_doc_stats",  # python
     #   row fan-out surface (UDTF generator vs mapInPandas)
-    "grouped_price_model": "multimodal_frame_sample",
+    "grouped_price_model": "arrow_doc_stats",  # batched Python surface
+    #   (applyInPandas per-group vs mapInArrow per-batch)
     "pysource_synthdocs":
         "pytest:test_pysource Python DataSource batch reader (no "
         "visible twin; ordered per-band digest oracle runs locally)",
@@ -305,28 +333,30 @@ COVERED_BY: dict[str, str] = {
     "approx_distinct_stats": "hll_sketch_union",
     "tfidf_top_terms": "inverted_index_postings",  # term-keyed rollup
     #   + top-k-per-key window
-    "doc_quality_score": "doc_token_stats",  # narrow per-doc stats
+    "doc_quality_score": "doc_subword_stats",  # narrow per-doc stats
     "dedup_exact": "simhash_fingerprints",
     "embedding_dedup_pairs": "hard_negative_mining_ann",  # blocked
     #   pair join + JVM cosine fold (still benched)
     "forecast_revenue": "pricing_summary",  # pushed-filter scan-agg
     #   (still benched)
-    "multimodal_decode": "multimodal_frame_sample",  # Arrow-batched
+    "multimodal_decode": "arrow_doc_stats",  # Arrow-batched
     #   mapInPandas/mapInArrow surface
-    "lookup_replace_nation": "local_supplier_volume",  # broadcast-dim
+    "lookup_replace_nation": "nation_trade_volume",  # broadcast-dim
     #   lookup join, unmatched-wiped semantics pytest-pinned
-    "document_purge": "part_clean_chain",
+    "document_purge": "gopher_quality_flags",  # full-row predicate scan
+    #   compiled to codegen'd projection + filter, no shuffle
     "simhash_near_pairs": "minhash_lsh_dedup",  # banded candidate
     #   equi-join near-dup pairs
     "ann_brute_force_topk": "hard_negative_mining_ann",
-    "shipping_priority": "returned_item_report",  # filtered join +
+    "shipping_priority": "top_revenue_customers",  # filtered join +
     #   group agg + distributed take (still benched)
-    "user_hourly_resample": "latest_event_per_user",  # event-keyed
+    "user_hourly_resample": "user_rolling_7d",  # event-keyed
     #   window family (grid gap-fill pytest-pinned in oracles)
     # --- r10 rotation: multi-green incumbents rotated out; each keeps
     #     a same-pattern visible twin ------------------------------------
     "customer_scd2_history": "orders_pit_customer_join",
-    "customer_tags": "part_clean_chain",
+    "customer_tags": "gopher_quality_flags",  # narrow per-row derive
+    #   (array ops vs ratio flags), codegen'd projection
     "table_counts": "join_key_skew_profile",  # union of per-table counts; same bounded grouped-count profile plan
     "streaming_hourly_counts": "streaming_interval_join",
     "corpus_mixture_sample": "weighted_corpus_sample",
@@ -337,7 +367,7 @@ COVERED_BY: dict[str, str] = {
     "rrf_fusion": "retrieval_pipeline_e2e",
     "linkgraph_cc_starcontraction": "linkgraph_cc_certified",
     "bloom_incremental_dedup": "lsh_incremental_dedup",
-    "large_volume_customers": "returned_item_report",
+    "large_volume_customers": "top_revenue_customers",
     "trigram_backoff_score": "gopher_quality_flags",
     "heavy_hitters_topk": "cms_token_counts",
     "doc_boilerplate_coverage": "duplicate_spans",

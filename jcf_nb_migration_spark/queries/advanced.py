@@ -64,6 +64,8 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY returnflag, linestatus
     """,
     tags=("cube", "grouping-sets"),
+    driver_visible=False,  # rotated out r10 4th wave (green r1-r9);
+    #   grouping-sets expansion stays visible via nation_metrics_unpivot
 )
 def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cube with grouping_id — all four grouping sets in one

@@ -335,6 +335,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     tags=("join", "multiway", "tpch-q5"),
+    driver_visible=False,  # rotated out r10 4th wave (green r1-r9,
+    #   still bench-measured); multiway broadcast-dim star join stays
+    #   visible via nation_trade_volume
 )
 def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table star join where customer and supplier
@@ -437,6 +440,9 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     tags=("join", "topk", "tpch-q10"),
+    driver_visible=False,  # rotated out r10 4th wave (green r1-r9,
+    #   still bench-measured); join + agg + global top-k stays
+    #   visible via top_revenue_customers
 )
 def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: customers who returned items in a quarter,

@@ -76,6 +76,9 @@ def _sql_ngrams(n: int, distinct: bool) -> str:
     """,
     headline=True,  # the curation suite's bench representative (r4)
     tags=("curation", "decontamination", "ngram"),
+    driver_visible=False,  # rotated out r10 4th wave (green r1-r9,
+    #   still bench-measured every round); the shingle-generation +
+    #   agg/join shape stays visible via corpus_novelty_curve
 )
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (the GPT-3/Llama report recipe): flag

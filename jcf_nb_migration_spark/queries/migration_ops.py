@@ -158,6 +158,9 @@ def lookup_replace_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM part
     """,
     tags=("migration", "cleaning", "C3", "C2", "C11"),
+    driver_visible=False,  # rotated out r10 4th wave (green r1-r9);
+    #   the codegen'd regex/when-otherwise projection chain stays
+    #   visible via gopher_quality_flags
 )
 def part_clean_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cleaning chain: pandas-semantics title-case (C3), character

@@ -51,6 +51,9 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("multimodal", "fan-out", "pandas-udf"),
+    driver_visible=False,  # rotated out r10 4th wave (green r1-r9);
+    #   the Arrow-batched Python map surface stays visible via
+    #   arrow_doc_stats (mapInArrow, same batch plumbing)
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling with row fan-out: decode → demux every 2nd frame

@@ -173,7 +173,8 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     tags=("arrow", "mapInArrow", "vectorized"),
-    driver_visible=False,
+    # rotated IN r10 4th wave: the Arrow-batched Python map surface's
+    # driver witness (multimodal_frame_sample rotated out)
 )
 def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token/char/byte counts computed in mapInArrow — the

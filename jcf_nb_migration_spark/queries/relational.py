@@ -132,7 +132,8 @@ def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY revenue DESC, c_custkey
     LIMIT 10
     """,
-    driver_visible=False,
+    # rotated IN r10 4th wave: the join + agg + global top-k family's
+    # driver witness (returned_item_report rotated out)
     tags=("join", "agg", "topk"),
 )
 def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +313,9 @@ def supplier_nation_directory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     tags=("window", "topk-per-group"),
+    driver_visible=False,  # rotated out r10 4th wave (green r1-r9,
+    #   still bench-measured); event-time window-per-user stays
+    #   visible via user_rolling_7d
 )
 def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-1 per group via row_number window — the standard latest-record

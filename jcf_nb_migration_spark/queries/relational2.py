@@ -137,7 +137,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
     tags=("tpch-shape", "multi-join", "broadcast"),
-    driver_visible=False,
+    # rotated IN r10 4th wave: the multiway broadcast-dim star-join
+    # family's driver witness (local_supplier_volume rotated out)
 )
 def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations by year.
@@ -242,7 +243,8 @@ def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) ORDER BY c_nationkey, metric
     """,
     tags=("unpivot", "melt", "reshape"),
-    driver_visible=False,
+    # rotated IN r10 4th wave: the grouping-sets/reshape family's
+    # driver witness (lineitem_cube rotated out after 9 green rounds)
 )
 def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long reshape with the native unpivot (melt) operator: a

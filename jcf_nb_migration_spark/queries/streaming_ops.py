@@ -138,10 +138,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("streaming", "dedup", "watermark"),
-    # streaming surface externally exercised by streaming_hourly_counts
-    # (real readStream, green oracle); kept local to fit the 50-name
-    # driver window (see __spark_entry__)
-    driver_visible=False,
+    # rotated IN r10 4th wave: a second real-readStream witness
+    # (dropDuplicatesWithinWatermark) joins streaming_interval_join
+    # in the window
 )
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once delivery dedup as a real streaming query: the

@@ -81,6 +81,9 @@ def _sql_bands_cte(bands: int = 8, rows: int = 2) -> str:
     """,
     headline=True,
     tags=("text", "tokenize"),
+    driver_visible=False,  # rotated out r10 4th wave (green r1-r9,
+    #   still bench-measured); token-explode + per-doc agg stays
+    #   visible via doc_subword_stats
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer): counts, distinct counts,
@@ -115,7 +118,8 @@ _SQL_BPE_PAT = T.BPE_ISH_PATTERN.replace("'", "''")
           FROM documents)
     """,
     tags=("text", "tokenize", "bpe"),
-    driver_visible=False,
+    # rotated IN r10 4th wave: the token-explode + per-doc agg
+    # family's driver witness (doc_token_stats rotated out)
 )
 def doc_subword_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish subword counting (the token-budget estimate an LLM data
@@ -807,9 +811,8 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY d.source ORDER BY d.source
     """,
     tags=("curation", "novelty", "dedup-diagnostic"),
-    # min-per-gram + join-back is dedup_exact's survivor pattern over
-    # decontaminate's gram explode (both driver-visible)
-    driver_visible=False,
+    # rotated IN r10 4th wave: the shingle-explode + agg/join family's
+    # driver witness (decontaminate_ngrams rotated out)
 )
 def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source novelty: what fraction of a source's 3-gram shingle

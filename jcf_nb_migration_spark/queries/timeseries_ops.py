@@ -179,9 +179,9 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id, day_idx
     """,
     tags=("timeseries", "range-window", "rolling"),
-    driver_visible=False,  # per-user ordered window covered by
-    #                        user_hourly_resample; RANGE frame is the
-    #                        new surface, pinned here + in pytest
+    # rotated IN r10 4th wave: the per-user event-time window family's
+    # driver witness (latest_event_per_user rotated out); RANGE frame
+    # also pinned in pytest
 )
 def user_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling sum per user via a RANGE-frame window — the frame
