@@ -65,12 +65,12 @@ COVERED_BY: dict[str, str] = {
     "linkgraph_bfs_reachability": "linkgraph_cc_certified",  # per-level
     #   frontier equi-join (WITH RECURSIVE declarative twin)
     # linkgraph_cc_starcontraction rotated INTO the driver window r7
-    "dedup_ngram_jaccard": "minhash_lsh_dedup",
-    "doc_containment_pairs": "minhash_lsh_dedup",  # rare-shingle
+    "dedup_ngram_jaccard": "lsh_incremental_dedup",
+    "doc_containment_pairs": "lsh_incremental_dedup",  # rare-shingle
     #   candidate equi-join + full-set verify, asymmetric metric
     # paragraph_dedup rotated INTO the driver window r7
-    "minhash_signatures": "minhash_lsh_dedup",
-    "media_perceptual_dedup": "minhash_lsh_dedup",  # average-hash
+    "minhash_signatures": "lsh_incremental_dedup",
+    "media_perceptual_dedup": "lsh_incremental_dedup",  # average-hash
     #   fingerprint + the same pigeonhole-banded Hamming machinery
     #   over the multimodal payload column
     # lsh_incremental_dedup rotated INTO the driver window r9
@@ -256,6 +256,13 @@ COVERED_BY: dict[str, str] = {
     # --- CDC / temporal --------------------------------------------------
     "orders_upsert": "orders_pit_customer_join",  # keyed CDC merge-latest over the same orders feed the PIT join consumes
     "orders_snapshot_diff": "orders_pit_customer_join",  # full-outer keyed compare of the same CDC snapshots the PIT join versions
+    # r10: docstore time travel — build/COW/bucketed-fetch machinery is
+    # the visible docstore_upsert_fetch; the manifest AS-OF read path
+    # and the version-diff full-outer compare are additionally pinned
+    # by tests/test_timetravel.py
+    "docstore_as_of_fetch": "docstore_upsert_fetch",
+    "docstore_change_feed": "docstore_upsert_fetch",  # + full-outer
+    #   keyed compare twin: orders_pit_customer_join
     "scalar_iter_doc_stats": "doc_subword_stats",  # SCALAR_ITER pandas
     #   UDF surface; same per-doc stat output as the built-in path
     "volume_shipping_report": "nation_trade_volume",  # Q7: the
@@ -345,7 +352,7 @@ COVERED_BY: dict[str, str] = {
     #   lookup join, unmatched-wiped semantics pytest-pinned
     "document_purge": "gopher_quality_flags",  # full-row predicate scan
     #   compiled to codegen'd projection + filter, no shuffle
-    "simhash_near_pairs": "minhash_lsh_dedup",  # banded candidate
+    "simhash_near_pairs": "lsh_incremental_dedup",  # banded candidate
     #   equi-join near-dup pairs
     "ann_brute_force_topk": "hard_negative_mining_ann",
     "shipping_priority": "top_revenue_customers",  # filtered join +
@@ -364,9 +371,16 @@ COVERED_BY: dict[str, str] = {
     "knn_ann_label_propagation": "hard_negative_mining_ann",
     "bm25_top_docs": "bm25_top_docs_served",
     "paragraph_dedup": "duplicate_spans",
-    "rrf_fusion": "retrieval_pipeline_e2e",
+    "rrf_fusion": "bm25_top_docs_served",
     "linkgraph_cc_starcontraction": "linkgraph_cc_certified",
     "bloom_incremental_dedup": "lsh_incremental_dedup",
+    # r10 wave 5: two veterans rotated OUT to admit linkgraph_khop_sssp
+    # and doc_pareto_frontier (both first-time names)
+    "minhash_lsh_dedup": "lsh_incremental_dedup",  # banded
+    #   (band_idx, band_hash) candidate equi-join + exact verify
+    "retrieval_pipeline_e2e": "bm25_top_docs_served",  # BM25 corpus
+    #   pass + bounded top-k; its LSH leg twins via
+    #   hard_negative_mining_ann (bucketed shortlist + rank window)
     "large_volume_customers": "top_revenue_customers",
     "trigram_backoff_score": "gopher_quality_flags",
     "heavy_hitters_topk": "cms_token_counts",

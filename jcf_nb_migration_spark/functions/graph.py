@@ -117,6 +117,91 @@ def crossing_edges(pairs: DataFrame, labels: DataFrame) -> int:
             .limit(1).count())
 
 
+SSSP_MAX_ROUNDS = 256  # Bellman-Ford needs ≤ |V|-1 rounds; a physical
+#                        link graph converges in O(weighted diameter).
+#                        Hitting the cap means the input violates
+#                        assumptions (or has astronomically long thin
+#                        paths) — raise, never return unconverged dists.
+
+
+def sssp(edges: DataFrame, source: DataFrame,
+         max_hops: int | None = None) -> DataFrame:
+    """Single-source shortest paths over a weighted, directed
+    ``(u, v, w)`` edge frame (symmetrize upstream for undirected
+    graphs; weights must be non-negative — Bellman-Ford's monotone
+    convergence argument needs it and nothing here detects negative
+    cycles). ``source`` is a one-row ``(node)`` frame so the seed can
+    come straight out of an aggregation without a driver collect.
+
+    Returns ``(node, dist)`` with ``dist`` in the weight's type.
+
+    Physical shape: each relaxation round is ONE equi-join of the
+    current distance frame against the edges on the source endpoint
+    plus ONE min-aggregate on the destination — the textbook
+    distributed Bellman-Ford step, linear in |edges| per round, with
+    shuffles only on node ids. The distance frame is referenced once
+    per round (union of carry-forward and relaxed candidates), so the
+    lazy plan grows linearly in rounds.
+
+    ``max_hops=k``: exactly k relaxation rounds, fully lazy — computes
+    the min-cost path USING AT MOST k EDGES (hop-bounded SSSP, a
+    well-defined operator at any scale; the oracle-replayed query
+    unrolls the identical k rounds in SQL).
+
+    ``max_hops=None`` (engine default): run to a CERTIFIED fixpoint —
+    batches of rounds with ``localCheckpoint`` between them (the
+    star_components lineage-truncation idiom) and an eager
+    changed-distance probe; a round that improves no distance is the
+    Bellman-Ford termination certificate (sound: distances only ever
+    decrease; complete: any shorter path has a first relaxable edge).
+    Raises after SSSP_MAX_ROUNDS rather than returning unconverged
+    distances."""
+    for c in ("u", "v", "w"):
+        if c not in edges.columns:
+            raise ValueError(f"sssp edges need (u, v, w); missing {c!r}")
+    dist = source.select(F.col(source.columns[0]).alias("node"),
+                         F.lit(0).cast(
+                             edges.schema["w"].dataType).alias("dist"))
+
+    def relax(d: DataFrame) -> DataFrame:
+        cand = (d.join(edges, d["node"] == edges["u"])
+                .select(F.col("v").alias("node"),
+                        (F.col("dist") + F.col("w")).alias("dist")))
+        return (d.unionByName(cand)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+
+    if max_hops is not None:
+        for _ in range(max_hops):
+            dist = relax(dist)
+        return dist
+
+    BATCH = 8
+    done = 0
+    dist = dist.localCheckpoint(eager=True)
+    while done < SSSP_MAX_ROUNDS:
+        nxt = relax(dist)
+        for _ in range(BATCH - 1):
+            nxt = relax(nxt)
+        nxt = nxt.localCheckpoint(eager=True)
+        done += BATCH
+        # convergence probe: any node whose dist still improves?
+        # (new nodes can only appear WITH an improvement, and dists
+        # never increase, so an anti/changed check on the new frame
+        # against the old is sound)
+        old = dist.select(F.col("node").alias("_n"),
+                          F.col("dist").alias("_d"))
+        changed = (nxt.join(old, nxt["node"] == F.col("_n"), "left")
+                   .where(F.col("_d").isNull()
+                          | (F.col("dist") < F.col("_d")))
+                   .limit(1).count())
+        dist = nxt
+        if changed == 0:
+            return dist
+    raise RuntimeError(
+        f"sssp: no fixpoint after {SSSP_MAX_ROUNDS} rounds; refusing "
+        "to return possibly-unconverged distances")
+
+
 def star_components(pairs: DataFrame,
                     rounds: int | None = None) -> DataFrame:
     """(u < v) pair frame → per-node ``(u, component)`` assignment.

@@ -23,6 +23,12 @@ against a corpus-sized parquet scan would read every file for a
   and append, as in io/lexical) plus the table's column DDL, so a
   fresh session can re-register the table without the caller having to
   restate the schema.
+- ``path/_versions`` + ``path/_history`` — per-mutation version
+  manifests and the retired-file store behind them: Delta-style time
+  travel (``docstore_as_of``), a row-level change feed between any two
+  versions (``docstore_version_diff``), a commit log
+  (``docstore_history``), and explicit retention
+  (``docstore_snapshot_vacuum``). See the time-travel block below.
 
 At 100 TB the fetch pattern is exactly a key-value point lookup
 expressed in Spark's storage model: the id list arrives from a probe
@@ -60,6 +66,8 @@ from jcf_nb_migration_spark.io.lexical import (
 )
 
 DOCS_SUBDIR = "docs"
+VERSIONS_SUBDIR = "_versions"   # one JSON manifest per table version
+HISTORY_SUBDIR = "_history"     # superseded (COW-replaced) data files
 
 # simpleString() output that is safe to interpolate into CREATE TABLE:
 # type names, digits, nesting/precision punctuation, and the spaces
@@ -127,6 +135,231 @@ def _meta_columns(path: str) -> str:
     return meta["columns"]
 
 
+# --------------------------------------------------------------------
+# Time travel (version manifests + AS OF reads + retention vacuum)
+#
+# Delta-style snapshot semantics on plain parquet: every mutation
+# (build/append/upsert/delete/compact/add_columns) commits a JSON
+# manifest under path/_versions naming the table's LIVE data files at
+# that version, and copy-on-write never destroys a superseded file —
+# it MOVES it to path/_history (Spark part-file names embed a job
+# UUID, so basenames are globally unique and a name resolves to
+# exactly one of docs/ or _history/). An AS-OF read is then just
+# "open the manifest's files with the manifest's schema" — no log
+# replay, no reconstruction — and retention is explicit:
+# docstore_snapshot_vacuum drops old manifests and deletes the
+# history files only they referenced. Manifest commit is a
+# write-tmp-then-rename on the driver-local FS — the same documented
+# stand-in as the ledger and the compactor's swap (on HDFS/S3, route
+# through the FileSystem API or a table format).
+# --------------------------------------------------------------------
+
+
+def _versions_dir(path: str) -> str:
+    return os.path.join(path, VERSIONS_SUBDIR)
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(_versions_dir(path), f"v{version:05d}.json")
+
+
+def _list_manifests(path: str) -> list[int]:
+    vdir = _versions_dir(path)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for f in os.listdir(vdir):
+        m = re.fullmatch(r"v(\d{5})\.json", f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _live_data_files(path: str) -> list[str]:
+    data_dir = os.path.join(path, DOCS_SUBDIR)
+    return sorted(f for f in os.listdir(data_dir)
+                  if f.endswith(".parquet"))
+
+
+def _commit_manifest(path: str, op: str,
+                     batch_id: int | str | None = None) -> int:
+    """Record the CURRENT live file set (and column DDL) as the next
+    table version. Called by every mutating entry point AFTER its
+    files are in place."""
+    import json
+
+    vdir = _versions_dir(path)
+    os.makedirs(vdir, exist_ok=True)
+    existing = _list_manifests(path)
+    version = (existing[-1] + 1) if existing else 0
+    meta = _read_meta(path) or {}
+    manifest = {
+        "version": version,
+        "op": op,
+        "batch_id": None if batch_id is None else str(batch_id),
+        "columns": meta.get("columns"),
+        "files": _live_data_files(path),
+    }
+    tmp = _manifest_path(path, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, _manifest_path(path, version))
+    return version
+
+
+def _read_manifest(path: str, version: int) -> dict:
+    import json
+
+    mp = _manifest_path(path, version)
+    if not os.path.isfile(mp):
+        have = _list_manifests(path)
+        raise ValueError(
+            f"docstore at {path} has no version {version} "
+            f"(available: {have or 'none'} — vacuumed or never "
+            "committed)")
+    with open(mp) as fh:
+        return json.load(fh)
+
+
+def _retire_files(path: str, src_dir: str) -> None:
+    """Move superseded data files into the history dir (keeping their
+    globally-unique basenames) instead of deleting them, so older
+    manifests stay readable until an explicit snapshot vacuum."""
+    import shutil
+
+    hist = os.path.join(path, HISTORY_SUBDIR)
+    os.makedirs(hist, exist_ok=True)
+    for f in os.listdir(src_dir):
+        if not f.endswith(".parquet"):
+            continue
+        dst = os.path.join(hist, f)
+        if os.path.exists(dst):
+            raise RuntimeError(
+                f"history collision for {f} — part-file basenames are "
+                "expected to be globally unique (job-UUID named); "
+                "refusing to overwrite retained snapshot data")
+        os.rename(os.path.join(src_dir, f), dst)
+    shutil.rmtree(src_dir)
+
+
+def docstore_version(path: str) -> int:
+    """Latest committed table version (0-based; build commits v0)."""
+    versions = _list_manifests(path)
+    if not versions:
+        raise ValueError(
+            f"no version manifests under {path} — not a docstore, or "
+            "built before versioning? (docstore_build commits v0)")
+    return versions[-1]
+
+
+def docstore_history(spark: SparkSession, path: str) -> DataFrame:
+    """The table's commit log as a frame: one row per retained
+    version — (version, op, batch_id, n_files). Driver-side JSON
+    reads over the (bounded) manifest list: control plane."""
+    rows = [(m["version"], m["op"], m["batch_id"], len(m["files"]))
+            for m in (_read_manifest(path, v)
+                      for v in _list_manifests(path))]
+    return spark.createDataFrame(
+        rows, "version bigint, op string, batch_id string, "
+              "n_files bigint")
+
+
+def docstore_as_of(spark: SparkSession, prefix: str, path: str,
+                   version: int) -> DataFrame:
+    """Read the docstore AS OF a committed version: exactly the
+    manifest's files, with the manifest's schema (so a snapshot taken
+    before a docstore_add_columns reads with its own narrower DDL).
+    Historical reads are plain parquet scans of an explicit file list
+    — row-group min/max pruning on doc_id still applies (the files
+    were written sortBy(doc_id)), but bucket pruning does not; serve
+    hot point-lookups from the CURRENT version's bucketed table
+    (docstore_fetch) and keep AS-OF for audits, replays, and diffs."""
+    _checked_prefix(prefix)  # same identifier hygiene as the table API
+    man = _read_manifest(path, version)
+    if not man["files"]:
+        return spark.createDataFrame([], man["columns"])
+    data_dir = os.path.join(path, DOCS_SUBDIR)
+    hist = os.path.join(path, HISTORY_SUBDIR)
+    paths = []
+    for f in man["files"]:
+        live = os.path.join(data_dir, f)
+        old = os.path.join(hist, f)
+        if os.path.isfile(live):
+            paths.append(live)
+        elif os.path.isfile(old):
+            paths.append(old)
+        else:
+            raise ValueError(
+                f"version {version} references {f}, which is in "
+                "neither the live table nor history — vacuumed past "
+                "this snapshot (docstore_snapshot_vacuum retention)")
+    return spark.read.schema(man["columns"]).parquet(*paths)
+
+
+def docstore_version_diff(spark: SparkSession, prefix: str, path: str,
+                          v_old: int, v_new: int) -> DataFrame:
+    """Row-level change feed between two committed versions —
+    ``(doc_id, change)`` with change ∈ insert/delete/update — the CDC
+    read a downstream index maintainer consumes instead of re-scanning
+    the corpus. Computed as ONE full-outer join of the two snapshots
+    on doc_id (null-safe equality over the columns both versions
+    share); rows equal on every shared column are dropped. Both sides
+    are manifest-scoped file scans, so the cost is the two snapshots'
+    touched data, never the commit count."""
+    a = docstore_as_of(spark, prefix, path, v_old)
+    b = docstore_as_of(spark, prefix, path, v_new)
+    shared = [c for c in a.columns if c in set(b.columns)
+              and c != "doc_id"]
+    # explicit presence sentinels (robust to rows whose every payload
+    # column is null — isNotNull on payload would misread those)
+    an = a.select("doc_id",
+                  *[F.col(c).alias(f"_a_{c}") for c in shared],
+                  F.lit(1).alias("_a_present"))
+    bn = b.select("doc_id",
+                  *[F.col(c).alias(f"_b_{c}") for c in shared],
+                  F.lit(1).alias("_b_present"))
+    same = F.lit(True)
+    for c in shared:
+        same = same & F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+    j = an.join(bn, "doc_id", "full_outer")
+    change = (F.when(F.col("_a_present").isNull(), F.lit("insert"))
+              .when(F.col("_b_present").isNull(), F.lit("delete"))
+              .when(same, F.lit(None))
+              .otherwise(F.lit("update")))
+    return (j.select("doc_id", change.alias("change"))
+            .where(F.col("change").isNotNull()))
+
+
+def docstore_snapshot_vacuum(path: str, keep_last: int = 2) -> int:
+    """Retention: keep the newest ``keep_last`` versions, drop older
+    manifests, and physically delete the history files no retained
+    manifest references. Live files are never candidates (the latest
+    manifest always references them). Returns the number of data
+    files deleted. The latest version is always retained
+    (keep_last < 1 raises)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the live version "
+                         "cannot be vacuumed)")
+    versions = _list_manifests(path)
+    if not versions:
+        raise ValueError(f"no version manifests under {path}")
+    keep = set(versions[-keep_last:])
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(path, v)["files"])
+    n_deleted = 0
+    hist = os.path.join(path, HISTORY_SUBDIR)
+    if os.path.isdir(hist):
+        for f in os.listdir(hist):
+            if f.endswith(".parquet") and f not in referenced:
+                os.remove(os.path.join(hist, f))
+                n_deleted += 1
+    for v in versions:
+        if v not in keep:
+            os.remove(_manifest_path(path, v))
+    return n_deleted
+
+
 def docstore_build(docs: DataFrame, prefix: str, path: str,
                    num_buckets: int = 8) -> None:
     """Build (or rebuild) the document store from ``docs`` (any frame
@@ -153,6 +386,7 @@ def docstore_build(docs: DataFrame, prefix: str, path: str,
      .option("path", os.path.join(path, DOCS_SUBDIR))
      .format("parquet").saveAsTable(f"{prefix}_docs"))
     _write_meta(path, num_buckets, extra={"columns": ddl})
+    _commit_manifest(path, "build")  # version 0 (rebuild resets history)
 
 
 def docstore_attach(spark: SparkSession, prefix: str, path: str,
@@ -233,6 +467,7 @@ def docstore_append(new_docs: DataFrame, prefix: str, path: str,
      .bucketBy(num_buckets, "doc_id").sortBy("doc_id")
      .option("path", os.path.join(path, DOCS_SUBDIR))
      .format("parquet").saveAsTable(table))
+    _commit_manifest(path, "append", batch_id)
     _ledger_commit(marker)
     return True
 
@@ -283,10 +518,13 @@ def docstore_compact(spark: SparkSession, prefix: str, path: str,
     # overwrite this path with another store's rows
     _require_bucketed_table(spark, table, num_buckets, path,
                             "docstore_build", DOCS_SUBDIR)
-    return _compact_bucketed_table(
+    n = _compact_bucketed_table(
         spark, table, path, DOCS_SUBDIR, "doc_id", num_buckets,
         parallelism,
-        lambda: docstore_attach(spark, prefix, path, num_buckets))
+        lambda: docstore_attach(spark, prefix, path, num_buckets),
+        retire=lambda old_dir: _retire_files(path, old_dir))
+    _commit_manifest(path, "compact")
+    return n
 
 
 def docstore_maintain(spark: SparkSession, prefix: str, path: str,
@@ -349,17 +587,24 @@ def _rewrite_touched_buckets(spark: SparkSession, table: str,
     move aside, staged files move in, REFRESH drops the cached file
     listing. Untouched bucket files are never opened, read, or
     renamed — byte-identical before and after (pinned in
-    tests/test_docstore.py). A crash between the two move phases
-    strands rows in ``docs.cowold`` (documented local-FS stand-in, as
-    for the compactor's swap); the next COW call clears residue.
-    Returns the number of staged files moved in."""
+    tests/test_docstore.py). Replaced files are RETIRED into
+    ``_history`` (older version manifests keep reading them; see the
+    time-travel block above) rather than deleted. A crash between the
+    two move phases strands rows in ``docs.cowold`` (documented
+    local-FS stand-in, as for the compactor's swap); the next COW
+    call retires the residue. Returns the number of staged files
+    moved in."""
     import shutil
 
     data_dir = os.path.join(path, DOCS_SUBDIR)
     staging = data_dir.rstrip("/") + ".cowstage"
     old_dir = data_dir.rstrip("/") + ".cowold"
     shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(old_dir, ignore_errors=True)  # crashed prior swap
+    if os.path.isdir(old_dir):
+        # crashed prior swap: the stranded files are committed
+        # snapshot data (some manifest references them) — retire to
+        # history, never destroy
+        _retire_files(path, old_dir)
     old_files = [f for f in os.listdir(data_dir)
                  if f.endswith(".parquet")
                  and _file_bucket_id(f) in touched]
@@ -389,7 +634,8 @@ def _rewrite_touched_buckets(spark: SparkSession, table: str,
                       os.path.join(data_dir, f))
             n_new += 1
     shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(old_dir)
+    # superseded bucket files stay readable to older manifests
+    _retire_files(path, old_dir)
     spark.sql(f"REFRESH TABLE {table}")
     return n_new
 
@@ -437,6 +683,7 @@ def docstore_upsert(new_docs: DataFrame, prefix: str, path: str,
             lambda cur: (cur.join(F.broadcast(ids), "doc_id",
                                   "left_anti")
                          .unionByName(new_docs)))
+        _commit_manifest(path, "upsert", batch_id)
     finally:
         new_docs.unpersist()
     _ledger_commit(marker)
@@ -481,6 +728,7 @@ def docstore_delete(spark: SparkSession, prefix: str, path: str,
         spark, table, path, num_buckets, touched,
         lambda cur: cur.join(F.broadcast(ids_frame), "doc_id",
                              "left_anti"))
+    _commit_manifest(path, "delete", batch_id)
     _ledger_commit(marker)
     return True
 
@@ -536,3 +784,6 @@ def docstore_add_columns(spark: SparkSession, prefix: str, path: str,
     # untouched; LOCATION/bucket validation re-applies on attach)
     spark.sql(f"DROP TABLE {table}")
     docstore_attach(spark, prefix, path, num_buckets)
+    # schema evolution is a table version too: AS-OF reads BEFORE this
+    # commit use the narrower pre-evolution DDL
+    _commit_manifest(path, "add_columns")

@@ -529,16 +529,20 @@ def bm25_probe(spark: SparkSession, prefix: str, path: str,
 def _compact_bucketed_table(spark: SparkSession, table: str, path: str,
                             subdir: str, bucket_col: str,
                             num_buckets: int, parallelism: int,
-                            reattach, frame: DataFrame | None = None) -> int:
+                            reattach, frame: DataFrame | None = None,
+                            retire=None) -> int:
     """Staged-rewrite-and-swap core shared by the lexical and docstore
     compactors: rebuild the bucketed table FROM ITS OWN FILES into a
     staging dir (one file per bucket per task), swap via two directory
     renames, drop + re-register the catalog entry (``reattach``).
     ``frame`` substitutes the rows being rewritten (vacuum passes the
     table minus tombstoned docs); it must derive from the live table
-    so the staged write completes before any rename. Returns the
-    compacted file count. Validation is the caller's job — this helper
-    only reorganizes files."""
+    so the staged write completes before any rename. ``retire``, when
+    given, disposes of the swapped-out directory instead of deletion
+    (the docstore passes its history mover so older version manifests
+    keep reading superseded files). Returns the compacted file count.
+    Validation is the caller's job — this helper only reorganizes
+    files."""
     import shutil
 
     data_dir = os.path.join(path, subdir)
@@ -552,10 +556,11 @@ def _compact_bucketed_table(spark: SparkSession, table: str, path: str,
      .option("path", staging)
      .format("parquet").saveAsTable(f"{table}_compact"))
     old = data_dir.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)  # a crashed prior swap
+    if os.path.isdir(old):  # a crashed prior swap
+        retire(old) if retire is not None else shutil.rmtree(old)
     os.rename(data_dir, old)
     os.rename(staging, data_dir)
-    shutil.rmtree(old)
+    retire(old) if retire is not None else shutil.rmtree(old)
     spark.sql(f"DROP TABLE {table}_compact")
     spark.sql(f"DROP TABLE {table}")
     reattach()

@@ -567,6 +567,81 @@ def linkgraph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SSSP_HOPS = 4  # pinned replay depth: min-cost path using ≤ 4 edges
+#                (hop-bounded SSSP — well-defined at any scale; the
+#                engine-default certified fixpoint is pinned against
+#                brute force in tests/test_linkgraph.py)
+
+
+def _sql_sssp_rounds() -> str:
+    """Unrolled Bellman-Ford rounds d1..dK: each round is the same
+    carry-forward ∪ relax → MIN(dist) aggregate the Spark loop runs —
+    identical BIGINT arithmetic, so distances replay bit-exactly."""
+    steps = []
+    for k in range(1, SSSP_HOPS + 1):
+        steps.append(
+            f"""d{k} AS (SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k-1}
+        UNION ALL
+        SELECT e.v AS node, d.dist + e.w AS dist
+        FROM d{k-1} d JOIN edges e ON e.u = d.node
+    ) GROUP BY node)""")
+    return ",\n    ".join(steps)
+
+
+@query(
+    "linkgraph_khop_sssp",
+    oracle=f"""
+    WITH {_sql_pg_pairs()},
+    edges AS (
+        SELECT u, v, (u + v) % 7 + 1 AS w FROM pairs
+        UNION ALL
+        SELECT v, u, (u + v) % 7 + 1 FROM pairs
+    ),
+    d0 AS (SELECT (SELECT MIN(u) FROM edges) AS node,
+                  CAST(0 AS BIGINT) AS dist),
+    {_sql_sssp_rounds()}
+    SELECT node AS doc_id, dist AS dist_w
+    FROM d{SSSP_HOPS} ORDER BY dist_w, doc_id LIMIT 20
+    """,
+    tags=("graph", "sssp", "shortest-path", "weighted", "iterative"),
+)
+def linkgraph_khop_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths (hop-bounded Bellman-Ford,
+    functions/graph.sssp) over the rare-gram document link graph, from
+    the lexicographically first linked document — link-distance as a
+    crawl-frontier / contamination-radius prior, the weighted
+    companion of linkgraph_bfs_reachability. Edge weights are the
+    deterministic ``(u + v) % 7 + 1`` (symmetric, strictly positive,
+    pure BIGINT), so Spark and the oracle's unrolled CTE chain compute
+    bit-identical distances — no float tolerance.
+
+    Physical shape: each of the {SSSP_HOPS} relaxation rounds is one
+    dist⋈edges equi-join plus one MIN groupBy on the destination node
+    — linear in |edges| per round, shuffles only on node ids; the edge
+    frame (with weights) is persisted once and reused by every round.
+    The hop bound makes the operator scale-stable (it answers
+    "cheapest path within {SSSP_HOPS} links", not a diameter-dependent
+    question); the engine-default ``max_hops=None`` runs to a
+    CERTIFIED no-improvement fixpoint with localCheckpoint lineage
+    truncation (pinned against brute-force enumeration in
+    tests/test_linkgraph.py)."""
+    from jcf_nb_migration_spark.functions.graph import sssp
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    pairs = _rare_gram_pairs(docs)
+    both = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    edges = both.select(
+        "u", "v",
+        F.expr("(u + v) % 7 + 1").cast("long").alias("w")).persist()
+    source = edges.agg(F.min("u").alias("node"))
+    dist = sssp(edges, source, max_hops=SSSP_HOPS)
+    return (dist.select(F.col("node").alias("doc_id"),
+                        F.col("dist").alias("dist_w"))
+            .orderBy("dist_w", "doc_id").limit(20))
+
+
 from jcf_nb_migration_spark.functions.graph import CC_ROUNDS  # noqa: E402,F401
 
 

@@ -1835,3 +1835,66 @@ def corpus_release_report(spark: SparkSession,
                             / F.col("n_docs"), 9).alias("exact_dup_rate"),
                     "n_contaminated_docs",
                     "n_train", "n_valid", "n_test"))
+
+
+@query(
+    "doc_pareto_frontier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+    pts AS (
+        SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+               CAST(len(list_distinct(w)) AS BIGINT) * 1000000
+                   // CAST(len(w) AS BIGINT) AS ttr_fp
+        FROM toks WHERE len(w) > 0
+    ),
+    px AS (SELECT n_toks, MAX(ttr_fp) AS my FROM pts GROUP BY n_toks),
+    rm AS (
+        SELECT n_toks, my, MAX(my) OVER (
+            ORDER BY n_toks DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better
+        FROM px
+    )
+    SELECT p.doc_id, p.n_toks, p.ttr_fp
+    FROM pts p JOIN rm USING (n_toks)
+    WHERE p.ttr_fp = rm.my
+      AND (rm.better IS NULL OR rm.better < p.ttr_fp)
+    ORDER BY doc_id
+    """,
+    tags=("curation", "skyline", "pareto", "multi-objective",
+          "pandas-udf"),
+)
+def doc_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of the corpus on (token count, type-token
+    ratio) — the documents no other document beats on BOTH length and
+    lexical density at once, via the generic distributed skyline
+    operator (functions/skyline.skyline: per-batch
+    sort-filter-skyline local pass with NO shuffle, then one global
+    pass over the candidate union; exact, partitioning-invariant).
+    The two axes are naturally anti-correlated (longer documents
+    repeat more), so the frontier is a real curve, and it is the
+    shortlist every monotone quality weighting's argmax lives in —
+    the right curation cut while the final mixture weights are still
+    undecided. The ratio is fixed-point
+    ``distinct_tokens * 1e6 div tokens`` (BIGINT floor division,
+    identical in Spark ``div`` and DuckDB ``//`` for these positive
+    operands) so cross-engine equality is exact — no float tolerance.
+
+    The oracle states the same set positionally for the 2-D case:
+    a document survives iff it carries the max density at its exact
+    length AND no strictly longer document matches that density
+    (running max over lengths descending) — O(n log n), so the sweep
+    stays cheap at every SF while the Spark side exercises the general
+    d-dimensional operator (d>2 pinned against brute force in
+    tests/test_skyline.py)."""
+    from jcf_nb_migration_spark.functions.skyline import skyline
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    w = T.tokens("text")
+    pts = (docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_dtoks"))
+        .where(F.col("n_toks") > 0)
+        .select("doc_id", "n_toks",
+                F.expr("n_dtoks * 1000000 div n_toks").alias("ttr_fp")))
+    return skyline(pts, ["n_toks", "ttr_fp"]).orderBy("doc_id")

@@ -568,6 +568,12 @@ def _sql_rpe_oracle() -> str:
     #   subset (the r6 decontaminate precedent)
     tags=("retrieval", "e2e", "hybrid", "bm25", "lsh", "rrf",
           "quality-gate"),
+    # rotated OUT of the driver window r10 wave 5 (green r7/r8/r9);
+    # pattern twins currently driver-visible: bm25_top_docs_served
+    # (BM25 corpus pass + top-k) and hard_negative_mining_ann
+    # (bucketed LSH shortlist + rank window). Still a bench headline
+    # and oracle-run at every pytest.
+    driver_visible=False,
 )
 def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval END-TO-END — the retrieval twin of
@@ -1416,3 +1422,168 @@ def bm25_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = spark.createDataFrame(qrows, "query_id bigint, tok string")
     return bm25_batch_probe(spark, prefix, path, queries,
                             BM25_K1, BM25_B, k=10)
+
+
+# Time-travel serving queries (r10): the docstore's version-manifest
+# layer (io/docstore.py time-travel block) exposed as oracle-checked
+# queries. Mutations are the deterministic sets below so DuckDB can
+# restate every snapshot from the base table.
+
+TT_UP_MOD, TT_UP_REM = 17, 5   # doc_id % 17 == 5 rows get a v2 payload
+TT_DEL_MOD, TT_DEL_REM = 13, 2  # doc_id % 13 == 2 rows are deleted
+TT_FETCH = (2, 5, 15, 22, 28, 39)  # updated + deleted + untouched mix
+
+
+def _tt_store(spark: SparkSession, sf_dir: str, subdir: str):
+    """Build the versioned fixture store: v0 = the documents corpus,
+    v1 = upsert (v2 payload for doc_id≡{TT_UP_REM} (mod {TT_UP_MOD}),
+    plus max+1 / max+2 inserted), v2 = delete (doc_id≡{TT_DEL_REM}
+    (mod {TT_DEL_MOD}), plus max+2 — an insert-then-delete row the
+    change feed must NOT emit). Returns (prefix, path, max_id)."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.docstore import (docstore_build,
+                                                    docstore_delete,
+                                                    docstore_upsert)
+
+    docs = (spread(t(spark, sf_dir, "documents"))
+            .select("doc_id", "text", "lang"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"docstt_{tag}"
+    path = os.path.join(tempfile.gettempdir(), subdir,
+                        spark.sparkContext.applicationId, tag)
+    docstore_build(docs, prefix, path, num_buckets=8)
+    max_id = docs.agg(F.max("doc_id")).head()[0]
+    updated = (docs.where(F.col("doc_id") % TT_UP_MOD == TT_UP_REM)
+               .select("doc_id",
+                       F.concat(F.lit("v2:"), F.col("text"))
+                        .alias("text"),
+                       F.lit("v2").alias("lang")))
+    new_rows = spark.createDataFrame(
+        [(max_id + k, f"new doc {k}", "new") for k in (1, 2)],
+        "doc_id bigint, text string, lang string")
+    docstore_upsert(updated.unionByName(new_rows), prefix, path,
+                    num_buckets=8)
+    del_ids = [r["doc_id"] for r in
+               docs.where(F.col("doc_id") % TT_DEL_MOD == TT_DEL_REM)
+               .select("doc_id").collect()] + [max_id + 2]
+    docstore_delete(spark, prefix, path, del_ids, num_buckets=8)
+    return prefix, path, max_id
+
+
+_SQL_TT_STATES = f"""mx AS (SELECT MAX(doc_id) AS m FROM documents),
+    base AS (SELECT doc_id, text, lang FROM documents),
+    upd AS (
+        SELECT doc_id, 'v2:' || text AS text, 'v2' AS lang
+        FROM documents WHERE doc_id % {TT_UP_MOD} = {TT_UP_REM}
+    ),
+    newd AS (
+        SELECT m + k AS doc_id, 'new doc ' || k AS text, 'new' AS lang
+        FROM mx, (SELECT unnest([1, 2]) AS k)
+    ),
+    v1 AS (
+        SELECT * FROM upd
+        UNION ALL SELECT * FROM newd
+        UNION ALL SELECT doc_id, text, lang FROM base
+                  WHERE doc_id % {TT_UP_MOD} <> {TT_UP_REM}
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        WHERE doc_id % {TT_DEL_MOD} <> {TT_DEL_REM}
+          AND doc_id <> (SELECT m + 2 FROM mx)
+    )"""
+
+
+@query(
+    "docstore_as_of_fetch",
+    oracle=f"""
+    WITH {_SQL_TT_STATES},
+    ids AS (
+        SELECT unnest([{", ".join(map(str, TT_FETCH))}]) AS doc_id
+        UNION ALL SELECT m + k
+        FROM mx, (SELECT unnest([1, 2]) AS k)
+    ),
+    snaps AS (
+        SELECT 0 AS snap, b.doc_id, b.text, b.lang
+        FROM base b JOIN ids USING (doc_id)
+        UNION ALL
+        SELECT 1, v.doc_id, v.text, v.lang
+        FROM v1 v JOIN ids USING (doc_id)
+        UNION ALL
+        SELECT 2, v.doc_id, v.text, v.lang
+        FROM v2 v JOIN ids USING (doc_id)
+    )
+    SELECT CAST(snap AS BIGINT) AS snap, doc_id, text, lang
+    FROM snaps ORDER BY snap, doc_id
+    """,
+    tags=("serving", "docstore", "time-travel", "snapshot", "cow"),
+    # the docstore build/COW/fetch machinery is driver-visible via
+    # docstore_upsert_fetch; AS-OF adds the manifest read path, pinned
+    # additionally by tests/test_timetravel.py
+    driver_visible=False,
+)
+def docstore_as_of_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL on the persisted docstore (io/docstore.
+    docstore_as_of): build (v0) → COW upsert (v1) → COW delete (v2),
+    then read a fixed id spread AS OF every version — superseded
+    bucket files are retired to the history dir, not deleted, so each
+    version manifest still resolves its exact file set. The oracle
+    restates all three snapshots from the base table, so one hash
+    certifies the whole snapshot lattice: pre-mutation rows at v0, the
+    merged payload and inserts at v1, the post-purge state at v2
+    (including the insert-then-delete row max+2 visible ONLY at v1).
+    AS-OF reads are manifest-scoped parquet scans — an audit/replay
+    path; hot lookups stay on the current bucketed table
+    (docstore_fetch, plan-pinned in tests/test_docstore.py)."""
+    from jcf_nb_migration_spark.io.docstore import docstore_as_of
+
+    prefix, path, max_id = _tt_store(spark, sf_dir, "jcf_docstore_tt")
+    ids = list(TT_FETCH) + [max_id + 1, max_id + 2]
+    out = None
+    for v in (0, 1, 2):
+        snap = (docstore_as_of(spark, prefix, path, v)
+                .where(F.col("doc_id").isin(ids))
+                .select(F.lit(v).cast("long").alias("snap"),
+                        "doc_id", "text", "lang"))
+        out = snap if out is None else out.unionByName(snap)
+    return out.orderBy("snap", "doc_id")
+
+
+@query(
+    "docstore_change_feed",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(doc_id) AS m FROM documents)
+    SELECT doc_id, 'update' AS change FROM documents
+    WHERE doc_id % {TT_UP_MOD} = {TT_UP_REM}
+      AND doc_id % {TT_DEL_MOD} <> {TT_DEL_REM}
+    UNION ALL
+    SELECT doc_id, 'delete' FROM documents
+    WHERE doc_id % {TT_DEL_MOD} = {TT_DEL_REM}
+    UNION ALL
+    SELECT m + 1, 'insert' FROM mx
+    ORDER BY doc_id
+    """,
+    tags=("serving", "docstore", "time-travel", "cdc", "snapshot-diff",
+          "full-outer"),
+    # same machinery as docstore_as_of_fetch; the diff's full-outer
+    # join pattern is driver-visible via orders_snapshot_diff's twin
+    driver_visible=False,
+)
+def docstore_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between docstore versions (io/docstore.
+    docstore_version_diff): the row-level change feed v0 → v2 over the
+    same mutation fixture — updates for rows that got the v2 payload
+    and survived the purge, deletes for purged rows (INCLUDING rows
+    both updated and deleted — net effect is delete), one insert for
+    max+1, and NOTHING for max+2 (inserted v1, deleted v2: a change
+    feed between endpoints must not emit transients). Computed as ONE
+    full-outer join of the two manifest-scoped snapshots with
+    null-safe column comparison — the incremental read a downstream
+    index maintainer consumes instead of re-scanning the corpus. The
+    oracle restates the expected feed from the base table directly."""
+    from jcf_nb_migration_spark.io.docstore import docstore_version_diff
+
+    prefix, path, _ = _tt_store(spark, sf_dir, "jcf_docstore_cdc")
+    return (docstore_version_diff(spark, prefix, path, 0, 2)
+            .orderBy("doc_id"))

@@ -544,6 +544,12 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     headline=True,
     tags=("dedup", "minhash", "lsh"),
+    # rotated OUT of the driver window r10 wave 5 (green in all NINE
+    # driver rounds r1-r9 — the window's most-checked name); pattern
+    # twin: lsh_incremental_dedup (same banded (band_idx, band_hash)
+    # equi-join candidate generation, currently driver-visible).
+    # Still a bench headline and oracle-run at every pytest.
+    driver_visible=False,
 )
 def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale-path near-dup pipeline: banded MinHash LSH candidate

@@ -177,3 +177,102 @@ def test_star_contraction_trivial_graphs(spark):
     one = spark.createDataFrame([(7, 3)], "u bigint, v bigint")
     got = {r["u"]: r["component"] for r in star_components(one).collect()}
     assert got == {3: 3, 7: 3}
+
+
+# ---------------------------------------------------------------- SSSP
+
+
+def _dijkstra(edges, src):
+    """Driver-side ground truth: (u, v, w) directed edges, non-negative
+    weights."""
+    import heapq
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v, w in edges:
+        adj[u].append((v, w))
+    dist = {src: 0}
+    heap = [(0, src)]
+    while heap:
+        d, n = heapq.heappop(heap)
+        if d > dist.get(n, float("inf")):
+            continue
+        for v, w in adj[n]:
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+def test_sssp_fixpoint_matches_dijkstra(spark):
+    """Engine-default (certified fixpoint) distances must equal
+    Dijkstra on a seeded random weighted digraph — including nodes
+    reachable only through long detours."""
+    from jcf_nb_migration_spark.functions.graph import sssp
+
+    rng = random.Random(11)
+    nodes = list(range(40))
+    edges = []
+    for _ in range(120):
+        u, v = rng.sample(nodes, 2)
+        edges.append((u, v, rng.randint(1, 9)))
+    # splice in a guaranteed long thin path so the fixpoint needs
+    # multiple probe batches
+    for i in range(100, 118):
+        edges.append((i, i + 1, 1))
+    edges.append((0, 100, 1))
+    e = spark.createDataFrame(edges, "u bigint, v bigint, w bigint")
+    src = spark.createDataFrame([(0,)], "node bigint")
+    got = {r["node"]: r["dist"] for r in sssp(e, src).collect()}
+    assert got == _dijkstra(edges, 0)
+
+
+def test_sssp_hop_bound_semantics(spark):
+    """max_hops=k returns the min cost over paths of ≤ k EDGES: a
+    cheap 3-hop detour must lose to a pricey direct edge at k=1 and
+    win at k=3."""
+    from jcf_nb_migration_spark.functions.graph import sssp
+
+    edges = [(1, 2, 10), (1, 3, 1), (3, 4, 1), (4, 2, 1)]
+    e = spark.createDataFrame(edges, "u bigint, v bigint, w bigint")
+    src = spark.createDataFrame([(1,)], "node bigint")
+    d1 = {r["node"]: r["dist"] for r in sssp(e, src, max_hops=1).collect()}
+    d3 = {r["node"]: r["dist"] for r in sssp(e, src, max_hops=3).collect()}
+    assert d1[2] == 10
+    assert d3[2] == 3
+    # unreachable-within-budget nodes stay absent, present nodes exact
+    assert d1 == {1: 0, 2: 10, 3: 1}
+    assert d3 == {1: 0, 2: 3, 3: 1, 4: 2}
+
+
+def test_sssp_unreachable_absent_and_validation(spark):
+    """Nodes with no path from the source never appear; malformed
+    edge frames fail loudly."""
+    import pytest
+
+    from jcf_nb_migration_spark.functions.graph import sssp
+
+    e = spark.createDataFrame([(1, 2, 5)], "u bigint, v bigint, w bigint")
+    src = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["dist"] for r in sssp(e, src).collect()}
+    assert got == {1: 0, 2: 5}  # node 3 doesn't exist, none invented
+    bad = spark.createDataFrame([(1, 2)], "u bigint, v bigint")
+    with pytest.raises(ValueError, match="missing 'w'"):
+        sssp(bad, src)
+
+
+def test_sssp_max_rounds_raises(spark, monkeypatch):
+    """Backstop: refuse loudly instead of returning unconverged
+    distances."""
+    import pytest
+
+    from jcf_nb_migration_spark.functions import graph
+
+    monkeypatch.setattr(graph, "SSSP_MAX_ROUNDS", 8)
+    # a 20-edge path needs 20 relaxation rounds > the 8-round cap
+    edges = [(i, i + 1, 1) for i in range(20)]
+    e = spark.createDataFrame(edges, "u bigint, v bigint, w bigint")
+    src = spark.createDataFrame([(0,)], "node bigint")
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        graph.sssp(e, src)

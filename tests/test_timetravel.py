@@ -1,0 +1,185 @@
+"""Docstore time travel (io/docstore.py versioning block).
+
+Pins the four claims of the snapshot layer:
+
+1. AS-OF correctness: every committed version reads back exactly the
+   rows it had, across append / COW upsert / COW delete / compaction /
+   schema evolution — and the live table always equals the latest
+   version.
+2. Change feed: docstore_version_diff yields exactly the
+   insert/delete/update rows between any two versions (unchanged rows
+   never appear; a row inserted and deleted between the endpoints
+   never appears).
+3. Retention: docstore_snapshot_vacuum keeps the newest K versions
+   readable, makes older versions raise loudly, and deletes only
+   history files no retained manifest references.
+4. Crash residue from an interrupted COW swap is RETIRED to history,
+   never destroyed.
+"""
+
+import os
+
+import pytest
+
+from jcf_nb_migration_spark.io.docstore import (
+    DOCS_SUBDIR,
+    HISTORY_SUBDIR,
+    docstore_add_columns,
+    docstore_append,
+    docstore_as_of,
+    docstore_build,
+    docstore_compact,
+    docstore_delete,
+    docstore_fetch,
+    docstore_history,
+    docstore_snapshot_vacuum,
+    docstore_upsert,
+    docstore_version,
+    docstore_version_diff,
+)
+
+SCHEMA = "doc_id bigint, text string, lang string"
+
+
+def _docs(spark, ids, tag="v1"):
+    return spark.createDataFrame(
+        [(i, f"{tag} body {i}", "en") for i in ids], SCHEMA)
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["text"]) for r in
+                  df.select("doc_id", "text").collect())
+
+
+def _mutated_store(spark, path):
+    """build(1..8)=v0 → append(9..11)=v1 → upsert(mod 1,9; ins 20)=v2
+    → delete(2,9)=v3. Returns the expected (doc_id, text) sets per
+    version."""
+    docstore_build(_docs(spark, range(1, 9)), "tt", path)
+    docstore_append(_docs(spark, [9, 10, 11]), "tt", path, batch_id=1)
+    docstore_upsert(_docs(spark, [1, 9, 20], tag="v2"), "tt", path,
+                    batch_id=2)
+    docstore_delete(spark, "tt", path, [2, 9], batch_id=3)
+    v0 = {(i, f"v1 body {i}") for i in range(1, 9)}
+    v1 = v0 | {(i, f"v1 body {i}") for i in (9, 10, 11)}
+    v2 = ({(i, f"v1 body {i}") for i in (2, 3, 4, 5, 6, 7, 8, 10, 11)}
+          | {(i, f"v2 body {i}") for i in (1, 9, 20)})
+    v3 = {t for t in v2 if t[0] not in (2, 9)}
+    return [sorted(v0), sorted(v1), sorted(v2), sorted(v3)]
+
+
+def test_as_of_reads_every_version(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    expected = _mutated_store(spark, path)
+    assert docstore_version(path) == 3
+    for v, exp in enumerate(expected):
+        assert _rows(docstore_as_of(spark, "tt", path, v)) == exp, v
+    # live table == latest snapshot
+    live = _rows(docstore_fetch(
+        spark, "tt", path, [t[0] for t in expected[3]]))
+    assert live == expected[3]
+
+
+def test_history_commit_log(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    _mutated_store(spark, path)
+    hist = sorted((r["version"], r["op"], r["batch_id"]) for r in
+                  docstore_history(spark, path).collect())
+    assert hist == [(0, "build", None), (1, "append", "1"),
+                    (2, "upsert", "2"), (3, "delete", "3")]
+
+
+def test_version_diff_change_feed(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    _mutated_store(spark, path)
+
+    def diff(a, b):
+        return sorted((r["doc_id"], r["change"]) for r in
+                      docstore_version_diff(spark, "tt", path, a, b)
+                      .collect())
+
+    # v0 → v3: doc 9 (inserted v1, deleted v3) must NOT appear
+    assert diff(0, 3) == [(1, "update"), (2, "delete"), (10, "insert"),
+                          (11, "insert"), (20, "insert")]
+    assert diff(1, 2) == [(1, "update"), (9, "update"), (20, "insert")]
+    assert diff(2, 2) == []
+
+
+def test_compact_preserves_snapshots(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    expected = _mutated_store(spark, path)
+    docstore_compact(spark, "tt", path)
+    assert docstore_version(path) == 4  # compaction is a version too
+    for v, exp in enumerate(expected):
+        assert _rows(docstore_as_of(spark, "tt", path, v)) == exp, v
+    assert _rows(docstore_as_of(spark, "tt", path, 4)) == expected[3]
+
+
+def test_schema_evolution_versioned(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    docstore_build(_docs(spark, [1, 2]), "tt", path)
+    docstore_add_columns(spark, "tt", path, {"quality": "double"})
+    narrow = docstore_as_of(spark, "tt", path, 0)
+    wide = docstore_as_of(spark, "tt", path, 1)
+    assert "quality" not in narrow.columns
+    assert "quality" in wide.columns
+    assert wide.where("quality IS NULL").count() == 2  # backfillled NULL
+
+
+def test_snapshot_vacuum_retention(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    expected = _mutated_store(spark, path)
+    hist_dir = os.path.join(path, HISTORY_SUBDIR)
+    assert os.listdir(hist_dir)  # COW retired superseded files
+    n = docstore_snapshot_vacuum(path, keep_last=2)
+    # versions 2 and 3 survive, 0 and 1 are gone
+    assert _rows(docstore_as_of(spark, "tt", path, 2)) == expected[2]
+    assert _rows(docstore_as_of(spark, "tt", path, 3)) == expected[3]
+    with pytest.raises(ValueError, match="no version 0"):
+        docstore_as_of(spark, "tt", path, 0)
+    # only unreferenced history files were deleted; retained snapshots
+    # still read (checked above), and a second vacuum finds nothing
+    assert n >= 0
+    assert docstore_snapshot_vacuum(path, keep_last=2) == 0
+    with pytest.raises(ValueError, match=">= 1"):
+        docstore_snapshot_vacuum(path, keep_last=0)
+
+
+def test_as_of_missing_file_raises(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    _mutated_store(spark, path)
+    hist_dir = os.path.join(path, HISTORY_SUBDIR)
+    victim = next(f for f in os.listdir(hist_dir)
+                  if f.endswith(".parquet"))
+    os.remove(os.path.join(hist_dir, victim))
+    with pytest.raises(ValueError, match="neither the live table"):
+        for v in range(docstore_version(path) + 1):
+            docstore_as_of(spark, "tt", path, v).collect()
+
+
+def test_crash_residue_retired_to_history(spark, tmp_path):
+    """A stranded .cowold dir (crash between the COW swap's two move
+    phases) holds manifest-referenced data: the next COW call must
+    MOVE it to history, not delete it."""
+    path = str(tmp_path / "tt")
+    docstore_build(_docs(spark, range(1, 9)), "tt", path)
+    residue_dir = os.path.join(path, DOCS_SUBDIR).rstrip("/") + ".cowold"
+    os.makedirs(residue_dir)
+    with open(os.path.join(residue_dir, "stranded_00003.parquet"),
+              "wb") as fh:
+        fh.write(b"not really parquet")
+    docstore_upsert(_docs(spark, [1], tag="v2"), "tt", path)
+    assert not os.path.isdir(residue_dir)
+    assert os.path.isfile(os.path.join(
+        path, HISTORY_SUBDIR, "stranded_00003.parquet"))
+
+
+def test_rebuild_resets_version_epoch(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    _mutated_store(spark, path)
+    docstore_build(_docs(spark, [50, 51], tag="fresh"), "tt", path)
+    assert docstore_version(path) == 0
+    assert _rows(docstore_as_of(spark, "tt", path, 0)) == [
+        (50, "fresh body 50"), (51, "fresh body 51")]
+    with pytest.raises(ValueError, match="no version 3"):
+        docstore_as_of(spark, "tt", path, 3)
