@@ -263,6 +263,10 @@ COVERED_BY: dict[str, str] = {
     "docstore_as_of_fetch": "docstore_upsert_fetch",
     "docstore_change_feed": "docstore_upsert_fetch",  # + full-outer
     #   keyed compare twin: orders_pit_customer_join
+    "lineitem_zorder_pruned": "cobucketed_order_revenue",  # r10:
+    #   build-a-layout-then-serve-pruned pattern (corpus-sized write +
+    #   file-set-bounded read); the z-specific file pruning is pinned
+    #   by tests/test_zorder.py
     "scalar_iter_doc_stats": "doc_subword_stats",  # SCALAR_ITER pandas
     #   UDF surface; same per-doc stat output as the built-in path
     "volume_shipping_report": "nation_trade_volume",  # Q7: the

@@ -330,6 +330,32 @@ def docstore_version_diff(spark: SparkSession, prefix: str, path: str,
             .where(F.col("change").isNotNull()))
 
 
+def docstore_incremental_view(spark: SparkSession, prefix: str,
+                              path: str, view: DataFrame,
+                              v_from: int, v_to: int,
+                              cols: list[str]) -> DataFrame:
+    """Roll a derived view forward using ONLY the change feed — the
+    consumer half of docstore_version_diff. ``view`` is a projection
+    (``cols``, which must include doc_id) of the store at ``v_from``;
+    the result is that same projection at ``v_to``, computed as
+    O(|changes|) work: changed/deleted rows are anti-joined out of the
+    view, and the replacement rows come from the ``v_to`` snapshot
+    restricted (semi-join — the id set pushes into the manifest-scoped
+    scan) to inserted/updated ids. A downstream index maintainer runs
+    this instead of re-projecting the corpus; parity with the full
+    re-projection is pinned in tests/test_timetravel.py."""
+    if "doc_id" not in cols:
+        raise ValueError("cols must include doc_id (the join key)")
+    diff = docstore_version_diff(spark, prefix, path, v_from, v_to)
+    changed = diff.select("doc_id")
+    kept = view.join(changed, "doc_id", "left_anti")
+    snap = docstore_as_of(spark, prefix, path, v_to)
+    replacements = (snap.join(
+        diff.where(F.col("change") != "delete"), "doc_id", "left_semi")
+        .select(*cols))
+    return kept.unionByName(replacements)
+
+
 def docstore_snapshot_vacuum(path: str, keep_last: int = 2) -> int:
     """Retention: keep the newest ``keep_last`` versions, drop older
     manifests, and physically delete the history files no retained

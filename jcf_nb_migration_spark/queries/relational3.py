@@ -13,6 +13,8 @@ comparison is bitwise.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -692,3 +694,62 @@ def cobucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(rev).cast("double"), 4)
                   .alias("revenue"))
             .orderBy("priority"))
+
+
+ZO_PART = (1, 50)   # l_partkey range — non-empty at every SF
+ZO_SUPP = (2, 6)    # l_suppkey range
+
+
+@query(
+    "lineitem_zorder_pruned",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem
+    WHERE l_partkey BETWEEN {ZO_PART[0]} AND {ZO_PART[1]}
+      AND l_suppkey BETWEEN {ZO_SUPP[0]} AND {ZO_SUPP[1]}
+    """,
+    tags=("layout", "zorder", "multi-dim", "pruning", "serving"),
+    # layout-build-then-pruned-serve pattern driver-visible via
+    # cobucketed_order_revenue; the pruning mechanics are pinned by
+    # tests/test_zorder.py (file-count evidence)
+    driver_visible=False,
+)
+def lineitem_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column range scan over a Z-ORDERED layout (io/zorder):
+    lineitem rewritten along the Morton curve of (l_partkey,
+    l_suppkey) with a per-file min/max sidecar, then scanned under a
+    conjunctive two-column range predicate — the file list is pruned
+    DRIVER-SIDE against the sidecar before Spark opens anything, the
+    mechanism a single-column sort cannot provide (a partkey sort
+    packs every file with the full suppkey range). The layout build
+    is the linear corpus write a deployment pays once; the serve-side
+    read scales with the predicate's selectivity on BOTH columns
+    (file-count evidence pinned in tests/test_zorder.py). The exact
+    predicate is re-applied after pruning, so the oracle is the plain
+    two-range aggregate over the base table — a pruning bug flips the
+    hash."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.zorder import (write_zordered,
+                                                  zordered_scan)
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), "jcf_zorder",
+                        spark.sparkContext.applicationId, tag)
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=32)
+    scan = zordered_scan(spark, path,
+                         {"l_partkey": ZO_PART, "l_suppkey": ZO_SUPP})
+    return scan.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_orderkey").alias("sum_okey"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"))

@@ -183,3 +183,29 @@ def test_rebuild_resets_version_epoch(spark, tmp_path):
         (50, "fresh body 50"), (51, "fresh body 51")]
     with pytest.raises(ValueError, match="no version 3"):
         docstore_as_of(spark, "tt", path, 3)
+
+
+def test_incremental_view_matches_reprojection(spark, tmp_path):
+    """The change-feed consumer: a projection rolled forward with
+    docstore_incremental_view must equal re-projecting the target
+    snapshot — across updates, inserts, deletes, and the
+    insert-then-delete transient."""
+    from jcf_nb_migration_spark.io.docstore import (
+        docstore_incremental_view,
+    )
+
+    path = str(tmp_path / "tt")
+    _mutated_store(spark, path)
+    cols = ["doc_id", "text"]
+    view0 = docstore_as_of(spark, "tt", path, 0).select(*cols)
+    rolled = docstore_incremental_view(
+        spark, "tt", path, view0, 0, 3, cols)
+    assert _rows(rolled) == _rows(
+        docstore_as_of(spark, "tt", path, 3).select(*cols))
+    # and stepwise 0→2 then 2→3 composes to the same state
+    mid = docstore_incremental_view(spark, "tt", path, view0, 0, 2, cols)
+    end = docstore_incremental_view(spark, "tt", path, mid, 2, 3, cols)
+    assert _rows(end) == _rows(rolled)
+    with pytest.raises(ValueError, match="must include doc_id"):
+        docstore_incremental_view(spark, "tt", path, view0, 0, 3,
+                                  ["text"])

@@ -1,0 +1,129 @@
+"""Z-ordered layout + file-stats pruning (io/zorder.py).
+
+Pins the module's three claims:
+
+1. Correctness is pruning-independent: a zordered_scan under any range
+   predicate equals the unpruned filter (including the zero-survivor
+   case, which must return an EMPTY frame with the layout's schema).
+2. Pruning actually happens, and on BOTH dimensions: a conjunctive box
+   predicate keeps a small fraction of files, and a predicate on the
+   SECOND column alone still prunes (the thing a single-column sort
+   cannot do).
+3. Safety rails: predicates on stats-less columns and scans of
+   non-z-ordered paths fail loudly; the sidecar survives exotic
+   numeric types via string round-trip.
+"""
+
+import random
+
+import pytest
+
+from jcf_nb_migration_spark.io.zorder import (
+    write_zordered,
+    zordered_file_count,
+    zordered_scan,
+)
+
+
+def _frame(spark, n=20000, seed=5):
+    rng = random.Random(seed)
+    rows = [(i, rng.randint(0, 9999), rng.randint(0, 9999),
+             rng.random()) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "id bigint, a bigint, b bigint, payload double")
+
+
+def _rows(df):
+    return sorted((r["id"], r["a"], r["b"]) for r in df.collect())
+
+
+def test_scan_equals_unpruned_filter(spark, tmp_path):
+    df = _frame(spark)
+    path = str(tmp_path / "z")
+    n = write_zordered(df, path, ["a", "b"], n_files=32)
+    assert n >= 16  # range partitioner may merge tiny ranges
+    for ranges in (
+        {"a": (100, 1200), "b": (4000, 5500)},
+        {"a": (0, 9999)},                      # full range on one dim
+        {"b": (9990, None)},                   # open upper bound
+        {"a": (None, 50), "b": (None, 50)},    # open lower bounds
+    ):
+        got = _rows(zordered_scan(spark, path, ranges))
+        exp = df
+        for c, (lo, hi) in ranges.items():
+            if lo is not None:
+                exp = exp.where(f"{c} >= {lo}")
+            if hi is not None:
+                exp = exp.where(f"{c} <= {hi}")
+        assert got == _rows(exp), ranges
+
+
+def test_zero_survivors_empty_frame_with_schema(spark, tmp_path):
+    df = _frame(spark, n=2000)
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["a", "b"], n_files=8)
+    out = zordered_scan(spark, path, {"a": (20000, 30000)})
+    assert out.count() == 0
+    assert out.columns == ["id", "a", "b", "payload"]
+    surv, total = zordered_file_count(path, {"a": (20000, 30000)})
+    assert surv == 0 and total >= 4
+
+
+def test_pruning_on_both_dimensions(spark, tmp_path):
+    """Uniform 2-D data, ~32 files: a 10%x10% box must exclude most
+    files, and a 10% slice on the SECOND dimension alone must still
+    exclude a majority — the property a linear sort by the first
+    column cannot deliver (its every file spans b's full range)."""
+    df = _frame(spark)
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["a", "b"], n_files=32)
+    box_surv, total = zordered_file_count(
+        path, {"a": (0, 999), "b": (0, 999)})
+    assert box_surv <= total // 3, (box_surv, total)
+    b_surv, _ = zordered_file_count(path, {"b": (0, 999)})
+    assert b_surv <= total // 2 + 1, (b_surv, total)
+
+    # the contrast layout: same writer, but z-ordered on (a, id) — b
+    # is unsorted, so every file spans b's range and a b-slice prunes
+    # (almost) nothing
+    lin = str(tmp_path / "lin")
+    write_zordered(df.select("id", "a", "b"), lin, ["a", "id"],
+                   n_files=32)
+    # manually check b-spread via the a-stats: not recorded for b, so
+    # demonstrate with a fresh z-layout over (a, b) vs slice on b
+    with pytest.raises(ValueError, match="no file stats"):
+        zordered_scan(spark, lin, {"b": (0, 999)})
+
+
+def test_validation_and_missing_sidecar(spark, tmp_path):
+    df = _frame(spark, n=500)
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["a", "b"], n_files=4)
+    with pytest.raises(ValueError, match="no file stats"):
+        zordered_scan(spark, path, {"payload": (0.0, 0.5)})
+    with pytest.raises(ValueError, match="needs >= 2"):
+        write_zordered(df, str(tmp_path / "z1"), ["a"])
+    with pytest.raises(ValueError, match="> 63"):
+        write_zordered(df, str(tmp_path / "z2"), ["a", "b"], bits=32)
+    plain = str(tmp_path / "plain")
+    df.write.parquet(plain)
+    with pytest.raises(ValueError, match="not a z-ordered layout"):
+        zordered_scan(spark, plain, {"a": (0, 10)})
+
+
+def test_double_dims_roundtrip(spark, tmp_path):
+    """Float dimensions: sidecar JSON round-trip must not lose the
+    exact bounds used for pruning decisions (repr round-trip), and
+    the scan stays correct."""
+    df = _frame(spark, n=3000)
+    d2 = df.selectExpr("id", "a", "b",
+                       "payload * 1e-7 + 0.1 as x",
+                       "payload as y")
+    path = str(tmp_path / "zf")
+    write_zordered(d2, path, ["x", "y"], n_files=8)
+    got = _rows(zordered_scan(spark, path, {"x": (0.1, 0.100000049),
+                                            "y": (0.2, 0.9)})
+                .select("id", "a", "b"))
+    exp = _rows(d2.where("x >= 0.1 and x <= 0.100000049 and "
+                         "y >= 0.2 and y <= 0.9").select("id", "a", "b"))
+    assert got == exp
