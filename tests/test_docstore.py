@@ -306,6 +306,12 @@ def test_serving_bench_tool_smoke():
     assert 0 < rep["mutate"]["touched_buckets"] <= rep["mutate"]["num_buckets"]
     # the scale signal: the COW rewrote a strict fraction of the store
     assert 0 < rep["mutate"]["rewritten_bytes"] < rep["mutate"]["store_bytes"]
+    # r10 z-order family: the stats-pruned scan must read a strict
+    # subset of the files (and bytes) the full-list filter scan reads
+    assert rep["zorder"]["served"] > 0 and rep["zorder"]["adhoc"] > 0
+    assert 0 < rep["zorder"]["files_kept"] < rep["zorder"]["files_total"]
+    assert (rep["zorder"]["served_touched"]["bytes"]
+            < rep["zorder"]["adhoc_touched"]["bytes"])
     assert rep["compact_sec"] > 0
 
 

@@ -146,6 +146,33 @@ COMMENTARY = {
         "query is the 5-group priority aggregate. At 100 TB the "
         "schema's biggest join becomes a bucket-pair zip, paid once "
         "at write time."),
+    "linkgraph_khop_sssp": (
+        "Weighted hop-bounded Bellman-Ford (r10): each of the 4 "
+        "relaxation rounds is one dist⋈edges equi-join plus one MIN "
+        "groupBy on the destination — linear in |edges| per round, "
+        "shuffles keyed on node ids only; the weighted edge frame is "
+        "persisted once and reused by every round. Candidate edges "
+        "come from the rare-gram equi-join (frequency-capped fuse), "
+        "never all-pairs."),
+    "doc_pareto_frontier": (
+        "Two-phase distributed skyline (r10): phase 1 reduces each "
+        "Arrow batch to its local frontier via mapInPandas — NARROW, "
+        "zero shuffle, sound because batch-dominated implies "
+        "globally-dominated; the only movement is the candidate "
+        "union into the single global pass (frontier-sized — "
+        "O(log^{d-1} n) expected for random data, 53 rows at "
+        "sf0.01). The scan reads only (doc_id, text) and the "
+        "dims compute in codegen before the pandas kernel."),
+    "lineitem_zorder_pruned": (
+        "Z-ordered layout + file-stats pruning (r10): the layout "
+        "build (Morton key in pure Catalyst bit arithmetic, "
+        "range-partition + sort) is the corpus-sized write a "
+        "deployment pays once; the serve-side scan's FILE LIST is "
+        "pruned driver-side against the per-file min/max sidecar "
+        "before Spark opens anything, so bytes read scale with the "
+        "predicate's selectivity on BOTH range columns (pruning "
+        "evidence in tests/test_zorder.py); the exact predicate "
+        "re-applies to survivors, making results pruning-independent."),
 }
 
 

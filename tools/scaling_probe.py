@@ -70,7 +70,11 @@ DEFAULT = ["minhash_lsh_dedup", "decontaminate_ngrams", "dedup_exact",
            # r10 serving-mutation + co-bucketed surfaces, watched
            # per-round like the rest of the heavy list
            "bm25_tombstone_served", "docstore_upsert_fetch",
-           "cobucketed_order_revenue", "bm25_batch_served"]
+           "cobucketed_order_revenue", "bm25_batch_served",
+           # r10 cont. 6: SSSP / skyline / time travel / z-order
+           "linkgraph_khop_sssp", "doc_pareto_frontier",
+           "docstore_as_of_fetch", "docstore_change_feed",
+           "lineitem_zorder_pruned"]
 
 # the bench headline set (VERDICT r6 item 5: full three-point table)
 HEADLINE = ["asof_click_before_error", "ann_brute_force_topk",

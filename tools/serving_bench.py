@@ -202,6 +202,35 @@ def main() -> int:
         round(mutate["full_rebuild"] / mutate["upsert_cow"], 2)
         if mutate["upsert_cow"] else None)
 
+    # --- Z-order: stats-pruned multi-column range scan vs the full
+    # file-list filter scan over the same data (both get parquet
+    # row-group pushdown; only the z-layout prunes the FILE LIST)
+    from jcf_nb_migration_spark.io.zorder import (write_zordered,
+                                                  zordered_file_count,
+                                                  zordered_scan)
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice")
+    zo_path = os.path.join(base, "zorder")
+    t0 = time.time()
+    write_zordered(li, zo_path, ["l_partkey", "l_suppkey"], n_files=32)
+    zo_build_sec = round(time.time() - t0, 3)
+    zo_ranges = {"l_partkey": (1, 50), "l_suppkey": (2, 6)}
+    zo_pred = ("l_partkey BETWEEN 1 AND 50 AND "
+               "l_suppkey BETWEEN 2 AND 6")
+
+    def zo_agg(df):
+        return df.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("l_quantity").alias("q"))
+
+    def zo_served():
+        zo_agg(zordered_scan(spark, zo_path, zo_ranges)).collect()
+
+    def zo_adhoc():
+        zo_agg(li.where(zo_pred)).collect()
+
+    zo_surv, zo_total = zordered_file_count(zo_path, zo_ranges)
+
     # scale-proportional evidence: bytes/files the executed scans read
     probe_df = bm25_probe(spark, "svb_lex", os.path.join(base, "lex"),
                           BM25_TERMS, BM25_K1, BM25_B, k=20)
@@ -230,8 +259,15 @@ def main() -> int:
                   "adhoc_touched": _data_touched(
                       docs.where(F.col("doc_id").isin(ids)))},
         "mutate": mutate,
+        "zorder": {"served": _best_of(runs, zo_served),
+                   "adhoc": _best_of(runs, zo_adhoc),
+                   "build_sec": zo_build_sec,
+                   "files_kept": zo_surv, "files_total": zo_total,
+                   "served_touched": _data_touched(
+                       zordered_scan(spark, zo_path, zo_ranges)),
+                   "adhoc_touched": _data_touched(li.where(zo_pred))},
     }
-    for fam in ("bm25", "phrase", "fetch", "ann"):
+    for fam in ("bm25", "phrase", "fetch", "ann", "zorder"):
         served, adhoc = out[fam]["served"], out[fam]["adhoc"]
         out[fam]["speedup"] = round(adhoc / served, 2) if served else None
     print(json.dumps(out))
