@@ -121,6 +121,100 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     return len(stats)
 
 
+def append_zordered(df: DataFrame, path: str,
+                    batch_id=None) -> bool:
+    """Append a batch to a z-ordered layout WITHOUT re-sorting: the
+    batch lands as new files whose per-column min/max join the
+    sidecar, so scans stay exact (pruning is per-file stats, not
+    order) — an appended file merely prunes worse until the next
+    re-layout (its range covers whatever the batch contained).
+    Ledger-idempotent under ``zo-<batch_id>`` (the shared replay
+    ledger); appended file names are tracked so ``zorder_maintain``
+    can gate the re-layout on the appended fraction. Schema must
+    match the layout's recorded DDL exactly — a drifted batch fails
+    loudly before any file lands."""
+    spark = df.sparkSession
+    stats = _load_stats(path)
+    batch_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                          for f in df.schema.fields)
+    if batch_ddl != stats["ddl"]:
+        raise ValueError(
+            f"append batch schema ({batch_ddl}) != layout schema "
+            f"({stats['ddl']}) — a drifted parquet append corrupts "
+            "later scans")
+    from jcf_nb_migration_spark.io.layout import (_ledger_commit,
+                                                  _ledger_skip)
+
+    marker, skip = _ledger_skip(
+        path, None if batch_id is None else f"zo-{batch_id}")
+    if skip:
+        return False
+    before = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    df.write.mode("append").parquet(path)
+    new_files = sorted(
+        f for f in os.listdir(path)
+        if f.endswith(".parquet") and f not in before)
+    cols = stats["cols"]
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+    new_stats = (spark.read.schema(stats["ddl"])
+                 .parquet(*[os.path.join(path, f) for f in new_files])
+                 .withColumn("_f", F.element_at(
+                     F.split(F.input_file_name(), "/"), -1))
+                 .groupBy("_f").agg(*aggs).collect())
+    for r in new_stats:
+        stats["files"][r["_f"]] = {
+            c: [r[f"mn_{c}"], r[f"mx_{c}"]] for c in cols}
+    stats.setdefault("appended", [])
+    stats["appended"] += new_files
+    tmp = os.path.join(path, ZSTATS + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh, default=str)
+    os.rename(tmp, os.path.join(path, ZSTATS))
+    _ledger_commit(marker)
+    return True
+
+
+def zorder_maintain(spark: SparkSession, path: str,
+                    max_appended_frac: float = 0.25,
+                    n_files: int = 32, bits: int = 16) -> bool:
+    """Fragmentation-gated re-layout (the z-order twin of the other
+    layouts' ``*_maintain``): when appended (unsorted) files exceed
+    ``max_appended_frac`` of the layout, rebuild the whole layout
+    along the curve — staged beside the live dir, then swapped, so a
+    crash leaves either the old or the staged layout, never a mix.
+    The append ledger is NOT part of the layout dir's data files and
+    is preserved across the swap (re-layout reorganizes files, it
+    does not open a new epoch). Returns True when a re-layout ran."""
+    import shutil
+
+    stats = _load_stats(path)
+    n_app = len(stats.get("appended", []))
+    total = len(stats["files"])
+    if total == 0 or n_app / total <= max_appended_frac:
+        return False
+    cols = stats["cols"]
+    current = spark.read.schema(stats["ddl"]).parquet(
+        *[os.path.join(path, f) for f in stats["files"]])
+    staging = path.rstrip("/") + ".zstage"
+    write_zordered(current, staging, cols, n_files=n_files, bits=bits)
+    # swap: data files + sidecar move together; the ledger (and any
+    # other non-parquet artifacts) are carried over
+    old = path.rstrip("/") + ".zold"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    for entry in os.listdir(old):
+        src = os.path.join(old, entry)
+        if entry.endswith(".parquet") or entry == ZSTATS or \
+                entry.endswith(".tmp"):
+            continue
+        os.rename(src, os.path.join(path, entry))
+    shutil.rmtree(old)
+    return True
+
+
 def _load_stats(path: str) -> dict:
     sp = os.path.join(path, ZSTATS)
     if not os.path.isfile(sp):

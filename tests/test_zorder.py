@@ -127,3 +127,72 @@ def test_double_dims_roundtrip(spark, tmp_path):
     exp = _rows(d2.where("x >= 0.1 and x <= 0.100000049 and "
                          "y >= 0.2 and y <= 0.9").select("id", "a", "b"))
     assert got == exp
+
+
+def test_append_then_scan_exact_and_ledger(spark, tmp_path):
+    """Appended batches join the sidecar with their own stats: scans
+    stay exact (pruning is per-file, not order), and the shared
+    replay ledger makes redelivered batches no-ops."""
+    from jcf_nb_migration_spark.io.zorder import append_zordered
+
+    df = _frame(spark, n=5000)
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["a", "b"], n_files=8)
+    batch = _frame(spark, n=400, seed=99).selectExpr(
+        "id + 100000 as id", "a", "b", "payload")
+    assert append_zordered(batch, path, batch_id=7) is True
+    assert append_zordered(batch, path, batch_id=7) is False  # replay
+    ranges = {"a": (1000, 3000), "b": (1000, 3000)}
+    got = _rows(zordered_scan(spark, path, ranges))
+    exp = _rows(df.unionByName(batch)
+                .where("a between 1000 and 3000 and "
+                       "b between 1000 and 3000"))
+    assert got == exp
+    # drifted schema refuses before touching files
+    import pytest as _pytest
+
+    bad = batch.selectExpr("cast(id as double) as id", "a", "b",
+                           "payload")
+    with _pytest.raises(ValueError, match="drifted"):
+        append_zordered(bad, path, batch_id=8)
+
+
+def test_maintain_relayouts_when_fragmented(spark, tmp_path):
+    """Below the threshold maintain is a no-op; past it the layout is
+    rebuilt along the curve (appended-file list resets, pruning power
+    restored), results invariant, ledger preserved across the swap."""
+    from jcf_nb_migration_spark.io.zorder import (_load_stats,
+                                                  append_zordered,
+                                                  zorder_maintain)
+
+    df = _frame(spark, n=8000)
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["a", "b"], n_files=16)
+    batch = _frame(spark, n=500, seed=42).selectExpr(
+        "id + 500000 as id", "a", "b", "payload")
+    assert append_zordered(batch, path, batch_id=1) is True
+    assert zorder_maintain(spark, path, max_appended_frac=0.9) is False
+    # drive fragmentation past the gate
+    for i in range(2, 8):
+        b = _frame(spark, n=200, seed=i).selectExpr(
+            f"id + {i} * 1000000 as id", "a", "b", "payload")
+        assert append_zordered(b, path, batch_id=i) is True
+    assert zorder_maintain(spark, path, max_appended_frac=0.25) is True
+    stats = _load_stats(path)
+    assert stats.get("appended", []) == []  # fresh layout
+    # the full content survived the swap, scans exact
+    ranges = {"a": (0, 999), "b": (0, 999)}
+    everything = df.unionByName(batch)
+    for i in range(2, 8):
+        everything = everything.unionByName(
+            _frame(spark, n=200, seed=i).selectExpr(
+                f"id + {i} * 1000000 as id", "a", "b", "payload"))
+    got = _rows(zordered_scan(spark, path, ranges))
+    exp = _rows(everything.where("a <= 999 and b <= 999"))
+    assert got == exp
+    # ledger survived: replaying an already-committed batch stays a
+    # no-op after the re-layout
+    assert append_zordered(batch, path, batch_id=1) is False
+    # and the rebuilt layout prunes the box again
+    surv, total = zordered_file_count(path, ranges)
+    assert surv < total
