@@ -209,3 +209,79 @@ def test_incremental_view_matches_reprojection(spark, tmp_path):
     with pytest.raises(ValueError, match="must include doc_id"):
         docstore_incremental_view(spark, "tt", path, view0, 0, 3,
                                   ["text"])
+
+
+def test_stream_cdc_maintains_derived_view(spark, tmp_path):
+    """Streaming tie-in: a foreachBatch mutation stream (upserts +
+    deletes, ledger-keyed per micro-batch) drives the versioned store,
+    and a DERIVED VIEW is maintained purely from the change feed —
+    docstore_incremental_view rolled forward v_before → v_now each
+    batch, never a re-projection. Final view must equal projecting the
+    latest snapshot."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.io.docstore import (
+        docstore_delete,
+        docstore_incremental_view,
+        docstore_upsert,
+        docstore_version,
+    )
+
+    path = str(tmp_path / "store")
+    view_dir = str(tmp_path / "view")
+    src = str(tmp_path / "incoming")
+    _os.makedirs(src, exist_ok=True)
+    docstore_build(_docs(spark, range(1, 9)), "tt", path)
+    (docstore_as_of(spark, "tt", path, 0).select("doc_id", "text")
+     .write.parquet(view_dir))
+
+    def ingest(batch_df, batch_id):
+        v_before = docstore_version(path)
+        ups = (batch_df.where("op = 'upsert'")
+               .select("doc_id", "text", F.lit("en").alias("lang")))
+        docstore_upsert(ups, "tt", path, batch_id=f"s{batch_id}u")
+        dels = [r["doc_id"] for r in
+                batch_df.where("op = 'delete'")
+                .select("doc_id").collect()]
+        if dels:
+            docstore_delete(spark, "tt", path, dels,
+                            batch_id=f"s{batch_id}d")
+        v_now = docstore_version(path)
+        if v_now > v_before:
+            rolled = docstore_incremental_view(
+                spark, "tt", path, spark.read.parquet(view_dir),
+                v_before, v_now, ["doc_id", "text"])
+            staging = view_dir + ".stage"
+            rolled.write.mode("overwrite").parquet(staging)
+            import shutil
+            shutil.rmtree(view_dir)
+            _os.rename(staging, view_dir)
+
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string, op string")
+              .parquet(src))
+    q = stream.writeStream.foreachBatch(ingest).start()
+    try:
+        spark.createDataFrame(
+            [(1, "v2 body 1", "upsert"), (9, "v2 body 9", "upsert")],
+            "doc_id bigint, text string, op string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(2, None, "delete"), (10, "v2 body 10", "upsert")],
+            "doc_id bigint, text string, op string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    latest = docstore_version(path)
+    assert latest >= 3
+    got = _rows(spark.read.parquet(view_dir))
+    exp = _rows(docstore_as_of(spark, "tt", path, latest)
+                .select("doc_id", "text"))
+    assert got == exp
+    assert (1, "v2 body 1") in got and (9, "v2 body 9") in got
+    assert all(d != 2 for d, _ in got)
