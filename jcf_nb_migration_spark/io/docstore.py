@@ -330,6 +330,47 @@ def docstore_version_diff(spark: SparkSession, prefix: str, path: str,
             .where(F.col("change").isNotNull()))
 
 
+def docstore_restore(spark: SparkSession, prefix: str, path: str,
+                     version: int, num_buckets: int = 8) -> int:
+    """Roll the LIVE table back to a committed version (Delta's
+    RESTORE): live files the target manifest doesn't reference retire
+    to history, and the target's files move back from history — both
+    are renames, preserving the invariant that a basename lives in
+    exactly one of docs/ and _history/, so every other manifest keeps
+    resolving. The restore itself commits a NEW version (an audit
+    trail that the rollback happened; the rolled-back states remain
+    readable AS OF their numbers). The table keeps its CURRENT
+    declared schema — files from a pre-evolution version simply read
+    NULL for later columns, the same contract as add_columns. The
+    append ledger is untouched: a batch committed before the restore
+    stays committed (replaying it after a rollback is an application
+    decision, not an engine default). Returns the new version
+    number."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_docs"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "docstore_build", DOCS_SUBDIR)
+    man = _read_manifest(path, version)
+    target = set(man["files"])
+    data_dir = os.path.join(path, DOCS_SUBDIR)
+    hist = os.path.join(path, HISTORY_SUBDIR)
+    live = set(_live_data_files(path))
+    missing = [f for f in target - live
+               if not os.path.isfile(os.path.join(hist, f))]
+    if missing:
+        raise ValueError(
+            f"cannot restore to version {version}: {len(missing)} of "
+            f"its files are in neither the live table nor history "
+            f"(vacuumed past this snapshot) — e.g. {missing[:3]}")
+    os.makedirs(hist, exist_ok=True)
+    for f in sorted(live - target):
+        os.rename(os.path.join(data_dir, f), os.path.join(hist, f))
+    for f in sorted(target - live):
+        os.rename(os.path.join(hist, f), os.path.join(data_dir, f))
+    spark.sql(f"REFRESH TABLE {table}")
+    return _commit_manifest(path, "restore", batch_id=f"to-v{version}")
+
+
 def docstore_incremental_view(spark: SparkSession, prefix: str,
                               path: str, view: DataFrame,
                               v_from: int, v_to: int,

@@ -285,3 +285,39 @@ def test_stream_cdc_maintains_derived_view(spark, tmp_path):
     assert got == exp
     assert (1, "v2 body 1") in got and (9, "v2 body 9") in got
     assert all(d != 2 for d, _ in got)
+
+
+def test_restore_rolls_live_table_back(spark, tmp_path):
+    """RESTORE: the live bucketed table returns to an old version's
+    exact content; every snapshot (including the rolled-back ones)
+    stays readable; the restore is itself a new audited version; COW
+    keeps working afterwards."""
+    from jcf_nb_migration_spark.io.docstore import docstore_restore
+
+    path = str(tmp_path / "tt")
+    expected = _mutated_store(spark, path)   # v0..v3
+    new_v = docstore_restore(spark, "tt", path, 0)
+    assert new_v == 4
+    # live table == v0 content (fetch through the bucketed table)
+    ids = [t[0] for t in expected[0]]
+    assert _rows(docstore_fetch(spark, "tt", path, ids)) == expected[0]
+    assert docstore_fetch(spark, "tt", path, [20]).count() == 0
+    # all five versions readable AS OF their numbers
+    for v, exp in enumerate(expected):
+        assert _rows(docstore_as_of(spark, "tt", path, v)) == exp, v
+    assert _rows(docstore_as_of(spark, "tt", path, 4)) == expected[0]
+    hist = sorted((r["version"], r["op"]) for r in
+                  docstore_history(spark, path).collect())
+    assert hist[-1] == (4, "restore")
+    # mutations continue from the restored state
+    docstore_upsert(_docs(spark, [3], tag="v3"), "tt", path,
+                    batch_id=99)
+    assert (3, "v3 body 3") in _rows(
+        docstore_fetch(spark, "tt", path, [3]))
+    # restoring past the retention horizon refuses loudly
+    from jcf_nb_migration_spark.io.docstore import (
+        docstore_snapshot_vacuum,
+    )
+    docstore_snapshot_vacuum(path, keep_last=1)
+    with pytest.raises(ValueError, match="no version 0"):
+        docstore_restore(spark, "tt", path, 0)
