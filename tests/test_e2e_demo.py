@@ -73,3 +73,23 @@ def test_retrieval_serving_demo(spark, tmp_path):
     assert s["purged_still_ranked"] is False
     assert s["purged_content_rows"] == 0
     assert s["vacuum"]["reclaimed_docs"] == 1
+
+
+def test_lakehouse_lifecycle_demo(spark, tmp_path):
+    """examples/lakehouse_lifecycle.py: versioned mutations, time
+    travel, CDC-driven view maintenance, audited rollback, retention,
+    and the z-ordered pruned scan — end-to-end on the small fixture."""
+    from examples.lakehouse_lifecycle import lakehouse_demo
+
+    from tests.conftest import SF_SMALL
+
+    s = lakehouse_demo(spark, SF_SMALL, str(tmp_path / "lk"))
+    assert s["versions"] == 2
+    assert s["history"] == [(0, "build"), (1, "upsert"), (2, "delete")]
+    assert s["live_has_victim"] is False and s["v0_has_victim"] is True
+    assert s["feed_counts"]["delete"] > 0
+    assert s["feed_counts"]["update"] > 0
+    assert s["view_matches_reprojection"] is True
+    assert s["restored_version"] == 3 and s["victim_back"] is True
+    assert s["z_rows"] == s["z_rows_expected"] > 0
+    assert 0 < s["z_files"][0] < s["z_files"][1]
