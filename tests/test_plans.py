@@ -578,3 +578,59 @@ def test_scratch_index_paths_are_application_keyed():
     assert not offenders, (
         "scratch index paths not keyed by applicationId: "
         f"{offenders}")
+
+
+def test_khop_sssp_no_cartesian_and_persisted_edges(spark):
+    """Every Bellman-Ford round must be an equi-join + MIN hash
+    aggregate on node ids (never all-pairs), with the weighted edge
+    frame persisted once and reused by all rounds."""
+    plan = plan_of(spark, "linkgraph_khop_sssp")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    # the final cut is a bounded top-k, not a global-window rank
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_pareto_frontier_local_pass_is_narrow(spark):
+    """Phase 1 of the skyline (the per-batch local frontier) must run
+    with NO exchange upstream: the only SinglePartition exchange in
+    the plan is the candidate union feeding the global pass."""
+    plan = plan_of(spark, "doc_pareto_frontier")
+    assert "CartesianProduct" not in plan
+    assert plan.count("SinglePartition") == 1  # formatted plans name
+    #   the exchange's distribution in its Arguments detail line
+    # dims computed in codegen BEFORE the pandas kernel: the scan reads
+    # only the two source columns
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) \
+        == {"doc_id", "text"}
+    # exactly two pandas stages: local kernel + global kernel
+    # (formatted plans list each node in tree + detail sections)
+    assert plan.count("MapInPandas") == 4
+
+
+def test_zorder_scan_reads_only_surviving_files(spark, tmp_path):
+    """The executed scan's FilePartitions must contain EXACTLY the
+    sidecar-surviving files — pruning happens before Spark lists
+    anything, not as a best-effort filter."""
+    import random
+
+    from jcf_nb_migration_spark.io.zorder import (write_zordered,
+                                                  zordered_file_count,
+                                                  zordered_scan)
+    from jcf_nb_migration_spark.testing import files_touched
+
+    rng = random.Random(13)
+    df = spark.createDataFrame(
+        [(i, rng.randint(0, 9999), rng.randint(0, 9999))
+         for i in range(20000)], "id bigint, a bigint, b bigint")
+    path = str(tmp_path / "z")
+    write_zordered(df, path, ["a", "b"], n_files=32)
+    ranges = {"a": (0, 1500), "b": (0, 1500)}
+    surv, total = zordered_file_count(path, ranges)
+    assert 0 < surv < total
+    touched = files_touched(zordered_scan(spark, path, ranges))
+    assert touched["files"] == surv
