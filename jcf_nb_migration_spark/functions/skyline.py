@@ -85,7 +85,25 @@ def skyline(df: DataFrame, dims: list[str]) -> DataFrame:
         for pdf in batches:
             yield _skyline_kernel(pdf, dims)
 
+    def global_(batches):
+        # The single global partition still arrives as MULTIPLE Arrow
+        # batches (spark.sql.execution.arrow.maxRecordsPerBatch, default
+        # 10k). Reducing each batch independently would let a point
+        # dominated only across a batch boundary survive, so fold the
+        # batches into ONE running frontier: skyline(A ∪ B) =
+        # skyline(skyline(A) ∪ B) by transitivity, and memory stays
+        # bounded by frontier + one batch, never the candidate union.
+        import pandas as pd
+
+        frontier = None
+        for pdf in batches:
+            merged = pdf if frontier is None else pd.concat(
+                [frontier, pdf], ignore_index=True)
+            frontier = _skyline_kernel(merged, dims)
+        if frontier is not None:
+            yield frontier
+
     candidates = df.mapInPandas(local, df.schema)
     # global pass over the (small) candidate union; repartition(1) is
     # a shuffle of candidates only, never the input
-    return candidates.repartition(1).mapInPandas(local, df.schema)
+    return candidates.repartition(1).mapInPandas(global_, df.schema)

@@ -302,24 +302,32 @@ def docstore_version_diff(spark: SparkSession, prefix: str, path: str,
     ``(doc_id, change)`` with change ∈ insert/delete/update — the CDC
     read a downstream index maintainer consumes instead of re-scanning
     the corpus. Computed as ONE full-outer join of the two snapshots
-    on doc_id (null-safe equality over the columns both versions
-    share); rows equal on every shared column are dropped. Both sides
-    are manifest-scoped file scans, so the cost is the two snapshots'
+    on doc_id (null-safe equality over the UNION of the two versions'
+    payload columns — a column absent from the older snapshot reads as
+    NULL, the same contract docstore_as_of gives pre-evolution files,
+    so an upsert that only touches a newly added column IS an update);
+    rows equal on every column are dropped. Both sides are
+    manifest-scoped file scans, so the cost is the two snapshots'
     touched data, never the commit count."""
     a = docstore_as_of(spark, prefix, path, v_old)
     b = docstore_as_of(spark, prefix, path, v_new)
-    shared = [c for c in a.columns if c in set(b.columns)
-              and c != "doc_id"]
+    cols = [c for c in dict.fromkeys(a.columns + b.columns)
+            if c != "doc_id"]
+
+    def side(df, tag):
+        # a column the snapshot predates reads as NULL (ADVICE r10:
+        # comparing only shared columns missed evolved-column updates)
+        proj = [(F.col(c) if c in df.columns else F.lit(None))
+                .alias(f"_{tag}_{c}") for c in cols]
+        return df.select("doc_id", *proj,
+                         F.lit(1).alias(f"_{tag}_present"))
+
     # explicit presence sentinels (robust to rows whose every payload
     # column is null — isNotNull on payload would misread those)
-    an = a.select("doc_id",
-                  *[F.col(c).alias(f"_a_{c}") for c in shared],
-                  F.lit(1).alias("_a_present"))
-    bn = b.select("doc_id",
-                  *[F.col(c).alias(f"_b_{c}") for c in shared],
-                  F.lit(1).alias("_b_present"))
+    an = side(a, "a")
+    bn = side(b, "b")
     same = F.lit(True)
-    for c in shared:
+    for c in cols:
         same = same & F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
     j = an.join(bn, "doc_id", "full_outer")
     change = (F.when(F.col("_a_present").isNull(), F.lit("insert"))

@@ -69,6 +69,32 @@ def test_skyline_one_dim_and_empty(spark):
     assert skyline(empty, ["x"]).count() == 0
 
 
+def test_skyline_cross_batch_dominance(spark):
+    """ADVICE r10 (high): with more candidates than one Arrow batch,
+    the global pass must fold batches into ONE frontier — a point
+    dominated only by a point in ANOTHER batch must not survive. Forces
+    tiny Arrow batches so the global partition arrives in many."""
+    from jcf_nb_migration_spark.functions.skyline import skyline
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "50")
+    try:
+        # (i, 0) for i<5000 are all dominated by the single (6000, 1)
+        # point; per-batch reduction would keep each batch's max-i row.
+        rows = [(i, i, 0) for i in range(5000)] + [(5000, 6000, 1)]
+        df = spark.createDataFrame(rows, "id bigint, x bigint, y bigint")
+        got = sorted(r["id"]
+                     for r in skyline(df.repartition(8),
+                                      ["x", "y"]).collect())
+        assert got == [5000], f"superset skyline survived: {got[:10]}"
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def test_skyline_float_dims_and_validation(spark):
     import pytest
 

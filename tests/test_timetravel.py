@@ -32,6 +32,7 @@ from jcf_nb_migration_spark.io.docstore import (
     docstore_delete,
     docstore_fetch,
     docstore_history,
+    docstore_incremental_view,
     docstore_snapshot_vacuum,
     docstore_upsert,
     docstore_version,
@@ -124,6 +125,34 @@ def test_schema_evolution_versioned(spark, tmp_path):
     assert "quality" not in narrow.columns
     assert "quality" in wide.columns
     assert wide.where("quality IS NULL").count() == 2  # backfillled NULL
+
+
+def test_version_diff_sees_evolved_column_updates(spark, tmp_path):
+    """ADVICE r10: an upsert changing ONLY a post-evolution column must
+    surface as an update (diff compares the UNION of columns, absent =
+    NULL), and the incremental view rolled across the evolution equals
+    re-projection at the target version."""
+    path = str(tmp_path / "tt")
+    docstore_build(_docs(spark, [1, 2, 3]), "tt", path)           # v0
+    docstore_add_columns(spark, "tt", path, {"quality": "double"})  # v1
+    # doc 2 keeps text/lang identical, only the NEW column changes
+    docstore_upsert(spark.createDataFrame(
+        [(2, "v1 body 2", "en", 0.9)],
+        SCHEMA + ", quality double"), "tt", path, batch_id=9)     # v2
+    diff = sorted((r["doc_id"], r["change"]) for r in
+                  docstore_version_diff(spark, "tt", path, 0, 2)
+                  .collect())
+    assert diff == [(2, "update")]
+    # incremental view across the evolution: projection incl. quality
+    cols = ["doc_id", "quality"]
+    view1 = docstore_as_of(spark, "tt", path, 1).select(*cols)
+    rolled = docstore_incremental_view(
+        spark, "tt", path, view1, 1, 2, cols)
+    want = sorted((r["doc_id"], r["quality"]) for r in
+                  docstore_as_of(spark, "tt", path, 2)
+                  .select(*cols).collect())
+    got = sorted((r["doc_id"], r["quality"]) for r in rolled.collect())
+    assert got == want == [(1, None), (2, 0.9), (3, None)]
 
 
 def test_snapshot_vacuum_retention(spark, tmp_path):
