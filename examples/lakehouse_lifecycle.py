@@ -5,7 +5,7 @@ travel, CDC, rollback, retention — plus a z-ordered analytical layout
     documents
       → BUILD: doc_id-bucketed docstore (v0) + Z-ordered lineitem
                layout (Morton curve of (l_partkey, l_suppkey) with a
-               per-file min/max sidecar)
+               per-file min/max parquet manifest)
       → MUTATE: MERGE upsert (v1), GDPR delete (v2) — bucket-COW;
                superseded files RETIRE to history, never deleted
       → AUDIT: docstore_history (the commit log),
@@ -17,8 +17,9 @@ travel, CDC, rollback, retention — plus a z-ordered analytical layout
                new version; mutations continue from the restored state
       → RETAIN: docstore_snapshot_vacuum(keep_last) reclaims history
                no retained manifest references
-      → SCAN: zordered_scan prunes the file LIST driver-side under a
-               two-column range predicate before Spark opens anything
+      → SCAN: zordered_scan prunes the file LIST via a DataFrame
+               filter over the manifest table under a two-column range
+               predicate before Spark opens anything
 
 At 100 TB: manifests are one row per file (control plane), history
 grows with the mutated fraction (not the corpus), AS-OF reads are
@@ -120,7 +121,7 @@ def lakehouse_demo(spark, sf_dir: str, work_dir: str) -> dict:
         "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
     write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
     ranges = {"l_partkey": (1, 40), "l_suppkey": (1, 4)}
-    surv, total = zordered_file_count(zpath, ranges)
+    surv, total = zordered_file_count(spark, zpath, ranges)
     out["z_files"] = (surv, total)
     out["z_rows"] = zordered_scan(spark, zpath, ranges).count()
     out["z_rows_expected"] = li.where(

@@ -722,9 +722,10 @@ ZO_SUPP = (2, 6)    # l_suppkey range
 def lineitem_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column range scan over a Z-ORDERED layout (io/zorder):
     lineitem rewritten along the Morton curve of (l_partkey,
-    l_suppkey) with a per-file min/max sidecar, then scanned under a
-    conjunctive two-column range predicate — the file list is pruned
-    DRIVER-SIDE against the sidecar before Spark opens anything, the
+    l_suppkey) with a per-file min/max PARQUET MANIFEST, then scanned
+    under a conjunctive two-column range predicate — the manifest is
+    pruned as a DataFrame filter (distributed; the driver collects
+    only the surviving file list) before Spark opens anything, the
     mechanism a single-column sort cannot provide (a partkey sort
     packs every file with the full suppkey range). The layout build
     is the linear corpus write a deployment pays once; the serve-side

@@ -614,7 +614,7 @@ def test_pareto_frontier_local_pass_is_narrow(spark):
 
 def test_zorder_scan_reads_only_surviving_files(spark, tmp_path):
     """The executed scan's FilePartitions must contain EXACTLY the
-    sidecar-surviving files — pruning happens before Spark lists
+    manifest-surviving files — pruning happens before Spark lists
     anything, not as a best-effort filter."""
     import random
 
@@ -630,7 +630,7 @@ def test_zorder_scan_reads_only_surviving_files(spark, tmp_path):
     path = str(tmp_path / "z")
     write_zordered(df, path, ["a", "b"], n_files=32)
     ranges = {"a": (0, 1500), "b": (0, 1500)}
-    surv, total = zordered_file_count(path, ranges)
+    surv, total = zordered_file_count(spark, path, ranges)
     assert 0 < surv < total
     touched = files_touched(zordered_scan(spark, path, ranges))
     assert touched["files"] == surv

@@ -10,8 +10,11 @@ Pins the module's three claims:
    SECOND column alone still prunes (the thing a single-column sort
    cannot do).
 3. Safety rails: predicates on stats-less columns and scans of
-   non-z-ordered paths fail loudly; the sidecar survives exotic
-   numeric types via string round-trip.
+   non-z-ordered paths fail loudly; manifest bounds are stored in the
+   column's native parquet type, so exotic numeric bounds stay exact.
+4. Time travel (r11): every mutation commits a version manifest —
+   AS-OF reads, restore, retention vacuum, and crash residue that is
+   invisible until committed (mirrors tests/test_timetravel.py).
 """
 
 import random
@@ -65,7 +68,7 @@ def test_zero_survivors_empty_frame_with_schema(spark, tmp_path):
     out = zordered_scan(spark, path, {"a": (20000, 30000)})
     assert out.count() == 0
     assert out.columns == ["id", "a", "b", "payload"]
-    surv, total = zordered_file_count(path, {"a": (20000, 30000)})
+    surv, total = zordered_file_count(spark, path, {"a": (20000, 30000)})
     assert surv == 0 and total >= 4
 
 
@@ -78,9 +81,9 @@ def test_pruning_on_both_dimensions(spark, tmp_path):
     path = str(tmp_path / "z")
     write_zordered(df, path, ["a", "b"], n_files=32)
     box_surv, total = zordered_file_count(
-        path, {"a": (0, 999), "b": (0, 999)})
+        spark, path, {"a": (0, 999), "b": (0, 999)})
     assert box_surv <= total // 3, (box_surv, total)
-    b_surv, _ = zordered_file_count(path, {"b": (0, 999)})
+    b_surv, _ = zordered_file_count(spark, path, {"b": (0, 999)})
     assert b_surv <= total // 2 + 1, (b_surv, total)
 
     # the contrast layout: same writer, but z-ordered on (a, id) — b
@@ -161,7 +164,7 @@ def test_maintain_relayouts_when_fragmented(spark, tmp_path):
     """Below the threshold maintain is a no-op; past it the layout is
     rebuilt along the curve (appended-file list resets, pruning power
     restored), results invariant, ledger preserved across the swap."""
-    from jcf_nb_migration_spark.io.zorder import (_load_stats,
+    from jcf_nb_migration_spark.io.zorder import (_read_version,
                                                   append_zordered,
                                                   zorder_maintain)
 
@@ -178,8 +181,8 @@ def test_maintain_relayouts_when_fragmented(spark, tmp_path):
             f"id + {i} * 1000000 as id", "a", "b", "payload")
         assert append_zordered(b, path, batch_id=i) is True
     assert zorder_maintain(spark, path, max_appended_frac=0.25) is True
-    stats = _load_stats(path)
-    assert stats.get("appended", []) == []  # fresh layout
+    man = _read_version(path, None)
+    assert all(s["kind"] == "base" for s in man["segments"])  # fresh
     # the full content survived the swap, scans exact
     ranges = {"a": (0, 999), "b": (0, 999)}
     everything = df.unionByName(batch)
@@ -194,5 +197,160 @@ def test_maintain_relayouts_when_fragmented(spark, tmp_path):
     # no-op after the re-layout
     assert append_zordered(batch, path, batch_id=1) is False
     # and the rebuilt layout prunes the box again
-    surv, total = zordered_file_count(path, ranges)
+    surv, total = zordered_file_count(spark, path, ranges)
     assert surv < total
+
+
+def test_null_zcolumn_stats_never_prune(spark, tmp_path):
+    """ADVICE r10: a file whose z-column is entirely NULL has NULL
+    manifest min/max — it must be KEPT by every predicate (unknown ⇒
+    unprunable), and the exact re-filter then drops its rows."""
+    rows = ([(i, i % 100, i % 77) for i in range(2000)]
+            + [(10000 + i, None, i % 77) for i in range(50)])
+    df = spark.createDataFrame(rows, "id bigint, a bigint, b bigint")
+    path = str(tmp_path / "zn")
+    write_zordered(df, path, ["a", "b"], n_files=4)
+    got = _rows2(zordered_scan(spark, path, {"a": (10, 20),
+                                             "b": (0, 76)}))
+    exp = _rows2(df.where("a between 10 and 20 and b between 0 and 76"))
+    assert got == exp
+    # and an appended all-NULL batch keeps scans exact too
+    from jcf_nb_migration_spark.io.zorder import append_zordered
+
+    batch = spark.createDataFrame(
+        [(20000 + i, None, 5) for i in range(30)],
+        "id bigint, a bigint, b bigint")
+    append_zordered(batch, path, batch_id=1)
+    got = _rows2(zordered_scan(spark, path, {"a": (10, 20),
+                                             "b": (5, 5)}))
+    exp = _rows2(df.unionByName(batch)
+                 .where("a between 10 and 20 and b = 5"))
+    assert got == exp
+
+
+def _rows2(df):
+    return sorted((r["id"], r["a"], r["b"]) for r in df.collect())
+
+
+def test_zorder_time_travel_and_restore(spark, tmp_path):
+    """Every mutation commits a version; AS-OF reads reproduce each
+    snapshot exactly; restore rolls the live layout back (as a NEW
+    audited version); the commit log records it all — mirroring
+    tests/test_timetravel.py for the docstore."""
+    from jcf_nb_migration_spark.io.zorder import (
+        append_zordered,
+        zorder_history,
+        zorder_maintain,
+        zorder_restore,
+        zordered_as_of,
+    )
+
+    df = _frame(spark, n=3000)
+    path = str(tmp_path / "zt")
+    write_zordered(df, path, ["a", "b"], n_files=8)            # v0
+    b1 = _frame(spark, n=300, seed=11).selectExpr(
+        "id + 100000 as id", "a", "b", "payload")
+    append_zordered(b1, path, batch_id=1)                       # v1
+    b2 = _frame(spark, n=2500, seed=12).selectExpr(
+        "id + 200000 as id", "a", "b", "payload")
+    append_zordered(b2, path, batch_id=2)                       # v2
+    assert zorder_maintain(spark, path, max_appended_frac=0.25)  # v3
+    snap = [sorted(r["id"] for r in df.collect()), None, None, None]
+    snap[1] = sorted(snap[0] + [r["id"] for r in b1.collect()])
+    snap[2] = sorted(snap[1] + [r["id"] for r in b2.collect()])
+    snap[3] = snap[2]  # maintain reorganizes, never changes rows
+    for v in range(4):
+        got = sorted(r["id"] for r in
+                     zordered_as_of(spark, path, v).collect())
+        assert got == snap[v], f"version {v} drifted"
+    # restore to v1: live scan now sees only v1's rows (v4 committed)
+    v_new = zorder_restore(spark, path, 1)
+    assert v_new == 4
+    live = sorted(r["id"] for r in
+                  zordered_scan(spark, path,
+                                {"a": (0, 9999)}).collect())
+    assert live == snap[1]
+    # pruned historical read: scan AS OF v2 equals unpruned filter
+    got = sorted(r["id"] for r in
+                 zordered_scan(spark, path, {"a": (0, 999),
+                                             "b": (0, 999)},
+                               version=2).collect())
+    exp = sorted(r["id"] for r in
+                 df.unionByName(b1).unionByName(b2)
+                 .where("a <= 999 and b <= 999").collect())
+    assert got == exp
+    hist = [(r["version"], r["op"]) for r in
+            zorder_history(spark, path).orderBy("version").collect()]
+    assert hist == [(0, "build"), (1, "append"), (2, "append"),
+                    (3, "maintain"), (4, "restore")]
+
+
+def test_zorder_maintain_crash_residue_is_safe(spark, tmp_path):
+    """ADVICE r10 (medium): the re-layout must have NO window where
+    the layout is unreadable or the ledger destroyed. New-design
+    invariant: data files are immutable and the version JSON commit is
+    the only visibility switch — simulate the crash by writing new
+    data files WITHOUT a commit (exactly the residue a crash before
+    _commit_version leaves) and check reads + ledger are unaffected,
+    then that zorder_vacuum removes the residue."""
+    import os
+
+    from jcf_nb_migration_spark.io.zorder import (
+        DATA_SUBDIR,
+        append_zordered,
+        zorder_vacuum,
+        zordered_scan,
+    )
+
+    df = _frame(spark, n=2000)
+    path = str(tmp_path / "zc")
+    write_zordered(df, path, ["a", "b"], n_files=4)
+    batch = _frame(spark, n=200, seed=3).selectExpr(
+        "id + 100000 as id", "a", "b", "payload")
+    assert append_zordered(batch, path, batch_id=1) is True
+    # simulated crash: a half-finished re-layout wrote files but never
+    # committed a version
+    data_dir = os.path.join(path, DATA_SUBDIR)
+    before = set(os.listdir(data_dir))
+    df.limit(500).write.mode("append").parquet(data_dir)
+    residue = {f for f in set(os.listdir(data_dir)) - before
+               if f.endswith(".parquet")}
+    assert residue
+    # reads see exactly the committed content (no duplicates)
+    got = _rows(zordered_scan(spark, path, {"a": (0, 9999)}))
+    exp = _rows(df.unionByName(batch))
+    assert got == exp
+    # the replay ledger survived: batch 1 stays committed
+    assert append_zordered(batch, path, batch_id=1) is False
+    # vacuum deletes the unreferenced residue, keeps every live file
+    n = zorder_vacuum(spark, path, keep_last=2)
+    assert n == len(residue)
+    assert _rows(zordered_scan(spark, path, {"a": (0, 9999)})) == exp
+
+
+def test_zorder_vacuum_retention(spark, tmp_path):
+    """Vacuum keeps the newest K versions readable, makes older AS-OF
+    reads raise loudly, and deletes only files no retained version
+    references."""
+    import pytest as _pytest
+
+    from jcf_nb_migration_spark.io.zorder import (
+        append_zordered,
+        zorder_maintain,
+        zorder_vacuum,
+        zordered_as_of,
+    )
+
+    df = _frame(spark, n=2000)
+    path = str(tmp_path / "zv")
+    write_zordered(df, path, ["a", "b"], n_files=4)             # v0
+    b = _frame(spark, n=1500, seed=9).selectExpr(
+        "id + 100000 as id", "a", "b", "payload")
+    append_zordered(b, path, batch_id=1)                         # v1
+    assert zorder_maintain(spark, path, max_appended_frac=0.25)  # v2
+    exp_all = _rows(df.unionByName(b))
+    deleted = zorder_vacuum(spark, path, keep_last=1)
+    assert deleted > 0  # v0/v1's files dropped (v2 rewrote everything)
+    assert _rows(zordered_as_of(spark, path, 2)) == exp_all
+    with _pytest.raises(ValueError, match="no version 0"):
+        zordered_as_of(spark, path, 0)

@@ -164,12 +164,14 @@ COMMENTARY = {
         "sf0.01). The scan reads only (doc_id, text) and the "
         "dims compute in codegen before the pandas kernel."),
     "lineitem_zorder_pruned": (
-        "Z-ordered layout + file-stats pruning (r10): the layout "
-        "build (Morton key in pure Catalyst bit arithmetic, "
-        "range-partition + sort) is the corpus-sized write a "
-        "deployment pays once; the serve-side scan's FILE LIST is "
-        "pruned driver-side against the per-file min/max sidecar "
-        "before Spark opens anything, so bytes read scale with the "
+        "Z-ordered layout + file-stats pruning (r10; manifest-table "
+        "redesign r11): the layout build (Morton key in pure Catalyst "
+        "bit arithmetic, range-partition + sort) is the corpus-sized "
+        "write a deployment pays once; the serve-side scan's FILE "
+        "LIST is pruned by a DataFrame filter over the per-file "
+        "min/max parquet manifest (distributed — the driver collects "
+        "only survivors) before Spark opens anything, so bytes read "
+        "scale with the "
         "predicate's selectivity on BOTH range columns (pruning "
         "evidence in tests/test_zorder.py); the exact predicate "
         "re-applies to survivors, making results pruning-independent."),

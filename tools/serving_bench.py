@@ -229,7 +229,7 @@ def main() -> int:
     def zo_adhoc():
         zo_agg(li.where(zo_pred)).collect()
 
-    zo_surv, zo_total = zordered_file_count(zo_path, zo_ranges)
+    zo_surv, zo_total = zordered_file_count(spark, zo_path, zo_ranges)
 
     # scale-proportional evidence: bytes/files the executed scans read
     probe_df = bm25_probe(spark, "svb_lex", os.path.join(base, "lex"),
