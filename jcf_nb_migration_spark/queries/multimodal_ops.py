@@ -68,6 +68,27 @@ AHASH_PIX = 48   # fingerprint width (bits == "pixels")
 AHASH_R = 3      # Hamming radius for near-duplicate media
 
 
+N_SEEDS = 3      # near-dup payloads seeded into the corpus (both
+#   engines, identically) so the pair histogram is non-vacuous at
+#   every SF — the sf0.01 fixture has no natural ≤3-Hamming pair, and
+#   a 0-row oracle equality proves only that both engines found
+#   nothing (VERDICT r10 item 4). Seeds: an exact payload copy
+#   (Hamming 0 by construction) and a one-byte mutation of each of
+#   the N_SEEDS smallest doc_ids.
+
+_SQL_SEEDED_CORPUS = f"""
+    seeds AS (
+        SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT {N_SEEDS}
+    ),
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000, text FROM seeds
+        UNION ALL
+        SELECT doc_id + 20000000, 'Z' || substr(text, 2) FROM seeds
+    )"""
+
+
 def _sql_ahash() -> str:
     """DuckDB replay of the 48-'pixel' average-hash: pixel i sampled
     at STRIDED position (i*len)//48 across the whole payload (not the
@@ -81,9 +102,9 @@ def _sql_ahash() -> str:
     pix = (f"list_transform(range(0, {AHASH_PIX}), i -> "
            f"ascii(substr(text, "
            f"CAST((i * length(text)) // {AHASH_PIX} AS INT) + 1, 1)))")
-    return f"""
+    return f"""{_SQL_SEEDED_CORPUS},
     px AS (
-        SELECT doc_id, {pix} AS p FROM documents WHERE length(text) > 0
+        SELECT doc_id, {pix} AS p FROM corpus WHERE length(text) > 0
     ),
     fp AS (
         SELECT doc_id,
@@ -142,13 +163,28 @@ def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits left ~150 distinct values per 12-bit band; strided sampling
     + interleaved packing (a Hamming-preserving bit permutation)
     restored band entropy, the same class of fix as r5's SimHash
-    radius lesson."""
+    radius lesson.
+
+    Non-vacuous at every SF: {N_SEEDS} deterministic near-dup payloads
+    (exact copy + one-byte mutation of the smallest doc_ids) are
+    seeded into BOTH engines' corpora, so the oracle equality always
+    checks real pairs (the natural sf0.01 fixture has none within
+    radius {AHASH_R})."""
     from pyspark.sql import functions as F
 
     from jcf_nb_migration_spark.functions import dedup as D
 
-    docs = (t(spark, sf_dir, "documents")
-            .where(F.length("text") > 0))
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeds = base.orderBy("doc_id").limit(N_SEEDS)
+    corpus = (base
+              .unionByName(seeds.select(
+                  (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                  "text"))
+              .unionByName(seeds.select(
+                  (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                  F.concat(F.lit("Z"), F.expr("substring(text, 2)"))
+                  .alias("text"))))
+    docs = corpus.where(F.length("text") > 0)
     pix = F.expr(
         f"transform(sequence(0, {AHASH_PIX - 1}), i -> "
         f"ascii(substring(text, "
