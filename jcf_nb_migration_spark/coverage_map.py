@@ -30,22 +30,20 @@ COVERED_BY: dict[str, str] = {
     "ann_lsh_bucketed": "hard_negative_mining_ann",
     "ann_lsh_multiprobe": "hard_negative_mining_ann",
     "ivf_ann_multiprobe": "hard_negative_mining_ann",
-    "ivf_ann_probe": "ivfadc_residual_multiprobe",
+    "ivf_ann_probe": "hard_negative_mining_ann",  # cluster-shortlist probe + rank window
     "knn_label_propagation": "hard_negative_mining_ann",
     "hard_negative_mining": "hard_negative_mining_ann",
-    "pq_codes": "ivfadc_residual_multiprobe",
-    "ivfpq_residual_codes": "ivfadc_residual_multiprobe",
+    "pq_codes": "ivfpq_residual_codes",  # same PQ encode projection
     # ivfadc_residual_multiprobe rotated INTO the driver window r9
     # (second wave), superseding ivfadc_residual_probe:
-    "ivfadc_residual_probe": "ivfadc_residual_multiprobe",  # nprobe=1
-    #   special case of the same residual-ADC scorer
+    "ivfadc_residual_probe": "ivfpq_residual_codes",  # same residual-PQ
+    #   code machinery (probe shortlist shape: hard_negative_mining_ann)
     "triplet_mining_ann": "hard_negative_mining_ann",  # same candidate
     #   generator, positive+negative windows joined
-    "embedding_quantize_int8": "ivfadc_residual_multiprobe",
+    "embedding_quantize_int8": "ivfpq_residual_codes",  # same quantize-encode projection
     # quantized_rerank_topk rotated INTO the driver window r9
-    "late_interaction_rerank": "quantized_rerank_topk",  # shortlist +
-    #   bounded rerank (MaxSim over hash-derived token embeddings vs
-    #   exact-cosine over dequantized vectors — same two-stage plan)
+    "late_interaction_rerank": "late_interaction_served",  # same MaxSim
+    #   shortlist + bounded rerank, ad-hoc scan vs served index
     "embedding_norm_stats": "hard_negative_mining_ann",
     "embedding_normalize": "hard_negative_mining_ann",
     # record_linkage_merge rotated INTO the driver window r9 (second
@@ -57,22 +55,17 @@ COVERED_BY: dict[str, str] = {
     # dedup_clusters_lsh rotated OUT in the r9 second wave (green
     # r2-r8); the iterative contraction engine stays visible via the
     # certified-CC queries:
-    "dedup_clusters_lsh": "linkgraph_cc_certified",  # same
-    #   star-contraction fixpoint engine (functions/graph.py) over
+    "dedup_clusters_lsh": "linkgraph_bfs_reachability",  # same iterative
+    #   frontier-equi-join fixpoint engine (functions/graph.py) over
     #   LSH-band edges instead of linkgraph edges
-    "dedup_clusters": "linkgraph_cc_certified",  # same engine, exact
+    "dedup_clusters": "linkgraph_bfs_reachability",  # same engine, exact
     #   all-pairs edges
-    "linkgraph_bfs_reachability": "linkgraph_cc_certified",  # per-level
-    #   frontier equi-join (WITH RECURSIVE declarative twin)
     # linkgraph_cc_starcontraction rotated INTO the driver window r7
     "dedup_ngram_jaccard": "lsh_incremental_dedup",
     "doc_containment_pairs": "lsh_incremental_dedup",  # rare-shingle
     #   candidate equi-join + full-set verify, asymmetric metric
     # paragraph_dedup rotated INTO the driver window r7
     "minhash_signatures": "lsh_incremental_dedup",
-    "media_perceptual_dedup": "lsh_incremental_dedup",  # average-hash
-    #   fingerprint + the same pigeonhole-banded Hamming machinery
-    #   over the multimodal payload column
     # lsh_incremental_dedup rotated INTO the driver window r9
     # bloom_incremental_dedup rotated INTO the driver window r7
     "doc_fingerprint": "simhash_fingerprints",  # per-doc fingerprint projection over the same tokenized scan
@@ -81,7 +74,7 @@ COVERED_BY: dict[str, str] = {
     # bpe_merge_table / doc_bpe_stats rotated OUT in the r9 second
     # wave (green r3-r8); the BPE trainer loop is pinned by
     # tests/test_text_bpe.py and the text-family scans stay visible:
-    "bpe_merge_table": "token_pmi_pairs",  # vocabulary-keyed
+    "bpe_merge_table": "association_rules_pairs",  # vocabulary/pair-keyed
     #   aggregate + join chain (the trainer's per-round pair counts)
     "doc_bpe_stats": "doc_subword_stats",
     "corpus_vocabulary": "doc_subword_stats",
@@ -91,16 +84,14 @@ COVERED_BY: dict[str, str] = {
     "doc_winnow_fingerprints": "doc_subword_stats",
     "doc_bigram_lm_score": "corpus_novelty_curve",
     # token_pmi_pairs rotated INTO the driver window r9
-    "term_source_dispersion": "inverted_index_postings",  # stacked term-key
-    #   count rollups + ordered take (boilerplate detector)
     # gopher_quality_flags rotated INTO the driver window r9
     # logreg_gd_training rotated OUT in the r9 second wave (green
     # r5-r8); the iterative fixed-point-aggregate loop stays visible
     # via linkgraph_pagerank:
     "logreg_gd_training": "linkgraph_pagerank",  # per-round
     #   map-side-combinable aggregate + bounded driver state update
-    "logreg_calibration": "doc_quality_linear_model",  # one codegen'd
-    #   linear-scoring scan (hashed-feature dot product, no shuffle)
+    "logreg_calibration": "gopher_quality_flags",  # one codegen'd
+    #   per-doc scoring scan (hashed-feature dot product, no shuffle)
     "doc_lang_id": "doc_subword_stats",
     "code_switch_profile": "doc_subword_stats",  # chunk explode +
     #   per-doc lang-mix rollup (paragraph_dedup's shuffle graph)
@@ -114,9 +105,7 @@ COVERED_BY: dict[str, str] = {
     # curation_pipeline_e2e rotated OUT in the r9 second wave (green
     # r6-r8); every stage stays individually visible:
     "curation_pipeline_e2e": "weighted_corpus_sample",
-    "semantic_decontamination": "hard_negative_mining_ann",  # broadcast
-    #   bench side + JVM cosine fold + per-vector top-1 window
-    "source_quota_cap": "inverted_index_postings",  # top-k-per-key window
+    "source_quota_cap": "term_source_dispersion",  # term-keyed rollup + top-k-per-key window
     # semdedup_prune rotated OUT in the r9 second wave (green r4-r8):
     "semdedup_prune": "lsh_incremental_dedup",  # standing-index
     #   candidate shortlist + per-doc keep/drop verdict
@@ -130,13 +119,10 @@ COVERED_BY: dict[str, str] = {
     # positional self-join — the term-keyed probe family
     # phrase_match_served / bm25_filtered_served / doc_fetch_served
     # rotated INTO the driver window r9 (second wave)
-    "phrase_match_docs": "phrase_match_served",  # ad-hoc scan twin of
-    #   the served probe (same oracle text, same positional join)
-    "proximity_ranked_served": "phrase_match_served",  # same
-    #   bucket-pruned two-term positional read, band vs adjacency
+    "phrase_match_docs": "proximity_ranked_served",  # ad-hoc scan twin
+    #   of the served positional probes (same positional join)
     # --- corpus assembly / sampling --------------------------------------
     "corpus_global_shuffle": "weighted_corpus_sample",  # same deterministic-hash row assignment over the corpus scan
-    "corpus_split_assign": "weighted_corpus_sample",  # same deterministic-hash row assignment over the corpus scan
     "stratified_sample": "weighted_corpus_sample",
     "dsir_importance": "weighted_corpus_sample",  # deterministic weighted selection over the same per-doc score scan
     "source_sampling_weights": "weighted_corpus_sample",
@@ -144,16 +130,13 @@ COVERED_BY: dict[str, str] = {
     #   (posexplode grid) + bounded rollup
     "packing_efficiency_report": "arrow_doc_stats",  # const
     #   grid explode + small groupBy rollup
-    "sequence_packing":
-        "pytest:test_plans two-phase prefix sum (no visible twin; "
-        "bucket-subtotal + per-bucket window shape is plan-guarded)",
     # --- profiling / sketches -------------------------------------------
     "customer_column_profile": "join_key_skew_profile",
     "k_anonymity_audit": "join_key_skew_profile",  # grouped-count distribution rollup, same profile-agg plan
     "user_active_streaks": "user_rolling_7d",  # user-keyed ordered
     #   window (lag/cumsum islands)
-    "session_conversion_funnel": "event_funnel_conversion",  # lag/cumsum
-    #   sessions + staged conditional-min funnel joins
+    "session_conversion_funnel": "session_window_counts",  # lag/cumsum
+    #   sessionization + staged event-time rollups
     "dq_expectations": "join_key_skew_profile",  # bounded per-check aggregates unioned into one report frame
     "referential_integrity_audit": "sole_failing_supplier",
     "daily_volume_anomalies": "join_key_skew_profile",
@@ -162,17 +145,15 @@ COVERED_BY: dict[str, str] = {
     #   pushed-filter scan + broadcast scalar compare
     "source_report_card": "pricing_summary",  # multi-branch
     #   aggregate rollup over one shared scan
-    "price_histogram": "customer_balance_deciles",  # value-bucket
+    "price_histogram": "winsorized_order_values",  # value-bucket/rank
     #   assignment + bounded-grid count rollup
-    "winsorized_order_values": "customer_balance_deciles",  # grouped two-phase
-    #   ordinal rank + broadcast per-segment clamp bounds
     "quantity_price_correlation": "pricing_summary",  # scan-agg moments
     #   (sum/sumsq/cross) in one pass
     "daily_new_users": "user_rolling_7d",  # user-keyed min-date
     #   window + date rollup
-    "promo_session_attribution": "cogroup_asof_pandas",  # session
+    "promo_session_attribution": "orders_pit_customer_join",  # session
     #   intervals x broadcast promo calendar overlap join + as-of
-    #   attribution pick — the time-band pair-join family
+    #   attribution pick — the time-band/PIT pair-join family
     # --- relational / TPC-H shapes --------------------------------------
     # r7 rotation: six 5-6x-green incumbents OUT (history preserved in
     # CORRECTNESS_r1-r6) to admit the never-checked families above.
@@ -202,14 +183,12 @@ COVERED_BY: dict[str, str] = {
     "local_supplier_volume": "nation_trade_volume",  # broadcast-dim
     #   star join + group agg (Q5 vs Q7, same physical family)
     "regional_customer_distribution": "nation_trade_volume",
-    "customer_order_distribution": "top_revenue_customers",  # join +
-    #   two-level group agg (Q13 family)
     "top_supplier_revenue": "nation_trade_volume",  # broadcast-dim
     #   join + agg + top-k (Q15 family)
     "promo_revenue_share": "top_revenue_customers",
     "profit_by_nation_year": "nation_trade_volume",  # same star-join
     #   + broadcast-dim graph, regex dim filter pushed to the part scan
-    "important_supplier_share": "nation_market_share",
+    "important_supplier_share": "nation_trade_volume",  # star join + share-of-total agg
     "part_supplier_variety": "hll_sketch_union",  # count-distinct rollup; HLL is its mergeable approximation
     "lateral_top_customers": "user_rolling_7d",  # decorrelated
     #   lateral = per-key ranked take (window twin)
@@ -237,8 +216,6 @@ COVERED_BY: dict[str, str] = {
     "lineitem_cube": "nation_metrics_unpivot",  # grouping-sets/reshape
     #   (EXPAND) family: cube vs unpivot of the same wide agg
     "order_value_ranks": "user_rolling_7d",  # keyed ordered window
-    "association_rules_pairs": "token_pmi_pairs",  # basket-key
-    #   self-equi-join pair derivation + broadcast stats (Apriori k=2)
     "cohort_ltv_curve": "user_rolling_7d",  # cohort attribution
     #   + grid-bounded per-cohort running sum
     "user_running_value": "user_rolling_7d",  # per-user running frame
@@ -260,13 +237,6 @@ COVERED_BY: dict[str, str] = {
     # the visible docstore_upsert_fetch; the manifest AS-OF read path
     # and the version-diff full-outer compare are additionally pinned
     # by tests/test_timetravel.py
-    "docstore_as_of_fetch": "docstore_upsert_fetch",
-    "docstore_change_feed": "docstore_upsert_fetch",  # + full-outer
-    #   keyed compare twin: orders_pit_customer_join
-    "lineitem_zorder_pruned": "cobucketed_order_revenue",  # r10:
-    #   build-a-layout-then-serve-pruned pattern (corpus-sized write +
-    #   file-set-bounded read); the z-specific file pruning is pinned
-    #   by tests/test_zorder.py
     "scalar_iter_doc_stats": "doc_subword_stats",  # SCALAR_ITER pandas
     #   UDF surface; same per-doc stat output as the built-in path
     "volume_shipping_report": "nation_trade_volume",  # Q7: the
@@ -287,7 +257,7 @@ COVERED_BY: dict[str, str] = {
     #   window (row_number top-1 vs RANGE-frame rolling sum)
     "event_type_transition_matrix": "user_rolling_7d",  # lag
     #   window + double rollup (Markov matrix)
-    "signup_to_purchase_latency": "customer_balance_deciles",  # ordinal-median
+    "signup_to_purchase_latency": "winsorized_order_values",  # ordinal
     #   rank arithmetic over a population-bounded window
     # events_variant_extract rotated INTO the driver window r9,
     # superseding events_json_bucket as the JSON-extraction witness:
@@ -300,7 +270,6 @@ COVERED_BY: dict[str, str] = {
     # r1-r8); the per-user ordered-window family stays visible:
     "event_sessionization": "user_rolling_7d",  # per-user
     #   ordered window scan (lag/gap marking vs top-1 pick)
-    "session_window_counts": "streaming_interval_join",
     "sliding_window_counts": "streaming_interval_join",
     "stream_static_enrich": "streaming_interval_join",
     # streaming_dedup rotated INTO the driver window r10 4th wave
@@ -308,8 +277,8 @@ COVERED_BY: dict[str, str] = {
     # range_join_error_click rotated OUT in the r9 second wave (green
     # r1-r8); the events-pair time-band join stays visible via
     # asof_click_before_error:
-    "range_join_error_click": "cogroup_asof_pandas",  # same
-    #   events pair-match semantics (banded |ts diff| vs as-of pick);
+    "range_join_error_click": "orders_pit_customer_join",  # same
+    #   pair-match semantics (banded |ts diff| vs PIT as-of pick);
     #   the JVM banded equi-join plan is pinned in test_plans.py
     "streaming_interval_join_louter": "streaming_interval_join",
     "streaming_pit_enrich": "orders_pit_customer_join",
@@ -337,12 +306,11 @@ COVERED_BY: dict[str, str] = {
     # history is CORRECTNESS_r1-r8) to admit fifteen never-checked
     # names; six remain bench headlines, so their perf is still
     # measured every round -----------------------------------------------
-    "asof_click_before_error": "event_funnel_conversion",  # ordered
-    #   as-of carry family; cogroup_asof_pandas also visible now
-    #   (still benched)
-    "price_quantiles": "customer_balance_deciles",  # two-phase rank
+    "asof_click_before_error": "orders_pit_customer_join",  # ordered
+    #   as-of pick family (still benched)
+    "price_quantiles": "winsorized_order_values",  # two-phase ordinal rank
     "approx_distinct_stats": "hll_sketch_union",
-    "tfidf_top_terms": "inverted_index_postings",  # term-keyed rollup
+    "tfidf_top_terms": "term_source_dispersion",  # term-keyed rollup
     #   + top-k-per-key window
     "doc_quality_score": "doc_subword_stats",  # narrow per-doc stats
     "dedup_exact": "simhash_fingerprints",
@@ -371,18 +339,18 @@ COVERED_BY: dict[str, str] = {
     "table_counts": "join_key_skew_profile",  # union of per-table counts; same bounded grouped-count profile plan
     "streaming_hourly_counts": "streaming_interval_join",
     "corpus_mixture_sample": "weighted_corpus_sample",
-    "ivfpq_ann_probe": "ivfadc_residual_multiprobe",
+    "ivfpq_ann_probe": "ivfpq_residual_codes",  # same residual-PQ codes + ADC probe machinery
     "knn_ann_label_propagation": "hard_negative_mining_ann",
-    "bm25_top_docs": "bm25_top_docs_served",
+    "bm25_top_docs": "bm25_batch_served",  # same postings+stats BM25 plan, ad-hoc vs served
     "paragraph_dedup": "duplicate_spans",
-    "rrf_fusion": "bm25_top_docs_served",
-    "linkgraph_cc_starcontraction": "linkgraph_cc_certified",
+    "rrf_fusion": "bm25_batch_served",  # BM25 leg + bounded rank fusion
+    "linkgraph_cc_starcontraction": "linkgraph_bfs_reachability",  # iterative frontier-join fixpoint family
     "bloom_incremental_dedup": "lsh_incremental_dedup",
     # r10 wave 5: two veterans rotated OUT to admit linkgraph_khop_sssp
     # and doc_pareto_frontier (both first-time names)
     "minhash_lsh_dedup": "lsh_incremental_dedup",  # banded
     #   (band_idx, band_hash) candidate equi-join + exact verify
-    "retrieval_pipeline_e2e": "bm25_top_docs_served",  # BM25 corpus
+    "retrieval_pipeline_e2e": "bm25_batch_served",  # BM25 corpus
     #   pass + bounded top-k; its LSH leg twins via
     #   hard_negative_mining_ann (bucketed shortlist + rank window)
     "large_volume_customers": "top_revenue_customers",
@@ -390,10 +358,51 @@ COVERED_BY: dict[str, str] = {
     "heavy_hitters_topk": "cms_token_counts",
     "doc_boilerplate_coverage": "duplicate_spans",
     "split_leakage_audit": "duplicate_spans",
-    "bm25_batch_served": "bm25_top_docs_served",
     "excess_share_suppliers": "sole_failing_supplier",  # TPC-H
     #   semi-join decorrelation shape (q20 / q21), plan-guarded in
     #   tests/test_plans.py::test_q2_q20_shapes_decorrelate
     # --- r10 serving-index mutation queries (new; each serves the
     #     probe pattern its visible twin already pins) ---------------
+
+    # --- r11 rotation: seventeen multi-green incumbents OUT to admit
+    #     seventeen first-time names (sixteen never-driver-checked +
+    #     the new semantic_decontamination_ann); each keeps a
+    #     same-pattern visible twin -----------------------------------
+    "bm25_filtered_served": "bm25_batch_served",  # same bucket-pruned
+    #   postings probe, term filter vs batched terms
+    "bm25_top_docs_served": "bm25_batch_served",  # N=1 case of the
+    #   batched bucket-pruned BM25 probe
+    "cogroup_asof_pandas": "orders_pit_customer_join",  # as-of pick
+    #   over keyed ordered feeds (cogrouped pandas vs PIT join); the
+    #   batched-python surface stays visible via arrow_doc_stats
+    "corpus_sorted_export": "sequence_packing",  # two-phase
+    #   global-order computation (range-partitioned sort vs
+    #   bucket-subtotal prefix sum), both plan-guarded in test_plans
+    "customer_balance_deciles": "winsorized_order_values",  # grouped
+    #   two-phase ordinal-rank family
+    "doc_fetch_served": "docstore_as_of_fetch",  # bucket/manifest-
+    #   scoped point fetch of the same doc store
+    "doc_quality_linear_model": "gopher_quality_flags",  # one
+    #   codegen'd per-doc scoring scan, no shuffle
+    "event_funnel_conversion": "session_window_counts",  # sessionized
+    #   event-time rollup family (lag/cumsum islands)
+    "inverted_index_postings": "term_source_dispersion",  # term-keyed
+    #   count rollup + ordered take
+    "ivfadc_residual_multiprobe": "ivfpq_residual_codes",  # same
+    #   residual-PQ code machinery; the shortlist probe shape stays
+    #   visible via hard_negative_mining_ann
+    "linkgraph_cc_certified": "linkgraph_bfs_reachability",  # iterative
+    #   frontier equi-join to a certified fixpoint (same engine)
+    "linkgraph_khop_sssp": "linkgraph_bfs_reachability",  # per-round
+    #   frontier equi-join (+ MIN groupBy relax) fixpoint
+    "phrase_match_served": "proximity_ranked_served",  # bucket-pruned
+    #   two-term positional read, adjacency vs proximity band
+    "quantized_rerank_topk": "late_interaction_served",  # shortlist +
+    #   bounded rerank two-stage serving plan
+    "token_pmi_pairs": "association_rules_pairs",  # pair-key count
+    #   join + broadcast totals (PMI vs lift — same Apriori-k=2 plan)
+    "user_cohort_retention": "user_rolling_7d",  # per-user event-time
+    #   window + cohort-grid rollup
+    "nation_market_share": "nation_trade_volume",  # broadcast-dim star
+    #   join + share-of-total agg
 }

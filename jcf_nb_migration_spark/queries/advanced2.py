@@ -648,7 +648,7 @@ ASSOC_MIN_SUPPORT = 5  # minimum co-occurrence count for a rule
     tags=("analytics", "market-basket", "association-rules", "lift"),
     # transaction self-equi-join on the basket key + broadcast item
     # stats — the linkgraph pair-derivation family over orders
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def association_rules_pairs(spark: SparkSession,
                             sf_dir: str) -> DataFrame:

@@ -525,7 +525,7 @@ BFS_DEPTH = 3  # recursion bound (levels); frontier-dedup'd per level
     FROM best GROUP BY dist ORDER BY dist
     """,
     tags=("graph", "recursive-cte", "bfs"),
-    driver_visible=False,  # iterative frontier join covered by
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
     #                        dedup_clusters_lsh in the driver window
 )
 def linkgraph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -605,6 +605,9 @@ def _sql_sssp_rounds() -> str:
     FROM d{SSSP_HOPS} ORDER BY dist_w, doc_id LIMIT 20
     """,
     tags=("graph", "sssp", "shortest-path", "weighted", "iterative"),
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: linkgraph_bfs_reachability
+    driver_visible=False,
 )
 def linkgraph_khop_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted single-source shortest paths (hop-bounded Bellman-Ford,
@@ -754,6 +757,9 @@ def linkgraph_cc_starcontraction(spark: SparkSession,
     # rotated INTO the driver window r9 — the ENGINE-DEFAULT certified
     # mode of the contraction, now driver-checked alongside
     # linkgraph_cc_starcontraction
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: linkgraph_bfs_reachability
+    driver_visible=False,
 )
 def linkgraph_cc_certified(spark: SparkSession,
                            sf_dir: str) -> DataFrame:

@@ -21,7 +21,10 @@ from jcf_nb_migration_spark.queries.advanced2 import _SQL_IVF_ASSIGNED
 from jcf_nb_migration_spark.queries.packing_ops import (
     SPLIT_MOD, TEST_LO, VALID_LO,
 )
-from jcf_nb_migration_spark.queries.similarity_search import _sql_cos
+from jcf_nb_migration_spark.queries.similarity_search import (
+    _sql_cos,
+    _sql_kmeans_cte,
+)
 from jcf_nb_migration_spark.queries.text_analysis import (
     _SQL_TOKS, _sql_bands_cte, _sql_minhash_sig_cte,
 )
@@ -1568,7 +1571,7 @@ SEMDECON_MOD = 50     # vec_id % this == 0 => held-out benchmark member
     tags=("curation", "decontamination", "semantic", "embedding"),
     # composes the decontaminate_ngrams shape (broadcast bench side)
     # with embedding_dedup_pairs' cosine verify — both driver-visible
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def semantic_decontamination(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -1604,6 +1607,110 @@ def semantic_decontamination(spark: SparkSession,
               .where(S.cosine(F.col("embedding"), F.col("bvec"))
                      >= SEMDECON_TAU))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "bench_id")
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("vec_id", "bench_id", "cos_sim")
+            .orderBy("vec_id"))
+
+
+SEMDECON_NPROBE = 2   # bench clusters probed per corpus vector
+
+
+@query(
+    "semantic_decontamination_ann",
+    oracle=f"""
+    WITH bench_src AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {SEMDECON_MOD} = 0
+    ),
+    {_sql_kmeans_cte(8, 2, src="bench_src")},
+    bench_assigned AS (
+        SELECT vec_id AS bench_id, embedding::DOUBLE[] AS bvec,
+               c_id AS cluster
+        FROM (
+            SELECT b.vec_id, b.embedding, c.c_id,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                       ORDER BY {_sql_cos('b.embedding', 'c.c_vec')}
+                           DESC, c.c_id) AS rn
+            FROM bench_src b, c2 c
+        ) WHERE rn = 1
+    ),
+    corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS cvec
+        FROM embeddings WHERE vec_id % {SEMDECON_MOD} <> 0
+    ),
+    probed AS (
+        SELECT vec_id, c_id AS cluster FROM (
+            SELECT co.vec_id, c.c_id,
+                   ROW_NUMBER() OVER (PARTITION BY co.vec_id
+                       ORDER BY {_sql_cos('co.cvec', 'c.c_vec')}
+                           DESC, c.c_id) AS rn
+            FROM corpus co, c2 c
+        ) WHERE rn <= {SEMDECON_NPROBE}
+    ),
+    scored AS (
+        SELECT co.vec_id, ba.bench_id,
+               ROUND({_sql_cos('co.cvec', 'ba.bvec')}, 9) AS cos_sim
+        FROM corpus co
+        JOIN probed p ON p.vec_id = co.vec_id
+        JOIN bench_assigned ba ON ba.cluster = p.cluster
+        WHERE {_sql_cos('co.cvec', 'ba.bvec')} >= {SEMDECON_TAU}
+    )
+    SELECT vec_id, bench_id, cos_sim FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id) AS rk
+        FROM scored
+    ) WHERE rk = 1 ORDER BY vec_id
+    """,
+    tags=("curation", "decontamination", "semantic", "ann", "ivf"),
+)
+def semantic_decontamination_ann(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """ANN-GATED semantic decontamination — the scale path
+    semantic_decontamination's docstring promises: when the
+    "benchmark" is itself large (a held-out SHARD, not a
+    thousands-item eval suite), the broadcast-every-bench-vector fold
+    stops being bounded; instead the bench side is IVF-indexed
+    (deterministic k-means, k=8/2 rounds, trained ON THE BENCH — the
+    cached_kmeans machinery over a subset) and each corpus vector is
+    scored only against the bench members of its {SEMDECON_NPROBE}
+    nearest clusters. Per-vector work drops from |bench| to the
+    probed-cluster mass (~{SEMDECON_NPROBE}/8 of bench here;
+    nprobe/K in general), the exact ivf_ann_probe recall trade —
+    a contaminated document whose best bench match lands outside the
+    probed clusters is missed, which is why the exact variant remains
+    the audit tool at eval-suite scale. Output schema matches the
+    exact variant (vec_id, best bench_id, cosine), so the two can be
+    diffed directly as a recall report.
+
+    Scale shape: ONE bench scan to assign (bench-bounded), one corpus
+    scan exploded ×{SEMDECON_NPROBE} (ivf_probe_clusters' narrow
+    codegen pass — no crossJoin), one equi-join on cluster against
+    the broadcast assigned bench, per-vector top-1 window. The oracle
+    replays the identical k-means + shortlist in SQL, so the
+    DETERMINISTIC shortlist is hash-checked, not just the scoring."""
+    from jcf_nb_migration_spark.functions import similarity as S
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    bench = (emb.where(F.col("vec_id") % SEMDECON_MOD == 0)
+             .select("vec_id", "embedding"))
+    cents = S.kmeans_train(bench, k=8, iters=2)
+    bench_assigned = F.broadcast(
+        S.ivf_assign(bench, cents)
+        .select(F.col("vec_id").alias("bench_id"),
+                F.col("embedding").alias("bvec"), "cluster"))
+    corpus = (emb.where(F.col("vec_id") % SEMDECON_MOD != 0)
+              .select("vec_id", "embedding"))
+    probed = S.ivf_probe_clusters(corpus, cents, vec_col="embedding",
+                                  nprobe=SEMDECON_NPROBE)
+    scored = (probed.join(bench_assigned, "cluster")
+              .withColumn("cos_sim",
+                          F.round(S.cosine(F.col("embedding"),
+                                           F.col("bvec")), 9))
+              .where(S.cosine(F.col("embedding"), F.col("bvec"))
+                     >= SEMDECON_TAU))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
+                                             "bench_id")
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select("vec_id", "bench_id", "cos_sim")

@@ -137,7 +137,7 @@ def _sql_ahash() -> str:
     # composes the multimodal payload column with the banded-Hamming
     # machinery (simhash_near_pairs, driver-visible); the oracle is
     # the naive all-pairs formulation the banding provably equals
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate detection for MEDIA columns — the

@@ -76,7 +76,7 @@ def _sql_h48(expr: str) -> str:
     # kept local to fit the 50-name driver window; the bounded-window +
     # explode pattern is driver-visible via user_hourly_resample and
     # event_sessionization
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: concatenate every document's tokens
@@ -220,7 +220,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("assembly", "split", "hash"),
     # kept local to fit the 50-name driver window; md5-keyed routing is
     # driver-visible via dedup_exact and stratified sampling patterns
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test split: each doc routes by a
@@ -303,6 +303,9 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape (rangepartitioning) finally gets a direct driver witness;
     # still plan-pinned in tests/test_plans.py and file-layout-pinned
     # in tests/test_layout.py
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: sequence_packing
+    driver_visible=False,
 )
 def corpus_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide ORDER BY — the one shape the repo otherwise avoids,

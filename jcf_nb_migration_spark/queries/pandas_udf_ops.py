@@ -116,6 +116,9 @@ def grouped_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("pandas-udf", "cogroup", "asof-join"),
     # rotated INTO the driver window r9 (cogroup pandas surface)
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: orders_pit_customer_join
+    driver_visible=False,
 )
 def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join via cogrouped applyInPandas — the API surface for

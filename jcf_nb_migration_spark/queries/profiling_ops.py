@@ -1031,7 +1031,7 @@ WINSOR_LO, WINSOR_HI = 5, 95  # percentile clamp bounds (ordinal, exact)
     # the grouped generalization of corpus_vocabulary's two-phase
     # rank; per-key agg + broadcast bounds are driver-visible via
     # price_quantiles / table_counts
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def winsorized_order_values(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -1211,6 +1211,9 @@ NTILE_K = 10  # decile report
     # rotated INTO the driver window r9 (two-phase-rank witness after
     # price_quantiles rotated out); the oracle uses native NTILE, the
     # Spark side proves the rank-arithmetic equivalence at scale
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: winsorized_order_values
+    driver_visible=False,
 )
 def customer_balance_deciles(spark: SparkSession,
                              sf_dir: str) -> DataFrame:

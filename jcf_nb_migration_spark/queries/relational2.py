@@ -281,7 +281,7 @@ def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY custdist DESC, c_count DESC
     """,
     tags=("tpch-shape", "outer-join", "double-agg", "tpch-q13"),
-    driver_visible=False,  # join+agg pattern covered by
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
     #                        returned_item_report; the stacked second
     #                        agg is a bounded-domain groupBy
 )
@@ -388,6 +388,9 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM allrev GROUP BY o_year ORDER BY o_year
     """,
     tags=("tpch-shape", "multi-join", "conditional-share", "tpch-q8"),
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: nation_trade_volume
+    driver_visible=False,
 )
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 shape: NATION_2's share of ASIA's PROMO-part market by

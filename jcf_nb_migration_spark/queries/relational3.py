@@ -717,7 +717,7 @@ ZO_SUPP = (2, 6)    # l_suppkey range
     # layout-build-then-pruned-serve pattern driver-visible via
     # cobucketed_order_revenue; the pruning mechanics are pinned by
     # tests/test_zorder.py (file-count evidence)
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def lineitem_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column range scan over a Z-ORDERED layout (io/zorder):

@@ -170,6 +170,9 @@ def bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("retrieval", "inverted-index", "posting-list"),
     # rotated INTO the driver window r9 (term-keyed rollup witness
     # after tfidf_top_terms rotated out)
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: term_source_dispersion
+    driver_visible=False,
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build: per term, document frequency, total term
@@ -301,6 +304,9 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("curation", "quality", "linear-model", "hashed-features"),
     # rotated INTO the driver window r9
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: gopher_quality_flags
+    driver_visible=False,
 )
 def doc_quality_linear_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style quality-classifier INFERENCE as a relational
@@ -650,6 +656,9 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bm ORDER BY bm25 DESC, doc_id LIMIT 20
     """,
     tags=("retrieval", "bm25", "ranking", "bucketed", "serving"),
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: bm25_batch_served
+    driver_visible=False,
 )
 def bm25_top_docs_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-20 answered from the PERSISTED serving index — the
@@ -825,6 +834,9 @@ def proximity_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_SQL_PHRASE_ORACLE,
     tags=("retrieval", "phrase", "positional", "serving", "bucketed"),
     # rotated INTO the driver window r9 second wave (first-time name)
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: proximity_ranked_served
+    driver_visible=False,
 )
 def phrase_match_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-phrase retrieval SERVED from the persisted positional
@@ -860,7 +872,7 @@ def phrase_match_served(spark: SparkSession, sf_dir: str) -> DataFrame:
           "bucketed"),
     # served twin of proximity_ranked_docs; same bucket-probe family
     # as phrase_match_served / bm25_top_docs_served
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def proximity_ranked_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity retrieval SERVED from the persisted positional index
@@ -897,6 +909,9 @@ def proximity_ranked_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("retrieval", "bm25", "serving", "bucketed", "filtered"),
     # rotated INTO the driver window r9 second wave (first-time name)
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: bm25_batch_served
+    driver_visible=False,
 )
 def bm25_filtered_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """METADATA-FILTERED BM25 serving — the other half of every RAG
@@ -942,6 +957,9 @@ def bm25_filtered_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("retrieval", "serving", "bucketed", "docstore"),
     # rotated INTO the driver window r9 second wave (first-time name)
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: docstore_as_of_fetch
+    driver_visible=False,
 )
 def doc_fetch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE serving loop — rank, then fetch content: BM25
@@ -1394,7 +1412,7 @@ _SQL_BATCH_Q = ", ".join(
     tags=("retrieval", "bm25", "serving", "bucketed", "batch"),
     # new in r10; serving-probe pattern driver-visible via
     # bm25_top_docs_served (shared retrieval/bm25/serving tags)
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def bm25_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BATCHED BM25 serving (io/lexical.bm25_batch_probe): two queries
@@ -1521,7 +1539,7 @@ _SQL_TT_STATES = f"""mx AS (SELECT MAX(doc_id) AS m FROM documents),
     # the docstore build/COW/fetch machinery is driver-visible via
     # docstore_upsert_fetch; AS-OF adds the manifest read path, pinned
     # additionally by tests/test_timetravel.py
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def docstore_as_of_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL on the persisted docstore (io/docstore.
@@ -1568,7 +1586,7 @@ def docstore_as_of_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
           "full-outer"),
     # same machinery as docstore_as_of_fetch; the diff's full-outer
     # join pattern is driver-visible via orders_snapshot_diff's twin
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def docstore_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC between docstore versions (io/docstore.

@@ -22,24 +22,28 @@ def _sql_cos(a: str, b: str) -> str:
             f" * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))")
 
 
-def _sql_kmeans_cte(k: int = 8, iters: int = 2) -> str:
+def _sql_kmeans_cte(k: int = 8, iters: int = 2,
+                    src: str = "embeddings") -> str:
     """CTE chain replaying functions.similarity.kmeans_train exactly:
     seeds = the k lowest-id vectors; per round, assign by cosine
     (ties → lowest centroid id) and recompute per-cluster/per-dim
     means through DECIMAL(18,12) — the same order-independent
     arithmetic the Spark side uses, so centroids are bit-identical.
     Exposes ``c{iters}`` (c_id, c_vec) as the trained centroid CTE.
-    (Lives here rather than advanced2 so the residual-PQ oracle below
-    can compose it without a circular import; advanced2 re-imports.)"""
+    ``src`` is the training table/CTE (a prior CTE name lets a caller
+    train on a SUBSET, e.g. the benchmark side of
+    semantic_decontamination_ann). (Lives here rather than advanced2
+    so the residual-PQ oracle below can compose it without a circular
+    import; advanced2 re-imports.)"""
     parts = [f"""c0 AS (
         SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_vec
-        FROM embeddings ORDER BY vec_id LIMIT {k}
+        FROM {src} ORDER BY vec_id LIMIT {k}
     )"""]
     for i in range(1, iters + 1):
         parts.append(f"""scored_{i} AS (
         SELECT e.vec_id, e.embedding, c.c_id,
                {_sql_cos('e.embedding', 'c.c_vec')} AS sim
-        FROM embeddings e, c{i - 1} c
+        FROM {src} e, c{i - 1} c
     )""")
         parts.append(f"""assigned_{i} AS (
         SELECT vec_id, embedding, c_id AS cluster FROM (
@@ -706,6 +710,9 @@ RERANK_COARSE_N = 50  # candidates kept from the compressed-index pass
     """,
     tags=("similarity", "quantization", "rerank", "ann", "composed"),
     # rotated INTO the driver window r9 second wave (first-time name)
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: late_interaction_served
+    driver_visible=False,
 )
 def quantized_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compressed-index read path every production vector store
@@ -894,7 +901,7 @@ def _cached_residual(spark: SparkSession, sf_dir: str):
     tags=("similarity", "ann", "ivf", "pq", "residual", "ivfadc"),
     # residual sibling of pq_codes / ivfpq_ann_probe (both patterns
     # driver-visible via ivfpq_ann_probe)
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def ivfpq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC-proper encoding (the FAISS IVF-PQ default): PQ codebooks
@@ -1067,6 +1074,9 @@ def _sql_residual_adc_multiprobe_oracle(nprobe: int = 2) -> str:
           "multiprobe", "composed"),
     # rotated INTO the driver window r9 second wave (first-time name;
     # supersedes ivfadc_residual_probe as the family's witness)
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: ivfpq_residual_codes
+    driver_visible=False,
 )
 def ivfadc_residual_multiprobe(spark: SparkSession,
                                sf_dir: str) -> DataFrame:

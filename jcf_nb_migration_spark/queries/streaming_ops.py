@@ -97,7 +97,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM marked GROUP BY user_id ORDER BY user_id
     """,
     tags=("streaming", "session-window"),
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window(30 min) — checked against the lag/cumsum

@@ -886,6 +886,9 @@ PMI_MIN_COUNT = 5  # bigram support floor (PMI is noise below this)
     """,
     tags=("text", "collocation", "pmi"),
     # rotated INTO the driver window r9 second wave (first-time name)
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: association_rules_pairs
+    driver_visible=False,
 )
 def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collocation mining: the 50 adjacent token pairs most associated
@@ -952,7 +955,7 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "dispersion", "boilerplate", "curation"),
     # two-level count rollup on the term key — tfidf/vocabulary family
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def term_source_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-dispersion profile of frequent terms — the boilerplate

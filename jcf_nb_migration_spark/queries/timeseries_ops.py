@@ -234,6 +234,9 @@ def user_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("funnel", "sequential-pattern", "conversion"),
     # rotated INTO the driver window r9 (as-of family witness after
     # asof_click_before_error rotated out)
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: session_window_counts
+    driver_visible=False,
 )
 def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel conversion (view -> later click -> later
@@ -296,6 +299,9 @@ def event_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY r.cohort_week, r.week_offset
     """,
     tags=("cohort", "retention", "double-agg"),
+    # rotated OUT r11 5th wave (multi-green in driver
+    # artifacts); same-pattern visible twin: user_rolling_7d
+    driver_visible=False,
 )
 def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention: users bucket into the absolute week of
