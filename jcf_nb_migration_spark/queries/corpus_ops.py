@@ -407,31 +407,42 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the gram (the duplicate_spans fuse — never all-pairs);
     each iteration is one equi-join rank⋈edges plus one groupBy on the
     destination — the classic distributed PageRank step, linear in
-    |edges| per iteration with shuffles only on doc_id keys. The edge
-    table (with out-degrees) is persisted once and reused by all
-    {PR_ITERS} iterations. Ranks are BIGINT micro-units
-    (scale {PR_SCALE}); share = (pr * 85) div (100 * outdeg) uses
-    integer floor division, identical in Spark (`div`) and DuckDB
-    (`//`) for the positive operands here, so cross-engine equality is
-    exact — no float tolerance. At production scale the loop would
-    localCheckpoint every few iterations to truncate lineage (the
-    dup_clusters idiom); {PR_ITERS} unrolled joins need no
-    truncation."""
+    |edges| per iteration with shuffles only on doc_id keys. r11
+    combiner restructure (VERDICT r10 item 7): the per-node SHARE
+    (pr·85 div 100·outdeg — identical for every out-edge of u) is
+    computed in a NODE-SIZED join with the persisted degree table
+    BEFORE touching edges, and the edge table is persisted
+    PRE-PARTITIONED on u at the session's shuffle-partition count, so
+    Catalyst's EnsureRequirements reuses its layout every iteration —
+    the only per-iteration data movement is node-sized (shares in,
+    map-side-combined partial sums out); the edge-sized exchange is
+    paid once for all {PR_ITERS} iterations. Ranks are BIGINT
+    micro-units (scale {PR_SCALE}); integer floor division (`div` /
+    `//`) is identical in both engines for the positive operands here,
+    so cross-engine equality is exact — no float tolerance. At
+    production scale the loop would localCheckpoint every few
+    iterations to truncate lineage (the dup_clusters idiom);
+    {PR_ITERS} unrolled joins need no truncation."""
     docs = spread(t(spark, sf_dir, "documents"))
     pairs = _rare_gram_pairs(docs)
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    # one persisted (u, v, outdeg) table feeds every iteration
-    ed = edges.join(deg, "u").persist()
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # edge-sized shuffle paid ONCE: every iteration's join on u then
+    # reuses this hash layout (no per-iteration edge exchange)
+    ed = edges.repartition(n_shuffle, "u").persist()
+    deg = (ed.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+           .persist())
     ranks = deg.select(F.col("u").alias("node"),
                        F.lit(PR_SCALE).cast("long").alias("pr"))
     for _ in range(PR_ITERS):
-        contrib = ed.join(ranks, ed["u"] == ranks["node"]).select(
-            F.col("v"),
-            F.expr("(pr * 85) div (100 * outdeg)").alias("share"))
-        ranks = (contrib.groupBy("v")
-                 .agg(F.sum("share").alias("s"))
+        # node-sized combiner: one share per SOURCE NODE, not per edge
+        shares = (ranks.join(deg, ranks["node"] == deg["u"])
+                  .select(F.col("node").alias("u"),
+                          F.expr("(pr * 85) div (100 * outdeg)")
+                          .alias("share")))
+        ranks = (ed.join(shares, "u")
+                 .groupBy("v").agg(F.sum("share").alias("s"))
                  .select(F.col("v").alias("node"),
                          (F.lit(PR_BASE) + F.col("s")).alias("pr")))
     return (ranks.join(deg, ranks["node"] == deg["u"])
