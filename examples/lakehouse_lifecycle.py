@@ -20,6 +20,9 @@ travel, CDC, rollback, retention — plus a z-ordered analytical layout
       → SCAN: zordered_scan prunes the file LIST via a DataFrame
                filter over the manifest table under a two-column range
                predicate before Spark opens anything
+      → Z-LIFECYCLE: the z-layout shares the same snapshot semantics —
+               ledgered append, gated re-layout, audited restore,
+               AS-OF reads of every version (r11)
 
 At 100 TB: manifests are one row per file (control plane), history
 grows with the mutated fraction (not the corpus), AS-OF reads are
@@ -127,6 +130,33 @@ def lakehouse_demo(spark, sf_dir: str, work_dir: str) -> dict:
     out["z_rows_expected"] = li.where(
         "l_partkey BETWEEN 1 AND 40 AND l_suppkey BETWEEN 1 AND 4"
     ).count()
+
+    # Z-LAYOUT LIFECYCLE (r11): the z-ordered layout shares the
+    # docstore's snapshot semantics — append (v1), fragmentation-gated
+    # re-layout (v2), rollback to the pre-append state (v3), every
+    # version readable AS OF its number.
+    from jcf_nb_migration_spark.io.zorder import (
+        append_zordered,
+        zorder_history,
+        zorder_maintain,
+        zorder_restore,
+        zordered_as_of,
+    )
+
+    batch = li.limit(2000).select(
+        (F.col("l_orderkey") + 90_000_000).alias("l_orderkey"),
+        "l_partkey", "l_suppkey", "l_extendedprice")
+    append_zordered(batch, zpath, batch_id="day-1")            # v1
+    out["z_maintained"] = zorder_maintain(                      # v2
+        spark, zpath, max_appended_frac=0.05, n_files=16)
+    zorder_restore(spark, zpath, 0)                             # v3
+    out["z_v0_rows"] = zordered_as_of(spark, zpath, 0).count()
+    out["z_v1_rows"] = zordered_as_of(spark, zpath, 1).count()
+    out["z_live_equals_v0"] = (
+        zordered_scan(spark, zpath, ranges).count() == out["z_rows"])
+    out["z_history"] = [(r["version"], r["op"]) for r in
+                        zorder_history(spark, zpath)
+                        .orderBy("version").collect()]
     return out
 
 

@@ -93,3 +93,9 @@ def test_lakehouse_lifecycle_demo(spark, tmp_path):
     assert s["restored_version"] == 3 and s["victim_back"] is True
     assert s["z_rows"] == s["z_rows_expected"] > 0
     assert 0 < s["z_files"][0] < s["z_files"][1]
+    # r11: z-layout lifecycle (append -> maintain -> restore, AS-OF)
+    assert s["z_maintained"] is True
+    assert s["z_v1_rows"] == s["z_v0_rows"] + 2000
+    assert s["z_live_equals_v0"] is True
+    assert s["z_history"] == [(0, "build"), (1, "append"),
+                              (2, "maintain"), (3, "restore")]
