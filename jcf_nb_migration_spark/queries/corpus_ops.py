@@ -553,11 +553,21 @@ def linkgraph_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     rediscoveries. Rows are bounded by nodes x depth, never by path
     count. The DuckDB oracle runs the IDENTICAL recursive SQL over the
     same rare-gram edges. Per-level output: node count + exact sum of
-    doc ids, so a single wrong frontier hop flips the hash."""
+    doc ids, so a single wrong frontier hop flips the hash.
+
+    The edge frame is localCheckpoint'd before entering the recursion:
+    Spark's recursive-CTE executor re-executes the static-side SUBTREE
+    at every level and does NOT consult the persist cache (measured at
+    the 10x-derived point r11: raw 38.7 s, persist() 44.2 s,
+    localCheckpoint 4.5 s — the whole rare-gram derivation was being
+    re-run per level), so an RDD-backed materialization, the same
+    idiom the SSSP/CC loops use, is the only shape that makes each
+    level cost frontier⋈edges."""
     docs = spread(t(spark, sf_dir, "documents"))
     pairs = _rare_gram_pairs(docs)
     edges = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        pairs.select(F.col("v").alias("u"),
+                     F.col("u").alias("v"))).localCheckpoint()
     return spark.sql(
         f"""
         WITH RECURSIVE reach(node, dist) AS (
