@@ -411,12 +411,14 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     combiner restructure (VERDICT r10 item 7): the per-node SHARE
     (pr·85 div 100·outdeg — identical for every out-edge of u) is
     computed in a NODE-SIZED join with the persisted degree table
-    BEFORE touching edges, and the edge table is persisted
-    PRE-PARTITIONED on u at the session's shuffle-partition count, so
-    Catalyst's EnsureRequirements reuses its layout every iteration —
-    the only per-iteration data movement is node-sized (shares in,
-    map-side-combined partial sums out); the edge-sized exchange is
-    paid once for all {PR_ITERS} iterations. Ranks are BIGINT
+    BEFORE touching edges, so each iteration's edge join carries one
+    narrow (u, share) row per node instead of (pr, outdeg) per EDGE —
+    the per-iteration shuffle input drops from edge-width to
+    node-sized, and the edge derivation is persisted once for all
+    {PR_ITERS} iterations. (Pre-partitioning the cached edge table on
+    u was measured a wash — AQE's cached-plan handling re-exchanges
+    regardless, A/B'd at the 10x-derived point r11, 11.6 s vs 11.5 s —
+    so the code keeps the simpler shape.) Ranks are BIGINT
     micro-units (scale {PR_SCALE}); integer floor division (`div` /
     `//`) is identical in both engines for the positive operands here,
     so cross-engine equality is exact — no float tolerance. At
@@ -427,10 +429,8 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _rare_gram_pairs(docs)
     edges = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # edge-sized shuffle paid ONCE: every iteration's join on u then
-    # reuses this hash layout (no per-iteration edge exchange)
-    ed = edges.repartition(n_shuffle, "u").persist()
+    # edge derivation paid ONCE for all iterations
+    ed = edges.persist()
     deg = (ed.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
            .persist())
     ranks = deg.select(F.col("u").alias("node"),

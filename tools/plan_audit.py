@@ -163,6 +163,21 @@ COMMENTARY = {
         "O(log^{d-1} n) expected for random data, 53 rows at "
         "sf0.01). The scan reads only (doc_id, text) and the "
         "dims compute in codegen before the pandas kernel."),
+    "semantic_decontamination_ann": (
+        "ANN-gated semantic decontamination (r11): the bench side is "
+        "IVF-indexed (k-means trained on the bench subset, driver-"
+        "held centroids become a codegen'd argmax — no crossJoin), "
+        "each corpus vector explodes into its nprobe=2 nearest "
+        "clusters (narrow pass) and equi-joins the BROADCAST "
+        "assigned bench on cluster — per-vector work is probed-"
+        "cluster mass, not |bench|; one per-vector top-1 window."),
+    "linkgraph_pagerank": (
+        "PageRank with the r11 combiner restructure: per-node share "
+        "computed in a node-sized join with the persisted degree "
+        "table, so each iteration's edge join carries one narrow "
+        "(u, share) row per node instead of (pr, outdeg) per edge; "
+        "the edge derivation persists once for all iterations, and "
+        "the groupBy(v) sum is map-side combined."),
     "lineitem_zorder_pruned": (
         "Z-ordered layout + file-stats pruning (r10; manifest-table "
         "redesign r11): the layout build (Morton key in pure Catalyst "
