@@ -405,4 +405,8 @@ COVERED_BY: dict[str, str] = {
     #   window + cohort-grid rollup
     "nation_market_share": "nation_trade_volume",  # broadcast-dim star
     #   join + share-of-total agg
+    # --- r11 additions (registered local-only from birth) -----------
+    "lineitem_zorder_asof": "lineitem_zorder_pruned",  # same layout
+    #   build + manifest-pruned scan; the AS-OF/versioning machinery
+    #   is additionally pinned by tests/test_zorder.py
 }

@@ -754,3 +754,91 @@ def lineitem_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_orderkey").alias("sum_okey"),
         F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
         F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"))
+
+
+ZO_AS_OF_MOD = 97   # deterministic append-batch selector
+
+
+@query(
+    "lineitem_zorder_asof",
+    oracle=f"""
+    WITH batch AS (
+        SELECT l_orderkey + 50000000 AS l_orderkey,
+               l_partkey, l_suppkey, l_quantity, l_extendedprice
+        FROM lineitem WHERE l_orderkey % {ZO_AS_OF_MOD} = 1
+    ),
+    live AS (
+        SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_partkey, l_suppkey FROM batch
+    ),
+    v0 AS (SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem)
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM v0
+         WHERE l_partkey BETWEEN {ZO_PART[0]} AND {ZO_PART[1]}
+           AND l_suppkey BETWEEN {ZO_SUPP[0]} AND {ZO_SUPP[1]})
+            AS n_rows_v0,
+        (SELECT CAST(COALESCE(SUM(l_orderkey), 0) AS BIGINT) FROM v0
+         WHERE l_partkey BETWEEN {ZO_PART[0]} AND {ZO_PART[1]}
+           AND l_suppkey BETWEEN {ZO_SUPP[0]} AND {ZO_SUPP[1]})
+            AS sum_okey_v0,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM live
+         WHERE l_partkey BETWEEN {ZO_PART[0]} AND {ZO_PART[1]}
+           AND l_suppkey BETWEEN {ZO_SUPP[0]} AND {ZO_SUPP[1]})
+            AS n_rows_live,
+        (SELECT CAST(COALESCE(SUM(l_orderkey), 0) AS BIGINT) FROM live
+         WHERE l_partkey BETWEEN {ZO_PART[0]} AND {ZO_PART[1]}
+           AND l_suppkey BETWEEN {ZO_SUPP[0]} AND {ZO_SUPP[1]})
+            AS sum_okey_live,
+        CAST(2 AS BIGINT) AS n_versions
+    """,
+    tags=("layout", "zorder", "time-travel", "serving"),
+    # build→append→as-of lifecycle; the snapshot machinery is pinned
+    # by tests/test_zorder.py and the pruned-scan family stays
+    # driver-visible via lineitem_zorder_pruned (same module)
+    driver_visible=False,
+)
+def lineitem_zorder_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the z-ordered layout (io/zorder versioning,
+    r11): build the layout (v0), append a deterministic batch (v1,
+    ledgered), then read BOTH versions under the same two-column range
+    predicate — AS OF v0 must see exactly the pre-append rows while
+    the live scan sees base ∪ batch, and the commit log must record
+    exactly two versions. The oracle recomputes both snapshots from
+    the base table and the same deterministic batch, so a manifest
+    that leaks appended files into v0 (or loses them from v1) flips
+    the hash — the cross-engine twin of tests/test_zorder.py's
+    AS-OF pins. Mirrors docstore_as_of_fetch for the z-layout."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.zorder import (append_zordered,
+                                                  write_zordered,
+                                                  zorder_history,
+                                                  zordered_scan)
+
+    cols = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice"]
+    li = t(spark, sf_dir, "lineitem").select(*cols)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), "jcf_zorder_asof",
+                        spark.sparkContext.applicationId, tag)
+    write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=16)
+    batch = (li.where(F.col("l_orderkey") % ZO_AS_OF_MOD == 1)
+             .withColumn("l_orderkey",
+                         F.col("l_orderkey") + 50_000_000)
+             .select(*cols))
+    append_zordered(batch, path, batch_id="zo-asof-1")
+    ranges = {"l_partkey": ZO_PART, "l_suppkey": ZO_SUPP}
+
+    def agg(df, suffix):
+        return df.agg(
+            F.count(F.lit(1)).alias(f"n_rows_{suffix}"),
+            F.coalesce(F.sum("l_orderkey"), F.lit(0).cast("bigint"))
+            .alias(f"sum_okey_{suffix}"))
+
+    v0 = agg(zordered_scan(spark, path, ranges, version=0), "v0")
+    live = agg(zordered_scan(spark, path, ranges), "live")
+    nv = zorder_history(spark, path).agg(
+        F.count(F.lit(1)).alias("n_versions"))
+    return v0.crossJoin(live).crossJoin(nv)
