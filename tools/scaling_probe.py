@@ -74,7 +74,10 @@ DEFAULT = ["minhash_lsh_dedup", "decontaminate_ngrams", "dedup_exact",
            # r10 cont. 6: SSSP / skyline / time travel / z-order
            "linkgraph_khop_sssp", "doc_pareto_frontier",
            "docstore_as_of_fetch", "docstore_change_feed",
-           "lineitem_zorder_pruned"]
+           "lineitem_zorder_pruned",
+           # r11 additions
+           "semantic_decontamination_ann", "lineitem_zorder_asof",
+           "media_perceptual_dedup"]
 
 # the bench headline set (VERDICT r6 item 5: full three-point table)
 HEADLINE = ["asof_click_before_error", "ann_brute_force_topk",
