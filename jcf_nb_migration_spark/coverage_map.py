@@ -409,4 +409,7 @@ COVERED_BY: dict[str, str] = {
     "lineitem_zorder_asof": "lineitem_zorder_pruned",  # same layout
     #   build + manifest-pruned scan; the AS-OF/versioning machinery
     #   is additionally pinned by tests/test_zorder.py
+    "semantic_decon_ann_recall": "semantic_decontamination_ann",  # runs
+    #   the two visible screens and full-outer-compares their bounded
+    #   flag sets — no new corpus-scale plan
 }

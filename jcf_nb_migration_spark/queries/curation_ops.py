@@ -1717,6 +1717,97 @@ def semantic_decontamination_ann(spark: SparkSession,
             .orderBy("vec_id"))
 
 
+@query(
+    "semantic_decon_ann_recall",
+    oracle=None,  # set below — composes the two variants' oracles
+    tags=("curation", "decontamination", "semantic", "ann", "recall",
+          "composed"),
+    driver_visible=False,
+    # same two plans as semantic_decontamination (visible) +
+    # semantic_decontamination_ann (visible); this query only
+    # full-outer-compares their bounded flag sets
+)
+def semantic_decon_ann_recall(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """RECALL REPORT for the ANN-gated decontamination — the diff the
+    two variants' docstrings promise: run the exact screen and the
+    IVF-shortlisted screen, compare their flagged (vec_id) sets, and
+    report flag counts, hits, misses, and recall. nprobe trades recall
+    for per-vector work; this query makes that trade a measured,
+    oracle-checked number instead of a docstring claim (at the shipped
+    nprobe={SEMDECON_NPROBE}/8 the fixture recall is 100% at sf0.01 —
+    the probed-cluster mass covers every >=tau match — and the report
+    is where a tighter budget would show its cost). Both inputs are
+    flag-set-bounded, so the comparison is a join of two small frames;
+    the corpus-scale work is the two screens themselves, whose plans
+    are pinned by their own queries. A false positive is structurally
+    impossible (the ANN screen scores a SUBSET of exact's candidate
+    pairs with the same threshold), so the report has no fp column —
+    n_ann <= n_exact always; the pytest oracle checks equality
+    anyway via the full-outer join shape."""
+    exact = semantic_decontamination(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("_e"))
+    ann = semantic_decontamination_ann(spark, sf_dir).select(
+        "vec_id", F.lit(1).alias("_a"))
+    j = exact.join(ann, "vec_id", "full_outer")
+    return j.agg(
+        F.sum("_e").cast("bigint").alias("n_exact"),
+        F.sum("_a").cast("bigint").alias("n_ann"),
+        F.sum(F.when(F.col("_e").isNotNull()
+                     & F.col("_a").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_common"),
+        F.sum(F.when(F.col("_a").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_missed"),
+        F.round(
+            F.sum(F.when(F.col("_e").isNotNull()
+                         & F.col("_a").isNotNull(), 1).otherwise(0))
+            / F.sum("_e"), 9).alias("recall"))
+
+
+def _recall_oracle() -> str:
+    """Compose the two variants' oracle texts as parenthesized
+    subqueries (each carries its own WITH chain; wrapping avoids CTE
+    name collisions between the two k-means replays)."""
+    from jcf_nb_migration_spark.registry import get
+
+    exact_sql = get("semantic_decontamination").oracle
+    ann_sql = get("semantic_decontamination_ann").oracle
+    return f"""
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ({exact_sql}) e)
+            AS n_exact,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM ({ann_sql}) a)
+            AS n_ann,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM ({exact_sql}) e JOIN ({ann_sql}) a USING (vec_id))
+            AS n_common,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM ({exact_sql}) e
+         WHERE e.vec_id NOT IN (SELECT vec_id FROM ({ann_sql}) a))
+            AS n_missed,
+        (SELECT ROUND(
+            CAST((SELECT COUNT(*) FROM ({exact_sql}) e
+                  JOIN ({ann_sql}) a USING (vec_id)) AS DOUBLE)
+            / (SELECT COUNT(*) FROM ({exact_sql}) e), 9))
+            AS recall
+    """
+
+
+# late-bind the composed oracle (the registry entry was created with
+# oracle=None above; both component oracles exist by now)
+def _bind_recall_oracle() -> None:
+    from dataclasses import replace
+
+    from jcf_nb_migration_spark import registry as _reg
+
+    q = _reg._REGISTRY["semantic_decon_ann_recall"]
+    _reg._REGISTRY["semantic_decon_ann_recall"] = replace(
+        q, oracle=_recall_oracle())
+
+
+_bind_recall_oracle()
+
+
 TOPIC_TOPK = 5        # distinctive terms reported per cluster
 TOPIC_MIN_TF = 5      # corpus support floor (kills hapax noise)
 
