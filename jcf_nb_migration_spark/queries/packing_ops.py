@@ -73,9 +73,7 @@ def _sql_h48(expr: str) -> str:
     FROM x
     """,
     tags=("assembly", "packing", "prefix-sum"),
-    # kept local to fit the 50-name driver window; the bounded-window +
-    # explode pattern is driver-visible via user_hourly_resample and
-    # event_sessionization
+    # bounded-window + explode pattern; plan-guarded in test_plans
     driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,8 +216,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY source, split
     """,
     tags=("assembly", "split", "hash"),
-    # kept local to fit the 50-name driver window; md5-keyed routing is
-    # driver-visible via dedup_exact and stratified sampling patterns
+    # md5-keyed deterministic routing family
     driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -714,9 +714,8 @@ ZO_SUPP = (2, 6)    # l_suppkey range
       AND l_suppkey BETWEEN {ZO_SUPP[0]} AND {ZO_SUPP[1]}
     """,
     tags=("layout", "zorder", "multi-dim", "pruning", "serving"),
-    # layout-build-then-pruned-serve pattern driver-visible via
-    # cobucketed_order_revenue; the pruning mechanics are pinned by
-    # tests/test_zorder.py (file-count evidence)
+    # layout-build-then-pruned-serve pattern; the pruning mechanics
+    # are pinned by tests/test_zorder.py (file-count evidence)
     driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
 )
 def lineitem_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
