@@ -634,3 +634,14 @@ def test_zorder_scan_reads_only_surviving_files(spark, tmp_path):
     assert 0 < surv < total
     touched = files_touched(zordered_scan(spark, path, ranges))
     assert touched["files"] == surv
+
+
+def test_ann_decontamination_is_equi_join_not_fold(spark):
+    """semantic_decontamination_ann (r11): the ANN-gated screen must
+    score via the cluster EQUI-join against the broadcast assigned
+    bench — never a per-bench-vector fold (the exact variant's
+    legitimate broadcast nested loop) and never a cartesian."""
+    plan = plan_of(spark, "semantic_decontamination_ann")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
