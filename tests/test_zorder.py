@@ -354,3 +354,26 @@ def test_zorder_vacuum_retention(spark, tmp_path):
     assert _rows(zordered_as_of(spark, path, 2)) == exp_all
     with _pytest.raises(ValueError, match="no version 0"):
         zordered_as_of(spark, path, 0)
+
+
+def test_three_column_zorder_prunes_each_dimension(spark, tmp_path):
+    """bits x n_cols <= 63 admits 3 columns at 16 bits; a slice on ANY
+    single dimension of a 3-D curve must still exclude files, and the
+    scan stays exact under a 3-way conjunctive box."""
+    rng = random.Random(17)
+    rows = [(i, rng.randint(0, 999), rng.randint(0, 999),
+             rng.randint(0, 999)) for i in range(30000)]
+    df = spark.createDataFrame(rows, "id bigint, a bigint, b bigint, "
+                                     "c bigint")
+    path = str(tmp_path / "z3")
+    write_zordered(df, path, ["a", "b", "c"], n_files=32, bits=16)
+    _, total = zordered_file_count(spark, path, {"a": (0, 999)})
+    for col in ("a", "b", "c"):
+        surv, _ = zordered_file_count(spark, path, {col: (0, 99)})
+        assert surv < total, (col, surv, total)
+    box = {"a": (0, 299), "b": (300, 599), "c": (600, 999)}
+    got = sorted(r["id"] for r in zordered_scan(spark, path, box)
+                 .collect())
+    exp = sorted(r["id"] for r in df.where(
+        "a <= 299 and b between 300 and 599 and c >= 600").collect())
+    assert got == exp
