@@ -219,16 +219,21 @@ def _check_ranges(ranges: dict, cols: list[str]) -> None:
 
 
 def _pruned_files(spark: SparkSession, path: str, ranges: dict,
-                  version: int | None = None) -> tuple[list[str], int]:
+                  version: int | None = None,
+                  count_total: bool = False) -> tuple[list[str], int]:
     """(surviving basenames, total files) for a conjunctive range
     predicate, pruned DISTRIBUTIVELY: the manifest is a DataFrame, the
     keep-condition a Catalyst filter, and only survivors are collected
     (bounded by selectivity, never the corpus). NULL min/max — a file
-    whose z-column is entirely NULL — never prunes (unknown ⇒ keep)."""
+    whose z-column is entirely NULL — never prunes (unknown ⇒ keep).
+    ``count_total`` adds the denominator job the pruning-evidence API
+    needs; the serve path skips it (one manifest job per scan, not
+    two) and the version JSON's segment counts stand in."""
     man = _read_version(path, version)
     _check_ranges(ranges, man["cols"])
     mdf = _manifest_df(spark, path, man)
-    total = mdf.count()
+    total = (mdf.count() if count_total
+             else sum(s["n_files"] for s in man["segments"]))
     keep = F.lit(True)
     for c, (lo, hi) in ranges.items():
         if lo is not None:
@@ -506,6 +511,9 @@ def zordered_file_count(spark: SparkSession, path: str,
     evidence the tests and probes assert on, without reading data.
     Shares _pruned_files with the scan path, so the evidence and the
     behavior cannot drift (ADVICE r10: the old separate loop skipped
-    the stats-less-column validation)."""
-    survivors, total = _pruned_files(spark, path, ranges)
+    the stats-less-column validation). count_total recomputes the
+    denominator from the manifest table itself (evidence should not
+    trust the version JSON's cached counts)."""
+    survivors, total = _pruned_files(spark, path, ranges,
+                                     count_total=True)
     return len(survivors), total
