@@ -74,7 +74,13 @@ N_SEEDS = 3      # near-dup payloads seeded into the corpus (both
 #   a 0-row oracle equality proves only that both engines found
 #   nothing (VERDICT r10 item 4). Seeds: an exact payload copy
 #   (Hamming 0 by construction) and a one-byte mutation of each of
-#   the N_SEEDS smallest doc_ids.
+#   the N_SEEDS smallest doc_ids. Seed offsets are 1e12/2e12 —
+#   far above every fixture's id space INCLUDING the derived
+#   replica fixtures (whose replicas offset ids by k*1e7; a 1e7 seed
+#   offset collided with replica ids there, and duplicate doc_ids
+#   make the banded path — which dedups candidate pairs by id — and
+#   the all-pairs oracle count different pair multisets; caught by
+#   the r11 derived-fixture sweep).
 
 _SQL_SEEDED_CORPUS = f"""
     seeds AS (
@@ -83,9 +89,9 @@ _SQL_SEEDED_CORPUS = f"""
     corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 10000000, text FROM seeds
+        SELECT doc_id + 1000000000000, text FROM seeds
         UNION ALL
-        SELECT doc_id + 20000000, 'Z' || substr(text, 2) FROM seeds
+        SELECT doc_id + 2000000000000, 'Z' || substr(text, 2) FROM seeds
     )"""
 
 
@@ -178,10 +184,10 @@ def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = base.orderBy("doc_id").limit(N_SEEDS)
     corpus = (base
               .unionByName(seeds.select(
-                  (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                  (F.col("doc_id") + 1_000_000_000_000).alias("doc_id"),
                   "text"))
               .unionByName(seeds.select(
-                  (F.col("doc_id") + 20_000_000).alias("doc_id"),
+                  (F.col("doc_id") + 2_000_000_000_000).alias("doc_id"),
                   F.concat(F.lit("Z"), F.expr("substring(text, 2)"))
                   .alias("text"))))
     docs = corpus.where(F.length("text") > 0)

@@ -1507,8 +1507,15 @@ _SQL_TT_STATES = f"""mx AS (SELECT MAX(doc_id) AS m FROM documents),
                   WHERE doc_id % {TT_UP_MOD} <> {TT_UP_REM}
     ),
     v2 AS (
+        -- the delete request draws its ids from the BASE docs (the
+        -- Spark side collects them from `documents`), so the modular
+        -- predicate must not reach the inserted max+1 row — at the
+        -- derived sf0.3 fixture (max+1) % {TT_DEL_MOD} happens to hit
+        -- the residue and the old v1-wide predicate wrongly dropped
+        -- it (caught by the r11 derived-fixture sweep)
         SELECT * FROM v1
-        WHERE doc_id % {TT_DEL_MOD} <> {TT_DEL_REM}
+        WHERE doc_id NOT IN (SELECT doc_id FROM documents
+                             WHERE doc_id % {TT_DEL_MOD} = {TT_DEL_REM})
           AND doc_id <> (SELECT m + 2 FROM mx)
     )"""
 
