@@ -762,7 +762,7 @@ ZO_AS_OF_MOD = 97   # deterministic append-batch selector
     "lineitem_zorder_asof",
     oracle=f"""
     WITH batch AS (
-        SELECT l_orderkey + 50000000 AS l_orderkey,
+        SELECT l_orderkey + 1000000000000 AS l_orderkey,
                l_partkey, l_suppkey, l_quantity, l_extendedprice
         FROM lineitem WHERE l_orderkey % {ZO_AS_OF_MOD} = 1
     ),
@@ -825,7 +825,7 @@ def lineitem_zorder_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_zordered(li, path, ["l_partkey", "l_suppkey"], n_files=16)
     batch = (li.where(F.col("l_orderkey") % ZO_AS_OF_MOD == 1)
              .withColumn("l_orderkey",
-                         F.col("l_orderkey") + 50_000_000)
+                         F.col("l_orderkey") + 1_000_000_000_000)
              .select(*cols))
     append_zordered(batch, path, batch_id="zo-asof-1")
     ranges = {"l_partkey": ZO_PART, "l_suppkey": ZO_SUPP}
