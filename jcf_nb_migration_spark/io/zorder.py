@@ -155,19 +155,27 @@ def _read_version(path: str, version: int | None) -> dict:
 
 def _commit_version(path: str, op: str, cols: list[str], ddl: str,
                     segments: list[dict],
-                    batch_id=None) -> int:
+                    batch_id=None, n_appended: int | None = None) -> int:
     """Write the next version JSON naming the manifest segments that
     compose the snapshot. Atomic tmp-then-rename; called AFTER the
     segment parquet (and its data files) are fully in place, so a
     crash before the rename leaves the previous version current and
-    only unreferenced files behind (retired by zorder_vacuum)."""
+    only unreferenced files behind (retired by zorder_vacuum).
+    ``n_appended`` records the unsorted-file count the maintain gate
+    reads; None derives it from the segment kinds (correct everywhere
+    except after a manifest rewrite, which merges kinds and must carry
+    the count explicitly)."""
     vdir = _versions_dir(path)
     os.makedirs(vdir, exist_ok=True)
     existing = _list_versions(path)
     version = (existing[-1] + 1) if existing else 0
+    if n_appended is None:
+        n_appended = sum(s["n_files"] for s in segments
+                         if s["kind"] == "append")
     doc = {"version": version, "op": op,
            "batch_id": None if batch_id is None else str(batch_id),
-           "cols": cols, "ddl": ddl, "segments": segments}
+           "cols": cols, "ddl": ddl, "segments": segments,
+           "n_appended": n_appended}
     tmp = _version_path(path, version) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
@@ -342,8 +350,9 @@ def zorder_maintain(spark: SparkSession, path: str,
     is untouched: a batch committed before the re-layout stays
     committed. Returns True when a re-layout ran."""
     man = _read_version(path, None)
-    n_app = sum(s["n_files"] for s in man["segments"]
-                if s["kind"] == "append")
+    n_app = man.get("n_appended",
+                    sum(s["n_files"] for s in man["segments"]
+                        if s["kind"] == "append"))
     total = sum(s["n_files"] for s in man["segments"])
     if total == 0 or n_app / total <= max_appended_frac:
         return False
@@ -382,7 +391,31 @@ def zorder_restore(spark: SparkSession, path: str, version: int) -> int:
             f"{len(missing)} of its files were vacuumed — e.g. "
             f"{[os.path.basename(m) for m in missing[:3]]}")
     return _commit_version(path, "restore", man["cols"], man["ddl"],
-                           man["segments"], batch_id=f"to-v{version}")
+                           man["segments"], batch_id=f"to-v{version}",
+                           n_appended=man.get("n_appended"))
+
+
+def zorder_rewrite_manifests(spark: SparkSession, path: str) -> bool:
+    """Manifest-only compaction (Iceberg's ``rewrite_manifests``): a
+    long append chain leaves one manifest segment per batch, so every
+    scan's manifest read opens one parquet file per append. This
+    merges the CURRENT version's segments into ONE (data files
+    untouched — the new segment lists the same file set) and commits
+    it as a new version, restoring O(1)-file manifest reads without
+    paying a re-layout. The maintain gate's appended-file count is
+    carried explicitly (the merged segment can't express per-file
+    kind), so fragmentation accounting survives the rewrite. No-op
+    (returns False) when the current version is already
+    single-segment."""
+    man = _read_version(path, None)
+    if len(man["segments"]) <= 1:
+        return False
+    mdf = _manifest_df(spark, path, man)
+    seg = _write_segment(mdf, path, "merged",
+                         sum(s["n_files"] for s in man["segments"]))
+    _commit_version(path, "rewrite_manifests", man["cols"], man["ddl"],
+                    [seg], n_appended=man.get("n_appended", 0))
+    return True
 
 
 def zorder_history(spark: SparkSession, path: str) -> DataFrame:

@@ -377,3 +377,47 @@ def test_three_column_zorder_prunes_each_dimension(spark, tmp_path):
     exp = sorted(r["id"] for r in df.where(
         "a <= 299 and b between 300 and 599 and c >= 600").collect())
     assert got == exp
+
+
+def test_rewrite_manifests_merges_segments(spark, tmp_path):
+    """Manifest-only compaction (r11): after N appends the current
+    version references N+1 segments; zorder_rewrite_manifests merges
+    them into one WITHOUT touching data files — scans identical,
+    pruning evidence identical, older versions still readable, and
+    the maintain gate's appended-count survives the merge (a rewrite
+    must not suppress a due re-layout)."""
+    from jcf_nb_migration_spark.io.zorder import (
+        _read_version,
+        append_zordered,
+        zorder_maintain,
+        zorder_rewrite_manifests,
+        zordered_as_of,
+    )
+
+    df = _frame(spark, n=4000)
+    path = str(tmp_path / "zm")
+    write_zordered(df, path, ["a", "b"], n_files=8)
+    everything = df
+    for i in range(1, 4):
+        b = _frame(spark, n=400, seed=50 + i).selectExpr(
+            f"id + {i} * 1000000 as id", "a", "b", "payload")
+        append_zordered(b, path, batch_id=i)
+        everything = everything.unionByName(b)
+    man = _read_version(path, None)
+    assert len(man["segments"]) == 4
+    ranges = {"a": (0, 2999), "b": (0, 2999)}
+    before_rows = _rows(zordered_scan(spark, path, ranges))
+    before_counts = zordered_file_count(spark, path, ranges)
+    assert zorder_rewrite_manifests(spark, path) is True       # v4
+    assert zorder_rewrite_manifests(spark, path) is False      # no-op
+    man2 = _read_version(path, None)
+    assert len(man2["segments"]) == 1
+    assert _rows(zordered_scan(spark, path, ranges)) == before_rows
+    assert zordered_file_count(spark, path, ranges) == before_counts
+    assert _rows(zordered_scan(spark, path, ranges)) == _rows(
+        everything.where("a <= 2999 and b <= 2999"))
+    # pre-rewrite versions still resolve
+    assert zordered_as_of(spark, path, 1).count() == 4400
+    # appended-count carried: the maintain gate still fires
+    assert man2["n_appended"] == man["n_appended"] > 0
+    assert zorder_maintain(spark, path, max_appended_frac=0.01) is True
