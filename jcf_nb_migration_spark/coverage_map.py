@@ -372,6 +372,9 @@ COVERED_BY: dict[str, str] = {
     #   postings probe, term filter vs batched terms
     "bm25_top_docs_served": "bm25_batch_served",  # N=1 case of the
     #   batched bucket-pruned BM25 probe
+    "bm25_snapshot_served": "bm25_tombstone_served",  # same
+    #   delete→probe serving pattern, plus the snapshot/restore
+    #   commit-point lifecycle around the vacuum
     "cogroup_asof_pandas": "orders_pit_customer_join",  # as-of pick
     #   over keyed ordered feeds (cogrouped pandas vs PIT join); the
     #   batched-python surface stays visible via arrow_doc_stats

@@ -455,7 +455,13 @@ def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
         spark, table, path, POSTINGS_SUBDIR, "tok", num_buckets,
         parallelism,
         lambda: lexical_index_attach(spark, prefix, path, num_buckets),
-        frame=live)
+        frame=live, retire=_postings_retire(path))
+    # Under snapshots the sidecars COW-retire like the postings: the
+    # stats rows being replaced and the tombstones being cleared are
+    # exactly what a commit point's scoring state consists of.
+    if _has_snapshots(path):
+        _retire_surface_dir(path, os.path.join(path, STATS_SUBDIR),
+                            STATS_SUBDIR)
     # One consolidated stats row replacing the whole sidecar; the
     # epoch tag makes post-vacuum artifacts self-describing.
     (spark.createDataFrame(
@@ -463,8 +469,12 @@ def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
         "batch_id string, n_docs bigint, sum_dl bigint")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, STATS_SUBDIR)))
-    shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
-                  ignore_errors=True)
+    if _has_snapshots(path):
+        _retire_surface_dir(path, os.path.join(path, TOMBSTONES_SUBDIR),
+                            TOMBSTONES_SUBDIR)
+    else:
+        shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
+                      ignore_errors=True)
     return {"reclaimed_docs": n_dead, "reclaimed_postings": n_postings}
 
 
@@ -606,7 +616,8 @@ def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
     return _compact_bucketed_table(
         spark, table, path, POSTINGS_SUBDIR, "tok", num_buckets,
         parallelism,
-        lambda: lexical_index_attach(spark, prefix, path, num_buckets))
+        lambda: lexical_index_attach(spark, prefix, path, num_buckets),
+        retire=_postings_retire(path))
 
 
 def lexical_index_maintain(spark: SparkSession, prefix: str, path: str,
@@ -995,3 +1006,257 @@ def bm25_batch_probe(spark: SparkSession, prefix: str, path: str,
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k).drop("rn")
             .orderBy("query_id", F.desc("bm25"), "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Commit points (snapshots) — Lucene's SnapshotDeletionPolicy for the
+# serving index (the r11 unification of the lakehouse commit protocol:
+# docstore manifests, z-order versions, and now the serving index all
+# retire superseded files instead of deleting them once a reader holds
+# a reference).
+#
+# A SNAPSHOT records the exact parquet file lists of the three index
+# surfaces (postings / stats / tombstones) at a commit point. From
+# then on, any operation that would DESTROY a referenced file —
+# compact and vacuum rewrite postings wholesale; vacuum also replaces
+# the stats sidecar and clears tombstones — RETIRES the superseded
+# files into ``path/_history/<surface>/`` instead (file-level COW,
+# the docstore's _retire_files model). Appends and deletes are already
+# additive, so they never invalidate a snapshot.
+#
+# Spark part-file names embed a job UUID, so a basename lives in
+# exactly one of the live dir or _history — resolution is a two-place
+# lookup and files MOVE between the places, never copy.
+#
+# - ``lexical_index_snapshot``  — record a commit point (O(#files)
+#   driver metadata; no data read — Lucene snapshots are file-list
+#   captures, not copies).
+# - ``lexical_index_restore``   — make a snapshot the live state:
+#   displaced live files retire to history (later snapshots keep
+#   resolving them), referenced files move back from history, the
+#   catalog entry is re-registered. O(changed files) renames.
+# - ``lexical_snapshot_vacuum`` — retention: drop unneeded snapshots
+#   and physically reclaim history files no kept snapshot references.
+#
+# Scope: the BM25 index surfaces at ``path`` (postings/stats/
+# tombstones). The positional index is a sibling layout with its own
+# dirs; give it the same treatment if a deployment needs phrase-probe
+# time travel. The append ledger is delivery bookkeeping, not state:
+# a restore does NOT reopen replayed batch ids (same contract as
+# docstore_restore — the mutation log is append-only history).
+#
+# Local-FS file moves, like the ledger and meta — on HDFS/S3 route
+# through the FileSystem API or a transactional table format.
+# ---------------------------------------------------------------------------
+
+SNAPSHOTS_SUBDIR = "_snapshots"
+HISTORY_SUBDIR = "_history"
+_SNAP_SURFACES = (POSTINGS_SUBDIR, STATS_SUBDIR, TOMBSTONES_SUBDIR)
+
+
+def _snap_dir(path: str) -> str:
+    return os.path.join(path, SNAPSHOTS_SUBDIR)
+
+
+def _snap_path(path: str, sid: int) -> str:
+    return os.path.join(_snap_dir(path), f"s{sid:05d}.json")
+
+
+def _list_snapshots(path: str) -> list[int]:
+    d = _snap_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(int(f[1:6]) for f in os.listdir(d)
+                  if re.fullmatch(r"s\d{5}\.json", f))
+
+
+def _has_snapshots(path: str) -> bool:
+    return bool(_list_snapshots(path))
+
+
+def _live_parquet(path: str, surface: str) -> list[str]:
+    d = os.path.join(path, surface)
+    if not os.path.isdir(d):
+        return []
+    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def _history_dir(path: str, surface: str) -> str:
+    return os.path.join(path, HISTORY_SUBDIR, surface)
+
+
+def _retire_surface_dir(path: str, src_dir: str, surface: str) -> None:
+    """Move every parquet file of ``src_dir`` into the surface's
+    history store, then drop the dir (non-parquet residue like
+    _SUCCESS markers carries no data). Passed as the ``retire`` hook
+    to _compact_bucketed_table when snapshots exist."""
+    import shutil
+
+    hist = _history_dir(path, surface)
+    os.makedirs(hist, exist_ok=True)
+    if os.path.isdir(src_dir):
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet"):
+                os.replace(os.path.join(src_dir, f),
+                           os.path.join(hist, f))
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def _postings_retire(path: str):
+    """The ``retire`` hook compact/vacuum pass to
+    _compact_bucketed_table: COW-retirement once any snapshot holds a
+    reference, plain deletion (the pre-snapshot behavior, no history
+    accretion) otherwise."""
+    if not _has_snapshots(path):
+        return None
+    return lambda old_dir: _retire_surface_dir(path, old_dir,
+                                               POSTINGS_SUBDIR)
+
+
+def _read_snapshot(path: str, sid: int) -> dict:
+    import json
+
+    sp = _snap_path(path, sid)
+    if not os.path.exists(sp):
+        raise ValueError(
+            f"index at {path} has no snapshot {sid} "
+            f"(available: {_list_snapshots(path)} — vacuumed or never "
+            "taken)")
+    with open(sp) as fh:
+        return json.load(fh)
+
+
+def lexical_index_snapshot(spark: SparkSession, prefix: str, path: str,
+                           num_buckets: int = 8, note: str = "") -> int:
+    """Record a commit point over the live index state and return its
+    snapshot id. Pure driver metadata: the file lists of the three
+    surfaces, the bucket count (restore validates it — a snapshot is
+    only meaningful against the layout it captured), and a caller
+    note. Atomic via tmp+rename, like every manifest writer here."""
+    import json
+
+    prefix = _checked_prefix(prefix)
+    _require_bucketed_table(spark, f"{prefix}_postings", num_buckets,
+                            path, "lexical_index_build",
+                            POSTINGS_SUBDIR)
+    snaps = _list_snapshots(path)
+    sid = (snaps[-1] + 1) if snaps else 0
+    doc = {"snapshot": sid, "note": note, "num_buckets": num_buckets,
+           "files": {s: _live_parquet(path, s)
+                     for s in _SNAP_SURFACES}}
+    os.makedirs(_snap_dir(path), exist_ok=True)
+    tmp = _snap_path(path, sid) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, _snap_path(path, sid))
+    return sid
+
+
+def lexical_index_snapshots(spark: SparkSession, path: str) -> DataFrame:
+    """The index's commit-point log as a frame (the serving twin of
+    docstore_history): one row per live snapshot with its per-surface
+    file counts."""
+    rows = []
+    for sid in _list_snapshots(path):
+        m = _read_snapshot(path, sid)
+        rows.append((sid, m.get("note", ""),
+                     len(m["files"][POSTINGS_SUBDIR]),
+                     len(m["files"][STATS_SUBDIR]),
+                     len(m["files"][TOMBSTONES_SUBDIR])))
+    return spark.createDataFrame(
+        rows or [(None, None, None, None, None)],
+        "snapshot int, note string, n_postings_files int, "
+        "n_stats_files int, n_tombstone_files int"
+    ).where(F.col("snapshot").isNotNull())
+
+
+def lexical_index_restore(spark: SparkSession, prefix: str, path: str,
+                          snapshot_id: int,
+                          num_buckets: int = 8) -> dict:
+    """Make ``snapshot_id`` the live index state, file-level COW:
+    live files the snapshot doesn't reference retire to history
+    (snapshots taken before OR after this one keep resolving them),
+    referenced files move back from history, and the catalog entry is
+    re-registered so the session's file listing can't serve the old
+    set. O(changed files) driver renames — no data pass. Probes after
+    a restore score exactly as they did at the commit point (pinned
+    in tests/test_lexical_snapshot.py). Returns the per-surface move
+    counts."""
+    import shutil
+
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_postings"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "lexical_index_build", POSTINGS_SUBDIR)
+    man = _read_snapshot(path, snapshot_id)
+    if man["num_buckets"] != num_buckets:
+        raise ValueError(
+            f"snapshot {snapshot_id} captured a {man['num_buckets']}-"
+            f"bucket layout but the caller expects {num_buckets}")
+    moves = {}
+    for surface in _SNAP_SURFACES:
+        want = set(man["files"][surface])
+        live_dir = os.path.join(path, surface)
+        hist = _history_dir(path, surface)
+        live = set(_live_parquet(path, surface))
+        os.makedirs(hist, exist_ok=True)
+        for f in sorted(live - want):      # displaced by the restore
+            os.replace(os.path.join(live_dir, f),
+                       os.path.join(hist, f))
+        missing = sorted(want - live)
+        if missing:
+            os.makedirs(live_dir, exist_ok=True)
+        for f in missing:
+            src = os.path.join(hist, f)
+            if not os.path.exists(src):
+                raise ValueError(
+                    f"snapshot {snapshot_id} references "
+                    f"{surface}/{f} which is in neither the live dir "
+                    "nor _history — reclaimed by "
+                    "lexical_snapshot_vacuum?")
+            os.replace(src, os.path.join(live_dir, f))
+        if not want and os.path.isdir(live_dir):
+            # surface absent at the commit point (e.g. no tombstones
+            # yet): an empty live dir would break the sidecar readers
+            shutil.rmtree(live_dir, ignore_errors=True)
+        moves[surface] = {"retired": len(live - want),
+                          "restored": len(missing)}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    lexical_index_attach(spark, prefix, path, num_buckets)
+    return moves
+
+
+def lexical_snapshot_vacuum(spark: SparkSession, path: str,
+                            keep: list[int]) -> dict:
+    """Retention: drop every snapshot not in ``keep`` and physically
+    reclaim history files no kept snapshot references. Live files are
+    never touched — reclamation only ever shrinks ``_history``. The
+    explicit keep-list (rather than an age cutoff) matches
+    docstore_snapshot_vacuum: retention is a policy decision the
+    caller owns."""
+    have = _list_snapshots(path)
+    keep_set = {int(k) for k in keep}
+    missing = keep_set - set(have)
+    if missing:
+        raise ValueError(
+            f"cannot keep nonexistent snapshots {sorted(missing)} "
+            f"(available: {have})")
+    referenced: dict[str, set] = {s: set() for s in _SNAP_SURFACES}
+    for sid in sorted(keep_set):
+        m = _read_snapshot(path, sid)
+        for s in _SNAP_SURFACES:
+            referenced[s].update(m["files"][s])
+    dropped = [sid for sid in have if sid not in keep_set]
+    for sid in dropped:
+        os.remove(_snap_path(path, sid))
+    reclaimed = 0
+    for s in _SNAP_SURFACES:
+        hist = _history_dir(path, s)
+        if not os.path.isdir(hist):
+            continue
+        for f in os.listdir(hist):
+            if f.endswith(".parquet") and f not in referenced[s]:
+                os.remove(os.path.join(hist, f))
+                reclaimed += 1
+    return {"dropped_snapshots": len(dropped),
+            "reclaimed_files": reclaimed}

@@ -1612,3 +1612,82 @@ def docstore_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix, path, _ = _tt_store(spark, sf_dir, "jcf_docstore_cdc")
     return (docstore_version_diff(spark, prefix, path, 0, 2)
             .orderBy("doc_id"))
+
+
+@query(
+    "bm25_snapshot_served",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT 'post_vacuum' AS state, doc_id, n_terms_matched, bm25
+        FROM (
+            WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+                       WHERE doc_id % 5 <> 0),
+            {_sql_bm25_ctes()}
+            SELECT doc_id, n_terms_matched, bm25 FROM bm
+            ORDER BY bm25 DESC, doc_id LIMIT 20
+        )
+        UNION ALL
+        SELECT 'restored' AS state, doc_id, n_terms_matched, bm25
+        FROM (
+            WITH d AS (SELECT doc_id, {_SQL_TOKS} AS w FROM documents),
+            {_sql_bm25_ctes()}
+            SELECT doc_id, n_terms_matched, bm25 FROM bm
+            ORDER BY bm25 DESC, doc_id LIMIT 20
+        )
+    )
+    ORDER BY state, bm25 DESC, doc_id
+    """,
+    tags=("retrieval", "bm25", "serving", "bucketed", "tombstone",
+          "snapshot", "time-travel"),
+    driver_visible=False,
+)
+def bm25_snapshot_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit points on the serving index (io/lexical.py snapshot
+    section — Lucene's SnapshotDeletionPolicy): snapshot the
+    freshly-built index, then run the DESTRUCTIVE maintenance pair
+    (delete every doc_id ≡ 0 mod 5, vacuum — which physically rewrites
+    postings, consolidates stats, and clears tombstones), probe the
+    post-vacuum state, RESTORE the commit point, and probe again. The
+    restored probe must score exactly as the full corpus did at the
+    commit point — the superseded postings/stats files COW-retired to
+    ``_history`` instead of dying with the vacuum. The oracle states
+    both states from the base table: post-vacuum = BM25 over the
+    surviving corpus (vacuum's fresh-build-equivalence contract),
+    restored = BM25 over the full corpus. The collected top-k rows of
+    the first probe are k-bounded by construction (the second probe
+    must not lazily read files the restore displaces)."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.lexical import (
+        bm25_probe, lexical_index_build, lexical_index_delete,
+        lexical_index_restore, lexical_index_snapshot,
+        lexical_index_vacuum)
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"lexsnap_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "jcf_lexical_snap",
+                        spark.sparkContext.applicationId, tag)
+    lexical_index_build(toks, prefix, path, num_buckets=8)
+    sid = lexical_index_snapshot(spark, prefix, path, num_buckets=8,
+                                 note="pre-maintenance")
+    del_ids = [r["doc_id"] for r in
+               docs.where(F.col("doc_id") % 5 == 0)
+               .select("doc_id").collect()]
+    lexical_index_delete(spark, prefix, path, del_ids, num_buckets=8)
+    lexical_index_vacuum(spark, prefix, path, num_buckets=8)
+    live_rows = [(r["doc_id"], r["n_terms_matched"], r["bm25"])
+                 for r in bm25_probe(spark, prefix, path, BM25_TERMS,
+                                     BM25_K1, BM25_B, k=20).collect()]
+    live = (spark.createDataFrame(
+        live_rows, "doc_id bigint, n_terms_matched bigint, bm25 double")
+        .select(F.lit("post_vacuum").alias("state"), "*"))
+    lexical_index_restore(spark, prefix, path, sid, num_buckets=8)
+    restored = (bm25_probe(spark, prefix, path, BM25_TERMS,
+                           BM25_K1, BM25_B, k=20)
+                .select(F.lit("restored").alias("state"), "doc_id",
+                        "n_terms_matched", "bm25"))
+    return (live.unionByName(restored)
+            .orderBy("state", F.desc("bm25"), "doc_id"))

@@ -1,0 +1,155 @@
+"""Commit points (snapshots) on the lexical serving index — Lucene's
+SnapshotDeletionPolicy analog (io/lexical.py snapshot section): a
+snapshot survives appends, deletes, compactions, and vacuums, restores
+bit-identical probe results, and retention reclaims exactly the
+history no kept snapshot references."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions import text as T
+from jcf_nb_migration_spark.io.lexical import (
+    HISTORY_SUBDIR,
+    bm25_probe,
+    lexical_index_append,
+    lexical_index_build,
+    lexical_index_delete,
+    lexical_index_restore,
+    lexical_index_snapshot,
+    lexical_index_snapshots,
+    lexical_index_vacuum,
+    lexical_snapshot_vacuum,
+)
+
+TERMS = ("spark", "window", "merge")
+K1, B = 1.2, 0.75
+
+BASE_DOCS = [
+    (1, "spark window merge alpha"),
+    (2, "spark spark window beta"),
+    (3, "merge merge merge gamma"),
+    (4, "window window spark"),
+    (5, "alpha beta gamma"),
+    (6, "spark merge"),
+]
+NEW_DOCS = [
+    (7, "window merge spark spark"),
+    (8, "spark beta"),
+]
+
+
+def _toks(spark, docs):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return df.select("doc_id", T.tokens("text").alias("w"))
+
+
+def _probe(spark, prefix, path):
+    return sorted(
+        (r["doc_id"], r["n_terms_matched"], r["bm25"])
+        for r in bm25_probe(spark, prefix, path, TERMS, K1, B,
+                            k=20).collect())
+
+
+def _mk(tag):
+    return os.path.join(tempfile.mkdtemp(prefix=f"lexsnap_{tag}_"),
+                        "idx")
+
+
+def test_snapshot_restore_across_append_delete_vacuum(spark):
+    path = _mk("life")
+    prefix = "snaplife"
+    lexical_index_build(_toks(spark, BASE_DOCS), prefix, path,
+                        num_buckets=4)
+    s0 = lexical_index_snapshot(spark, prefix, path, num_buckets=4,
+                                note="post-build")
+    probe_s0 = _probe(spark, prefix, path)
+
+    assert lexical_index_append(_toks(spark, NEW_DOCS), prefix, path,
+                                num_buckets=4, batch_id="b1")
+    s1 = lexical_index_snapshot(spark, prefix, path, num_buckets=4,
+                                note="post-append")
+    probe_s1 = _probe(spark, prefix, path)
+    assert probe_s1 != probe_s0  # the append changed scoring state
+
+    # destructive maintenance: delete two docs, physically reclaim
+    lexical_index_delete(spark, prefix, path, [2, 7], num_buckets=4,
+                         batch_id="d1")
+    stats = lexical_index_vacuum(spark, prefix, path, num_buckets=4)
+    assert stats["reclaimed_docs"] == 2
+    probe_live = _probe(spark, prefix, path)
+
+    # post-vacuum state == fresh build over the surviving corpus
+    ref_path = _mk("ref")
+    survivors = [d for d in BASE_DOCS + NEW_DOCS if d[0] not in (2, 7)]
+    lexical_index_build(_toks(spark, survivors), "snapref", ref_path,
+                        num_buckets=4)
+    assert probe_live == _probe(spark, "snapref", ref_path)
+
+    # vacuum rewrote postings + stats + tombstones, yet both commit
+    # points restore bit-identical probes from _history
+    assert os.path.isdir(os.path.join(path, HISTORY_SUBDIR))
+    moves = lexical_index_restore(spark, prefix, path, s0,
+                                  num_buckets=4)
+    assert moves["postings"]["restored"] > 0
+    assert _probe(spark, prefix, path) == probe_s0
+    lexical_index_restore(spark, prefix, path, s1, num_buckets=4)
+    assert _probe(spark, prefix, path) == probe_s1
+    # and back to nothing-up-my-sleeve: restore is itself reversible
+    lexical_index_restore(spark, prefix, path, s0, num_buckets=4)
+    assert _probe(spark, prefix, path) == probe_s0
+
+    log = {r["snapshot"]: r["note"] for r in
+           lexical_index_snapshots(spark, path).collect()}
+    assert log == {s0: "post-build", s1: "post-append"}
+
+
+def test_snapshot_vacuum_reclaims_unreferenced_history(spark):
+    path = _mk("ret")
+    prefix = "snapret"
+    lexical_index_build(_toks(spark, BASE_DOCS), prefix, path,
+                        num_buckets=4)
+    s0 = lexical_index_snapshot(spark, prefix, path, num_buckets=4)
+    lexical_index_append(_toks(spark, NEW_DOCS), prefix, path,
+                         num_buckets=4, batch_id="b1")
+    s1 = lexical_index_snapshot(spark, prefix, path, num_buckets=4)
+    probe_s1 = _probe(spark, prefix, path)
+    lexical_index_delete(spark, prefix, path, [1], num_buckets=4)
+    lexical_index_vacuum(spark, prefix, path, num_buckets=4)
+
+    out = lexical_snapshot_vacuum(spark, path, keep=[s1])
+    assert out["dropped_snapshots"] == 1
+    assert out["reclaimed_files"] >= 0
+    # dropped commit point is gone for good…
+    with pytest.raises(ValueError, match="no snapshot"):
+        lexical_index_restore(spark, prefix, path, s0, num_buckets=4)
+    # …while the kept one still restores exactly
+    lexical_index_restore(spark, prefix, path, s1, num_buckets=4)
+    assert _probe(spark, prefix, path) == probe_s1
+    # keeping a nonexistent snapshot is loud
+    with pytest.raises(ValueError, match="nonexistent"):
+        lexical_snapshot_vacuum(spark, path, keep=[99])
+
+
+def test_snapshotless_index_accretes_no_history(spark):
+    """Without a commit point the pre-snapshot disk behavior is
+    unchanged: vacuum deletes superseded files outright."""
+    path = _mk("nohist")
+    prefix = "snapnone"
+    lexical_index_build(_toks(spark, BASE_DOCS), prefix, path,
+                        num_buckets=4)
+    lexical_index_delete(spark, prefix, path, [1], num_buckets=4)
+    lexical_index_vacuum(spark, prefix, path, num_buckets=4)
+    assert not os.path.isdir(os.path.join(path, HISTORY_SUBDIR))
+
+
+def test_restore_validates_bucket_count(spark):
+    path = _mk("bk")
+    prefix = "snapbk"
+    lexical_index_build(_toks(spark, BASE_DOCS), prefix, path,
+                        num_buckets=4)
+    sid = lexical_index_snapshot(spark, prefix, path, num_buckets=4)
+    with pytest.raises(ValueError):
+        lexical_index_restore(spark, prefix, path, sid, num_buckets=8)

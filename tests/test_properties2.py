@@ -1,0 +1,191 @@
+"""Second property-based wave (SURVEY.md §5 strategy #4): algebraic
+invariants of the distributed kernels against brute-force pure-Python
+references — skyline exactness across Arrow batch boundaries, z-order
+pruning soundness under random predicates, LSH precision (emitted
+pairs are a subset of the exact all-pairs result, with exact Jaccard
+values), and upsert/SCD2 merge algebra. Batched like
+test_properties.py: hypothesis generates row sets, one Spark job
+evaluates each example."""
+
+import os
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+SETTINGS = dict(max_examples=15, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+SMALL = dict(SETTINGS, max_examples=6)
+
+
+# ---------------------------------------------------------------- skyline
+
+def _brute_skyline(points):
+    """O(n²) reference: keep p unless some q is ≥ on every dim and >
+    on at least one (duplicates of a frontier point all survive)."""
+    out = []
+    for i, p in enumerate(points):
+        dominated = any(
+            all(qv >= pv for qv, pv in zip(q, p))
+            and any(qv > pv for qv, pv in zip(q, p))
+            for j, q in enumerate(points) if j != i)
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+@given(st.lists(st.tuples(st.integers(0, 6), st.integers(0, 6),
+                          st.integers(0, 6)),
+                min_size=1, max_size=60),
+       st.integers(min_value=1, max_value=5))
+@settings(**SETTINGS)
+def test_skyline_matches_bruteforce_across_batches(spark, pts, nparts):
+    """Exact + partitioning-invariant, with the Arrow batch size forced
+    tiny so the global pass folds MULTIPLE batches (the r11 cross-batch
+    dominance fix is on the hot path, not dormant)."""
+    from jcf_nb_migration_spark.functions.skyline import skyline
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "4")
+    try:
+        df = spark.createDataFrame(pts, "x int, y int, z int") \
+                  .repartition(nparts)
+        got = sorted((r["x"], r["y"], r["z"])
+                     for r in skyline(df, ["x", "y", "z"]).collect())
+    finally:
+        spark.conf.set(key, prev)
+    assert got == _brute_skyline(pts)
+
+
+# ---------------------------------------------------------------- z-order
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50)),
+                min_size=1, max_size=80),
+       st.tuples(st.integers(0, 50), st.integers(0, 50)),
+       st.tuples(st.integers(0, 50), st.integers(0, 50)))
+@settings(**SMALL)
+def test_zorder_pruning_soundness(spark, rows, xr, yr):
+    """File pruning must be invisible: a pruned scan under random
+    range predicates returns exactly the rows a full scan + filter
+    returns, and the survivor count never exceeds the total."""
+    from jcf_nb_migration_spark.io.zorder import (
+        write_zordered, zordered_scan, zordered_file_count)
+
+    xlo, xhi = min(xr), max(xr)
+    ylo, yhi = min(yr), max(yr)
+    path = tempfile.mkdtemp(prefix="zprop_")
+    try:
+        df = spark.createDataFrame(
+            [(i, x, y) for i, (x, y) in enumerate(rows)],
+            "id int, x int, y int")
+        write_zordered(df, path, ["x", "y"], n_files=4)
+        ranges = {"x": (xlo, xhi), "y": (ylo, yhi)}
+        got = sorted(
+            (r["id"], r["x"], r["y"])
+            for r in zordered_scan(spark, path, ranges).collect())
+        want = sorted((i, x, y) for i, (x, y) in enumerate(rows)
+                      if xlo <= x <= xhi and ylo <= y <= yhi)
+        assert got == want
+        kept, total = zordered_file_count(spark, path, ranges)
+        assert 0 <= kept <= total
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+# ------------------------------------------------------------------- LSH
+
+WORD = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+TEXT = st.lists(WORD, min_size=2, max_size=8).map(" ".join)
+
+
+@given(st.lists(TEXT, min_size=2, max_size=15))
+@settings(**SETTINGS)
+def test_lsh_pairs_subset_of_exact(spark, texts):
+    """The verify step makes LSH precision exact: every emitted pair
+    must appear in the brute-force all-pairs result with the SAME
+    Jaccard value (banding may lose recall, never precision)."""
+    from jcf_nb_migration_spark.functions.dedup import (
+        jaccard_pairs, minhash_lsh_dedup)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id int, text string")
+    exact = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+             for r in jaccard_pairs(df, "id", "text",
+                                    threshold=0.3, n=2).collect()}
+    lsh = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9)
+           for r in minhash_lsh_dedup(df, "id", "text", threshold=0.3,
+                                      n=2).collect()}
+    for pair, j in lsh.items():
+        assert pair in exact and exact[pair] == j, (pair, j)
+
+
+# ---------------------------------------------------------- upsert / SCD2
+
+KEYS = st.integers(0, 5)
+VALS = st.integers(0, 99)
+
+
+def _last_wins(updates):
+    out = {}
+    for k, v in updates:
+        out[k] = v
+    return out
+
+
+@given(st.lists(st.tuples(KEYS, VALS), min_size=0, max_size=8),
+       st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=8),
+       st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_upsert_algebra(spark, base, u1, u2):
+    """upsert(upsert(b, u1), u2) == upsert(b, last-wins(u1 ∪ u2)), and
+    re-applying a batch is idempotent — the relational MERGE emulation
+    matches the dict semantics exactly."""
+    from jcf_nb_migration_spark.functions.upsert import upsert
+
+    base = list(_last_wins(base).items())       # unique keys in base
+    u1 = list(_last_wins(u1).items())
+    u2 = list(_last_wins(u2).items())
+    mk = lambda rows: spark.createDataFrame(
+        rows or [(None, None)], "k int, v int").where("k is not null")
+    seq = upsert(upsert(mk(base), mk(u1), "k"), mk(u2), "k")
+    merged_updates = list(_last_wins(u1 + u2).items())
+    one = upsert(mk(base), mk(merged_updates), "k")
+    as_dict = lambda df: {r["k"]: r["v"] for r in df.collect()}
+    want = _last_wins(base + u1 + u2)
+    assert as_dict(seq) == want
+    assert as_dict(one) == want
+    again = upsert(seq, mk(u2), "k")
+    assert as_dict(again) == want
+
+
+@given(st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=8),
+       st.lists(st.tuples(KEYS, VALS), min_size=1, max_size=8))
+@settings(**SETTINGS)
+def test_scd2_invariants(spark, base, updates):
+    """SCD2 never loses rows (|out| = |base| + |updates|), gives every
+    updated key exactly one current row with the update's value, and
+    leaves untouched keys byte-identical."""
+    from jcf_nb_migration_spark.functions.upsert import scd2_merge
+
+    base = list(_last_wins(base).items())
+    updates = list(_last_wins(updates).items())
+    bdf = spark.createDataFrame(
+        [(k, v, "2024-01-01", True) for k, v in base],
+        "k int, v int, eff string, is_current boolean")
+    udf_ = spark.createDataFrame(
+        [(k, v, "2024-06-01") for k, v in updates],
+        "k int, v int, eff string")
+    out = scd2_merge(bdf, udf_, "k", "eff",
+                     new_effective="2024-06-01").collect()
+    assert len(out) == len(base) + len(updates)
+    upd = dict(updates)
+    cur = [(r["k"], r["v"]) for r in out if r["is_current"]]
+    assert sorted(k for k, _ in cur) == sorted(
+        set(upd) | {k for k, _ in base if k not in upd})
+    for k, v in cur:
+        if k in upd:
+            assert v == upd[k]
+    closed = [(r["k"], r["v"]) for r in out if not r["is_current"]]
+    assert sorted(closed) == sorted(
+        (k, v) for k, v in base if k in upd)
