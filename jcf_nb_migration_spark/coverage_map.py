@@ -375,6 +375,9 @@ COVERED_BY: dict[str, str] = {
     "bm25_snapshot_served": "bm25_tombstone_served",  # same
     #   delete→probe serving pattern, plus the snapshot/restore
     #   commit-point lifecycle around the vacuum
+    "ann_snapshot_probe": "hard_negative_mining_ann",  # same
+    #   cluster-shortlist probe shape over the materialized IVF
+    #   layout, plus the snapshot/restore commit-point lifecycle
     "cogroup_asof_pandas": "orders_pit_customer_join",  # as-of pick
     #   over keyed ordered feeds (cogrouped pandas vs PIT join); the
     #   batched-python surface stays visible via arrow_doc_stats

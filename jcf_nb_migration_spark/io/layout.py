@@ -451,11 +451,9 @@ def ivf_index_maintain(spark, path: str, centroids,
     ivf_index_write(current, new_centroids, staging,
                     id_col=id_col, vec_col=vec_col,
                     extra_cols=extra_cols)
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)  # a crashed prior swap
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    # commit-point-aware swap: snapshots + history carry across the
+    # epoch, old files retire instead of dying (snapshot section)
+    _epoch_swap(path, staging)
     return True, new_centroids
 
 
@@ -679,11 +677,8 @@ def ivfadc_index_maintain(spark, path: str, emb: DataFrame, centroids,
                            id_col, vec_col)
     finally:
         res.unpersist()
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)  # a crashed prior swap
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
+    # commit-point-aware swap, as in ivf_index_maintain
+    _epoch_swap(path, staging)
     return True, new_books
 
 
@@ -770,25 +765,312 @@ def ivf_index_vacuum(spark, path: str, id_col: str = "vec_id") -> dict:
                dead.select("cluster").distinct().collect()]
     n_ids = dead.select(id_col).distinct().count()
     if not touched:
-        shutil.rmtree(os.path.join(path, VEC_TOMBSTONES_SUBDIR),
-                      ignore_errors=True)
+        _vec_dispose(path, os.path.join(path, VEC_TOMBSTONES_SUBDIR),
+                     VEC_TOMBSTONES_SUBDIR)
         return {"reclaimed_ids": 0, "touched_clusters": 0}
     staging = path.rstrip("/") + ".vacuum"
     shutil.rmtree(staging, ignore_errors=True)
     (idx.where(F.col("cluster").isin(touched))
      .join(F.broadcast(tomb), id_col, "left_anti")
      .write.mode("overwrite").partitionBy("cluster").parquet(staging))
+    # superseded cluster dirs (and crash residue from a prior swap)
+    # retire to _history once any commit point exists — see the
+    # snapshot section below
     for cid in touched:
         live_dir = os.path.join(path, f"cluster={cid}")
         staged_dir = os.path.join(staging, f"cluster={cid}")
         old = live_dir + ".old"
-        shutil.rmtree(old, ignore_errors=True)
+        _vec_dispose(path, old, f"cluster={cid}")
         os.rename(live_dir, old)
         if os.path.isdir(staged_dir):  # absent = cluster fully deleted
             os.rename(staged_dir, live_dir)
-        shutil.rmtree(old)
+        _vec_dispose(path, old, f"cluster={cid}")
     shutil.rmtree(staging, ignore_errors=True)
-    shutil.rmtree(os.path.join(path, VEC_TOMBSTONES_SUBDIR),
-                  ignore_errors=True)
+    _vec_dispose(path, os.path.join(path, VEC_TOMBSTONES_SUBDIR),
+                 VEC_TOMBSTONES_SUBDIR)
     return {"reclaimed_ids": int(n_ids),
             "touched_clusters": len(touched)}
+
+
+# ---- commit points (snapshots) on the vector index (r11) -------------
+#
+# The lexical index's snapshot section (io/lexical.py) applied the
+# unified commit protocol — record file lists, COW-retire superseded
+# files to _history, restore by two-place moves — to the BM25 layout.
+# This is the same protocol on the IVF/IVFADC vector layouts, with two
+# vector-specific twists:
+#
+# - Files are keyed by RELATIVE PATH (``cluster=3/part-….parquet``,
+#   ``_tombstones/part-….parquet``, ``_quant_stats/…``), because the
+#   index is a hive-partitioned tree, not three flat dirs. History
+#   mirrors the tree under ``path/_history/``.
+# - A snapshot may embed the caller's CENTROIDS (and the restore
+#   returns them): the coarse quantizer lives with the caller, not in
+#   the files, and a commit point that spans ``ivf_index_maintain``'s
+#   retrain is only probe-able with the geometry it was taken under.
+#   This is exactly why the maintain epoch swap retires the old
+#   epoch's files instead of deleting them once any snapshot exists.
+#
+# Append/delete are additive and never invalidate a commit point;
+# vacuum's touched-cluster swaps and both maintains' whole-dir epoch
+# swaps retire-instead-of-delete once a snapshot exists (plain
+# deletion — the pre-snapshot behavior, zero history accretion —
+# otherwise). The append ledger is delivery bookkeeping, not state: a
+# restore does not reopen replayed batch ids (docstore_restore's
+# contract). Local-FS moves, same stand-in as the ledger.
+
+VEC_SNAPSHOTS_SUBDIR = "_snapshots"
+VEC_HISTORY_SUBDIR = "_history"
+_VEC_CONTROL_DIRS = (VEC_SNAPSHOTS_SUBDIR, VEC_HISTORY_SUBDIR)
+
+
+def _vec_snap_dir(path: str) -> str:
+    return os.path.join(path, VEC_SNAPSHOTS_SUBDIR)
+
+
+def _vec_snap_path(path: str, sid: int) -> str:
+    return os.path.join(_vec_snap_dir(path), f"s{sid:05d}.json")
+
+
+def _vec_list_snapshots(path: str) -> list[int]:
+    import re
+
+    d = _vec_snap_dir(path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(int(f[1:6]) for f in os.listdir(d)
+                  if re.fullmatch(r"s\d{5}\.json", f))
+
+
+def _vec_has_snapshots(path: str) -> bool:
+    return bool(_vec_list_snapshots(path))
+
+
+def _vec_rel_parquet(path: str) -> list[str]:
+    """Relative paths of every data/sidecar parquet file under the
+    index tree, skipping the snapshot/history control dirs and any
+    ``*.old`` swap residue (transient, never part of a commit
+    point)."""
+    out = []
+    for root, dirs, files in os.walk(path):
+        rel = os.path.relpath(root, path)
+        top = rel.split(os.sep)[0]
+        if top in _VEC_CONTROL_DIRS or top.endswith(".old"):
+            dirs[:] = []
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(f if rel == "." else os.path.join(rel, f))
+    return sorted(out)
+
+
+def _vec_retire_file(path: str, abs_file: str, rel: str) -> None:
+    hist = os.path.join(path, VEC_HISTORY_SUBDIR, rel)
+    os.makedirs(os.path.dirname(hist), exist_ok=True)
+    os.replace(abs_file, hist)
+
+
+def _vec_retire_dir(path: str, src_dir: str, rel_prefix: str) -> None:
+    """Move every parquet under ``src_dir`` (recursively) into
+    ``path/_history/<rel_prefix>/…`` preserving structure, then drop
+    the dir (non-parquet residue carries no data)."""
+    import shutil
+
+    if os.path.isdir(src_dir):
+        for root, _dirs, files in os.walk(src_dir):
+            rel_root = os.path.relpath(root, src_dir)
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                rel = (os.path.join(rel_prefix, f) if rel_root == "."
+                       else os.path.join(rel_prefix, rel_root, f))
+                _vec_retire_file(path, os.path.join(root, f), rel)
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def _vec_dispose(path: str, src_dir: str, rel_prefix: str) -> None:
+    """Retire when any commit point exists, plain-delete otherwise —
+    the disposal policy every destructive vector-index op routes
+    through."""
+    import shutil
+
+    if _vec_has_snapshots(path):
+        _vec_retire_dir(path, src_dir, rel_prefix)
+    else:
+        shutil.rmtree(src_dir, ignore_errors=True)
+
+
+def _absorb_old_epoch(path: str, old: str) -> None:
+    """Fold a superseded epoch dir into the live index: control dirs
+    (snapshots + history) move across — file-by-file, never
+    overwriting, so a crashed prior absorb is re-runnable — and every
+    data/sidecar parquet retires into the live ``_history``."""
+    import shutil
+
+    for sub in _VEC_CONTROL_DIRS:
+        src = os.path.join(old, sub)
+        if not os.path.isdir(src):
+            continue
+        for root, _dirs, files in os.walk(src):
+            rel_root = os.path.relpath(root, src)
+            for f in files:
+                dst = (os.path.join(path, sub, f) if rel_root == "."
+                       else os.path.join(path, sub, rel_root, f))
+                if not os.path.exists(dst):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(os.path.join(root, f), dst)
+        shutil.rmtree(src, ignore_errors=True)
+    _vec_retire_dir(path, old, "")
+
+
+def _epoch_swap(path: str, staging: str) -> None:
+    """Swap a staged full rebuild into place (both maintains). Crash
+    residue from a prior swap is RECOVERED, not blindly deleted, when
+    either side holds commit points (the zorder_maintain r11 lesson:
+    a leftover .old dir may be the only copy of snapshot state)."""
+    import shutil
+
+    old = path.rstrip("/") + ".old"
+    if os.path.isdir(old):  # a crashed prior swap
+        if _vec_has_snapshots(old) or _vec_has_snapshots(path):
+            _absorb_old_epoch(path, old)
+        else:
+            shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    if _vec_has_snapshots(old):
+        _absorb_old_epoch(path, old)
+    else:
+        shutil.rmtree(old)
+
+
+def _vec_read_snapshot(path: str, sid: int) -> dict:
+    import json
+
+    sp = _vec_snap_path(path, sid)
+    if not os.path.exists(sp):
+        raise ValueError(
+            f"vector index at {path} has no snapshot {sid} "
+            f"(available: {_vec_list_snapshots(path)} — vacuumed or "
+            "never taken)")
+    with open(sp) as fh:
+        return json.load(fh)
+
+
+def ivf_index_snapshot(spark, path: str, centroids=None,
+                       note: str = "") -> int:
+    """Record a commit point over the live vector index and return
+    its id. Pure driver metadata (file list + optional centroid
+    capture) — no data read or copied, the Lucene snapshot model.
+    Pass the centroids the index is currently probed with so a
+    restore that crosses a retrain can hand back the matching
+    geometry."""
+    import json
+
+    if not os.path.isdir(path):
+        raise ValueError(f"no vector index at {path}")
+    files = _vec_rel_parquet(path)
+    if not files:
+        raise ValueError(f"vector index at {path} has no data files")
+    snaps = _vec_list_snapshots(path)
+    sid = (snaps[-1] + 1) if snaps else 0
+    cents = None
+    if centroids is not None:
+        cents = [[int(c), [float(x) for x in v]] for c, v in centroids]
+    doc = {"snapshot": sid, "note": note, "files": files,
+           "centroids": cents}
+    os.makedirs(_vec_snap_dir(path), exist_ok=True)
+    tmp = _vec_snap_path(path, sid) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, _vec_snap_path(path, sid))
+    return sid
+
+
+def ivf_index_snapshots(spark, path: str):
+    """The vector index's commit-point log as a frame: one row per
+    live snapshot (id, note, file count, whether centroids were
+    captured)."""
+    rows = []
+    for sid in _vec_list_snapshots(path):
+        m = _vec_read_snapshot(path, sid)
+        rows.append((sid, m.get("note", ""), len(m["files"]),
+                     m.get("centroids") is not None))
+    return spark.createDataFrame(
+        rows or [(None, None, None, None)],
+        "snapshot int, note string, n_files int, has_centroids boolean"
+    ).where(F.col("snapshot").isNotNull())
+
+
+def ivf_index_restore(spark, path: str, snapshot_id: int):
+    """Make ``snapshot_id`` the live index state (file-level COW:
+    displaced live files retire to history, referenced files move
+    back) and return the snapshot's captured centroids (or None) so
+    the caller probes with the geometry the commit point was taken
+    under. O(changed files) driver renames — no data pass. Cluster
+    dirs and sidecars left parquet-less by the restore are removed
+    (an empty sidecar dir would break its reader)."""
+    import shutil
+
+    man = _vec_read_snapshot(path, snapshot_id)
+    want = set(man["files"])
+    live = set(_vec_rel_parquet(path))
+    for rel in sorted(live - want):       # displaced by the restore
+        _vec_retire_file(path, os.path.join(path, rel), rel)
+    for rel in sorted(want - live):
+        src = os.path.join(path, VEC_HISTORY_SUBDIR, rel)
+        if not os.path.exists(src):
+            raise ValueError(
+                f"snapshot {snapshot_id} references {rel} which is in "
+                "neither the live tree nor _history — reclaimed by "
+                "ivf_snapshot_vacuum?")
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+    for entry in os.listdir(path):
+        p = os.path.join(path, entry)
+        if not os.path.isdir(p):
+            continue
+        if not (entry.startswith("cluster=")
+                or entry in (VEC_TOMBSTONES_SUBDIR, QUANT_STATS_SUBDIR)):
+            continue
+        has_parquet = any(f.endswith(".parquet")
+                          for _, _, fs in os.walk(p) for f in fs)
+        if not has_parquet:
+            shutil.rmtree(p, ignore_errors=True)
+    cents = man.get("centroids")
+    return ([(int(c), list(v)) for c, v in cents]
+            if cents is not None else None)
+
+
+def ivf_snapshot_vacuum(spark, path: str, keep: list[int]) -> dict:
+    """Retention: drop every snapshot not in ``keep`` and physically
+    reclaim history files no kept snapshot references. Live files are
+    never touched."""
+    have = _vec_list_snapshots(path)
+    keep_set = {int(k) for k in keep}
+    missing = keep_set - set(have)
+    if missing:
+        raise ValueError(
+            f"cannot keep nonexistent snapshots {sorted(missing)} "
+            f"(available: {have})")
+    referenced: set[str] = set()
+    for sid in sorted(keep_set):
+        referenced.update(_vec_read_snapshot(path, sid)["files"])
+    dropped = [sid for sid in have if sid not in keep_set]
+    for sid in dropped:
+        os.remove(_vec_snap_path(path, sid))
+    hist_root = os.path.join(path, VEC_HISTORY_SUBDIR)
+    reclaimed = 0
+    if os.path.isdir(hist_root):
+        for root, _dirs, files in os.walk(hist_root):
+            rel_root = os.path.relpath(root, hist_root)
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                rel = f if rel_root == "." else os.path.join(rel_root, f)
+                if rel not in referenced:
+                    os.remove(os.path.join(root, f))
+                    reclaimed += 1
+    return {"dropped_snapshots": len(dropped),
+            "reclaimed_files": reclaimed}

@@ -702,3 +702,103 @@ def association_rules_pairs(spark: SparkSession,
                             / (F.col("cnt_a") * F.col("cnt_b")), 9)
                      .alias("lift"))
             .orderBy(F.desc("lift"), "item_a", "item_b"))
+
+
+_ANN_SNAP_PCLUSTERS = f"""pv AS (
+        SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0
+    ),
+    pclusters AS (
+        SELECT c_id AS cluster FROM (
+            SELECT c.c_id, ROW_NUMBER() OVER (
+                ORDER BY {_sql_cos('pv.pvec', 'c.c_vec')} DESC, c.c_id
+            ) AS rn
+            FROM pv, c2 c
+        ) WHERE rn <= 2
+    )"""
+
+
+@query(
+    "ann_snapshot_probe",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT 'post_vacuum' AS state, neighbor_id, cluster, cos_sim
+        FROM (
+            WITH {_SQL_IVF_ASSIGNED},
+            {_ANN_SNAP_PCLUSTERS}
+            SELECT a.vec_id AS neighbor_id, a.cluster,
+                   {_sql_cos('a.embedding', 'pv.pvec')} AS cos_sim
+            FROM assigned a JOIN pclusters USING (cluster), pv
+            WHERE a.vec_id <> 0 AND a.vec_id % 7 <> 3
+            ORDER BY cos_sim DESC, neighbor_id LIMIT 10
+        )
+        UNION ALL
+        SELECT 'restored' AS state, neighbor_id, cluster, cos_sim
+        FROM (
+            WITH {_SQL_IVF_ASSIGNED},
+            {_ANN_SNAP_PCLUSTERS}
+            SELECT a.vec_id AS neighbor_id, a.cluster,
+                   {_sql_cos('a.embedding', 'pv.pvec')} AS cos_sim
+            FROM assigned a JOIN pclusters USING (cluster), pv
+            WHERE a.vec_id <> 0
+            ORDER BY cos_sim DESC, neighbor_id LIMIT 10
+        )
+    )
+    ORDER BY state, cos_sim DESC, neighbor_id
+    """,
+    tags=("similarity", "ann", "ivf", "serving", "snapshot",
+          "time-travel", "tombstone"),
+    driver_visible=False,
+)
+def ann_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit points on the MATERIALIZED vector index (io/layout.py
+    snapshot section — the lexical bm25_snapshot_served's twin on the
+    IVF layout): build the cluster-partitioned index, snapshot it
+    (capturing the centroids the commit point is probe-able with),
+    run the destructive pair (delete every vec_id ≡ 3 mod 7, vacuum —
+    a touched-cluster COW rewrite that retires superseded files to
+    ``_history``), probe the post-vacuum state, RESTORE the commit
+    point, and probe again. The restored probe must rank exactly the
+    full corpus the snapshot saw. The oracle replays the
+    bit-exact k-means (deterministic Lloyd in DECIMAL) and states both
+    states' nprobe=2 shortlist probes from the base table. The first
+    probe's rows are collected k-bounded by construction (the second
+    probe must not lazily read files the restore displaces)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from jcf_nb_migration_spark.io.layout import (
+        ivf_index_delete, ivf_index_probe, ivf_index_restore,
+        ivf_index_snapshot, ivf_index_vacuum, ivf_index_write)
+
+    emb = spread(t(spark, sf_dir, "embeddings"))
+    centroids = cached_kmeans(emb, sf_dir)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), "jcf_ivf_snap",
+                        spark.sparkContext.applicationId, tag)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    ivf_index_write(emb, centroids, path)
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    sid = ivf_index_snapshot(spark, path, centroids=centroids,
+                             note="pre-maintenance")
+    del_ids = [r["vec_id"] for r in
+               emb.where(F.col("vec_id") % 7 == 3)
+               .select("vec_id").collect()]
+    ivf_index_delete(spark, path, del_ids)
+    ivf_index_vacuum(spark, path)
+    live_rows = [(r["neighbor_id"], r["cluster"], r["cos_sim"])
+                 for r in ivf_index_probe(spark, path, centroids, pvec,
+                                          k=10, nprobe=2,
+                                          exclude_id=0).collect()]
+    live = (spark.createDataFrame(
+        live_rows, "neighbor_id bigint, cluster int, cos_sim double")
+        .select(F.lit("post_vacuum").alias("state"), "*"))
+    ivf_index_restore(spark, path, sid)
+    restored = (ivf_index_probe(spark, path, centroids, pvec,
+                                k=10, nprobe=2, exclude_id=0)
+                .select(F.lit("restored").alias("state"), "neighbor_id",
+                        "cluster", "cos_sim"))
+    return (live.unionByName(restored)
+            .orderBy("state", F.desc("cos_sim"), "neighbor_id"))

@@ -1,0 +1,134 @@
+"""Commit points on the IVF vector index (io/layout.py snapshot
+section): a snapshot survives deletes, vacuums, and even a
+centroid-retraining maintain (the epoch swap retires the old epoch's
+files and hands back the captured centroids on restore), and retention
+reclaims exactly the unreferenced history."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.functions import similarity as S
+from jcf_nb_migration_spark.io.layout import (
+    VEC_HISTORY_SUBDIR,
+    ivf_centroid_drift,
+    ivf_index_append,
+    ivf_index_delete,
+    ivf_index_maintain,
+    ivf_index_probe,
+    ivf_index_restore,
+    ivf_index_snapshot,
+    ivf_index_snapshots,
+    ivf_index_vacuum,
+    ivf_index_write,
+    ivf_snapshot_vacuum,
+)
+from jcf_nb_migration_spark.registry import t
+from tests.conftest import SF_SMALL
+
+
+def _fixture(spark, tmp_path, name):
+    emb = t(spark, SF_SMALL, "embeddings")
+    centroids = S.kmeans_train(emb, k=8, iters=2)
+    path = str(tmp_path / name)
+    ivf_index_write(emb, centroids, path)
+    pvec = list(emb.where(F.col("vec_id") == 0).head()["embedding"])
+    return emb, centroids, path, pvec
+
+
+def _probe(spark, path, centroids, pvec):
+    return [(r["neighbor_id"], r["cos_sim"]) for r in
+            ivf_index_probe(spark, path, centroids, pvec,
+                            k=8, nprobe=2, exclude_id=0).collect()]
+
+
+def test_snapshot_restore_across_delete_vacuum(spark, tmp_path):
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_snap")
+    before = _probe(spark, path, centroids, pvec)
+    s0 = ivf_index_snapshot(spark, path, centroids=centroids,
+                            note="post-build")
+
+    victims = [before[0][0], before[2][0]]
+    ivf_index_delete(spark, path, victims, batch_id=1)
+    out = ivf_index_vacuum(spark, path)
+    assert out["reclaimed_ids"] == 2
+    after = _probe(spark, path, centroids, pvec)
+    assert not set(victims) & {r[0] for r in after}
+    # the vacuumed cluster rewrites retired to history, not deleted
+    assert os.path.isdir(os.path.join(path, VEC_HISTORY_SUBDIR))
+
+    got_cents = ivf_index_restore(spark, path, s0)
+    assert got_cents == [(int(c), [float(x) for x in v])
+                         for c, v in centroids]
+    assert _probe(spark, path, centroids, pvec) == before
+
+    log = {r["snapshot"]: (r["note"], r["has_centroids"]) for r in
+           ivf_index_snapshots(spark, path).collect()}
+    assert log == {s0: ("post-build", True)}
+
+
+def test_snapshot_survives_maintain_retrain_epoch(spark, tmp_path):
+    """The hard case: ivf_index_maintain retrains centroids and swaps
+    the WHOLE layout dir. With a commit point held, the swap must
+    carry snapshots+history across, retire the old epoch's files, and
+    a restore must hand back the old geometry."""
+    import numpy as np
+
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_epoch")
+    before = _probe(spark, path, centroids, pvec)
+    s0 = ivf_index_snapshot(spark, path, centroids=centroids,
+                            note="epoch-0")
+    floor = min(r["mean_cos"] for r in
+                ivf_centroid_drift(spark, path, centroids,
+                                   min_mean_cos=-1.0).collect()) - 0.05
+
+    # flood with a centroid-orthogonal direction to force the retrain
+    rows = S._centroid_rows(centroids)
+    C = np.array([c for _cid, c in rows])
+    v0 = np.array([1.0 if i % 7 == 0 else 0.1 for i in range(64)])
+    coef, *_ = np.linalg.lstsq(C.T, v0, rcond=None)
+    v = v0 - C.T @ coef
+    bad = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in v]) for i in range(200)],
+        "vec_id bigint, embedding array<float>")
+    ivf_index_append(bad, centroids, path, batch_id=1)
+
+    rebuilt, new_cents = ivf_index_maintain(spark, path, centroids,
+                                            min_mean_cos=floor)
+    assert rebuilt is True and new_cents is not centroids
+    assert not os.path.isdir(path.rstrip("/") + ".old")
+    # new epoch probes fine with the new geometry
+    assert len(_probe(spark, path, new_cents, pvec)) == 8
+
+    restored_cents = ivf_index_restore(spark, path, s0)
+    assert restored_cents == [(int(c), [float(x) for x in vv])
+                              for c, vv in centroids]
+    assert _probe(spark, path, restored_cents, pvec) == before
+
+
+def test_snapshot_vacuum_retention(spark, tmp_path):
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_ret")
+    s0 = ivf_index_snapshot(spark, path, centroids=centroids)
+    before = _probe(spark, path, centroids, pvec)
+    ivf_index_delete(spark, path, [before[0][0]], batch_id=1)
+    ivf_index_vacuum(spark, path)
+    s1 = ivf_index_snapshot(spark, path, centroids=centroids)
+    probe_s1 = _probe(spark, path, centroids, pvec)
+
+    out = ivf_snapshot_vacuum(spark, path, keep=[s1])
+    assert out["dropped_snapshots"] == 1
+    with pytest.raises(ValueError, match="no snapshot"):
+        ivf_index_restore(spark, path, s0)
+    ivf_index_restore(spark, path, s1)
+    assert _probe(spark, path, centroids, pvec) == probe_s1
+    with pytest.raises(ValueError, match="nonexistent"):
+        ivf_snapshot_vacuum(spark, path, keep=[99])
+
+
+def test_snapshotless_index_accretes_no_history(spark, tmp_path):
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_nohist")
+    before = _probe(spark, path, centroids, pvec)
+    ivf_index_delete(spark, path, [before[0][0]], batch_id=1)
+    ivf_index_vacuum(spark, path)
+    assert not os.path.isdir(os.path.join(path, VEC_HISTORY_SUBDIR))
