@@ -1263,3 +1263,90 @@ def customer_balance_deciles(spark: SparkSession,
                  (F.sum(F.col("val").cast("decimal(18,4)")).cast("double")
                   / F.count(F.lit(1))).alias("avg_bal"))
             .orderBy("decile"))
+
+
+@query(
+    "orders_price_drift_psi",
+    oracle="""
+    WITH b AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    counts AS (
+        SELECT CAST(LEAST(FLOOR(o_totalprice / 50000), 9) AS INT) AS bin,
+               SUM(CASE WHEN year(o_orderdate) < 1998
+                        THEN 1 ELSE 0 END) AS ref_n,
+               SUM(CASE WHEN year(o_orderdate) >= 1998
+                        THEN 1 ELSE 0 END) AS cur_n
+        FROM orders GROUP BY 1
+    ),
+    j AS (
+        SELECT b.bin,
+               CAST(COALESCE(ref_n, 0) AS BIGINT) AS ref_n,
+               CAST(COALESCE(cur_n, 0) AS BIGINT) AS cur_n
+        FROM b LEFT JOIN counts USING (bin)
+    ),
+    tot AS (SELECT SUM(ref_n) AS ref_tot, SUM(cur_n) AS cur_tot FROM j)
+    SELECT bin, ref_n, cur_n,
+           ROUND(CAST(ref_n + 1 AS DOUBLE)
+                 / CAST(ref_tot + 10 AS DOUBLE), 9) AS ref_share,
+           ROUND(CAST(cur_n + 1 AS DOUBLE)
+                 / CAST(cur_tot + 10 AS DOUBLE), 9) AS cur_share,
+           ROUND((CAST(cur_n + 1 AS DOUBLE)
+                      / CAST(cur_tot + 10 AS DOUBLE)
+                  - CAST(ref_n + 1 AS DOUBLE)
+                      / CAST(ref_tot + 10 AS DOUBLE))
+                 * ln((CAST(cur_n + 1 AS DOUBLE)
+                           / CAST(cur_tot + 10 AS DOUBLE))
+                      / (CAST(ref_n + 1 AS DOUBLE)
+                             / CAST(ref_tot + 10 AS DOUBLE))), 9)
+               AS psi_term
+    FROM j CROSS JOIN tot
+    ORDER BY bin
+    """,
+    tags=("profiling", "drift", "quality"),
+    driver_visible=False,
+)
+def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus states — THE
+    standard production drift monitor (scorecard/model monitoring
+    literature; PSI < 0.1 stable, 0.1–0.25 shifting, > 0.25 drifted):
+    bin a metric into fixed buckets, compare the reference period's
+    share per bucket against the current period's, PSI = Σ (cur −
+    ref) · ln(cur/ref). Here: o_totalprice in ten fixed 50k-wide
+    buckets, reference = orders before 1998, current = 1998 onward.
+    Laplace-smoothed shares ((n+1)/(N+bins)) keep every term finite
+    on empty buckets — deterministic, no epsilon tuning. Fixed-width
+    buckets rather than reference quantiles keep the operator ONE
+    exact aggregation per side at any scale (quantile binning needs a
+    corpus sort or an approx sketch; swap in approx_percentile bins
+    when the metric's range is unknown). Plan: one scan, one groupBy
+    on the bin key, a 10-row broadcast of totals — drift monitoring
+    costs one aggregate pass however large the table. Total PSI is
+    the sum of the ten per-bin terms (left to the consumer so every
+    emitted value is an exact per-bin fact)."""
+    o = t(spark, sf_dir, "orders")
+    agg = (o.groupBy(F.least(F.floor(F.col("o_totalprice") / 50000),
+                             F.lit(9)).cast("int").alias("bin"))
+           .agg(F.sum(F.when(F.year("o_orderdate") < 1998, 1)
+                      .otherwise(0)).alias("ref_n"),
+                F.sum(F.when(F.year("o_orderdate") >= 1998, 1)
+                      .otherwise(0)).alias("cur_n")))
+    bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    j = (bins.join(agg, "bin", "left")
+         .select("bin",
+                 F.coalesce("ref_n", F.lit(0)).cast("bigint")
+                  .alias("ref_n"),
+                 F.coalesce("cur_n", F.lit(0)).cast("bigint")
+                  .alias("cur_n")))
+    tot = j.agg(F.sum("ref_n").alias("ref_tot"),
+                F.sum("cur_n").alias("cur_tot"))
+    ref_share = ((F.col("ref_n") + 1).cast("double")
+                 / (F.col("ref_tot") + 10).cast("double"))
+    cur_share = ((F.col("cur_n") + 1).cast("double")
+                 / (F.col("cur_tot") + 10).cast("double"))
+    return (j.crossJoin(F.broadcast(tot))
+            .select("bin", "ref_n", "cur_n",
+                    F.round(ref_share, 9).alias("ref_share"),
+                    F.round(cur_share, 9).alias("cur_share"),
+                    F.round((cur_share - ref_share)
+                            * F.log(cur_share / ref_share), 9)
+                     .alias("psi_term"))
+            .orderBy("bin"))
