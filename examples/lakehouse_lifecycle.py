@@ -23,6 +23,10 @@ travel, CDC, rollback, retention — plus a z-ordered analytical layout
       → Z-LIFECYCLE: the z-layout shares the same snapshot semantics —
                ledgered append, gated re-layout, audited restore,
                AS-OF reads of every version (r11)
+      → SERVE: the BM25 serving index runs the same commit-point
+               contract (io/lexical.py snapshot section) — snapshot
+               before the destructive delete+vacuum, restore after,
+               probe scores bit-identical to the commit point (r11)
 
 At 100 TB: manifests are one row per file (control plane), history
 grows with the mutated fraction (not the corpus), AS-OF reads are
@@ -157,6 +161,48 @@ def lakehouse_demo(spark, sf_dir: str, work_dir: str) -> dict:
     out["z_history"] = [(r["version"], r["op"]) for r in
                         zorder_history(spark, zpath)
                         .orderBy("version").collect()]
+
+    # ---- SERVE leg (r11): the same commit-point contract on the
+    # serving index — snapshot before destructive maintenance,
+    # restore after (Lucene's SnapshotDeletionPolicy shape)
+    from jcf_nb_migration_spark.functions import text as T
+    from jcf_nb_migration_spark.io.lexical import (
+        bm25_probe,
+        lexical_index_build,
+        lexical_index_delete,
+        lexical_index_restore,
+        lexical_index_snapshot,
+        lexical_index_snapshots,
+        lexical_index_vacuum,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    lex = os.path.join(work_dir, "lexidx")
+    lexical_index_build(toks, "lakedemo_lex", lex, num_buckets=4)
+    terms = ("spark", "window", "merge")
+
+    def probe():
+        return [(r["doc_id"], r["bm25"]) for r in
+                bm25_probe(spark, "lakedemo_lex", lex, terms,
+                           1.2, 0.75, k=10).collect()]
+
+    at_commit = probe()
+    sid = lexical_index_snapshot(spark, "lakedemo_lex", lex,
+                                 num_buckets=4, note="pre-maintenance")
+    victims = [r["doc_id"] for r in
+               docs.where(F.col("doc_id") % 5 == 0)
+               .select("doc_id").collect()]
+    lexical_index_delete(spark, "lakedemo_lex", lex, victims,
+                         num_buckets=4)
+    lexical_index_vacuum(spark, "lakedemo_lex", lex, num_buckets=4)
+    out["lex_vacuum_changed_probe"] = probe() != at_commit
+    lexical_index_restore(spark, "lakedemo_lex", lex, sid,
+                          num_buckets=4)
+    out["lex_restore_matches_commit_point"] = probe() == at_commit
+    out["lex_snapshots"] = [
+        (r["snapshot"], r["note"]) for r in
+        lexical_index_snapshots(spark, lex).collect()]
     return out
 
 

@@ -99,3 +99,7 @@ def test_lakehouse_lifecycle_demo(spark, tmp_path):
     assert s["z_live_equals_v0"] is True
     assert s["z_history"] == [(0, "build"), (1, "append"),
                               (2, "maintain"), (3, "restore")]
+    # r11 cont.: serving-index commit point around destructive vacuum
+    assert s["lex_vacuum_changed_probe"] is True
+    assert s["lex_restore_matches_commit_point"] is True
+    assert s["lex_snapshots"] == [(0, "pre-maintenance")]
