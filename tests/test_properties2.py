@@ -189,3 +189,101 @@ def test_scd2_invariants(spark, base, updates):
     closed = [(r["k"], r["v"]) for r in out if not r["is_current"]]
     assert sorted(closed) == sorted(
         (k, v) for k, v in base if k in upd)
+
+
+# ------------------------------------------------- snapshot lifecycle
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"),
+                  st.lists(st.integers(0, 4), min_size=1, max_size=3)),
+        st.tuples(st.just("delete"),
+                  st.lists(st.integers(1, 40), min_size=1, max_size=4)),
+        st.tuples(st.just("vacuum"), st.just(None)),
+        st.tuples(st.just("compact"), st.just(None)),
+        st.tuples(st.just("snapshot"), st.just(None)),
+        st.tuples(st.just("restore"), st.integers(0, 10)),
+    ),
+    min_size=1, max_size=7)
+
+_SNAP_SEQ = 0
+
+
+@given(_OPS)
+@settings(**SMALL)
+def test_lexical_snapshot_model(spark, ops):
+    """Model-based fuzz of the serving-index commit points: under ANY
+    interleaving of append / delete / vacuum / compact / snapshot /
+    restore, every snapshot ever taken must restore to the exact probe
+    result captured when it was taken (file-level COW means no later
+    op may invalidate a held commit point)."""
+    global _SNAP_SEQ
+    _SNAP_SEQ += 1
+    from jcf_nb_migration_spark.functions import text as T
+    from jcf_nb_migration_spark.io.lexical import (
+        bm25_probe, lexical_index_append, lexical_index_build,
+        lexical_index_delete, lexical_index_restore,
+        lexical_index_snapshot, lexical_index_vacuum,
+        lexical_index_compact)
+
+    prefix = f"snapmodel_{_SNAP_SEQ}"
+    path = tempfile.mkdtemp(prefix="lexmodel_") + "/idx"
+    vocab = ["spark", "window", "merge", "alpha", "beta"]
+
+    def toks(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return df.select("doc_id", T.tokens("text").alias("w"))
+
+    def probe():
+        return [(r["doc_id"], r["bm25"]) for r in
+                bm25_probe(spark, prefix, path,
+                           ("spark", "window", "merge"),
+                           1.2, 0.75, k=15).collect()]
+
+    base = [(i, " ".join(vocab[(i + j) % 5] for j in range(1 + i % 4)))
+            for i in range(1, 9)]
+    lexical_index_build(toks(base), prefix, path, num_buckets=4)
+    next_id = 100
+    batch_seq = 0
+    captured = {}  # sid -> probe rows at snapshot time
+    try:
+        for op, arg in ops:
+            if op == "append":
+                batch_seq += 1
+                rows = [(next_id + k,
+                         " ".join(vocab[(next_id + k + j) % 5]
+                                  for j in range(1 + (next_id + k) % 3)))
+                        for k in range(len(arg))]
+                next_id += len(arg)
+                lexical_index_append(toks(rows), prefix, path,
+                                     num_buckets=4,
+                                     batch_id=f"b{batch_seq}")
+            elif op == "delete":
+                batch_seq += 1
+                lexical_index_delete(spark, prefix, path, arg,
+                                     num_buckets=4,
+                                     batch_id=f"d{batch_seq}")
+            elif op == "vacuum":
+                lexical_index_vacuum(spark, prefix, path, num_buckets=4)
+            elif op == "compact":
+                lexical_index_compact(spark, prefix, path,
+                                      num_buckets=4)
+            elif op == "snapshot":
+                sid = lexical_index_snapshot(spark, prefix, path,
+                                             num_buckets=4)
+                captured[sid] = probe()
+            elif op == "restore":
+                if captured:
+                    sids = sorted(captured)
+                    sid = sids[arg % len(sids)]
+                    lexical_index_restore(spark, prefix, path, sid,
+                                          num_buckets=4)
+                    assert probe() == captured[sid], (sid, ops)
+        # final sweep: every commit point still restores exactly
+        for sid in sorted(captured):
+            lexical_index_restore(spark, prefix, path, sid,
+                                  num_buckets=4)
+            assert probe() == captured[sid], (sid, ops)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
+        shutil.rmtree(os.path.dirname(path), ignore_errors=True)
