@@ -817,7 +817,11 @@ def ivf_index_vacuum(spark, path: str, id_col: str = "vec_id") -> dict:
 # deletion — the pre-snapshot behavior, zero history accretion —
 # otherwise). The append ledger is delivery bookkeeping, not state: a
 # restore does not reopen replayed batch ids (docstore_restore's
-# contract). Local-FS moves, same stand-in as the ledger.
+# contract). Local-FS moves, same stand-in as the ledger. Snapshots
+# are ADMIN operations (off the probe path); at pathological file
+# counts the JSON file list upgrades mechanically to a parquet
+# manifest segment (io/zorder.py's shape) — resolution is already
+# relpath-keyed.
 
 VEC_SNAPSHOTS_SUBDIR = "_snapshots"
 VEC_HISTORY_SUBDIR = "_history"

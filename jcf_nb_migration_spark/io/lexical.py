@@ -1047,6 +1047,14 @@ def bm25_batch_probe(spark: SparkSession, prefix: str, path: str,
 #
 # Local-FS file moves, like the ledger and meta — on HDFS/S3 route
 # through the FileSystem API or a transactional table format.
+#
+# Scale note: a snapshot is an ADMIN operation (taken per maintenance
+# window, not per query), so its O(#files) JSON capture is off the
+# serve path by construction — probes never read a snapshot. If an
+# index ever accretes so many files that the capture itself hurts
+# (10⁶+, i.e. compaction has been neglected), store the file list as
+# a parquet manifest segment exactly like io/zorder.py's — the
+# upgrade is mechanical because resolution is already relpath-keyed.
 # ---------------------------------------------------------------------------
 
 SNAPSHOTS_SUBDIR = "_snapshots"

@@ -1330,12 +1330,17 @@ def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.when(F.year("o_orderdate") >= 1998, 1)
                       .otherwise(0)).alias("cur_n")))
     bins = spark.range(10).select(F.col("id").cast("int").alias("bin"))
+    # j is ≤ 10 rows but feeds BOTH the totals aggregate and the final
+    # projection — persist it so the corpus scan behind it runs ONCE
+    # (without this the plan reads orders twice; control-plane-sized
+    # cache, the minhash per-doc pattern)
     j = (bins.join(agg, "bin", "left")
          .select("bin",
                  F.coalesce("ref_n", F.lit(0)).cast("bigint")
                   .alias("ref_n"),
                  F.coalesce("cur_n", F.lit(0)).cast("bigint")
-                  .alias("cur_n")))
+                  .alias("cur_n"))
+         .persist())
     tot = j.agg(F.sum("ref_n").alias("ref_tot"),
                 F.sum("cur_n").alias("cur_tot"))
     ref_share = ((F.col("ref_n") + 1).cast("double")
