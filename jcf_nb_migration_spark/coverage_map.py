@@ -379,6 +379,7 @@ COVERED_BY: dict[str, str] = {
     #   cluster-shortlist probe shape over the materialized IVF
     #   layout, plus the snapshot/restore commit-point lifecycle
     "orders_price_drift_psi": "join_key_skew_profile",
+    "linkgraph_label_propagation": "linkgraph_pagerank",
     "cogroup_asof_pandas": "orders_pit_customer_join",  # as-of pick
     #   over keyed ordered feeds (cogrouped pandas vs PIT join); the
     #   batched-python surface stays visible via arrow_doc_stats

@@ -236,3 +236,43 @@ def star_components(pairs: DataFrame,
         lab = _labels(e)
         if crossing_edges(pairs, lab) == 0:
             return lab
+
+
+def label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an undirected ``(a, b)`` pair frame, run a FIXED
+    number of rounds with a deterministic tie-break: every node starts
+    as its own label; each round a node adopts the label most frequent
+    among its NEIGHBORS (ties → smallest label). Fixed-round +
+    deterministic ties makes the result a pure function of the edge
+    set — reproducible across partitionings AND replayable in SQL (the
+    oracle unrolls the same rounds), unlike the randomized-order LPA
+    of the paper. Synchronous LPA can oscillate on bipartite
+    structures; a fixed round budget is the standard remedy (and what
+    GraphFrames' LPA does). Columns: ``node, label``.
+
+    Per round: one equi-join (edges ⋈ labels on dst — shuffle on node
+    id) + one (node, label) count + one max-struct argmax groupBy —
+    all key-partitioned, no broadcast of anything node-sized, the SSSP
+    cost model. ``localCheckpoint`` truncates lineage per round so the
+    plan stays round-sized (the graph-loop lesson pinned in
+    tests/test_linkgraph.py)."""
+    e = (symmetrize(pairs.select(F.col("u").alias("a"),
+                                 F.col("v").alias("b")))
+         .select(F.col("u").alias("src"), F.col("v").alias("dst")))
+    e = e.localCheckpoint(eager=True)
+    labels = (e.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(rounds):
+        msgs = (e.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .select("src", "label"))
+        counts = (msgs.groupBy("src", "label")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        picked = (counts.groupBy("src")
+                  .agg(F.max(F.struct(
+                      F.col("n"),
+                      (-F.col("label")).alias("neg_label"))).alias("m"))
+                  .select(F.col("src").alias("node"),
+                          (-F.col("m.neg_label")).alias("label")))
+        labels = picked.localCheckpoint(eager=True)
+    return labels

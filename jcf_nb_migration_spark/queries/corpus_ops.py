@@ -880,3 +880,67 @@ def weighted_corpus_sample(spark: SparkSession,
     return (w.select("doc_id", "weight", "priority")
             .orderBy("priority", "doc_id")
             .limit(WSAMPLE_K))
+
+
+LPA_ITERS = 3   # fixed synchronous rounds, unrolled in the oracle
+
+
+@query(
+    "linkgraph_label_propagation",
+    oracle=f"""
+    WITH {_sql_pg_pairs()},
+    e AS (SELECT u AS src, v AS dst FROM pairs
+          UNION ALL SELECT v AS src, u AS dst FROM pairs),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+    l1 AS (SELECT node, label FROM (
+        SELECT c.src AS node, c.label, ROW_NUMBER() OVER (
+            PARTITION BY c.src ORDER BY c.n DESC, c.label ASC) AS rn
+        FROM (SELECT e.src, l.label, COUNT(*) AS n
+              FROM e JOIN l0 l ON e.dst = l.node
+              GROUP BY e.src, l.label) c
+    ) WHERE rn = 1),
+    l2 AS (SELECT node, label FROM (
+        SELECT c.src AS node, c.label, ROW_NUMBER() OVER (
+            PARTITION BY c.src ORDER BY c.n DESC, c.label ASC) AS rn
+        FROM (SELECT e.src, l.label, COUNT(*) AS n
+              FROM e JOIN l1 l ON e.dst = l.node
+              GROUP BY e.src, l.label) c
+    ) WHERE rn = 1),
+    l3 AS (SELECT node, label FROM (
+        SELECT c.src AS node, c.label, ROW_NUMBER() OVER (
+            PARTITION BY c.src ORDER BY c.n DESC, c.label ASC) AS rn
+        FROM (SELECT e.src, l.label, COUNT(*) AS n
+              FROM e JOIN l2 l ON e.dst = l.node
+              GROUP BY e.src, l.label) c
+    ) WHERE rn = 1)
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM l{LPA_ITERS} GROUP BY label ORDER BY community
+    """,
+    tags=("graph", "communities", "label-propagation", "iterative"),
+    driver_visible=False,
+)
+def linkgraph_label_propagation(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Community detection over the rare-gram document link graph by
+    fixed-round synchronous label propagation (functions/graph.
+    label_propagation — Raghavan et al. 2007 with deterministic
+    smallest-label ties, the GraphFrames-LPA shape): every doc starts
+    as its own community, each of {LPA_ITERS} rounds adopts the
+    neighbor-majority label, and the result reports community sizes.
+    Complements the component/centrality/path families already in the
+    graph suite: components answer "connected at all?", LPA answers
+    "densely knit with whom?" — near-dup clusters inside a weakly
+    joined component split into separate communities. The oracle
+    unrolls the same {LPA_ITERS} rounds as windowed argmax CTEs —
+    bit-exact parity because every step is integer counts with integer
+    ties. Per round one node-keyed equi-join + two key-partitioned
+    groupBys; no broadcast of node-sized state (the SSSP cost
+    model)."""
+    from jcf_nb_migration_spark.functions.graph import label_propagation
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    pairs = _rare_gram_pairs(docs)
+    labels = label_propagation(pairs, rounds=LPA_ITERS)
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .orderBy("community"))
