@@ -853,7 +853,8 @@ def positional_index_compact(spark: SparkSession, prefix: str,
         spark, table, path, POSITIONS_SUBDIR, "tok", num_buckets,
         parallelism,
         lambda: positional_index_attach(spark, prefix, path,
-                                        num_buckets))
+                                        num_buckets),
+        retire=_positions_retire(path))
 
 
 def positional_index_maintain(spark: SparkSession, prefix: str,
@@ -945,9 +946,13 @@ def positional_index_vacuum(spark: SparkSession, prefix: str,
         parallelism,
         lambda: positional_index_attach(spark, prefix, path,
                                         num_buckets),
-        frame=live)
-    shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
-                  ignore_errors=True)
+        frame=live, retire=_positions_retire(path))
+    if _has_snapshots(path):
+        _retire_surface_dir(path, os.path.join(path, TOMBSTONES_SUBDIR),
+                            TOMBSTONES_SUBDIR)
+    else:
+        shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
+                      ignore_errors=True)
     return {"reclaimed_docs": n_docs, "reclaimed_positions": n_rows}
 
 
@@ -1134,30 +1139,39 @@ def _read_snapshot(path: str, sid: int) -> dict:
         return json.load(fh)
 
 
-def lexical_index_snapshot(spark: SparkSession, prefix: str, path: str,
-                           num_buckets: int = 8, note: str = "") -> int:
-    """Record a commit point over the live index state and return its
-    snapshot id. Pure driver metadata: the file lists of the three
-    surfaces, the bucket count (restore validates it — a snapshot is
-    only meaningful against the layout it captured), and a caller
-    note. Atomic via tmp+rename, like every manifest writer here."""
+def _take_snapshot(path: str, surfaces, num_buckets: int,
+                   note: str) -> int:
+    """Shared commit-point writer (lexical + positional wrappers):
+    the file lists of the given surfaces, the bucket count, a caller
+    note. Atomic via tmp+rename, like every manifest writer here. The
+    surfaces are RECORDED IN the manifest, so restore and retention
+    are layout-agnostic — they iterate what the snapshot captured."""
     import json
 
-    prefix = _checked_prefix(prefix)
-    _require_bucketed_table(spark, f"{prefix}_postings", num_buckets,
-                            path, "lexical_index_build",
-                            POSTINGS_SUBDIR)
     snaps = _list_snapshots(path)
     sid = (snaps[-1] + 1) if snaps else 0
     doc = {"snapshot": sid, "note": note, "num_buckets": num_buckets,
-           "files": {s: _live_parquet(path, s)
-                     for s in _SNAP_SURFACES}}
+           "files": {s: _live_parquet(path, s) for s in surfaces}}
     os.makedirs(_snap_dir(path), exist_ok=True)
     tmp = _snap_path(path, sid) + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(doc, fh)
     os.replace(tmp, _snap_path(path, sid))
     return sid
+
+
+def lexical_index_snapshot(spark: SparkSession, prefix: str, path: str,
+                           num_buckets: int = 8, note: str = "") -> int:
+    """Record a commit point over the live index state and return its
+    snapshot id. Pure driver metadata: the file lists of the three
+    surfaces, the bucket count (restore validates it — a snapshot is
+    only meaningful against the layout it captured), and a caller
+    note."""
+    prefix = _checked_prefix(prefix)
+    _require_bucketed_table(spark, f"{prefix}_postings", num_buckets,
+                            path, "lexical_index_build",
+                            POSTINGS_SUBDIR)
+    return _take_snapshot(path, _SNAP_SURFACES, num_buckets, note)
 
 
 def lexical_index_snapshots(spark: SparkSession, path: str) -> DataFrame:
@@ -1201,8 +1215,19 @@ def lexical_index_restore(spark: SparkSession, prefix: str, path: str,
         raise ValueError(
             f"snapshot {snapshot_id} captured a {man['num_buckets']}-"
             f"bucket layout but the caller expects {num_buckets}")
+    moves = _restore_files(path, man, snapshot_id)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    lexical_index_attach(spark, prefix, path, num_buckets)
+    return moves
+
+
+def _restore_files(path: str, man: dict, snapshot_id: int) -> dict:
+    """Shared restore file-mover: two-place COW moves per surface the
+    manifest recorded (layout-agnostic — see _take_snapshot)."""
+    import shutil
+
     moves = {}
-    for surface in _SNAP_SURFACES:
+    for surface in man["files"]:
         want = set(man["files"][surface])
         live_dir = os.path.join(path, surface)
         hist = _history_dir(path, surface)
@@ -1229,8 +1254,6 @@ def lexical_index_restore(spark: SparkSession, prefix: str, path: str,
             shutil.rmtree(live_dir, ignore_errors=True)
         moves[surface] = {"retired": len(live - want),
                           "restored": len(missing)}
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    lexical_index_attach(spark, prefix, path, num_buckets)
     return moves
 
 
@@ -1249,22 +1272,75 @@ def lexical_snapshot_vacuum(spark: SparkSession, path: str,
         raise ValueError(
             f"cannot keep nonexistent snapshots {sorted(missing)} "
             f"(available: {have})")
-    referenced: dict[str, set] = {s: set() for s in _SNAP_SURFACES}
+    # surfaces come from the manifests themselves (layout-agnostic:
+    # the same retention serves lexical and positional index paths)
+    referenced: dict[str, set] = {}
     for sid in sorted(keep_set):
         m = _read_snapshot(path, sid)
-        for s in _SNAP_SURFACES:
-            referenced[s].update(m["files"][s])
+        for s, files in m["files"].items():
+            referenced.setdefault(s, set()).update(files)
     dropped = [sid for sid in have if sid not in keep_set]
     for sid in dropped:
         os.remove(_snap_path(path, sid))
+    hist_root = os.path.join(path, HISTORY_SUBDIR)
     reclaimed = 0
-    for s in _SNAP_SURFACES:
-        hist = _history_dir(path, s)
-        if not os.path.isdir(hist):
-            continue
-        for f in os.listdir(hist):
-            if f.endswith(".parquet") and f not in referenced[s]:
-                os.remove(os.path.join(hist, f))
-                reclaimed += 1
+    if os.path.isdir(hist_root):
+        for s in os.listdir(hist_root):
+            hist = os.path.join(hist_root, s)
+            if not os.path.isdir(hist):
+                continue
+            for f in os.listdir(hist):
+                if (f.endswith(".parquet")
+                        and f not in referenced.get(s, set())):
+                    os.remove(os.path.join(hist, f))
+                    reclaimed += 1
     return {"dropped_snapshots": len(dropped),
             "reclaimed_files": reclaimed}
+
+
+_POS_SNAP_SURFACES = (POSITIONS_SUBDIR, TOMBSTONES_SUBDIR)
+
+
+def _positions_retire(path: str):
+    """Disposal policy for the positional layout's rewrites (compact/
+    vacuum): COW-retire once a snapshot exists, plain delete
+    otherwise — _postings_retire's twin."""
+    if not _has_snapshots(path):
+        return None
+    return lambda old_dir: _retire_surface_dir(path, old_dir,
+                                               POSITIONS_SUBDIR)
+
+
+def positional_index_snapshot(spark: SparkSession, prefix: str,
+                              path: str, num_buckets: int = 8,
+                              note: str = "") -> int:
+    """Commit point over the positional (phrase/proximity) layout —
+    same contract as lexical_index_snapshot, two surfaces (positions +
+    tombstones; the layout carries no corpus-stats sidecar)."""
+    prefix = _checked_prefix(prefix)
+    _require_bucketed_table(spark, f"{prefix}_positions", num_buckets,
+                            path, "positional_index_build",
+                            POSITIONS_SUBDIR)
+    return _take_snapshot(path, _POS_SNAP_SURFACES, num_buckets, note)
+
+
+def positional_index_restore(spark: SparkSession, prefix: str,
+                             path: str, snapshot_id: int,
+                             num_buckets: int = 8) -> dict:
+    """Make ``snapshot_id`` the live positional layout (two-place COW
+    moves + catalog re-register) — lexical_index_restore's twin.
+    Retention is the shared ``lexical_snapshot_vacuum`` (it iterates
+    the surfaces each manifest recorded, so it serves both layouts)."""
+    prefix = _checked_prefix(prefix)
+    table = f"{prefix}_positions"
+    _require_bucketed_table(spark, table, num_buckets, path,
+                            "positional_index_build", POSITIONS_SUBDIR)
+    man = _read_snapshot(path, snapshot_id)
+    if man["num_buckets"] != num_buckets:
+        raise ValueError(
+            f"snapshot {snapshot_id} captured a {man['num_buckets']}-"
+            f"bucket layout but the caller expects {num_buckets}")
+    moves = _restore_files(path, man, snapshot_id)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    positional_index_attach(spark, prefix, path, num_buckets)
+    return moves

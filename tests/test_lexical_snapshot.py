@@ -153,3 +153,61 @@ def test_restore_validates_bucket_count(spark):
     sid = lexical_index_snapshot(spark, prefix, path, num_buckets=4)
     with pytest.raises(ValueError):
         lexical_index_restore(spark, prefix, path, sid, num_buckets=8)
+
+
+def test_positional_snapshot_restore_across_delete_vacuum(spark):
+    """The positional layout shares the commit-point contract: a
+    snapshot taken before delete+vacuum restores bit-identical phrase
+    probes, and the shared retention (lexical_snapshot_vacuum iterates
+    the surfaces each manifest recorded) serves this layout too."""
+    from jcf_nb_migration_spark.io.lexical import (
+        phrase_probe,
+        positional_index_build,
+        positional_index_delete,
+        positional_index_restore,
+        positional_index_snapshot,
+        positional_index_vacuum,
+    )
+
+    docs = [
+        (1, "spark window merge alpha spark window"),
+        (2, "spark window beta"),
+        (3, "merge spark window gamma"),
+        (4, "window spark"),
+        (5, "spark window spark window"),
+    ]
+    path = _mk("pos")
+    prefix = "snappos"
+    positional_index_build(_toks(spark, docs), prefix, path,
+                           num_buckets=4)
+
+    def probe():
+        return sorted(
+            (r["doc_id"], r["n_occurrences"], r["first_pos"])
+            for r in phrase_probe(spark, prefix, path,
+                                  ("spark", "window")).collect())
+
+    at_commit = probe()
+    assert at_commit  # the phrase matches something
+    sid = positional_index_snapshot(spark, prefix, path, num_buckets=4,
+                                    note="pre-maintenance")
+    positional_index_delete(spark, prefix, path, [1, 5], num_buckets=4)
+    out = positional_index_vacuum(spark, prefix, path, num_buckets=4)
+    assert out["reclaimed_docs"] == 2
+    after = probe()
+    assert after != at_commit
+    assert not {1, 5} & {d for d, _, _ in after}
+
+    moves = positional_index_restore(spark, prefix, path, sid,
+                                     num_buckets=4)
+    assert moves["positions"]["restored"] > 0
+    assert probe() == at_commit
+
+    # shared retention: dropping the only snapshot reclaims history
+    from jcf_nb_migration_spark.io.lexical import (
+        lexical_snapshot_vacuum, positional_index_compact)
+    s2 = positional_index_snapshot(spark, prefix, path, num_buckets=4)
+    positional_index_compact(spark, prefix, path, num_buckets=4)
+    got = lexical_snapshot_vacuum(spark, path, keep=[s2])
+    assert got["dropped_snapshots"] == 1
+    assert probe() == at_commit  # live state untouched by retention
