@@ -755,6 +755,7 @@ def ivf_index_vacuum(spark, path: str, id_col: str = "vec_id") -> dict:
     Returns ``{"reclaimed_ids": n, "touched_clusters": m}``."""
     import shutil
 
+    _recover_epoch_residue(path)  # a crashed maintain must not hide state
     tomb = vec_tombstone_ids(spark, path)
     if tomb is None:
         return {"reclaimed_ids": 0, "touched_clusters": 0}
@@ -927,19 +928,32 @@ def _absorb_old_epoch(path: str, old: str) -> None:
     _vec_retire_dir(path, old, "")
 
 
-def _epoch_swap(path: str, staging: str) -> None:
-    """Swap a staged full rebuild into place (both maintains). Crash
-    residue from a prior swap is RECOVERED, not blindly deleted, when
-    either side holds commit points (the zorder_maintain r11 lesson:
-    a leftover .old dir may be the only copy of snapshot state)."""
+def _recover_epoch_residue(path: str) -> None:
+    """Fold crash residue from a prior epoch swap (a leftover
+    ``<path>.old``) back into the live index — RECOVERED, not blindly
+    deleted, when either side holds commit points (the zorder_maintain
+    r11 lesson: the .old dir may be the only copy of snapshot state,
+    because the swap moves control dirs across only AFTER the
+    renames). Called at the start of every snapshot-aware entry point
+    so a crashed maintain can't silently strand commit points until
+    the next maintain."""
     import shutil
 
     old = path.rstrip("/") + ".old"
-    if os.path.isdir(old):  # a crashed prior swap
+    if os.path.isdir(old):
         if _vec_has_snapshots(old) or _vec_has_snapshots(path):
             _absorb_old_epoch(path, old)
         else:
             shutil.rmtree(old)
+
+
+def _epoch_swap(path: str, staging: str) -> None:
+    """Swap a staged full rebuild into place (both maintains),
+    carrying snapshots + history across the epoch boundary."""
+    import shutil
+
+    _recover_epoch_residue(path)  # a crashed prior swap
+    old = path.rstrip("/") + ".old"
     os.rename(path, old)
     os.rename(staging, path)
     if _vec_has_snapshots(old):
@@ -973,6 +987,7 @@ def ivf_index_snapshot(spark, path: str, centroids=None,
 
     if not os.path.isdir(path):
         raise ValueError(f"no vector index at {path}")
+    _recover_epoch_residue(path)  # a crashed maintain must not hide state
     files = _vec_rel_parquet(path)
     if not files:
         raise ValueError(f"vector index at {path} has no data files")
@@ -995,6 +1010,7 @@ def ivf_index_snapshots(spark, path: str):
     """The vector index's commit-point log as a frame: one row per
     live snapshot (id, note, file count, whether centroids were
     captured)."""
+    _recover_epoch_residue(path)
     rows = []
     for sid in _vec_list_snapshots(path):
         m = _vec_read_snapshot(path, sid)
@@ -1016,6 +1032,7 @@ def ivf_index_restore(spark, path: str, snapshot_id: int):
     (an empty sidecar dir would break its reader)."""
     import shutil
 
+    _recover_epoch_residue(path)  # a crashed maintain must not hide state
     man = _vec_read_snapshot(path, snapshot_id)
     want = set(man["files"])
     live = set(_vec_rel_parquet(path))

@@ -132,3 +132,37 @@ def test_snapshotless_index_accretes_no_history(spark, tmp_path):
     ivf_index_delete(spark, path, [before[0][0]], batch_id=1)
     ivf_index_vacuum(spark, path)
     assert not os.path.isdir(os.path.join(path, VEC_HISTORY_SUBDIR))
+
+
+def test_crashed_epoch_swap_residue_is_recovered(spark, tmp_path):
+    """The epoch swap's crash window: a maintain that died after the
+    renames but before the absorb leaves the ENTIRE previous epoch —
+    including the only copy of `_snapshots` — stranded in
+    ``<path>.old``. Every snapshot-aware entry point recovers the
+    residue first, so the commit point taken before the crash still
+    restores (the zorder r11 lesson: residue is state, not garbage)."""
+    import shutil
+
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_crash")
+    before = _probe(spark, path, centroids, pvec)
+    s0 = ivf_index_snapshot(spark, path, centroids=centroids,
+                            note="pre-crash")
+
+    # simulate the crash window: previous epoch (with _snapshots) at
+    # .old, a freshly rebuilt epoch at path WITHOUT control dirs
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    survivors = emb.where(F.col("vec_id") % 3 != 0)
+    ivf_index_write(survivors, centroids, path)
+    assert not os.path.isdir(os.path.join(path, "_snapshots"))
+
+    # restore must first absorb the residue, then resolve s0 exactly
+    got_cents = ivf_index_restore(spark, path, s0)
+    assert got_cents is not None
+    assert _probe(spark, path, centroids, pvec) == before
+    assert not os.path.isdir(old)
+
+    # and the recovered snapshot log is visible to the listing
+    log = [r["snapshot"] for r in
+           ivf_index_snapshots(spark, path).collect()]
+    assert log == [s0]
