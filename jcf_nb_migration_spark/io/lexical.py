@@ -536,6 +536,45 @@ def bm25_probe(spark: SparkSession, prefix: str, path: str,
             .limit(k))
 
 
+def _recover_swap_residue(spark: SparkSession, table: str, path: str,
+                          subdir: str, retire=None) -> None:
+    """Fold crash residue from a prior staged-rewrite swap back into a
+    consistent live state (the bucketed-table twin of io/layout.
+    _recover_epoch_residue). The swap's crash states and their
+    recoveries:
+
+    - ``<dir>.old`` present, live dir present — crash after the second
+      rename, before disposal: dispose the old dir (retire-or-delete
+      per the caller's policy, so snapshot-referenced files land in
+      ``_history``, never the void).
+    - ``<dir>.old`` present, live dir MISSING, staging present — crash
+      between the two renames: the staged write had fully completed
+      (it precedes any rename), so COMPLETE the swap, then dispose old.
+    - ``<dir>.old`` present, live dir MISSING, staging missing —
+      manual meddling or partial cleanup: roll BACK to the old layout
+      (the only complete copy).
+
+    The catalog's cached file listing may be stale after any of these
+    — refresh it."""
+    import shutil
+
+    data_dir = os.path.join(path, subdir)
+    old = data_dir.rstrip("/") + ".old"
+    staging = data_dir.rstrip("/") + ".compact"
+    if not os.path.isdir(old):
+        return
+    if not os.path.isdir(data_dir):
+        if os.path.isdir(staging):
+            os.rename(staging, data_dir)   # complete the crashed swap
+        else:
+            os.rename(old, data_dir)       # roll back: only full copy
+            spark.catalog.refreshTable(table)
+            return
+    if os.path.isdir(old):
+        retire(old) if retire is not None else shutil.rmtree(old)
+    spark.catalog.refreshTable(table)
+
+
 def _compact_bucketed_table(spark: SparkSession, table: str, path: str,
                             subdir: str, bucket_col: str,
                             num_buckets: int, parallelism: int,
@@ -555,6 +594,7 @@ def _compact_bucketed_table(spark: SparkSession, table: str, path: str,
     files."""
     import shutil
 
+    _recover_swap_residue(spark, table, path, subdir, retire)
     data_dir = os.path.join(path, subdir)
     staging = data_dir.rstrip("/") + ".compact"
     # coalesce, not repartition: narrow (no shuffle), and the bucketed
@@ -566,8 +606,6 @@ def _compact_bucketed_table(spark: SparkSession, table: str, path: str,
      .option("path", staging)
      .format("parquet").saveAsTable(f"{table}_compact"))
     old = data_dir.rstrip("/") + ".old"
-    if os.path.isdir(old):  # a crashed prior swap
-        retire(old) if retire is not None else shutil.rmtree(old)
     os.rename(data_dir, old)
     os.rename(staging, data_dir)
     retire(old) if retire is not None else shutil.rmtree(old)
@@ -1171,6 +1209,8 @@ def lexical_index_snapshot(spark: SparkSession, prefix: str, path: str,
     _require_bucketed_table(spark, f"{prefix}_postings", num_buckets,
                             path, "lexical_index_build",
                             POSTINGS_SUBDIR)
+    _recover_swap_residue(spark, f"{prefix}_postings", path,
+                          POSTINGS_SUBDIR, _postings_retire(path))
     return _take_snapshot(path, _SNAP_SURFACES, num_buckets, note)
 
 
@@ -1210,6 +1250,8 @@ def lexical_index_restore(spark: SparkSession, prefix: str, path: str,
     table = f"{prefix}_postings"
     _require_bucketed_table(spark, table, num_buckets, path,
                             "lexical_index_build", POSTINGS_SUBDIR)
+    _recover_swap_residue(spark, table, path, POSTINGS_SUBDIR,
+                          _postings_retire(path))
     man = _read_snapshot(path, snapshot_id)
     if man["num_buckets"] != num_buckets:
         raise ValueError(
@@ -1321,6 +1363,8 @@ def positional_index_snapshot(spark: SparkSession, prefix: str,
     _require_bucketed_table(spark, f"{prefix}_positions", num_buckets,
                             path, "positional_index_build",
                             POSITIONS_SUBDIR)
+    _recover_swap_residue(spark, f"{prefix}_positions", path,
+                          POSITIONS_SUBDIR, _positions_retire(path))
     return _take_snapshot(path, _POS_SNAP_SURFACES, num_buckets, note)
 
 
@@ -1335,6 +1379,8 @@ def positional_index_restore(spark: SparkSession, prefix: str,
     table = f"{prefix}_positions"
     _require_bucketed_table(spark, table, num_buckets, path,
                             "positional_index_build", POSITIONS_SUBDIR)
+    _recover_swap_residue(spark, table, path, POSITIONS_SUBDIR,
+                          _positions_retire(path))
     man = _read_snapshot(path, snapshot_id)
     if man["num_buckets"] != num_buckets:
         raise ValueError(

@@ -211,3 +211,53 @@ def test_positional_snapshot_restore_across_delete_vacuum(spark):
     got = lexical_snapshot_vacuum(spark, path, keep=[s2])
     assert got["dropped_snapshots"] == 1
     assert probe() == at_commit  # live state untouched by retention
+
+
+def test_crashed_compact_swap_is_recovered(spark, monkeypatch):
+    """The staged-rewrite swap's two crash states recover at the next
+    entry point (io/lexical._recover_swap_residue): (1) a crash
+    BETWEEN the renames (live dir missing, completed staging beside
+    it) — the swap completes; (2) a stranded .old with the live dir
+    intact — disposed per the snapshot retire policy. Probe results
+    and the held commit point survive both."""
+    import jcf_nb_migration_spark.io.lexical as L
+    from jcf_nb_migration_spark.io.lexical import (
+        lexical_index_compact,
+        lexical_index_restore,
+        lexical_index_snapshot,
+    )
+
+    path = _mk("crash")
+    prefix = "snapcrash"
+    lexical_index_build(_toks(spark, BASE_DOCS), prefix, path,
+                        num_buckets=4)
+    # fragment the postings so compaction has real work
+    lexical_index_append(_toks(spark, NEW_DOCS), prefix, path,
+                         num_buckets=4, batch_id="b1")
+    sid = lexical_index_snapshot(spark, prefix, path, num_buckets=4,
+                                 note="pre-crash")
+    at_commit = _probe(spark, prefix, path)
+
+    real_rename = os.rename
+
+    def crash_after_first_rename(a, b):
+        real_rename(a, b)
+        if str(b).endswith("postings.old"):
+            raise RuntimeError("simulated crash between the renames")
+
+    monkeypatch.setattr(L.os, "rename", crash_after_first_rename)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        lexical_index_compact(spark, prefix, path, num_buckets=4)
+    monkeypatch.undo()
+    # crash state: live postings gone, .old + completed staging present
+    assert not os.path.isdir(os.path.join(path, "postings"))
+    assert os.path.isdir(os.path.join(path, "postings.old"))
+    assert os.path.isdir(os.path.join(path, "postings.compact"))
+
+    # the next compact recovers (completes the swap), then compacts
+    lexical_index_compact(spark, prefix, path, num_buckets=4)
+    assert _probe(spark, prefix, path) == at_commit
+    assert not os.path.isdir(os.path.join(path, "postings.old"))
+    # the commit point survived: its files retired to history, not void
+    lexical_index_restore(spark, prefix, path, sid, num_buckets=4)
+    assert _probe(spark, prefix, path) == at_commit
