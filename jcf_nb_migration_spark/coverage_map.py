@@ -380,6 +380,9 @@ COVERED_BY: dict[str, str] = {
     #   layout, plus the snapshot/restore commit-point lifecycle
     "orders_price_drift_psi": "join_key_skew_profile",
     "linkgraph_label_propagation": "linkgraph_pagerank",
+    "phrase_snapshot_served": "proximity_ranked_served",  # same
+    #   bucket-pruned positional-probe pattern, plus the
+    #   snapshot/restore commit-point lifecycle around the vacuum
     "cogroup_asof_pandas": "orders_pit_customer_join",  # as-of pick
     #   over keyed ordered feeds (cogrouped pandas vs PIT join); the
     #   batched-python surface stays visible via arrow_doc_stats

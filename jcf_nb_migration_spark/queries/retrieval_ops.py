@@ -1691,3 +1691,93 @@ def bm25_snapshot_served(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_terms_matched", "bm25"))
     return (live.unionByName(restored)
             .orderBy("state", F.desc("bm25"), "doc_id"))
+
+
+def _sql_phrase_state(where: str) -> str:
+    """_SQL_PHRASE_ORACLE parameterized by a corpus predicate — the
+    snapshot query states the post-vacuum and restored corpora as two
+    instances of the same phrase-adjacency text."""
+    return f"""WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS w
+                       FROM documents{where}),
+            occ AS (
+                SELECT doc_id, unnest(w) AS tok,
+                       CAST(generate_subscripts(w, 1) AS BIGINT) AS pos
+                FROM toks
+            ),
+            hits AS (
+                SELECT a.doc_id, a.pos
+                FROM occ a JOIN occ b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                WHERE a.tok = '{PHRASE[0]}' AND b.tok = '{PHRASE[1]}'
+            )
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   MIN(pos) AS first_pos
+            FROM hits GROUP BY doc_id
+            ORDER BY n_occurrences DESC, doc_id LIMIT 20"""
+
+
+@query(
+    "phrase_snapshot_served",
+    oracle=f"""
+    SELECT * FROM (
+        SELECT 'post_vacuum' AS state, doc_id, n_occurrences, first_pos
+        FROM ({_sql_phrase_state(" WHERE doc_id % 5 <> 0")})
+        UNION ALL
+        SELECT 'restored' AS state, doc_id, n_occurrences, first_pos
+        FROM ({_sql_phrase_state("")})
+    )
+    ORDER BY state, n_occurrences DESC, doc_id
+    """,
+    tags=("retrieval", "phrase", "positional", "serving", "snapshot",
+          "time-travel", "tombstone"),
+    driver_visible=False,
+)
+def phrase_snapshot_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit points on the POSITIONAL layout (io/lexical.py —
+    completing the snapshot trilogy: BM25 `bm25_snapshot_served`, IVF
+    `ann_snapshot_probe`, phrase here): snapshot the freshly-built
+    positional index, delete every doc_id ≡ 0 mod 5 and vacuum (the
+    staged rewrite physically drops their position rows; under the
+    held snapshot the superseded files COW-retire to ``_history``),
+    probe the exact-phrase query, RESTORE the commit point, probe
+    again. Positional vacuum has unconditional rebuild parity (no
+    corpus stats to reconcile), so the oracle states both corpora with
+    the same phrase-adjacency text. First probe's rows are collected
+    k-bounded before the restore displaces the files it read."""
+    import hashlib
+    import tempfile
+
+    from jcf_nb_migration_spark.io.lexical import (
+        phrase_probe, positional_index_build, positional_index_delete,
+        positional_index_restore, positional_index_snapshot,
+        positional_index_vacuum)
+
+    docs = spread(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", T.tokens("text").alias("w"))
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    prefix = f"possnap_{tag}"
+    path = os.path.join(tempfile.gettempdir(), "jcf_positional_snap",
+                        spark.sparkContext.applicationId, tag)
+    positional_index_build(toks, prefix, path, num_buckets=8)
+    sid = positional_index_snapshot(spark, prefix, path, num_buckets=8,
+                                    note="pre-maintenance")
+    del_ids = [r["doc_id"] for r in
+               docs.where(F.col("doc_id") % 5 == 0)
+               .select("doc_id").collect()]
+    positional_index_delete(spark, prefix, path, del_ids,
+                            num_buckets=8)
+    positional_index_vacuum(spark, prefix, path, num_buckets=8)
+    live_rows = [(r["doc_id"], r["n_occurrences"], r["first_pos"])
+                 for r in phrase_probe(spark, prefix, path, PHRASE,
+                                       k=20).collect()]
+    live = (spark.createDataFrame(
+        live_rows,
+        "doc_id bigint, n_occurrences bigint, first_pos bigint")
+        .select(F.lit("post_vacuum").alias("state"), "*"))
+    positional_index_restore(spark, prefix, path, sid, num_buckets=8)
+    restored = (phrase_probe(spark, prefix, path, PHRASE, k=20)
+                .select(F.lit("restored").alias("state"), "doc_id",
+                        "n_occurrences", "first_pos"))
+    return (live.unionByName(restored)
+            .orderBy("state", F.desc("n_occurrences"), "doc_id"))
