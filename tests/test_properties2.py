@@ -287,3 +287,56 @@ def test_lexical_snapshot_model(spark, ops):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_postings")
         shutil.rmtree(os.path.dirname(path), ignore_errors=True)
+
+
+# -------------------------------------------------------------------- BPE
+
+_BPE_WORDS = st.sampled_from(["ab", "aab", "abb", "ba", "bb", "a",
+                              "abab"])
+_BPE_DOC = st.lists(_BPE_WORDS, min_size=1, max_size=6).map(" ".join)
+
+
+def _py_bpe(syms, merges):
+    """Reference BPE application: each merge in rank order, greedy
+    left-to-right non-overlapping within one pretoken."""
+    for lhs, rhs in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@given(st.lists(_BPE_DOC, min_size=1, max_size=6))
+@settings(**SMALL)
+def test_bpe_apply_matches_python_reference(spark, docs):
+    """The codegen'd delimiter-encoded replace chain
+    (bpe_doc_encode + bpe_apply_merges) must produce EXACTLY the
+    per-pretoken symbol sequences the textbook greedy BPE gives for
+    the merges bpe_train learned on the same corpus — the flat string
+    replace may never merge across pretoken boundaries or deviate
+    from left-to-right non-overlap."""
+    from pyspark.sql import functions as F
+
+    from jcf_nb_migration_spark.functions.text import (
+        BPE_SYM, BPE_TOK, bpe_apply_merges, bpe_doc_encode, bpe_train,
+        subword_tokens)
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id int, text string")
+    merges = bpe_train(df, "text", num_merges=6)
+    rows = df.select(
+        "doc_id",
+        bpe_apply_merges(bpe_doc_encode(F.col("text")), merges)
+        .alias("enc"),
+        subword_tokens(F.col("text")).alias("pre")).collect()
+    for r in rows:
+        got = [[s for s in tok.split(BPE_SYM) if s]
+               for tok in r["enc"].split(BPE_TOK) if tok]
+        want = [_py_bpe(list(p), merges) for p in r["pre"]]
+        assert got == want, (r["pre"], merges)
