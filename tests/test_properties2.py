@@ -340,3 +340,45 @@ def test_bpe_apply_matches_python_reference(spark, docs):
                for tok in r["enc"].split(BPE_TOK) if tok]
         want = [_py_bpe(list(p), merges) for p in r["pre"]]
         assert got == want, (r["pre"], merges)
+
+
+# ------------------------------------------------------------------- SSSP
+
+_EDGE = st.tuples(st.integers(0, 7), st.integers(0, 7),
+                  st.integers(1, 9))
+
+
+def _py_dijkstra(edges, src):
+    """Reference shortest paths (integer weights ≥ 1)."""
+    import heapq
+
+    adj = {}
+    for u, v, w in edges:
+        adj.setdefault(u, []).append((v, w))
+    dist = {src: 0}
+    heap = [(0, src)]
+    while heap:
+        d, n = heapq.heappop(heap)
+        if d > dist.get(n, float("inf")):
+            continue
+        for v, w in adj.get(n, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+@given(st.lists(_EDGE, min_size=1, max_size=16))
+@settings(**SMALL)
+def test_sssp_fixpoint_matches_dijkstra(spark, edges):
+    """The certified-fixpoint distributed Bellman-Ford must agree with
+    Dijkstra on every random directed weighted graph — including
+    self-loops, parallel edges, and nodes unreachable from the
+    source (absent from both results)."""
+    from jcf_nb_migration_spark.functions.graph import sssp
+
+    df = spark.createDataFrame(edges, "u int, v int, w int")
+    src = spark.createDataFrame([(edges[0][0],)], "node int")
+    got = {r["node"]: r["dist"] for r in sssp(df, src).collect()}
+    assert got == _py_dijkstra(edges, edges[0][0])
