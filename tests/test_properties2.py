@@ -382,3 +382,55 @@ def test_sssp_fixpoint_matches_dijkstra(spark, edges):
     src = spark.createDataFrame([(edges[0][0],)], "node int")
     got = {r["node"]: r["dist"] for r in sssp(df, src).collect()}
     assert got == _py_dijkstra(edges, edges[0][0])
+
+
+# -------------------------------------------------------------------- LPA
+
+def _py_lpa(pairs, rounds=3):
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            adj.setdefault(a, [])
+            continue
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in adj.items():
+            if not nbrs:
+                nxt[n] = labels[n]
+                continue
+            counts = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            nxt[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+@given(st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                min_size=1, max_size=20),
+       st.integers(1, 4))
+@settings(**SMALL)
+def test_label_propagation_matches_reference(spark, pairs, nparts):
+    """Fixed-round deterministic LPA is a pure function of the edge
+    set: equals the plain-Python synchronous reference (neighbor
+    majority, smallest-label ties) on random multigraphs with
+    self-loops, at any input partitioning. Distinct-edge semantics:
+    the distributed op works on the DISTINCT undirected pair set, so
+    the reference dedups parallel edges the same way."""
+    from jcf_nb_migration_spark.functions.graph import label_propagation
+
+    # the engine consumes a (u, v) PAIR frame; parallel edges and
+    # self-loops may appear — dedup to the canonical undirected set,
+    # like _rare_gram_pairs (SELECT DISTINCT u < v) produces
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs
+                    if a != b})
+    if not canon:
+        return  # all self-loops: the operator has no edge to work on
+    df = (spark.createDataFrame(canon, "u int, v int")
+          .repartition(nparts))
+    got = {r["node"]: r["label"] for r in
+           label_propagation(df, rounds=3).collect()}
+    assert got == _py_lpa(canon, rounds=3)
