@@ -434,3 +434,32 @@ def test_label_propagation_matches_reference(spark, pairs, nparts):
     got = {r["node"]: r["label"] for r in
            label_propagation(df, rounds=3).collect()}
     assert got == _py_lpa(canon, rounds=3)
+
+
+# -------------------------------------------------------------- winnowing
+
+_LOW = st.text(alphabet="abcd", min_size=0, max_size=20)
+_PLANT = st.text(alphabet="abcd", min_size=11, max_size=25)  # ≥ k+w-1
+_DISJOINT = st.text(alphabet="efgh", min_size=12, max_size=30)
+
+
+@given(_LOW, _LOW, _LOW, _LOW, _PLANT, _DISJOINT)
+@settings(**SMALL)
+def test_winnowing_detection_guarantee(spark, a1, a2, b1, b2, plant,
+                                       other):
+    """The MOSS winnowing theorem, as a property: two documents
+    sharing ANY substring of length ≥ k + window - 1 (here 8+4-1=11)
+    must share at least one fingerprint, wherever the substring sits;
+    and a document over a disjoint alphabet (no common k-gram at all)
+    shares none (fingerprints are k-gram hashes)."""
+    from jcf_nb_migration_spark.functions.text import (
+        winnowing_fingerprints)
+
+    df = spark.createDataFrame(
+        [(1, a1 + plant + a2), (2, b1 + plant + b2), (3, other)],
+        "id int, text string")
+    fps = {}
+    for r in winnowing_fingerprints(df, "id", "text").collect():
+        fps.setdefault(r["id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], (plant, a1, a2, b1, b2)
+    assert not (fps[1] & fps.get(3, set()))
