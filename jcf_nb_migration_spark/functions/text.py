@@ -91,6 +91,13 @@ BPE_NUM_MERGES = 32   # fixture-sized default; real vocabs use ~30k
 BPE_SYM = "\x01"      # prefix marking the start of every symbol
 BPE_TOK = "\x02"      # pretoken boundary (merges never cross it)
 _BPE_PROT = "\x03"    # scratch char protecting token-leading spaces
+BPE_END = "\x04"      # suffix terminating every symbol: without it a
+#   merge's rhs can match a strict PREFIX of a longer symbol (pattern
+#   SYM+lhs+SYM+rhs says nothing about what FOLLOWS rhs — e.g. merge
+#   (' ','a') corrupting the symbol 'ab'), silently deviating from
+#   greedy BPE. Found by hypothesis
+#   (tests/test_properties2.py::test_bpe_apply_matches_python_reference,
+#   r11); both engines' encodings carry the terminator now.
 
 
 def strip_ctrl(c: Column | str) -> Column:
@@ -151,10 +158,13 @@ def bpe_doc_encode(c: Column | str) -> Column:
     """Encode a document for merge application: every symbol prefixed
     with BPE_SYM, every pretoken prefixed with BPE_TOK, inter-token
     whitespace dropped (a pretoken's single leading space is itself a
-    symbol, GPT-2 style). Merges then apply as plain string replaces of
-    SYM+lhs+SYM+rhs → SYM+lhs+rhs; BPE_TOK interrupts any cross-token
-    match, so no lookaround is needed and Java regex / RE2 / plain
-    replace all agree. All five steps are codegen'd string ops."""
+    symbol, GPT-2 style), and every symbol SUFFIXED with BPE_END.
+    Merges then apply as plain string replaces of
+    SYM+lhs+END+SYM+rhs+END → SYM+lhs+rhs+END; BPE_TOK interrupts any
+    cross-token match and BPE_END pins where a symbol ENDS (a bare
+    prefix match cannot fire — see the BPE_END comment), so no
+    lookaround is needed and Java regex / RE2 / plain replace all
+    agree. All five steps are codegen'd string ops."""
     col = F.col(c) if isinstance(c, str) else c
     col = strip_ctrl(col)
     marked = F.regexp_replace(col, "(" + BPE_ISH_PATTERN + ")",
@@ -165,17 +175,21 @@ def bpe_doc_encode(c: Column | str) -> Column:
     nospace = F.regexp_replace(protected, r"\s", "")
     restored = F.replace(nospace, F.lit(_BPE_PROT), F.lit(BPE_TOK + " "))
     return F.regexp_replace(restored, "([^" + BPE_TOK + "])",
-                            BPE_SYM + "$1")
+                            BPE_SYM + "$1" + BPE_END)
 
 
 def bpe_apply_merges(enc: Column, merges: list[tuple[str, str]]) -> Column:
     """Apply a learned merge table (in rank order) to a bpe_doc_encode'd
     document: one plain string replace per merge — left-to-right
-    non-overlapping, which IS the BPE merge semantics."""
+    non-overlapping over END-delimited symbols, which IS the BPE merge
+    semantics (the END terminator is what makes the plain replace
+    exact; see BPE_END)."""
     out = enc
     for lhs, rhs in merges:
-        out = F.replace(out, F.lit(BPE_SYM + lhs + BPE_SYM + rhs),
-                        F.lit(BPE_SYM + lhs + rhs))
+        out = F.replace(out,
+                        F.lit(BPE_SYM + lhs + BPE_END
+                              + BPE_SYM + rhs + BPE_END),
+                        F.lit(BPE_SYM + lhs + rhs + BPE_END))
     return out
 
 

@@ -149,8 +149,9 @@ def _sql_bpe_ctes(num_merges: int = T.BPE_NUM_MERGES) -> str:
     state (one row per vocab word, encoded with chr(1) symbol prefixes),
     picking each round's argmax pair with a window SUM + first_value
     (count DESC, lhs ASC, rhs ASC — binary string order, identical to
-    the Python trainer's tie-break), and applying it with the same plain
-    `replace` the Spark side uses; `ap` folds the merge table over the
+    the Python trainer's tie-break), and applying it with the same END-delimited plain
+    `replace` the Spark side uses (chr(4) terminators — see
+    functions/text.py::BPE_END for the prefix-match bug they prevent); `ap` folds the merge table over the
     chr(2)-boundary document encoding in rank order. Bit-identical to
     the Spark implementation on both phases."""
     m = num_merges
@@ -167,15 +168,16 @@ def _sql_bpe_ctes(num_merges: int = T.BPE_NUM_MERGES) -> str:
       GROUP BY 1
     ),
     benc0 AS (
-      SELECT regexp_replace(word, '(.)', chr(1) || '\\1', 'g') AS enc, cnt
+      SELECT regexp_replace(word, '(.)', chr(1) || '\\1' || chr(4), 'g')
+             AS enc, cnt
       FROM wc
     ),
     tr AS (
       SELECT 0 AS it, enc, cnt, '' AS lhs, '' AS rhs FROM benc0
       UNION ALL
       SELECT DISTINCT it + 1,
-             replace(enc, chr(1) || bl || chr(1) || br,
-                     chr(1) || bl || br),
+             replace(enc, chr(1) || bl || chr(4) || chr(1) || br || chr(4),
+                     chr(1) || bl || br || chr(4)),
              cnt, bl, br
       FROM (
         SELECT it, enc, cnt,
@@ -193,7 +195,8 @@ def _sql_bpe_ctes(num_merges: int = T.BPE_NUM_MERGES) -> str:
                      [{{'l': NULL::VARCHAR, 'r': NULL::VARCHAR}}]
                    )) AS p
             FROM (SELECT it, enc, cnt,
-                         string_split(enc, chr(1))[2:] AS syms
+                         list_transform(string_split(enc, chr(1))[2:],
+                                        s -> rtrim(s, chr(4))) AS syms
                   FROM tr WHERE it < {m})
           )
         )
@@ -215,15 +218,16 @@ def _sql_bpe_ctes(num_merges: int = T.BPE_NUM_MERGES) -> str:
                      chr(2) || ' ', chr(3)),
                    '\\s', '', 'g'),
                  chr(3), chr(2) || ' '),
-               '([^\\x02])', chr(1) || '\\1', 'g') AS enc
+               '([^\\x02])', chr(1) || '\\1' || chr(4), 'g') AS enc
       FROM clean
     ),
     ap AS (
       SELECT doc_id, enc, 0 AS step FROM doc_enc0
       UNION ALL
       SELECT a.doc_id,
-             replace(a.enc, chr(1) || m.lhs || chr(1) || m.rhs,
-                     chr(1) || m.lhs || m.rhs),
+             replace(a.enc, chr(1) || m.lhs || chr(4)
+                            || chr(1) || m.rhs || chr(4),
+                     chr(1) || m.lhs || m.rhs || chr(4)),
              a.step + 1
       FROM ap a JOIN bpe_merges m ON m.merge_rank = a.step + 1
     )"""

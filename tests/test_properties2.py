@@ -324,8 +324,8 @@ def test_bpe_apply_matches_python_reference(spark, docs):
     from pyspark.sql import functions as F
 
     from jcf_nb_migration_spark.functions.text import (
-        BPE_SYM, BPE_TOK, bpe_apply_merges, bpe_doc_encode, bpe_train,
-        subword_tokens)
+        BPE_END, BPE_SYM, BPE_TOK, bpe_apply_merges, bpe_doc_encode,
+        bpe_train, subword_tokens)
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(docs)], "doc_id int, text string")
@@ -336,7 +336,7 @@ def test_bpe_apply_matches_python_reference(spark, docs):
         .alias("enc"),
         subword_tokens(F.col("text")).alias("pre")).collect()
     for r in rows:
-        got = [[s for s in tok.split(BPE_SYM) if s]
+        got = [[s.rstrip(BPE_END) for s in tok.split(BPE_SYM) if s]
                for tok in r["enc"].split(BPE_TOK) if tok]
         want = [_py_bpe(list(p), merges) for p in r["pre"]]
         assert got == want, (r["pre"], merges)
