@@ -463,3 +463,50 @@ def test_winnowing_detection_guarantee(spark, a1, a2, b1, b2, plant,
         fps.setdefault(r["id"], set()).add(r["fp"])
     assert fps[1] & fps[2], (plant, a1, a2, b1, b2)
     assert not (fps[1] & fps.get(3, set()))
+
+
+# ------------------------------------------------------------------- skew
+
+@given(st.lists(st.tuples(st.integers(0, 3),
+                          st.integers(-100, 100)),
+                min_size=1, max_size=30),
+       st.integers(1, 8))
+@settings(**SMALL)
+def test_salted_aggregate_equals_plain_groupby(spark, rows, n_salts):
+    """Salting is invisible to the result: the two-phase (key, salt)
+    aggregation must equal the plain groupBy EXACTLY for any salt
+    count — sums run in decimal, so how rows split across salts can
+    never show through (the retry-double-count guard is deterministic
+    salting, also exercised here by construction)."""
+    from jcf_nb_migration_spark.functions.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = {(r["k"]): (r["sum_v"], r["n"]) for r in
+           salted_aggregate(df, "k", "v", n_salts=n_salts).collect()}
+    want = {}
+    for k, v in rows:
+        s, n = want.get(k, (0, 0))
+        want[k] = (s + v, n + 1)
+    assert got == {k: (float(s), n) for k, (s, n) in want.items()}
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(1, 100)),
+                min_size=1, max_size=20),
+       st.lists(st.tuples(st.integers(0, 3), st.integers(1, 100)),
+                min_size=1, max_size=20))
+@settings(**SMALL)
+def test_salted_join_equals_plain_join(spark, big, small):
+    """salted_join must produce exactly the plain equi-join's row
+    multiset (salting replicates the small side; no row may be lost
+    or duplicated)."""
+    from jcf_nb_migration_spark.functions.skew import salted_join
+
+    b = spark.createDataFrame(big, "k int, bv int")
+    s = spark.createDataFrame(
+        [(k, v) for k, v in {kv[0]: kv for kv in small}.values()],
+        "k int, sv int")  # unique small-side keys (dimension table)
+    got = sorted((r["k"], r["bv"], r["sv"]) for r in
+                 salted_join(b, s, "k", n_salts=4).collect())
+    want = sorted((r["k"], r["bv"], r["sv"]) for r in
+                  b.join(s, "k").collect())
+    assert got == want
