@@ -240,7 +240,9 @@ def star_components(pairs: DataFrame,
 
 def label_propagation(pairs: DataFrame, rounds: int = 3) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
-    al. 2007) over an undirected ``(a, b)`` pair frame, run a FIXED
+    al. 2007) over an undirected ``(u, v)`` pair frame (the
+    star_components contract — NOT symmetrize's internal ``(a, b)``
+    shape), run a FIXED
     number of rounds with a deterministic tie-break: every node starts
     as its own label; each round a node adopts the label most frequent
     among its NEIGHBORS (ties → smallest label). Fixed-round +

@@ -936,15 +936,34 @@ def _recover_epoch_residue(path: str) -> None:
     because the swap moves control dirs across only AFTER the
     renames). Called at the start of every snapshot-aware entry point
     so a crashed maintain can't silently strand commit points until
-    the next maintain."""
+    the next maintain.
+
+    Crash states (the io/lexical.py _recover_swap_residue trio):
+
+    - ``.old`` present, live dir present — crash after the second
+      rename, before disposal: absorb-or-delete the old epoch.
+    - ``.old`` present, live dir MISSING, ``.rebuild`` staging present
+      — crash BETWEEN _epoch_swap's two renames: the staged rebuild
+      had fully completed (ivf/ivfadc maintain write it before any
+      rename), so COMPLETE the swap, then absorb/dispose old.
+    - ``.old`` present, live dir MISSING, staging missing — roll BACK
+      to the old epoch: it is the only complete copy of the index."""
     import shutil
 
     old = path.rstrip("/") + ".old"
-    if os.path.isdir(old):
-        if _vec_has_snapshots(old) or _vec_has_snapshots(path):
-            _absorb_old_epoch(path, old)
+    if not os.path.isdir(old):
+        return
+    if not os.path.isdir(path):
+        staging = path.rstrip("/") + ".rebuild"
+        if os.path.isdir(staging):
+            os.rename(staging, path)  # complete the crashed swap
         else:
-            shutil.rmtree(old)
+            os.rename(old, path)      # roll back: only full copy
+            return
+    if _vec_has_snapshots(old) or _vec_has_snapshots(path):
+        _absorb_old_epoch(path, old)
+    else:
+        shutil.rmtree(old)
 
 
 def _epoch_swap(path: str, staging: str) -> None:
@@ -1068,6 +1087,8 @@ def ivf_snapshot_vacuum(spark, path: str, keep: list[int]) -> dict:
     """Retention: drop every snapshot not in ``keep`` and physically
     reclaim history files no kept snapshot references. Live files are
     never touched."""
+    _recover_epoch_residue(path)  # commit points stranded in <path>.old
+    #   by a crashed maintain must be visible to keep-list validation
     have = _vec_list_snapshots(path)
     keep_set = {int(k) for k in keep}
     missing = keep_set - set(have)

@@ -166,3 +166,68 @@ def test_crashed_epoch_swap_residue_is_recovered(spark, tmp_path):
     log = [r["snapshot"] for r in
            ivf_index_snapshots(spark, path).collect()]
     assert log == [s0]
+
+def test_crash_between_swap_renames_completes_swap(spark, tmp_path):
+    """ADVICE r11 (medium): a crash BETWEEN _epoch_swap's two renames
+    leaves the live dir MISSING, the old epoch (with the only copy of
+    `_snapshots`) at ``.old``, and the fully-written staged rebuild at
+    ``.rebuild``. Recovery must COMPLETE the swap — install the staged
+    epoch, then absorb the old one — never rmtree the only installed
+    copy or absorb into a data-less tree."""
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_midswap")
+    before = _probe(spark, path, centroids, pvec)
+    s0 = ivf_index_snapshot(spark, path, centroids=centroids,
+                            note="pre-crash")
+
+    # stage a completed rebuild (ivf_index_maintain writes it BEFORE
+    # any rename), then die between rename #1 and rename #2
+    staging = path.rstrip("/") + ".rebuild"
+    survivors = emb.where(F.col("vec_id") % 3 != 0)
+    ivf_index_write(survivors, centroids, staging)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    assert not os.path.isdir(path)
+
+    # any snapshot-aware entry point recovers: swap completed, old
+    # epoch absorbed, pre-crash commit point restorable
+    log = [r["snapshot"] for r in
+           ivf_index_snapshots(spark, path).collect()]
+    assert log == [s0]
+    assert not os.path.isdir(old) and not os.path.isdir(staging)
+    assert len(_probe(spark, path, centroids, pvec)) == 8  # new epoch live
+    ivf_index_restore(spark, path, s0)
+    assert _probe(spark, path, centroids, pvec) == before
+
+
+def test_crash_with_no_staging_rolls_back(spark, tmp_path):
+    """``.old`` present, live dir missing, NO staged rebuild: the old
+    epoch is the only complete copy — recovery rolls it back into
+    place untouched."""
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_rollback")
+    before = _probe(spark, path, centroids, pvec)
+    s0 = ivf_index_snapshot(spark, path, centroids=centroids)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+
+    log = [r["snapshot"] for r in
+           ivf_index_snapshots(spark, path).collect()]
+    assert log == [s0]
+    assert os.path.isdir(path) and not os.path.isdir(old)
+    assert _probe(spark, path, centroids, pvec) == before
+
+
+def test_snapshot_vacuum_sees_stranded_commit_points(spark, tmp_path):
+    """ADVICE r11 (low): ivf_snapshot_vacuum must recover epoch
+    residue first — a commit point stranded in ``.old`` by a crashed
+    maintain is valid for the keep list, not 'nonexistent'."""
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_vacres")
+    s0 = ivf_index_snapshot(spark, path, centroids=centroids)
+    old = path.rstrip("/") + ".old"
+    os.rename(path, old)
+    survivors = emb.where(F.col("vec_id") % 3 != 0)
+    ivf_index_write(survivors, centroids, path)
+
+    out = ivf_snapshot_vacuum(spark, path, keep=[s0])
+    assert out["dropped_snapshots"] == 0
+    ivf_index_restore(spark, path, s0)
+    assert len(_probe(spark, path, centroids, pvec)) == 8
