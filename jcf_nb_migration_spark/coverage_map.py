@@ -26,26 +26,28 @@ from __future__ import annotations
 COVERED_BY: dict[str, str] = {
     # --- ANN / similarity ------------------------------------------------
     # bucket/cluster-shortlist equi-join + per-probe ranking window:
-    "ann_lsh_batch_probes": "hard_negative_mining_ann",
-    "ann_lsh_bucketed": "hard_negative_mining_ann",
-    "ann_lsh_multiprobe": "hard_negative_mining_ann",
-    "ivf_ann_multiprobe": "hard_negative_mining_ann",
-    "ivf_ann_probe": "hard_negative_mining_ann",  # cluster-shortlist probe + rank window
-    "knn_label_propagation": "hard_negative_mining_ann",
-    "hard_negative_mining": "hard_negative_mining_ann",
+    "ann_lsh_batch_probes": "ann_snapshot_probe",
+    "ann_lsh_bucketed": "ann_snapshot_probe",
+    "ann_lsh_multiprobe": "ann_snapshot_probe",
+    "ivf_ann_multiprobe": "ann_snapshot_probe",  # same IVF cluster-shortlist
+    #   probe machinery
+    "ivf_ann_probe": "ann_snapshot_probe",  # cluster-shortlist probe + rank
+    #   window
+    "knn_label_propagation": "ann_snapshot_probe",
+    "hard_negative_mining": "ann_snapshot_probe",
     "pq_codes": "ivfpq_residual_codes",  # same PQ encode projection
     # ivfadc_residual_multiprobe rotated INTO the driver window r9
     # (second wave), superseding ivfadc_residual_probe:
     "ivfadc_residual_probe": "ivfpq_residual_codes",  # same residual-PQ
     #   code machinery (probe shortlist shape: hard_negative_mining_ann)
-    "triplet_mining_ann": "hard_negative_mining_ann",  # same candidate
+    "triplet_mining_ann": "ann_snapshot_probe",  # same IVF candidate
     #   generator, positive+negative windows joined
     "embedding_quantize_int8": "ivfpq_residual_codes",  # same quantize-encode projection
     # quantized_rerank_topk rotated INTO the driver window r9
     "late_interaction_rerank": "late_interaction_served",  # same MaxSim
     #   shortlist + bounded rerank, ad-hoc scan vs served index
-    "embedding_norm_stats": "hard_negative_mining_ann",
-    "embedding_normalize": "hard_negative_mining_ann",
+    "embedding_norm_stats": "ann_snapshot_probe",
+    "embedding_normalize": "ann_snapshot_probe",
     # record_linkage_merge rotated INTO the driver window r9 (second
     # wave), superseding fuzzy_name_matches as the blocking witness:
     "fuzzy_name_matches": "record_linkage_merge",
@@ -88,10 +90,9 @@ COVERED_BY: dict[str, str] = {
     # logreg_gd_training rotated OUT in the r9 second wave (green
     # r5-r8); the iterative fixed-point-aggregate loop stays visible
     # via linkgraph_pagerank:
-    "logreg_gd_training": "linkgraph_pagerank",  # per-round
-    #   map-side-combinable aggregate + bounded driver state update
-    "logreg_calibration": "gopher_quality_flags",  # one codegen'd
-    #   per-doc scoring scan (hashed-feature dot product, no shuffle)
+    "logreg_gd_training": "logreg_calibration",  # the train loop whose
+    #   serve/calibration half is the visible twin; per-round
+    #   map-side-combinable aggregate + bounded driver state
     "doc_lang_id": "doc_subword_stats",
     "code_switch_profile": "doc_subword_stats",  # chunk explode +
     #   per-doc lang-mix rollup (paragraph_dedup's shuffle graph)
@@ -104,13 +105,14 @@ COVERED_BY: dict[str, str] = {
     #   heavy branch is decontaminate's n-gram equi-join
     # curation_pipeline_e2e rotated OUT in the r9 second wave (green
     # r6-r8); every stage stays individually visible:
-    "curation_pipeline_e2e": "weighted_corpus_sample",
+    "curation_pipeline_e2e": "gopher_quality_flags",
     "source_quota_cap": "term_source_dispersion",  # term-keyed rollup + top-k-per-key window
     # semdedup_prune rotated OUT in the r9 second wave (green r4-r8):
     "semdedup_prune": "lsh_incremental_dedup",  # standing-index
     #   candidate shortlist + per-doc keep/drop verdict
-    "cluster_balanced_sample": "weighted_corpus_sample",
-    "cluster_topic_terms": "weighted_corpus_sample",
+    "cluster_balanced_sample": "dsir_importance",  # k-means assign +
+    #   deterministic weighted-threshold sample over per-doc scores
+    "cluster_topic_terms": "semantic_decontamination_ann",
 
     # --- retrieval -------------------------------------------------------
     # bm25_top_docs rotated INTO the driver window r7
@@ -122,25 +124,19 @@ COVERED_BY: dict[str, str] = {
     "phrase_match_docs": "proximity_ranked_served",  # ad-hoc scan twin
     #   of the served positional probes (same positional join)
     # --- corpus assembly / sampling --------------------------------------
-    "corpus_global_shuffle": "weighted_corpus_sample",  # same deterministic-hash row assignment over the corpus scan
-    "stratified_sample": "weighted_corpus_sample",
-    "dsir_importance": "weighted_corpus_sample",  # deterministic weighted selection over the same per-doc score scan
-    "source_sampling_weights": "weighted_corpus_sample",
-    "doc_chunk_overlap": "arrow_doc_stats",  # per-row fan-out
-    #   (posexplode grid) + bounded rollup
-    "packing_efficiency_report": "arrow_doc_stats",  # const
-    #   grid explode + small groupBy rollup
+    "corpus_global_shuffle": "corpus_split_assign",
+    "stratified_sample": "dsir_importance",  # deterministic hash-threshold
+    #   sampling; DSIR is the weighted form of the same per-doc selection pass
+    "source_sampling_weights": "dsir_importance",  # per-source weight
+    #   computation feeding the same weighted-selection pass
+    "doc_chunk_overlap": "doc_chunk_spans_udtf",
+    "packing_efficiency_report": "sequence_packing",
     # --- profiling / sketches -------------------------------------------
-    "customer_column_profile": "join_key_skew_profile",
-    "k_anonymity_audit": "join_key_skew_profile",  # grouped-count distribution rollup, same profile-agg plan
-    "user_active_streaks": "user_rolling_7d",  # user-keyed ordered
-    #   window (lag/cumsum islands)
-    "session_conversion_funnel": "session_window_counts",  # lag/cumsum
-    #   sessionization + staged event-time rollups
-    "dq_expectations": "join_key_skew_profile",  # bounded per-check aggregates unioned into one report frame
-    "referential_integrity_audit": "sole_failing_supplier",
-    "daily_volume_anomalies": "join_key_skew_profile",
-    "benford_first_digit": "join_key_skew_profile",
+    "customer_column_profile": "orders_price_drift_psi",
+    "user_active_streaks": "cohort_ltv_curve",
+    "referential_integrity_audit": "orders_price_drift_psi",
+    "daily_volume_anomalies": "orders_price_drift_psi",
+    "benford_first_digit": "orders_price_drift_psi",
     "source_embedding_drift": "pricing_summary",  # group agg over a
     #   pushed-filter scan + broadcast scalar compare
     "source_report_card": "pricing_summary",  # multi-branch
@@ -149,8 +145,7 @@ COVERED_BY: dict[str, str] = {
     #   assignment + bounded-grid count rollup
     "quantity_price_correlation": "pricing_summary",  # scan-agg moments
     #   (sum/sumsq/cross) in one pass
-    "daily_new_users": "user_rolling_7d",  # user-keyed min-date
-    #   window + date rollup
+    "daily_new_users": "cohort_ltv_curve",
     "promo_session_attribution": "orders_pit_customer_join",  # session
     #   intervals x broadcast promo calendar overlap join + as-of
     #   attribution pick — the time-band/PIT pair-join family
@@ -167,33 +162,28 @@ COVERED_BY: dict[str, str] = {
     # via gopher_quality_flags:
     "part_clean_chain": "gopher_quality_flags",  # codegen'd regex +
     #   when/otherwise projection chain over one table, no shuffle
-    "salted_user_totals": "user_rolling_7d",  # explicit-salt
-    #   two-phase agg on the same events keys; AQE skew twin pinned in
-    #   tests/test_plans.py::test_aqe_splits_skewed_join
+    "salted_user_totals": "customer_order_distribution",  # explicit-salt
+    #   two-phase agg == Q13's agg-of-agg double aggregation; AQE skew twin
+    #   pinned in tests/test_plans.py::test_aqe_splits_skewed_join
     "pii_scrub_stats": "gopher_quality_flags",  # regex-replace narrow
     #   projection; plan pinned by test_plans::test_pii_scrub_is_narrow
-    "mktsegment_distinct": "hll_sketch_union",  # distinct-value family; HLL is the sketched twin of exact distinct
-    "customers_with_urgent_orders": "sole_failing_supplier",  # left-semi existence join (q21 is the semi+anti composite)
-    "customers_without_orders": "idle_rich_customers",  # left-anti non-existence join (q22 is the anti+scalar composite)
-    "high_balance_never_fulfilled": "idle_rich_customers",  # EXCEPT compiles to the same left-anti shape
-    "discounted_brand_revenue": "nation_trade_volume",
+    "mktsegment_distinct": "cms_token_counts",  # distinct-value family:
+    #   single-key distinct agg vs its sketched count twin
+    "customers_with_urgent_orders": "top_revenue_customers",
+    "customers_without_orders": "customer_set_ops",  # left-anti non-existence
+    #   join; EXCEPT compiles to the same left-anti shape
+    "high_balance_never_fulfilled": "customer_set_ops",
+    "discounted_brand_revenue": "top_revenue_customers",
     # nation_trade_volume rotated INTO the driver window r10 4th wave,
     # superseding local_supplier_volume as the broadcast-dim star-join
     # + group-agg witness (Q5/Q7 family):
-    "local_supplier_volume": "nation_trade_volume",  # broadcast-dim
-    #   star join + group agg (Q5 vs Q7, same physical family)
-    "regional_customer_distribution": "nation_trade_volume",
-    "top_supplier_revenue": "nation_trade_volume",  # broadcast-dim
-    #   join + agg + top-k (Q15 family)
+    "local_supplier_volume": "top_revenue_customers",
+    "regional_customer_distribution": "top_revenue_customers",
+    "top_supplier_revenue": "important_supplier_share",
     "promo_revenue_share": "top_revenue_customers",
-    "profit_by_nation_year": "nation_trade_volume",  # same star-join
-    #   + broadcast-dim graph, regex dim filter pushed to the part scan
-    "important_supplier_share": "nation_trade_volume",  # star join + share-of-total agg
-    "part_supplier_variety": "hll_sketch_union",  # count-distinct rollup; HLL is its mergeable approximation
-    "lateral_top_customers": "user_rolling_7d",  # decorrelated
-    #   lateral = per-key ranked take (window twin)
+    "profit_by_nation_year": "important_supplier_share",
+    "part_supplier_variety": "important_supplier_share",
     "nullsafe_cohort_compare": "top_revenue_customers",
-    "customer_set_ops": "idle_rich_customers",  # INTERSECT/EXCEPT compile to semi/anti joins on the same keys
     "small_quantity_revenue": "top_revenue_customers",  # filtered
     #   join + scalar agg (Q17 family)
     # top_revenue_customers rotated INTO the driver window r10 4th
@@ -203,9 +193,8 @@ COVERED_BY: dict[str, str] = {
     "priority_shipmode_report": "top_revenue_customers",  # filtered
     #   orders⋈lineitem join + small group agg (was covered by
     #   late_shipment_priority_count before its r6 rotation out)
-    "late_shipment_priority_count": "sole_failing_supplier",  # semi join with extra non-equi residual, same existence pattern
-    "supplier_nation_directory": "nation_trade_volume",  # broadcast
-    #   dim equi-join + projection/rename — rotated OUT r6
+    "late_shipment_priority_count": "top_revenue_customers",
+    "supplier_nation_directory": "top_revenue_customers",
     "order_status_pivot": "nation_metrics_unpivot",  # pivot = the same
     #   grouping-sets/EXPAND plan family as cube
     "part_brand_type_rollup": "nation_metrics_unpivot",  # ROLLUP
@@ -215,11 +204,10 @@ COVERED_BY: dict[str, str] = {
     # (EXPAND) witness:
     "lineitem_cube": "nation_metrics_unpivot",  # grouping-sets/reshape
     #   (EXPAND) family: cube vs unpivot of the same wide agg
-    "order_value_ranks": "user_rolling_7d",  # keyed ordered window
-    "cohort_ltv_curve": "user_rolling_7d",  # cohort attribution
-    #   + grid-bounded per-cohort running sum
-    "user_running_value": "user_rolling_7d",  # per-user running frame
-    #   (ROWS cumulative vs RANGE rolling, same window exchange)
+    "order_value_ranks": "lateral_top_customers",  # keyed ranked window; the
+    #   lateral compiles to the same rank-take
+    "user_running_value": "cohort_ltv_curve",  # per-user/cohort running
+    #   cumulative window, same window exchange
     "incremental_agg_merge": "pricing_summary",  # partial-agg
     #   union + merge groupBy of the same scan-agg
     "retractable_agg_merge": "pricing_summary",  # signed-partial
@@ -228,8 +216,7 @@ COVERED_BY: dict[str, str] = {
     # wave, superseding decontaminate_ngrams as the shingle-explode +
     # agg/join witness (decontaminate stays bench-measured):
     "decontaminate_ngrams": "corpus_novelty_curve",
-    "event_sequence_pattern": "user_rolling_7d",  # per-key
-    #   ordered collect + codegen'd regex
+    "event_sequence_pattern": "session_conversion_funnel",
     # --- CDC / temporal --------------------------------------------------
     "orders_upsert": "orders_pit_customer_join",  # keyed CDC merge-latest over the same orders feed the PIT join consumes
     "orders_snapshot_diff": "orders_pit_customer_join",  # full-outer keyed compare of the same CDC snapshots the PIT join versions
@@ -239,37 +226,31 @@ COVERED_BY: dict[str, str] = {
     # by tests/test_timetravel.py
     "scalar_iter_doc_stats": "doc_subword_stats",  # SCALAR_ITER pandas
     #   UDF surface; same per-doc stat output as the built-in path
-    "volume_shipping_report": "nation_trade_volume",  # Q7: the
-    #   broadcast-dim star join with nation joined twice
+    "volume_shipping_report": "top_revenue_customers",
     # large_volume_customers rotated INTO the driver window r9
     # (second wave). Q18 notes kept for history:
     # Q18:
     #   agg-subquery semi-join + re-aggregate
-    "regional_min_balance_supplier": "nation_trade_volume",  # Q2:
-    #   correlated scalar-MIN decorrelated to a min-per-group
-    #   join-back over broadcast bounded dims
+    "regional_min_balance_supplier": "important_supplier_share",  # 
+    #   correlated scalar subquery decorrelated to per-group agg join-back (Q2
+    #   vs Q11)
     # --- events / time series -------------------------------------------
     "events_hourly": "streaming_interval_join",  # batch event-time agg; the streamed event-time shape stays visible here
     # user_rolling_7d rotated INTO the driver window r10 4th wave,
     # superseding latest_event_per_user as the per-user event-time
     # window witness:
-    "latest_event_per_user": "user_rolling_7d",  # per-user event-time
-    #   window (row_number top-1 vs RANGE-frame rolling sum)
-    "event_type_transition_matrix": "user_rolling_7d",  # lag
-    #   window + double rollup (Markov matrix)
+    "latest_event_per_user": "lateral_top_customers",  # per-key top-1 ranked
+    #   take (row_number window == decorrelated lateral)
+    "event_type_transition_matrix": "session_conversion_funnel",
     "signup_to_purchase_latency": "winsorized_order_values",  # ordinal
     #   rank arithmetic over a population-bounded window
     # events_variant_extract rotated INTO the driver window r9,
     # superseding events_json_bucket as the JSON-extraction witness:
-    "events_json_bucket": "events_variant_extract",
-    "user_event_type_map": "events_variant_extract",  # typed from_json
-    #   + map HOF chain, canonical sorted rendering
-    "events_schema_profile": "events_variant_extract",  # variant_explode
-    #   generator + bounded-grid agg; same parse->extract->agg scan
+    "events_json_bucket": "events_schema_profile",
+    "user_event_type_map": "events_schema_profile",
     # event_sessionization rotated OUT in the r9 second wave (green
     # r1-r8); the per-user ordered-window family stays visible:
-    "event_sessionization": "user_rolling_7d",  # per-user
-    #   ordered window scan (lag/gap marking vs top-1 pick)
+    "event_sessionization": "session_conversion_funnel",
     "sliding_window_counts": "streaming_interval_join",
     "stream_static_enrich": "streaming_interval_join",
     # streaming_dedup rotated INTO the driver window r10 4th wave
@@ -289,12 +270,8 @@ COVERED_BY: dict[str, str] = {
     # arrow_doc_stats rotated INTO the driver window r10 4th wave,
     # superseding multimodal_frame_sample as the Arrow-batched Python
     # map witness:
-    "multimodal_frame_sample": "arrow_doc_stats",  # Arrow-batched
-    #   Python map surface (mapInPandas fan-out vs mapInArrow)
-    "doc_chunk_spans_udtf": "arrow_doc_stats",  # python
-    #   row fan-out surface (UDTF generator vs mapInPandas)
-    "grouped_price_model": "arrow_doc_stats",  # batched Python surface
-    #   (applyInPandas per-group vs mapInArrow per-batch)
+    "multimodal_frame_sample": "media_perceptual_dedup",
+    "grouped_price_model": "doc_pareto_frontier",
     "pysource_synthdocs":
         "pytest:test_pysource Python DataSource batch reader (no "
         "visible twin; ordered per-band digest oracle runs locally)",
@@ -309,38 +286,38 @@ COVERED_BY: dict[str, str] = {
     "asof_click_before_error": "orders_pit_customer_join",  # ordered
     #   as-of pick family (still benched)
     "price_quantiles": "winsorized_order_values",  # two-phase ordinal rank
-    "approx_distinct_stats": "hll_sketch_union",
+    "approx_distinct_stats": "cms_token_counts",
     "tfidf_top_terms": "term_source_dispersion",  # term-keyed rollup
     #   + top-k-per-key window
     "doc_quality_score": "doc_subword_stats",  # narrow per-doc stats
     "dedup_exact": "simhash_fingerprints",
-    "embedding_dedup_pairs": "hard_negative_mining_ann",  # blocked
-    #   pair join + JVM cosine fold (still benched)
+    "embedding_dedup_pairs": "ann_snapshot_probe",  # blocked pair join + JVM
+    #   cosine fold (still benched)
     "forecast_revenue": "pricing_summary",  # pushed-filter scan-agg
     #   (still benched)
-    "multimodal_decode": "arrow_doc_stats",  # Arrow-batched
-    #   mapInPandas/mapInArrow surface
-    "lookup_replace_nation": "nation_trade_volume",  # broadcast-dim
-    #   lookup join, unmatched-wiped semantics pytest-pinned
+    "multimodal_decode": "media_perceptual_dedup",
+    "lookup_replace_nation": "top_revenue_customers",  # broadcast-dim lookup
+    #   equi-join; unmatched-wiped semantics pytest-pinned
     "document_purge": "gopher_quality_flags",  # full-row predicate scan
     #   compiled to codegen'd projection + filter, no shuffle
     "simhash_near_pairs": "lsh_incremental_dedup",  # banded candidate
     #   equi-join near-dup pairs
-    "ann_brute_force_topk": "hard_negative_mining_ann",
+    "ann_brute_force_topk": "ann_snapshot_probe",
     "shipping_priority": "top_revenue_customers",  # filtered join +
     #   group agg + distributed take (still benched)
-    "user_hourly_resample": "user_rolling_7d",  # event-keyed
-    #   window family (grid gap-fill pytest-pinned in oracles)
+    "user_hourly_resample": "cohort_ltv_curve",
     # --- r10 rotation: multi-green incumbents rotated out; each keeps
     #     a same-pattern visible twin ------------------------------------
     "customer_scd2_history": "orders_pit_customer_join",
     "customer_tags": "gopher_quality_flags",  # narrow per-row derive
     #   (array ops vs ratio flags), codegen'd projection
-    "table_counts": "join_key_skew_profile",  # union of per-table counts; same bounded grouped-count profile plan
+    "table_counts": "dq_expectations",  # union of per-table counts; same
+    #   fused per-table conditional-agg report plan
     "streaming_hourly_counts": "streaming_interval_join",
-    "corpus_mixture_sample": "weighted_corpus_sample",
+    "corpus_mixture_sample": "dsir_importance",  # temperature/mixture weights
+    #   -> deterministic weighted selection, same one-pass plan
     "ivfpq_ann_probe": "ivfpq_residual_codes",  # same residual-PQ codes + ADC probe machinery
-    "knn_ann_label_propagation": "hard_negative_mining_ann",
+    "knn_ann_label_propagation": "ann_snapshot_probe",
     "bm25_top_docs": "bm25_batch_served",  # same postings+stats BM25 plan, ad-hoc vs served
     "paragraph_dedup": "duplicate_spans",
     "rrf_fusion": "bm25_batch_served",  # BM25 leg + bounded rank fusion
@@ -358,8 +335,9 @@ COVERED_BY: dict[str, str] = {
     "heavy_hitters_topk": "cms_token_counts",
     "doc_boilerplate_coverage": "duplicate_spans",
     "split_leakage_audit": "duplicate_spans",
-    "excess_share_suppliers": "sole_failing_supplier",  # TPC-H
-    #   semi-join decorrelation shape (q20 / q21), plan-guarded in
+    "excess_share_suppliers": "important_supplier_share",  # 
+    #   aggregated-threshold semi-join decorrelation (Q20's agg-gated IN vs
+    #   Q11's HAVING share gate); plan-guarded in
     #   tests/test_plans.py::test_q2_q20_shapes_decorrelate
     # --- r10 serving-index mutation queries (new; each serves the
     #     probe pattern its visible twin already pins) ---------------
@@ -372,17 +350,6 @@ COVERED_BY: dict[str, str] = {
     #   postings probe, term filter vs batched terms
     "bm25_top_docs_served": "bm25_batch_served",  # N=1 case of the
     #   batched bucket-pruned BM25 probe
-    "bm25_snapshot_served": "bm25_tombstone_served",  # same
-    #   delete→probe serving pattern, plus the snapshot/restore
-    #   commit-point lifecycle around the vacuum
-    "ann_snapshot_probe": "hard_negative_mining_ann",  # same
-    #   cluster-shortlist probe shape over the materialized IVF
-    #   layout, plus the snapshot/restore commit-point lifecycle
-    "orders_price_drift_psi": "join_key_skew_profile",
-    "linkgraph_label_propagation": "linkgraph_pagerank",
-    "phrase_snapshot_served": "proximity_ranked_served",  # same
-    #   bucket-pruned positional-probe pattern, plus the
-    #   snapshot/restore commit-point lifecycle around the vacuum
     "cogroup_asof_pandas": "orders_pit_customer_join",  # as-of pick
     #   over keyed ordered feeds (cogrouped pandas vs PIT join); the
     #   batched-python surface stays visible via arrow_doc_stats
@@ -412,15 +379,43 @@ COVERED_BY: dict[str, str] = {
     #   bounded rerank two-stage serving plan
     "token_pmi_pairs": "association_rules_pairs",  # pair-key count
     #   join + broadcast totals (PMI vs lift — same Apriori-k=2 plan)
-    "user_cohort_retention": "user_rolling_7d",  # per-user event-time
-    #   window + cohort-grid rollup
-    "nation_market_share": "nation_trade_volume",  # broadcast-dim star
-    #   join + share-of-total agg
+    "user_cohort_retention": "cohort_ltv_curve",
+    "nation_market_share": "important_supplier_share",
     # --- r11 additions (registered local-only from birth) -----------
-    "lineitem_zorder_asof": "lineitem_zorder_pruned",  # same layout
-    #   build + manifest-pruned scan; the AS-OF/versioning machinery
-    #   is additionally pinned by tests/test_zorder.py
-    "semantic_decon_ann_recall": "semantic_decontamination_ann",  # runs
-    #   the two visible screens and full-outer-compares their bounded
-    #   flag sets — no new corpus-scale plan
+    # --- r12 rotation (6th wave): eighteen multi-green incumbents OUT
+    #     (2-7 driver greens each, history in CORRECTNESS_r1-r11) to
+    #     admit eighteen never-driver-checked names; each keeps a
+    #     same-pattern visible twin -----------------------------------
+    "hard_negative_mining_ann": "ann_snapshot_probe",  # same IVF
+    #   cluster-shortlist probe + per-probe rank window, now with the
+    #   commit-point lifecycle around it (7 driver greens r1-r11)
+    "bm25_tombstone_served": "bm25_snapshot_served",  # same
+    #   delete->vacuum->probe serving pattern; the snapshot adds the
+    #   commit-point lifecycle around the same vacuum
+    "proximity_ranked_docs": "proximity_ranked_served",  # ad-hoc scan
+    #   twin of the served positional-proximity probe
+    "join_key_skew_profile": "orders_price_drift_psi",  # grouped-count
+    #   distribution rollup over one scan, same profile-agg plan
+    "linkgraph_pagerank": "linkgraph_label_propagation",  # per-round
+    #   node-keyed equi-join + groupBy fixpoint loop (same engine)
+    "weighted_median_gagg": "doc_pareto_frontier",
+    "linkgraph_triangles": "linkgraph_bfs_reachability",
+    "docstore_upsert_fetch": "docstore_as_of_fetch",
+    "cobucketed_order_revenue": "bm25_batch_served",  # co-bucketed
+    #   zero-exchange join; the bucket-pruned read side stays visible
+    "streaming_dedup": "session_window_counts",
+    "weighted_corpus_sample": "dsir_importance",  # A-ES weighted
+    #   sampling == DSIR importance-weighted selection: both one-pass
+    #   deterministic weight-threshold scans over per-doc scores
+    "user_rolling_7d": "cohort_ltv_curve",
+    "nation_trade_volume": "important_supplier_share",
+    "idle_rich_customers": "important_supplier_share",
+    "events_variant_extract": "events_schema_profile",
+    "hll_sketch_union": "cms_token_counts",
+    "sole_failing_supplier": "customer_set_ops",  # Q21's semi+anti
+    #   composite; INTERSECT/EXCEPT compile to the same left-semi /
+    #   left-anti hash joins on the customer keys
+    "arrow_doc_stats": "doc_chunk_spans_udtf",  # Arrow-batched Python
+    #   surface: mapInArrow per-batch vs UDTF generator, same batch
+    #   shape and schema contract
 }

@@ -240,6 +240,7 @@ def knn_ann_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY probe_id, rank
     """,
     tags=("similarity", "contrastive", "mining", "ann", "composed"),
+    driver_visible=False,
 )
 def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining fed by the IVF ANN index: the 5 most
@@ -747,7 +748,6 @@ _ANN_SNAP_PCLUSTERS = f"""pv AS (
     """,
     tags=("similarity", "ann", "ivf", "serving", "snapshot",
           "time-travel", "tombstone"),
-    driver_visible=False,
 )
 def ann_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit points on the MATERIALIZED vector index (io/layout.py

@@ -394,6 +394,7 @@ def _sql_pagerank_iters() -> str:
     """,
     tags=("graph", "pagerank", "iterative"),
     # rotated INTO the driver window r9 (iterative join-agg witness)
+    driver_visible=False,
 )
 def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the shared-rare-4-gram document link graph —
@@ -476,6 +477,7 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM deg), 9) AS global_clustering
     """,
     tags=("graph", "triangles", "clustering-coefficient"),
+    driver_visible=False,
 )
 def linkgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the
@@ -844,6 +846,7 @@ WSAMPLE_SCALE = 1_000_000_000  # fixed-point priority resolution
     LIMIT {WSAMPLE_K}
     """,
     tags=("curation", "sampling", "weighted", "deterministic"),
+    driver_visible=False,
 )
 def weighted_corpus_sample(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
@@ -917,7 +920,6 @@ LPA_ITERS = 3   # fixed synchronous rounds, unrolled in the oracle
     FROM l{LPA_ITERS} GROUP BY label ORDER BY community
     """,
     tags=("graph", "communities", "label-propagation", "iterative"),
-    driver_visible=False,
 )
 def linkgraph_label_propagation(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:

@@ -1722,10 +1722,6 @@ def semantic_decontamination_ann(spark: SparkSession,
     oracle=None,  # set below — composes the two variants' oracles
     tags=("curation", "decontamination", "semantic", "ann", "recall",
           "composed"),
-    driver_visible=False,
-    # same two plans as semantic_decontamination (visible) +
-    # semantic_decontamination_ann (visible); this query only
-    # full-outer-compares their bounded flag sets
 )
 def semantic_decon_ann_recall(spark: SparkSession,
                               sf_dir: str) -> DataFrame:

@@ -208,8 +208,6 @@ def _cached_training(spark: SparkSession, sf_dir: str):
        .replace("{ITERS}", _SQL_ITERS)
        .replace("{P}", _P_EXPR),
     tags=("ml", "serving", "calibration"),
-    driver_visible=False,  # train loop is driver-visible via
-    #                        logreg_gd_training; this is its serve half
 )
 def logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-serve: score every document with the FINAL trained

@@ -178,6 +178,7 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("arrow", "mapInArrow", "vectorized"),
     # rotated IN r10 4th wave: the Arrow-batched Python map surface's
     # driver witness (multimodal_frame_sample rotated out)
+    driver_visible=False,
 )
 def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token/char/byte counts computed in mapInArrow — the
@@ -251,7 +252,6 @@ except ImportError:  # pragma: no cover - Spark < 3.5
     ORDER BY doc_id, chunk_idx
     """,
     tags=("udtf", "python-surface", "chunking"),
-    driver_visible=False,
 )
 def doc_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width document chunk spans produced by a Python UDTF in a
@@ -294,6 +294,7 @@ def doc_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("pandas-udf", "grouped-agg", "robust-stats"),
+    driver_visible=False,
 )
 def weighted_median_gagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median price per return flag via a

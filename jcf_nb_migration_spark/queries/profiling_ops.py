@@ -223,6 +223,7 @@ def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
     tags=("approx", "hll", "sketch-merge"),
+    driver_visible=False,
 )
 def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Apache DataSketches HLL,
@@ -643,8 +644,6 @@ def _sql_dq() -> str:
     "dq_expectations",
     oracle=_sql_dq(),
     tags=("data-quality", "expectations", "control-plane"),
-    driver_visible=False,  # fused conditional-agg pass per table —
-    #                        the table_counts / pricing_summary pattern
 )
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectation suite (the dbt-test /
@@ -777,7 +776,6 @@ K_ANON = 5  # suppression threshold: groups smaller than this leak
     tags=("privacy", "k-anonymity", "audit"),
     # quasi-identifier groupBy + one-row rollup — the
     # customer_column_profile / table_counts physical family
-    driver_visible=False,
 )
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over the quasi-identifier tuple (segment,
@@ -824,6 +822,7 @@ def _skew_profile_sql(col: str) -> str:
                                ("l_orderkey", "l_partkey", "l_suppkey"))
             + " ORDER BY join_key"),
     tags=("profiling", "skew", "diagnostics"),
+    driver_visible=False,
 )
 def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis — the profile that DECIDES between
@@ -1302,7 +1301,6 @@ def customer_balance_deciles(spark: SparkSession,
     ORDER BY bin
     """,
     tags=("profiling", "drift", "quality"),
-    driver_visible=False,
 )
 def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between two corpus states — THE

@@ -99,7 +99,6 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar-aggregate-as-1-row-broadcast-join is driver-visible via
     # idle_rich_customers (avg_bal crossJoin); per-key agg via
     # top_revenue_customers
-    driver_visible=False,
 )
 def important_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: suppliers whose revenue exceeds a scalar
@@ -198,7 +197,6 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lateral", "correlated-subquery", "topn"),
     # per-group ordered take — physical twin of latest_event_per_user
     # (window rank) and shipping_priority (ordered limit)
-    driver_visible=False,
 )
 def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery: per nation, the top-2 customers by
@@ -313,7 +311,6 @@ def nullsafe_cohort_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     # INTERSECT/EXCEPT plan as left-semi/left-anti aggregates — the
     # same join kinds driver-visible via customers_without_orders /
     # customers_with_urgent_orders
-    driver_visible=False,
 )
 def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI set operations as audit counts: BUILDING-segment customers
@@ -639,6 +636,7 @@ def excess_share_suppliers(spark: SparkSession,
     ORDER BY priority
     """,
     tags=("join", "bucketed", "co-located", "zero-shuffle"),
+    driver_visible=False,
 )
 def cobucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact join answered from CO-BUCKETED layouts: orders and
@@ -795,7 +793,6 @@ ZO_AS_OF_MOD = 97   # deterministic append-batch selector
     # build→append→as-of lifecycle; the snapshot machinery is pinned
     # by tests/test_zorder.py and the pruned-scan family stays
     # driver-visible via lineitem_zorder_pruned (same module)
-    driver_visible=False,
 )
 def lineitem_zorder_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL over the z-ordered layout (io/zorder versioning,

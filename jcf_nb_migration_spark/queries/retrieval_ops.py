@@ -802,6 +802,7 @@ _SQL_PROX_ORACLE = f"""
     "proximity_ranked_docs",
     oracle=_SQL_PROX_ORACLE,
     tags=("retrieval", "proximity", "positional"),
+    driver_visible=False,
 )
 def proximity_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity retrieval: documents where "spark" and "merge" occur
@@ -1240,6 +1241,7 @@ def late_interaction_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("retrieval", "bm25", "serving", "bucketed", "delete",
           "tombstone"),
+    driver_visible=False,
 )
 def bm25_tombstone_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 serving under LAZY DELETION (io/lexical.
@@ -1316,6 +1318,7 @@ UPSERT_FETCH = (1, 2, 3, 5, 22, 39)  # untouched + updated spread
     ORDER BY m.doc_id
     """,
     tags=("serving", "docstore", "upsert", "cow", "bucketed"),
+    driver_visible=False,
 )
 def docstore_upsert_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO on the persisted docstore (io/docstore.
@@ -1639,7 +1642,6 @@ def docstore_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("retrieval", "bm25", "serving", "bucketed", "tombstone",
           "snapshot", "time-travel"),
-    driver_visible=False,
 )
 def bm25_snapshot_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit points on the serving index (io/lexical.py snapshot
@@ -1731,7 +1733,6 @@ def _sql_phrase_state(where: str) -> str:
     """,
     tags=("retrieval", "phrase", "positional", "serving", "snapshot",
           "time-travel", "tombstone"),
-    driver_visible=False,
 )
 def phrase_snapshot_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit points on the POSITIONAL layout (io/lexical.py —

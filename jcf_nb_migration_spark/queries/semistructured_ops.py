@@ -38,7 +38,6 @@ from jcf_nb_migration_spark.registry import query, t
     GROUP BY event_type, key ORDER BY event_type, key
     """,
     tags=("semistructured", "json", "profiling"),
-    driver_visible=False,
 )
 def events_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Producer-drift observability: which keys appear in the payload

@@ -182,6 +182,7 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rotated IN r10 4th wave: the per-user event-time window family's
     # driver witness (latest_event_per_user rotated out); RANGE frame
     # also pinned in pytest
+    driver_visible=False,
 )
 def user_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling sum per user via a RANGE-frame window — the frame
@@ -697,7 +698,6 @@ def signup_to_purchase_latency(spark: SparkSession,
     # conditional-min funnel (signup_to_purchase_latency family); both
     # component shapes driver-visible via event_sessionization /
     # latest_event_per_user
-    driver_visible=False,
 )
 def session_conversion_funnel(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -902,7 +902,6 @@ def promo_session_attribution(spark: SparkSession,
     # cohort-retention family (driver-visible twins:
     # latest_event_per_user's per-key window, pricing_summary's
     # decimal rollup)
-    driver_visible=False,
 )
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves — the revenue companion of
