@@ -46,6 +46,8 @@ Hadoop FileSystem API or a transactional table format.
 
 from __future__ import annotations
 
+from jcf_nb_migration_spark.io.locking import single_writer
+
 import os
 import re
 
@@ -338,6 +340,7 @@ def docstore_version_diff(spark: SparkSession, prefix: str, path: str,
             .where(F.col("change").isNotNull()))
 
 
+@single_writer
 def docstore_restore(spark: SparkSession, prefix: str, path: str,
                      version: int, num_buckets: int = 8) -> int:
     """Roll the LIVE table back to a committed version (Delta's
@@ -405,6 +408,7 @@ def docstore_incremental_view(spark: SparkSession, prefix: str,
     return kept.unionByName(replacements)
 
 
+@single_writer
 def docstore_snapshot_vacuum(path: str, keep_last: int = 2) -> int:
     """Retention: keep the newest ``keep_last`` versions, drop older
     manifests, and physically delete the history files no retained
@@ -517,6 +521,7 @@ def _check_batch_schema(spark: SparkSession, table: str,
             "reads): " + "; ".join(drifted))
 
 
+@single_writer
 def docstore_append(new_docs: DataFrame, prefix: str, path: str,
                     num_buckets: int = 8,
                     batch_id: int | str | None = None) -> bool:
@@ -578,6 +583,7 @@ def docstore_fetch(spark: SparkSession, prefix: str, path: str,
     return spark.table(table).where(F.col("doc_id").isin(ids))
 
 
+@single_writer
 def docstore_compact(spark: SparkSession, prefix: str, path: str,
                      num_buckets: int = 8,
                      parallelism: int = 1) -> int:
@@ -602,6 +608,7 @@ def docstore_compact(spark: SparkSession, prefix: str, path: str,
     return n
 
 
+@single_writer
 def docstore_maintain(spark: SparkSession, prefix: str, path: str,
                       num_buckets: int = 8,
                       max_files_per_bucket: int = 8,
@@ -715,6 +722,7 @@ def _rewrite_touched_buckets(spark: SparkSession, table: str,
     return n_new
 
 
+@single_writer
 def docstore_upsert(new_docs: DataFrame, prefix: str, path: str,
                     num_buckets: int = 8,
                     batch_id: int | str | None = None) -> bool:
@@ -765,6 +773,7 @@ def docstore_upsert(new_docs: DataFrame, prefix: str, path: str,
     return True
 
 
+@single_writer
 def docstore_delete(spark: SparkSession, prefix: str, path: str,
                     doc_ids, num_buckets: int = 8,
                     batch_id: int | str | None = None) -> bool:
@@ -808,6 +817,7 @@ def docstore_delete(spark: SparkSession, prefix: str, path: str,
     return True
 
 
+@single_writer
 def docstore_add_columns(spark: SparkSession, prefix: str, path: str,
                          new_cols: dict, num_buckets: int = 8) -> None:
     """ADDITIVE schema evolution — the one evolution plain parquet

@@ -24,6 +24,8 @@ column gets partial pruning (each of N files spans roughly a
 
 from __future__ import annotations
 
+from jcf_nb_migration_spark.io.locking import single_writer
+
 import os
 
 from pyspark.sql import Column, DataFrame
@@ -329,6 +331,7 @@ def _ledger_commit(marker: str | None) -> None:
         open(marker, "w").close()
 
 
+@single_writer
 def ivf_index_append(new_emb: DataFrame, centroids, path: str,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      extra_cols: tuple = (),
@@ -411,6 +414,7 @@ def ivf_centroid_drift(spark, path: str, centroids,
             .orderBy("cluster"))
 
 
+@single_writer
 def ivf_index_maintain(spark, path: str, centroids,
                        min_mean_cos: float = 0.5, k: int = 8,
                        iters: int = 2, id_col: str = "vec_id",
@@ -554,6 +558,7 @@ def ivfadc_index_build(emb: DataFrame, centroids, books, path: str,
         enc.unpersist()
 
 
+@single_writer
 def ivfadc_index_append(new_emb: DataFrame, centroids, books, path: str,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
@@ -640,6 +645,7 @@ def ivfadc_quant_drift(spark, path: str,
             .orderBy("cluster"))
 
 
+@single_writer
 def ivfadc_index_maintain(spark, path: str, emb: DataFrame, centroids,
                           books, rel_threshold: float = 2.0,
                           iters: int = 2, id_col: str = "vec_id",
@@ -700,6 +706,7 @@ def vec_tombstone_ids(spark, path: str):
     return spark.read.parquet(tomb_dir).select("vec_id").distinct()
 
 
+@single_writer
 def ivf_index_delete(spark, path: str, vec_ids,
                      batch_id=None) -> bool:
     """Delete vectors from a materialized IVF/IVFADC index LAZILY:
@@ -744,6 +751,7 @@ def _without_vec_tombstoned(idx, spark, path: str, id_col: str):
         id_col, "left_anti")
 
 
+@single_writer
 def ivf_index_vacuum(spark, path: str, id_col: str = "vec_id") -> dict:
     """Physically reclaim tombstoned vectors: rewrite ONLY the cluster
     directories that contain them (discovered by one id-column scan —
@@ -994,6 +1002,7 @@ def _vec_read_snapshot(path: str, sid: int) -> dict:
         return json.load(fh)
 
 
+@single_writer
 def ivf_index_snapshot(spark, path: str, centroids=None,
                        note: str = "") -> int:
     """Record a commit point over the live vector index and return
@@ -1041,6 +1050,7 @@ def ivf_index_snapshots(spark, path: str):
     ).where(F.col("snapshot").isNotNull())
 
 
+@single_writer
 def ivf_index_restore(spark, path: str, snapshot_id: int):
     """Make ``snapshot_id`` the live index state (file-level COW:
     displaced live files retire to history, referenced files move
@@ -1083,6 +1093,7 @@ def ivf_index_restore(spark, path: str, snapshot_id: int):
             if cents is not None else None)
 
 
+@single_writer
 def ivf_snapshot_vacuum(spark, path: str, keep: list[int]) -> dict:
     """Retention: drop every snapshot not in ``keep`` and physically
     reclaim history files no kept snapshot references. Live files are

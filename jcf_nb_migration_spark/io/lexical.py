@@ -53,6 +53,8 @@ session — the local stand-in for the metastore's persistence.
 
 from __future__ import annotations
 
+from jcf_nb_migration_spark.io.locking import single_writer
+
 import os
 import re
 
@@ -289,6 +291,7 @@ def lexical_index_attach(spark: SparkSession, prefix: str, path: str,
             "EXISTS is a no-op; DROP the stale table first)")
 
 
+@single_writer
 def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
                          num_buckets: int = 8,
                          batch_id: int | str | None = None) -> bool:
@@ -362,6 +365,7 @@ def _without_tombstoned(per_doc: DataFrame, spark: SparkSession,
     return per_doc.join(F.broadcast(tomb), "doc_id", "left_anti")
 
 
+@single_writer
 def lexical_index_delete(spark: SparkSession, prefix: str, path: str,
                          doc_ids, num_buckets: int = 8,
                          batch_id: int | str | None = None) -> bool:
@@ -408,6 +412,7 @@ def lexical_index_delete(spark: SparkSession, prefix: str, path: str,
     return True
 
 
+@single_writer
 def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
                          num_buckets: int = 8,
                          parallelism: int = 1) -> dict:
@@ -616,6 +621,7 @@ def _compact_bucketed_table(spark: SparkSession, table: str, path: str,
                if f.endswith(".parquet"))
 
 
+@single_writer
 def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
                           num_buckets: int = 8,
                           parallelism: int = 1) -> int:
@@ -658,6 +664,7 @@ def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
         retire=_postings_retire(path))
 
 
+@single_writer
 def lexical_index_maintain(spark: SparkSession, prefix: str, path: str,
                            num_buckets: int = 8,
                            max_files_per_bucket: int = 8,
@@ -846,6 +853,7 @@ def proximity_probe(spark: SparkSession, prefix: str, path: str,
             .limit(k))
 
 
+@single_writer
 def positional_index_append(new_toks: DataFrame, prefix: str,
                             path: str, num_buckets: int = 8,
                             batch_id: int | str | None = None) -> bool:
@@ -874,6 +882,7 @@ def positional_index_append(new_toks: DataFrame, prefix: str,
     return True
 
 
+@single_writer
 def positional_index_compact(spark: SparkSession, prefix: str,
                              path: str, num_buckets: int = 8,
                              parallelism: int = 1) -> int:
@@ -895,6 +904,7 @@ def positional_index_compact(spark: SparkSession, prefix: str,
         retire=_positions_retire(path))
 
 
+@single_writer
 def positional_index_maintain(spark: SparkSession, prefix: str,
                               path: str, num_buckets: int = 8,
                               max_files_per_bucket: int = 8,
@@ -916,6 +926,7 @@ def positional_index_maintain(spark: SparkSession, prefix: str,
     return True
 
 
+@single_writer
 def positional_index_delete(spark: SparkSession, prefix: str,
                             path: str, doc_ids, num_buckets: int = 8,
                             batch_id: int | str | None = None) -> bool:
@@ -954,6 +965,7 @@ def positional_index_delete(spark: SparkSession, prefix: str,
     return True
 
 
+@single_writer
 def positional_index_vacuum(spark: SparkSession, prefix: str,
                             path: str, num_buckets: int = 8,
                             parallelism: int = 1) -> dict:
@@ -1198,6 +1210,7 @@ def _take_snapshot(path: str, surfaces, num_buckets: int,
     return sid
 
 
+@single_writer
 def lexical_index_snapshot(spark: SparkSession, prefix: str, path: str,
                            num_buckets: int = 8, note: str = "") -> int:
     """Record a commit point over the live index state and return its
@@ -1232,6 +1245,7 @@ def lexical_index_snapshots(spark: SparkSession, path: str) -> DataFrame:
     ).where(F.col("snapshot").isNotNull())
 
 
+@single_writer
 def lexical_index_restore(spark: SparkSession, prefix: str, path: str,
                           snapshot_id: int,
                           num_buckets: int = 8) -> dict:
@@ -1299,6 +1313,7 @@ def _restore_files(path: str, man: dict, snapshot_id: int) -> dict:
     return moves
 
 
+@single_writer
 def lexical_snapshot_vacuum(spark: SparkSession, path: str,
                             keep: list[int]) -> dict:
     """Retention: drop every snapshot not in ``keep`` and physically
@@ -1353,6 +1368,7 @@ def _positions_retire(path: str):
                                                POSITIONS_SUBDIR)
 
 
+@single_writer
 def positional_index_snapshot(spark: SparkSession, prefix: str,
                               path: str, num_buckets: int = 8,
                               note: str = "") -> int:
@@ -1368,6 +1384,7 @@ def positional_index_snapshot(spark: SparkSession, prefix: str,
     return _take_snapshot(path, _POS_SNAP_SURFACES, num_buckets, note)
 
 
+@single_writer
 def positional_index_restore(spark: SparkSession, prefix: str,
                              path: str, snapshot_id: int,
                              num_buckets: int = 8) -> dict:

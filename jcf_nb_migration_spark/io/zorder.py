@@ -57,6 +57,8 @@ route through the FileSystem API or a table format.
 
 from __future__ import annotations
 
+from jcf_nb_migration_spark.io.locking import single_writer
+
 import json
 import os
 import re
@@ -292,6 +294,7 @@ def write_zordered(df: DataFrame, path: str, cols: list[str],
     return len(files)
 
 
+@single_writer
 def append_zordered(df: DataFrame, path: str, batch_id=None) -> bool:
     """Append a batch WITHOUT re-sorting: the batch lands as new
     immutable files in data/, their stats become a new manifest
@@ -335,6 +338,7 @@ def append_zordered(df: DataFrame, path: str, batch_id=None) -> bool:
     return True
 
 
+@single_writer
 def zorder_maintain(spark: SparkSession, path: str,
                     max_appended_frac: float = 0.25,
                     n_files: int = 32, bits: int = 16) -> bool:
@@ -376,6 +380,7 @@ def zorder_maintain(spark: SparkSession, path: str,
     return True
 
 
+@single_writer
 def zorder_restore(spark: SparkSession, path: str, version: int) -> int:
     """Roll the layout back to a committed version (Delta's RESTORE):
     commit a NEW version whose segments are the target's — an audit
@@ -395,6 +400,7 @@ def zorder_restore(spark: SparkSession, path: str, version: int) -> int:
                            n_appended=man.get("n_appended"))
 
 
+@single_writer
 def zorder_rewrite_manifests(spark: SparkSession, path: str) -> bool:
     """Manifest-only compaction (Iceberg's ``rewrite_manifests``): a
     long append chain leaves one manifest segment per batch, so every
@@ -432,6 +438,7 @@ def zorder_history(spark: SparkSession, path: str) -> DataFrame:
               "n_files bigint")
 
 
+@single_writer
 def zorder_vacuum(spark: SparkSession, path: str,
                   keep_last: int = 2) -> int:
     """Retention: keep the newest ``keep_last`` versions, drop older

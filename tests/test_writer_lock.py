@@ -1,0 +1,246 @@
+"""Single-writer contract on the persisted layouts (VERDICT r11 item
+4): every state-changing entry point of the docstore, z-order layout,
+lexical index, and vector index takes the sibling ``<path>.writer.lock``
+and raises ConcurrentWriterError instead of interleaving with another
+live writer; stale locks from dead writers are broken automatically;
+composite ops (maintain → compact) re-enter their own lock freely."""
+
+import json
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcf_nb_migration_spark.io.locking import (
+    ConcurrentWriterError,
+    break_writer_lock,
+    read_writer_lock,
+    writer_lock,
+)
+
+SCHEMA = "doc_id bigint, text string, lang string, n_chars bigint"
+
+
+def _docs(spark, ids):
+    return spark.createDataFrame(
+        [(i, f"body of doc {i}", "en" if i % 2 else "de", 100 + i)
+         for i in ids], SCHEMA)
+
+
+def _plant_foreign_lock(path, pid=1, host=None, op="other-writer"):
+    """Simulate a second live writer: pid 1 is always alive and never
+    ours."""
+    import socket
+
+    lp = path.rstrip("/") + ".writer.lock"
+    with open(lp, "w") as fh:
+        json.dump({"pid": pid, "host": host or socket.gethostname(),
+                   "op": op, "ts": 0.0}, fh)
+    return lp
+
+
+# ---------------------------------------------------------------- unit
+
+def test_conflict_with_live_writer_raises(tmp_path):
+    d = str(tmp_path / "layout")
+    os.makedirs(d)
+    _plant_foreign_lock(d)
+    with pytest.raises(ConcurrentWriterError, match="live writer"):
+        with writer_lock(d, "op"):
+            pass
+    # the foreign lock is left in place for its owner
+    assert read_writer_lock(d)["op"] == "other-writer"
+
+
+def test_stale_dead_pid_lock_is_broken(tmp_path):
+    import subprocess
+
+    d = str(tmp_path / "layout")
+    os.makedirs(d)
+    child = subprocess.Popen(["sleep", "0"])
+    child.wait()  # now certainly dead
+    _plant_foreign_lock(d, pid=child.pid)
+    ran = []
+    with writer_lock(d, "op"):
+        ran.append(read_writer_lock(d))
+    assert ran[0]["pid"] == os.getpid()  # we re-acquired it
+    assert read_writer_lock(d) is None   # and released it
+
+
+def test_foreign_host_lock_never_auto_broken(tmp_path):
+    d = str(tmp_path / "layout")
+    os.makedirs(d)
+    # dead pid but a host we can't check liveness on: must raise
+    _plant_foreign_lock(d, pid=99999999, host="some-other-host")
+    with pytest.raises(ConcurrentWriterError):
+        with writer_lock(d, "op"):
+            pass
+
+
+def test_reentrant_within_process_and_released_on_error(tmp_path):
+    d = str(tmp_path / "layout")
+    os.makedirs(d)
+    with writer_lock(d, "outer"):
+        with writer_lock(d, "inner"):  # maintain → compact shape
+            assert read_writer_lock(d)["op"] == "outer"
+    assert read_writer_lock(d) is None
+    with pytest.raises(RuntimeError, match="boom"):
+        with writer_lock(d, "op"):
+            raise RuntimeError("boom")
+    assert read_writer_lock(d) is None  # released on the error path
+
+
+def test_break_writer_lock_is_the_operator_override(tmp_path):
+    d = str(tmp_path / "layout")
+    os.makedirs(d)
+    _plant_foreign_lock(d)
+    assert break_writer_lock(d) is True
+    assert read_writer_lock(d) is None
+    assert break_writer_lock(d) is False  # idempotent
+    with writer_lock(d, "op"):
+        pass  # now acquirable
+
+
+# ------------------------------------------------------ entry points
+
+def test_docstore_mutations_guarded(spark, tmp_path):
+    from jcf_nb_migration_spark.io.docstore import (
+        docstore_build, docstore_fetch, docstore_upsert,
+    )
+
+    path = str(tmp_path / "ds")
+    docstore_build(_docs(spark, range(20)), "wl_ds", path, num_buckets=4)
+    before = sorted(r["text"] for r in
+                    docstore_fetch(spark, "wl_ds", path, [3, 7]).collect())
+    _plant_foreign_lock(path)
+    with pytest.raises(ConcurrentWriterError):
+        docstore_upsert(_docs(spark, [3]).withColumn(
+            "text", F.lit("clobbered")), "wl_ds", path,
+            num_buckets=4, batch_id=1)
+    # blocked writer changed nothing
+    after = sorted(r["text"] for r in
+                   docstore_fetch(spark, "wl_ds", path, [3, 7]).collect())
+    assert after == before
+    break_writer_lock(path)
+    docstore_upsert(_docs(spark, [3]).withColumn(
+        "text", F.lit("v2")), "wl_ds", path, num_buckets=4, batch_id=1)
+    assert sorted(r["text"] for r in docstore_fetch(
+        spark, "wl_ds", path, [3]).collect()) == ["v2"]
+    assert read_writer_lock(path) is None
+
+
+def test_zorder_and_vector_mutations_guarded(spark, tmp_path):
+    from jcf_nb_migration_spark.functions.similarity import kmeans_train
+    from jcf_nb_migration_spark.io.layout import (
+        ivf_index_delete, ivf_index_write,
+    )
+    from jcf_nb_migration_spark.io.zorder import (
+        append_zordered, write_zordered,
+    )
+    from jcf_nb_migration_spark.registry import t
+    from tests.conftest import SF_SMALL
+
+    zp = str(tmp_path / "z")
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 31).alias("a"),
+        (F.col("id") % 17).alias("b"))
+    write_zordered(df, zp, ["a", "b"], n_files=4)
+    _plant_foreign_lock(zp)
+    with pytest.raises(ConcurrentWriterError):
+        append_zordered(df.limit(10), zp, batch_id=1)
+    break_writer_lock(zp)
+
+    emb = t(spark, SF_SMALL, "embeddings")
+    cents = kmeans_train(emb, k=4, iters=1)
+    vp = str(tmp_path / "ivf")
+    ivf_index_write(emb, cents, vp)
+    _plant_foreign_lock(vp)
+    with pytest.raises(ConcurrentWriterError):
+        ivf_index_delete(spark, vp, [0], batch_id=1)
+    break_writer_lock(vp)
+    ivf_index_delete(spark, vp, [0], batch_id=1)  # and now it works
+
+
+def test_lexical_maintain_reenters_its_own_lock(spark, tmp_path):
+    """lexical_index_maintain internally calls lexical_index_compact —
+    both are @single_writer'd on the same path; the composite must not
+    self-deadlock or self-conflict."""
+    from jcf_nb_migration_spark.io.lexical import (
+        lexical_index_append, lexical_index_build, lexical_index_maintain,
+    )
+
+    def toks(ids):
+        # one distinct token per doc so every bucket gets postings
+        # files from both the build and the append (fragmentation gate)
+        return spark.createDataFrame(
+            [(i, ["spark", f"t{i}"] * (1 + i % 3)) for i in ids],
+            "doc_id bigint, w array<string>")
+
+    path = str(tmp_path / "lex")
+    lexical_index_build(toks(range(40)), "wl_lex", path, num_buckets=4)
+    lexical_index_append(toks(range(1_000_000_000_000,
+                                    1_000_000_000_010)),
+                         "wl_lex", path, num_buckets=4, batch_id=1)
+    compacted = lexical_index_maintain(spark, "wl_lex", path,
+                                       num_buckets=4,
+                                       max_files_per_bucket=1)
+    assert compacted is True
+    assert read_writer_lock(path) is None
+
+
+def test_interleaved_two_writer_fuzz(spark, tmp_path):
+    """Random op interleavings against a docstore with a second writer
+    appearing and disappearing between steps: every op attempted while
+    the foreign writer holds the lock raises and leaves the store
+    byte-identical; every op in a free window succeeds; the lock is
+    always clean afterwards."""
+    from jcf_nb_migration_spark.io.docstore import (
+        docstore_append, docstore_build, docstore_compact,
+        docstore_delete, docstore_fetch, docstore_upsert,
+    )
+
+    path = str(tmp_path / "fuzz")
+    docstore_build(_docs(spark, range(30)), "wl_fuzz", path,
+                   num_buckets=4)
+    rng = random.Random(12012)
+    next_id = 1000
+    probe_ids = list(range(30)) + [1000, 1001, 1002]
+
+    def state():
+        return sorted(
+            (r["doc_id"], r["text"]) for r in
+            docstore_fetch(spark, "wl_fuzz", path, probe_ids).collect())
+
+    def op_append(bid):
+        nonlocal next_id
+        docstore_append(_docs(spark, [next_id]), "wl_fuzz", path,
+                        num_buckets=4, batch_id=bid)
+        next_id += 1
+
+    def op_upsert(bid):
+        docstore_upsert(_docs(spark, [rng.randrange(30)]).withColumn(
+            "text", F.lit(f"rev-{bid}")), "wl_fuzz", path,
+            num_buckets=4, batch_id=bid)
+
+    def op_delete(bid):
+        docstore_delete(spark, "wl_fuzz", path, [rng.randrange(30)],
+                        num_buckets=4, batch_id=bid)
+
+    def op_compact(bid):
+        docstore_compact(spark, "wl_fuzz", path, num_buckets=4)
+
+    ops = [op_append, op_upsert, op_delete, op_compact]
+    for step in range(12):
+        op = rng.choice(ops)
+        locked = rng.random() < 0.5
+        if locked:
+            before = state()
+            _plant_foreign_lock(path)
+            with pytest.raises(ConcurrentWriterError):
+                op(100 + step)
+            break_writer_lock(path)
+            assert state() == before, f"step {step}: blocked op mutated"
+        else:
+            op(100 + step)
+        assert read_writer_lock(path) is None, f"step {step}: lock leak"
