@@ -34,12 +34,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. Every SURVEY §2 operator and every LLM-pipeline component keeps
        at least one driver-visible query exercising it.
     2. A query that is a pure baseline or intermediate of a visible
-       query is kept local (e.g. dedup_ngram_jaccard / dedup_clusters
-       are the all-pairs baselines of minhash_lsh_dedup /
-       dedup_clusters_lsh; minhash_signatures feeds them).
+       query is kept local (e.g. dedup_ngram_jaccard is the all-pairs
+       baseline of the LSH dedup family; minhash_signatures feeds it).
     3. When two queries exercise the same physical pattern, the harder
-       shape stays visible (e.g. streaming_hourly_counts — a real
-       readStream — over the batch-equivalent sliding_window_counts).
+       shape stays visible (e.g. ann_snapshot_probe — the IVF probe
+       wrapped in a snapshot/restore commit-point lifecycle — over the
+       plain cluster-shortlist probes it supersedes).
+    4. The window ROTATES across rounds so every registered query
+       eventually earns a driver-checked artifact; rotated-out
+       veterans keep a same-pattern visible twin in coverage_map.py
+       (CI-checked).
 
     Local queries remain registered and oracle-tested at every pytest
     run (tests/test_query_oracles.py covers ALL registered queries,
