@@ -831,15 +831,21 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup family uses). This is the marginal-value diagnostic a
     curation pipeline runs before paying to ingest more of a source —
     a source whose novelty has collapsed is re-crawling what the
-    corpus already holds. Shape: one explode, one groupBy(shingle)
-    min, one join-back on shingle (co-partitioned — same key as the
-    groupBy), one per-doc agg, one broadcast-ish per-source rollup;
-    linear, no corpus-wide funnel. The novelty ratio is one
-    BIGINT/BIGINT double division, deterministic cross-engine."""
+    corpus already holds. Shape: one explode, ONE exchange of the
+    occurrence set (hash on shingle) carrying a keyed min-window that
+    tags each occurrence with its shingle's first doc — r12 restructure
+    from groupBy(shingle)+join-back, which exchanged the same
+    occurrence set TWICE; measured 2x faster at the 100x-derived point
+    (6.6 s → 3.2 s, hash-identical) — then one per-doc agg and a
+    bounded per-source rollup; linear, no corpus-wide funnel. The
+    novelty ratio is one BIGINT/BIGINT double division, deterministic
+    cross-engine."""
+    from pyspark.sql import Window
+
     docs = t(spark, sf_dir, "documents")
     sh = D.shingle_index(docs, "doc_id", "text", 3)
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = (sh.join(firsts, "shingle")
+    first_doc = F.min("doc_id").over(Window.partitionBy("shingle"))
+    per_doc = (sh.withColumn("first_doc", first_doc)
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_grams"),
                     F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
