@@ -769,30 +769,37 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the ONLY supplier with a
-    returned lineitem on a multi-supplier finalized order — a semi-join
-    (some other supplier shipped the order) stacked on an anti-join
-    (no other supplier had a return) with a mixed equi+inequality
-    condition each. Both correlated subqueries become one pass over
-    lineitem shuffled on l_orderkey; the supplier dim broadcasts.
+    returned lineitem on a multi-supplier finalized order. The two
+    correlated subqueries (EXISTS another supplier / NOT EXISTS another
+    returning supplier) decorrelate to ONE per-order aggregation
+    instead of two lineitem self-joins with inequality residuals (r12
+    restructure — the self-join form exchanged lineitem three times
+    and measured 4.1x wall at the 100x-derived point; this form is
+    1.8x faster there, result-identical): per (orderkey, suppkey)
+    collapse to a returned?-bit, per orderkey count suppliers and
+    returning suppliers, then a returned l1 row qualifies iff
+    n_supp > 1 and n_ret_supp == 1 — sound because l1's own supplier
+    always returns, so "no OTHER returning supplier" is exactly
+    "returning-supplier set == {me}". The supplier dim broadcasts.
     Composite (numwait DESC, s_name) sort makes the top-10 cut
     deterministic under ties."""
     li = t(spark, sf_dir, "lineitem")
     sup = t(spark, sf_dir, "supplier")
     orders = t(spark, sf_dir, "orders")
+    per_os = (li.groupBy("l_orderkey", "l_suppkey")
+              .agg(F.max(F.when(F.col("l_returnflag") == "R", 1)
+                         .otherwise(0)).alias("has_r")))
+    stats = (per_os.groupBy("l_orderkey")
+             .agg(F.count(F.lit(1)).alias("n_supp"),
+                  F.sum("has_r").alias("n_ret_supp")))
     l1 = (li.where(F.col("l_returnflag") == "R")
           .select("l_orderkey", "l_suppkey"))
-    l2 = li.select(F.col("l_orderkey").alias("o2"),
-                   F.col("l_suppkey").alias("s2"))
-    l3 = (li.where(F.col("l_returnflag") == "R")
-          .select(F.col("l_orderkey").alias("o3"),
-                  F.col("l_suppkey").alias("s3")))
     base = (
         l1.join(orders.where(F.col("o_orderstatus") == "F"),
                 l1.l_orderkey == F.col("o_orderkey"), "left_semi")
-        .join(l2, (l1.l_orderkey == l2.o2) & (l1.l_suppkey != l2.s2),
-              "left_semi")
-        .join(l3, (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3),
-              "left_anti")
+        .join(stats.where((F.col("n_supp") > 1)
+                          & (F.col("n_ret_supp") == 1)),
+              "l_orderkey", "left_semi")
     )
     return (
         base.join(F.broadcast(sup),
