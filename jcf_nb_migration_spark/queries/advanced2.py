@@ -240,7 +240,8 @@ def knn_ann_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY probe_id, rank
     """,
     tags=("similarity", "contrastive", "mining", "ann", "composed"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def hard_negative_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining fed by the IVF ANN index: the 5 most

@@ -394,7 +394,8 @@ def _sql_pagerank_iters() -> str:
     """,
     tags=("graph", "pagerank", "iterative"),
     # rotated INTO the driver window r9 (iterative join-agg witness)
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the shared-rare-4-gram document link graph —
@@ -477,7 +478,8 @@ def linkgraph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     FROM deg), 9) AS global_clustering
     """,
     tags=("graph", "triangles", "clustering-coefficient"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def linkgraph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count + global clustering coefficient of the
@@ -846,7 +848,8 @@ WSAMPLE_SCALE = 1_000_000_000  # fixed-point priority resolution
     LIMIT {WSAMPLE_K}
     """,
     tags=("curation", "sampling", "weighted", "deterministic"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def weighted_corpus_sample(spark: SparkSession,
                            sf_dir: str) -> DataFrame:

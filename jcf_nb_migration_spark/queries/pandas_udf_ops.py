@@ -178,7 +178,8 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("arrow", "mapInArrow", "vectorized"),
     # rotated IN r10 4th wave: the Arrow-batched Python map surface's
     # driver witness (multimodal_frame_sample rotated out)
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token/char/byte counts computed in mapInArrow — the
@@ -294,7 +295,8 @@ def doc_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     tags=("pandas-udf", "grouped-agg", "robust-stats"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def weighted_median_gagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median price per return flag via a

@@ -223,7 +223,8 @@ def customer_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
     tags=("approx", "hll", "sketch-merge"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch distinct counting (Apache DataSketches HLL,
@@ -822,7 +823,8 @@ def _skew_profile_sql(col: str) -> str:
                                ("l_orderkey", "l_partkey", "l_suppkey"))
             + " ORDER BY join_key"),
     tags=("profiling", "skew", "diagnostics"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew diagnosis — the profile that DECIDES between

@@ -717,7 +717,8 @@ def discounted_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_nationkey ORDER BY c_nationkey
     """,
     tags=("anti-join", "scalar-subquery", "tpch-q22"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: customers with above-average balance and no
@@ -765,7 +766,8 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10
     """,
     tags=("semi-join", "anti-join", "tpch-q21"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape: suppliers who were the ONLY supplier with a

@@ -139,7 +139,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch-shape", "multi-join", "broadcast"),
     # rotated IN r10 4th wave: the multiway broadcast-dim star-join
     # family's driver witness (local_supplier_volume rotated out)
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations by year.
@@ -192,7 +193,8 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("json", "variant", "semi-structured"),
     # rotated INTO the driver window r9 second wave (first-time name;
     # supersedes events_json_bucket as the JSON family's witness)
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured props via the VARIANT type (Spark 4): parse the

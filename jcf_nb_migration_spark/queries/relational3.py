@@ -636,7 +636,8 @@ def excess_share_suppliers(spark: SparkSession,
     ORDER BY priority
     """,
     tags=("join", "bucketed", "co-located", "zero-shuffle"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def cobucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈fact join answered from CO-BUCKETED layouts: orders and

@@ -802,7 +802,8 @@ _SQL_PROX_ORACLE = f"""
     "proximity_ranked_docs",
     oracle=_SQL_PROX_ORACLE,
     tags=("retrieval", "proximity", "positional"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def proximity_ranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity retrieval: documents where "spark" and "merge" occur
@@ -1241,7 +1242,8 @@ def late_interaction_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("retrieval", "bm25", "serving", "bucketed", "delete",
           "tombstone"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def bm25_tombstone_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 serving under LAZY DELETION (io/lexical.
@@ -1318,7 +1320,8 @@ UPSERT_FETCH = (1, 2, 3, 5, 22, 39)  # untouched + updated spread
     ORDER BY m.doc_id
     """,
     tags=("serving", "docstore", "upsert", "cow", "bucketed"),
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def docstore_upsert_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO on the persisted docstore (io/docstore.

@@ -141,7 +141,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rotated IN r10 4th wave: a second real-readStream witness
     # (dropDuplicatesWithinWatermark) joins streaming_interval_join
     # in the window
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """At-least-once delivery dedup as a real streaming query: the

@@ -182,7 +182,8 @@ def quantity_price_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rotated IN r10 4th wave: the per-user event-time window family's
     # driver witness (latest_event_per_user rotated out); RANGE frame
     # also pinned in pytest
-    driver_visible=False,
+    driver_visible=False,  # rotated OUT r12 6th wave (visible
+    #   same-pattern twin recorded in coverage_map.py)
 )
 def user_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling sum per user via a RANGE-frame window — the frame
