@@ -26,28 +26,23 @@ from __future__ import annotations
 COVERED_BY: dict[str, str] = {
     # --- ANN / similarity ------------------------------------------------
     # bucket/cluster-shortlist equi-join + per-probe ranking window:
-    "ann_lsh_batch_probes": "ann_snapshot_probe",
-    "ann_lsh_bucketed": "ann_snapshot_probe",
-    "ann_lsh_multiprobe": "ann_snapshot_probe",
-    "ivf_ann_multiprobe": "ann_snapshot_probe",  # same IVF cluster-shortlist
+    "ann_lsh_batch_probes": "hard_negative_mining",
+    "ann_lsh_bucketed": "hard_negative_mining",
+    "ann_lsh_multiprobe": "hard_negative_mining",
+    "ivf_ann_multiprobe": "hard_negative_mining",  # same IVF cluster-shortlist
     #   probe machinery
-    "ivf_ann_probe": "ann_snapshot_probe",  # cluster-shortlist probe + rank
+    "ivf_ann_probe": "hard_negative_mining",  # cluster-shortlist probe + rank
     #   window
-    "knn_label_propagation": "ann_snapshot_probe",
-    "hard_negative_mining": "ann_snapshot_probe",
-    "pq_codes": "ivfpq_residual_codes",  # same PQ encode projection
     # ivfadc_residual_multiprobe rotated INTO the driver window r9
     # (second wave), superseding ivfadc_residual_probe:
-    "ivfadc_residual_probe": "ivfpq_residual_codes",  # same residual-PQ
+    "ivfadc_residual_probe": "pq_codes",  # same residual-PQ
     #   code machinery (probe shortlist shape: hard_negative_mining_ann)
-    "triplet_mining_ann": "ann_snapshot_probe",  # same IVF candidate
+    "triplet_mining_ann": "hard_negative_mining",  # same IVF candidate
     #   generator, positive+negative windows joined
-    "embedding_quantize_int8": "ivfpq_residual_codes",  # same quantize-encode projection
+    "embedding_quantize_int8": "pq_codes",  # same quantize-encode projection
     # quantized_rerank_topk rotated INTO the driver window r9
-    "late_interaction_rerank": "late_interaction_served",  # same MaxSim
-    #   shortlist + bounded rerank, ad-hoc scan vs served index
-    "embedding_norm_stats": "ann_snapshot_probe",
-    "embedding_normalize": "ann_snapshot_probe",
+    "embedding_norm_stats": "hard_negative_mining",
+    "embedding_normalize": "hard_negative_mining",
     # record_linkage_merge rotated INTO the driver window r9 (second
     # wave), superseding fuzzy_name_matches as the blocking witness:
     "fuzzy_name_matches": "record_linkage_merge",
@@ -70,20 +65,19 @@ COVERED_BY: dict[str, str] = {
     "minhash_signatures": "lsh_incremental_dedup",
     # lsh_incremental_dedup rotated INTO the driver window r9
     # bloom_incremental_dedup rotated INTO the driver window r7
-    "doc_fingerprint": "simhash_fingerprints",  # per-doc fingerprint projection over the same tokenized scan
-    "source_dedup_matrix": "simhash_fingerprints",
+    "doc_fingerprint": "doc_winnow_fingerprints",  # per-doc fingerprint projection over the same tokenized scan
+    "source_dedup_matrix": "doc_winnow_fingerprints",
     # --- text / curation -------------------------------------------------
     # bpe_merge_table / doc_bpe_stats rotated OUT in the r9 second
     # wave (green r3-r8); the BPE trainer loop is pinned by
     # tests/test_text_bpe.py and the text-family scans stay visible:
-    "bpe_merge_table": "association_rules_pairs",  # vocabulary/pair-keyed
+    "bpe_merge_table": "event_type_transition_matrix",  # vocabulary/pair-keyed
     #   aggregate + join chain (the trainer's per-round pair counts)
     "doc_bpe_stats": "doc_subword_stats",
     "corpus_vocabulary": "doc_subword_stats",
     # doc_subword_stats rotated INTO the driver window r10 4th wave,
     # superseding doc_token_stats as the token-explode witness:
     "doc_token_stats": "doc_subword_stats",
-    "doc_winnow_fingerprints": "doc_subword_stats",
     "doc_bigram_lm_score": "corpus_novelty_curve",
     # token_pmi_pairs rotated INTO the driver window r9
     # gopher_quality_flags rotated INTO the driver window r9
@@ -106,13 +100,12 @@ COVERED_BY: dict[str, str] = {
     # curation_pipeline_e2e rotated OUT in the r9 second wave (green
     # r6-r8); every stage stays individually visible:
     "curation_pipeline_e2e": "gopher_quality_flags",
-    "source_quota_cap": "term_source_dispersion",  # term-keyed rollup + top-k-per-key window
     # semdedup_prune rotated OUT in the r9 second wave (green r4-r8):
     "semdedup_prune": "lsh_incremental_dedup",  # standing-index
     #   candidate shortlist + per-doc keep/drop verdict
     "cluster_balanced_sample": "dsir_importance",  # k-means assign +
     #   deterministic weighted-threshold sample over per-doc scores
-    "cluster_topic_terms": "semantic_decontamination_ann",
+    "cluster_topic_terms": "semantic_decon_ann_recall",
 
     # --- retrieval -------------------------------------------------------
     # bm25_top_docs rotated INTO the driver window r7
@@ -121,22 +114,18 @@ COVERED_BY: dict[str, str] = {
     # positional self-join — the term-keyed probe family
     # phrase_match_served / bm25_filtered_served / doc_fetch_served
     # rotated INTO the driver window r9 (second wave)
-    "phrase_match_docs": "proximity_ranked_served",  # ad-hoc scan twin
+    "phrase_match_docs": "phrase_snapshot_served",  # ad-hoc scan twin
     #   of the served positional probes (same positional join)
     # --- corpus assembly / sampling --------------------------------------
-    "corpus_global_shuffle": "corpus_split_assign",
     "stratified_sample": "dsir_importance",  # deterministic hash-threshold
     #   sampling; DSIR is the weighted form of the same per-doc selection pass
     "source_sampling_weights": "dsir_importance",  # per-source weight
     #   computation feeding the same weighted-selection pass
     "doc_chunk_overlap": "doc_chunk_spans_udtf",
-    "packing_efficiency_report": "sequence_packing",
     # --- profiling / sketches -------------------------------------------
-    "customer_column_profile": "orders_price_drift_psi",
-    "user_active_streaks": "cohort_ltv_curve",
-    "referential_integrity_audit": "orders_price_drift_psi",
-    "daily_volume_anomalies": "orders_price_drift_psi",
-    "benford_first_digit": "orders_price_drift_psi",
+    "customer_column_profile": "daily_volume_anomalies",
+    "referential_integrity_audit": "daily_volume_anomalies",
+    "benford_first_digit": "daily_volume_anomalies",
     "source_embedding_drift": "pricing_summary",  # group agg over a
     #   pushed-filter scan + broadcast scalar compare
     "source_report_card": "pricing_summary",  # multi-branch
@@ -181,7 +170,6 @@ COVERED_BY: dict[str, str] = {
     "regional_customer_distribution": "top_revenue_customers",
     "top_supplier_revenue": "important_supplier_share",
     "promo_revenue_share": "top_revenue_customers",
-    "profit_by_nation_year": "important_supplier_share",
     "part_supplier_variety": "important_supplier_share",
     "nullsafe_cohort_compare": "top_revenue_customers",
     "small_quantity_revenue": "top_revenue_customers",  # filtered
@@ -219,7 +207,6 @@ COVERED_BY: dict[str, str] = {
     "event_sequence_pattern": "session_conversion_funnel",
     # --- CDC / temporal --------------------------------------------------
     "orders_upsert": "orders_pit_customer_join",  # keyed CDC merge-latest over the same orders feed the PIT join consumes
-    "orders_snapshot_diff": "orders_pit_customer_join",  # full-outer keyed compare of the same CDC snapshots the PIT join versions
     # r10: docstore time travel — build/COW/bucketed-fetch machinery is
     # the visible docstore_upsert_fetch; the manifest AS-OF read path
     # and the version-diff full-outer compare are additionally pinned
@@ -235,13 +222,12 @@ COVERED_BY: dict[str, str] = {
     #   correlated scalar subquery decorrelated to per-group agg join-back (Q2
     #   vs Q11)
     # --- events / time series -------------------------------------------
-    "events_hourly": "streaming_interval_join",  # batch event-time agg; the streamed event-time shape stays visible here
+    "events_hourly": "streaming_interval_join_louter",  # batch event-time agg; the streamed event-time shape stays visible here
     # user_rolling_7d rotated INTO the driver window r10 4th wave,
     # superseding latest_event_per_user as the per-user event-time
     # window witness:
     "latest_event_per_user": "lateral_top_customers",  # per-key top-1 ranked
     #   take (row_number window == decorrelated lateral)
-    "event_type_transition_matrix": "session_conversion_funnel",
     "signup_to_purchase_latency": "winsorized_order_values",  # ordinal
     #   rank arithmetic over a population-bounded window
     # events_variant_extract rotated INTO the driver window r9,
@@ -251,8 +237,7 @@ COVERED_BY: dict[str, str] = {
     # event_sessionization rotated OUT in the r9 second wave (green
     # r1-r8); the per-user ordered-window family stays visible:
     "event_sessionization": "session_conversion_funnel",
-    "sliding_window_counts": "streaming_interval_join",
-    "stream_static_enrich": "streaming_interval_join",
+    "sliding_window_counts": "streaming_interval_join_louter",
     # streaming_dedup rotated INTO the driver window r10 4th wave
     # (second real-readStream witness)
     # range_join_error_click rotated OUT in the r9 second wave (green
@@ -261,11 +246,6 @@ COVERED_BY: dict[str, str] = {
     "range_join_error_click": "orders_pit_customer_join",  # same
     #   pair-match semantics (banded |ts diff| vs PIT as-of pick);
     #   the JVM banded equi-join plan is pinned in test_plans.py
-    "streaming_interval_join_louter": "streaming_interval_join",
-    "streaming_pit_enrich": "orders_pit_customer_join",
-    "stateful_running_totals":
-        "pytest:test_streaming applyInPandasWithState (no visible "
-        "twin; exact-oracle + checkpoint-restart tests pin it)",
     # --- python surfaces -------------------------------------------------
     # arrow_doc_stats rotated INTO the driver window r10 4th wave,
     # superseding multimodal_frame_sample as the Arrow-batched Python
@@ -275,9 +255,6 @@ COVERED_BY: dict[str, str] = {
     "pysource_synthdocs":
         "pytest:test_pysource Python DataSource batch reader (no "
         "visible twin; ordered per-band digest oracle runs locally)",
-    "pysource_stream_synthdocs":
-        "pytest:test_pysource streaming offsets (no visible twin; "
-        "exactly-once restart test pins the offset contract)",
 
     # --- r9 rotation: fifteen 7-8x-green incumbents OUT (their green
     # history is CORRECTNESS_r1-r8) to admit fifteen never-checked
@@ -287,11 +264,13 @@ COVERED_BY: dict[str, str] = {
     #   as-of pick family (still benched)
     "price_quantiles": "winsorized_order_values",  # two-phase ordinal rank
     "approx_distinct_stats": "cms_token_counts",
-    "tfidf_top_terms": "term_source_dispersion",  # term-keyed rollup
+    "tfidf_top_terms": "source_quota_cap",  # term-keyed rollup
     #   + top-k-per-key window
     "doc_quality_score": "doc_subword_stats",  # narrow per-doc stats
-    "dedup_exact": "simhash_fingerprints",
-    "embedding_dedup_pairs": "ann_snapshot_probe",  # blocked pair join + JVM
+    "dedup_exact": "doc_winnow_fingerprints",  # content-hash
+    #   projection + one fingerprint-keyed shuffle (doc md5 groupBy
+    #   vs winnow hash distinct), still benched every round
+    "embedding_dedup_pairs": "hard_negative_mining",  # blocked pair join + JVM
     #   cosine fold (still benched)
     "forecast_revenue": "pricing_summary",  # pushed-filter scan-agg
     #   (still benched)
@@ -302,7 +281,7 @@ COVERED_BY: dict[str, str] = {
     #   compiled to codegen'd projection + filter, no shuffle
     "simhash_near_pairs": "lsh_incremental_dedup",  # banded candidate
     #   equi-join near-dup pairs
-    "ann_brute_force_topk": "ann_snapshot_probe",
+    "ann_brute_force_topk": "hard_negative_mining",
     "shipping_priority": "top_revenue_customers",  # filtered join +
     #   group agg + distributed take (still benched)
     "user_hourly_resample": "cohort_ltv_curve",
@@ -313,13 +292,15 @@ COVERED_BY: dict[str, str] = {
     #   (array ops vs ratio flags), codegen'd projection
     "table_counts": "dq_expectations",  # union of per-table counts; same
     #   fused per-table conditional-agg report plan
-    "streaming_hourly_counts": "streaming_interval_join",
+    "streaming_hourly_counts": "streaming_interval_join_louter",
     "corpus_mixture_sample": "dsir_importance",  # temperature/mixture weights
     #   -> deterministic weighted selection, same one-pass plan
-    "ivfpq_ann_probe": "ivfpq_residual_codes",  # same residual-PQ codes + ADC probe machinery
-    "knn_ann_label_propagation": "ann_snapshot_probe",
+    "ivfpq_ann_probe": "pq_codes",  # same residual-PQ codes + ADC probe machinery
+    "knn_ann_label_propagation": "hard_negative_mining",
     "bm25_top_docs": "bm25_batch_served",  # same postings+stats BM25 plan, ad-hoc vs served
-    "paragraph_dedup": "duplicate_spans",
+    "paragraph_dedup": "doc_winnow_fingerprints",  # explode text
+    #   units -> hash -> per-unit keyed aggregate (paragraph-hash
+    #   groupBy vs winnowed k-gram fingerprint selection)
     "rrf_fusion": "bm25_batch_served",  # BM25 leg + bounded rank fusion
     "linkgraph_cc_starcontraction": "linkgraph_bfs_reachability",  # iterative frontier-join fixpoint family
     "bloom_incremental_dedup": "lsh_incremental_dedup",
@@ -333,8 +314,12 @@ COVERED_BY: dict[str, str] = {
     "large_volume_customers": "top_revenue_customers",
     "trigram_backoff_score": "gopher_quality_flags",
     "heavy_hitters_topk": "cms_token_counts",
-    "doc_boilerplate_coverage": "duplicate_spans",
-    "split_leakage_audit": "duplicate_spans",
+    "doc_boilerplate_coverage": "doc_winnow_fingerprints",  # span
+    #   explode -> hash -> cross-doc frequency shuffle (boilerplate
+    #   span counts vs winnow fingerprint spans over the same scan)
+    "split_leakage_audit": "doc_winnow_fingerprints",  # k-gram
+    #   fingerprint explode + fingerprint-keyed equi-join (leakage
+    #   overlap vs winnow selection of the same shingle hashes)
     "excess_share_suppliers": "important_supplier_share",  # 
     #   aggregated-threshold semi-join decorrelation (Q20's agg-gated IN vs
     #   Q11's HAVING share gate); plan-guarded in
@@ -353,7 +338,7 @@ COVERED_BY: dict[str, str] = {
     "cogroup_asof_pandas": "orders_pit_customer_join",  # as-of pick
     #   over keyed ordered feeds (cogrouped pandas vs PIT join); the
     #   batched-python surface stays visible via arrow_doc_stats
-    "corpus_sorted_export": "sequence_packing",  # two-phase
+    "corpus_sorted_export": "packing_efficiency_report",  # two-phase
     #   global-order computation (range-partitioned sort vs
     #   bucket-subtotal prefix sum), both plan-guarded in test_plans
     "customer_balance_deciles": "winsorized_order_values",  # grouped
@@ -362,22 +347,22 @@ COVERED_BY: dict[str, str] = {
     #   scoped point fetch of the same doc store
     "doc_quality_linear_model": "gopher_quality_flags",  # one
     #   codegen'd per-doc scoring scan, no shuffle
-    "event_funnel_conversion": "session_window_counts",  # sessionized
+    "event_funnel_conversion": "session_conversion_funnel",  # sessionized
     #   event-time rollup family (lag/cumsum islands)
-    "inverted_index_postings": "term_source_dispersion",  # term-keyed
+    "inverted_index_postings": "source_quota_cap",  # term-keyed
     #   count rollup + ordered take
-    "ivfadc_residual_multiprobe": "ivfpq_residual_codes",  # same
+    "ivfadc_residual_multiprobe": "pq_codes",  # same
     #   residual-PQ code machinery; the shortlist probe shape stays
     #   visible via hard_negative_mining_ann
     "linkgraph_cc_certified": "linkgraph_bfs_reachability",  # iterative
     #   frontier equi-join to a certified fixpoint (same engine)
     "linkgraph_khop_sssp": "linkgraph_bfs_reachability",  # per-round
     #   frontier equi-join (+ MIN groupBy relax) fixpoint
-    "phrase_match_served": "proximity_ranked_served",  # bucket-pruned
+    "phrase_match_served": "phrase_snapshot_served",  # bucket-pruned
     #   two-term positional read, adjacency vs proximity band
-    "quantized_rerank_topk": "late_interaction_served",  # shortlist +
+    "quantized_rerank_topk": "late_interaction_rerank",  # shortlist +
     #   bounded rerank two-stage serving plan
-    "token_pmi_pairs": "association_rules_pairs",  # pair-key count
+    "token_pmi_pairs": "event_type_transition_matrix",  # pair-key count
     #   join + broadcast totals (PMI vs lift — same Apriori-k=2 plan)
     "user_cohort_retention": "cohort_ltv_curve",
     "nation_market_share": "important_supplier_share",
@@ -386,24 +371,24 @@ COVERED_BY: dict[str, str] = {
     #     (2-7 driver greens each, history in CORRECTNESS_r1-r11) to
     #     admit eighteen never-driver-checked names; each keeps a
     #     same-pattern visible twin -----------------------------------
-    "hard_negative_mining_ann": "ann_snapshot_probe",  # same IVF
+    "hard_negative_mining_ann": "hard_negative_mining",  # same IVF
     #   cluster-shortlist probe + per-probe rank window, now with the
     #   commit-point lifecycle around it (7 driver greens r1-r11)
     "bm25_tombstone_served": "bm25_snapshot_served",  # same
     #   delete->vacuum->probe serving pattern; the snapshot adds the
     #   commit-point lifecycle around the same vacuum
-    "proximity_ranked_docs": "proximity_ranked_served",  # ad-hoc scan
+    "proximity_ranked_docs": "phrase_snapshot_served",  # ad-hoc scan
     #   twin of the served positional-proximity probe
-    "join_key_skew_profile": "orders_price_drift_psi",  # grouped-count
+    "join_key_skew_profile": "daily_volume_anomalies",  # grouped-count
     #   distribution rollup over one scan, same profile-agg plan
-    "linkgraph_pagerank": "linkgraph_label_propagation",  # per-round
+    "linkgraph_pagerank": "knn_label_propagation",  # per-round
     #   node-keyed equi-join + groupBy fixpoint loop (same engine)
     "weighted_median_gagg": "doc_pareto_frontier",
     "linkgraph_triangles": "linkgraph_bfs_reachability",
     "docstore_upsert_fetch": "docstore_as_of_fetch",
     "cobucketed_order_revenue": "bm25_batch_served",  # co-bucketed
     #   zero-exchange join; the bucket-pruned read side stays visible
-    "streaming_dedup": "session_window_counts",
+    "streaming_dedup": "streaming_interval_join_louter",
     "weighted_corpus_sample": "dsir_importance",  # A-ES weighted
     #   sampling == DSIR importance-weighted selection: both one-pass
     #   deterministic weight-threshold scans over per-doc scores
@@ -418,4 +403,55 @@ COVERED_BY: dict[str, str] = {
     "arrow_doc_stats": "doc_chunk_spans_udtf",  # Arrow-batched Python
     #   surface: mapInArrow per-batch vs UDTF generator, same batch
     #   shape and schema contract
+    # --- r13 rotation (7th wave): eighteen multi-green incumbents OUT
+    #     (history in CORRECTNESS_r1-r12) to admit eighteen
+    #     never-driver-checked names, five of them streaming (the one
+    #     family with a single driver-checked member before r13); each
+    #     rotated-out name keeps a same-pattern visible twin ----------
+    "simhash_fingerprints": "doc_winnow_fingerprints",  # per-doc
+    #   fingerprint projection over the same tokenized scan (simhash
+    #   bit-vote vs winnow window-min, both explode->hash->per-doc agg)
+    "ivfpq_residual_codes": "pq_codes",  # same PQ encode projection;
+    #   the residual variant adds one broadcast centroid subtract
+    "corpus_split_assign": "corpus_global_shuffle",  # deterministic
+    #   hash-keyed assignment scan (split label vs shuffle key), same
+    #   one-pass keyed projection + ordered output
+    "streaming_interval_join": "streaming_interval_join_louter",  # the
+    #   louter run IS the inner join plus watermark-gated NULL emission
+    #   (same two watermarked readStream branches, same state layout)
+    "late_interaction_served": "late_interaction_rerank",  # same MaxSim
+    #   shortlist + bounded rerank, served snapshot vs ad-hoc scan
+    "sequence_packing": "packing_efficiency_report",  # the report runs
+    #   the same greedy bin-packing machinery and rolls up its output
+    "docstore_change_feed": "docstore_as_of_fetch",  # same docstore
+    #   manifest/version read path; the feed diffs two versions the
+    #   as-of fetch pins individually
+    "lineitem_zorder_pruned": "lineitem_zorder_asof",  # same z-order
+    #   manifest min/max pruning read; as-of adds version selection
+    "semantic_decontamination": "semantic_decon_ann_recall",  # the
+    #   recall report runs the exact leg AND the ANN leg of the same
+    #   decontamination join
+    "semantic_decontamination_ann": "semantic_decon_ann_recall",
+    "session_window_counts": "session_conversion_funnel",  # sessionized
+    #   event-time rollup family (lag/cumsum islands); the readStream
+    #   session-window surface stays pinned by tests/test_streaming_ingest
+    "linkgraph_label_propagation": "knn_label_propagation",  # per-round
+    #   node-keyed equi-join + mode/groupBy fixpoint loop (same engine,
+    #   kNN-derived edges instead of linkgraph edges)
+    "association_rules_pairs": "event_type_transition_matrix",  # pair-
+    #   keyed count aggregate + broadcast marginal totals (lift vs
+    #   row-normalized transition probabilities)
+    "proximity_ranked_served": "phrase_snapshot_served",  # bucket-pruned
+    #   positional postings probe (proximity band vs phrase adjacency)
+    "term_source_dispersion": "source_quota_cap",  # term/source-keyed
+    #   rollup + top-k-per-key window (source_quota_cap's own pattern)
+    "duplicate_spans": "doc_winnow_fingerprints",  # span/k-gram explode
+    #   -> hash -> per-unit aggregate shuffle (dup detection vs
+    #   winnowed fingerprint selection)
+    "ann_snapshot_probe": "hard_negative_mining",  # same IVF cluster-
+    #   shortlist probe + per-probe rank window; the snapshot commit-
+    #   point lifecycle stays pinned by tests/test_ivf_snapshot
+    "orders_price_drift_psi": "daily_volume_anomalies",  # grouped
+    #   distribution rollup + broadcast-baseline compare over one scan
+    #   (PSI bins vs per-day anomaly z-scores)
 }

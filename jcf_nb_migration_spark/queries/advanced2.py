@@ -650,7 +650,7 @@ ASSOC_MIN_SUPPORT = 5  # minimum co-occurrence count for a rule
     tags=("analytics", "market-basket", "association-rules", "lift"),
     # transaction self-equi-join on the basket key + broadcast item
     # stats — the linkgraph pair-derivation family over orders
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def association_rules_pairs(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
@@ -749,6 +749,7 @@ _ANN_SNAP_PCLUSTERS = f"""pv AS (
     """,
     tags=("similarity", "ann", "ivf", "serving", "snapshot",
           "time-travel", "tombstone"),
+    driver_visible=False,  # rotated out r13 7th wave (green r12)
 )
 def ann_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit points on the MATERIALIZED vector index (io/layout.py

@@ -923,6 +923,7 @@ LPA_ITERS = 3   # fixed synchronous rounds, unrolled in the oracle
     FROM l{LPA_ITERS} GROUP BY label ORDER BY community
     """,
     tags=("graph", "communities", "label-propagation", "iterative"),
+    driver_visible=False,  # rotated out r13 7th wave (green r12)
 )
 def linkgraph_label_propagation(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:

@@ -798,6 +798,7 @@ SPAN_FREQ_CAP = 100  # grams in more windows than this are boilerplate
     """,
     tags=("curation", "dedup", "substring", "spans"),
     # rotated INTO the driver window r9 (substring-span dedup witness)
+    driver_visible=False,  # rotated out r13 7th wave (green r9-r12, 4x)
 )
 def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring extraction (the Lee et al.
@@ -1020,8 +1021,6 @@ SRC_CAP = 15
     ORDER BY source, src_rank
     """,
     tags=("curation", "quota", "per-group-topk"),
-    driver_visible=False,  # per-group top-k window pattern covered by
-    #                        tfidf_top_terms in the driver window
 )
 def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota (the per-domain cap crawl corpora
@@ -1571,7 +1570,7 @@ SEMDECON_MOD = 50     # vec_id % this == 0 => held-out benchmark member
     tags=("curation", "decontamination", "semantic", "embedding"),
     # composes the decontaminate_ngrams shape (broadcast bench side)
     # with embedding_dedup_pairs' cosine verify — both driver-visible
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def semantic_decontamination(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
@@ -1663,6 +1662,7 @@ SEMDECON_NPROBE = 2   # bench clusters probed per corpus vector
     ) WHERE rk = 1 ORDER BY vec_id
     """,
     tags=("curation", "decontamination", "semantic", "ann", "ivf"),
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def semantic_decontamination_ann(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:

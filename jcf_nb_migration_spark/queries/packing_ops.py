@@ -74,7 +74,7 @@ def _sql_h48(expr: str) -> str:
     """,
     tags=("assembly", "packing", "prefix-sum"),
     # bounded-window + explode pattern; plan-guarded in test_plans
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: concatenate every document's tokens
@@ -217,7 +217,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("assembly", "split", "hash"),
     # md5-keyed deterministic routing family
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/valid/test split: each doc routes by a
@@ -262,7 +262,6 @@ def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("assembly", "shuffle", "hash"),
     # kept local to fit the 50-name driver window; bounded-partition
     # window ranking is driver-visible via latest_event_per_user
-    driver_visible=False,
 )
 def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible global shuffle — the epoch-order randomization a
@@ -455,7 +454,6 @@ PACK_LENS = (128, 256, 512, 1024)  # candidate sequence lengths
     tags=("assembly", "packing", "efficiency", "report"),
     # kept local to fit the 50-name driver window; explode-over-grid +
     # groupBy is driver-visible via multimodal_frame_sample
-    driver_visible=False,
 )
 def packing_efficiency_report(spark: SparkSession,
                               sf_dir: str) -> DataFrame:

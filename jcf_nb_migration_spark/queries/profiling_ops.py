@@ -348,7 +348,6 @@ def orders_pit_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) GROUP BY op ORDER BY op
     """,
     tags=("cdc", "snapshot-diff", "full-outer"),
-    driver_visible=False,
 )
 def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change-data derivation by snapshot diff — how you bootstrap CDC
@@ -883,7 +882,6 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("profiling", "anomaly", "dq", "observability"),
     # per-day count + 1-row moment rollup broadcast back — the
     # dq_expectations / table_counts physical family
-    driver_visible=False,
 )
 def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-anomaly detection over daily event counts — the
@@ -1303,6 +1301,7 @@ def customer_balance_deciles(spark: SparkSession,
     ORDER BY bin
     """,
     tags=("profiling", "drift", "quality"),
+    driver_visible=False,  # rotated out r13 7th wave (green r12)
 )
 def orders_price_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index between two corpus states — THE

@@ -41,7 +41,6 @@ from jcf_nb_migration_spark.registry import dec, query, t
     tags=("tpch-shape", "multi-join", "regex-dim-filter", "tpch-q9"),
     # star join + broadcast dims is driver-visible via
     # local_supplier_volume; the regex dim filter via part_clean_chain
-    driver_visible=False,
 )
 def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit per (supplier nation, order year) over a
@@ -715,7 +714,7 @@ ZO_SUPP = (2, 6)    # l_suppkey range
     tags=("layout", "zorder", "multi-dim", "pruning", "serving"),
     # layout-build-then-pruned-serve pattern; the pruning mechanics
     # are pinned by tests/test_zorder.py (file-count evidence)
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def lineitem_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column range scan over a Z-ORDERED layout (io/zorder):

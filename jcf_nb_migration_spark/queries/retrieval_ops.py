@@ -874,7 +874,7 @@ def phrase_match_served(spark: SparkSession, sf_dir: str) -> DataFrame:
           "bucketed"),
     # served twin of proximity_ranked_docs; same bucket-probe family
     # as phrase_match_served / bm25_top_docs_served
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def proximity_ranked_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Proximity retrieval SERVED from the persisted positional index
@@ -1086,7 +1086,6 @@ _LI_DOT = " + ".join(f"q.q{d} * t.e{d}" for d in range(LI_DIM))
           "composed"),
     # BM25-shortlist + bounded rerank — the compressed-first/rerank
     # family quantized_rerank_topk keeps driver-visible (shared tags)
-    driver_visible=False,
 )
 def late_interaction_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction reranking (the ColBERT/MaxSim retrieval stage
@@ -1179,6 +1178,7 @@ def _maxsim_rescore(spark: SparkSession, dtoks: DataFrame,
     """,
     tags=("retrieval", "rerank", "late-interaction", "maxsim",
           "serving", "bucketed", "docstore", "composed"),
+    driver_visible=False,  # rotated out r13 7th wave (green r10-r12, 3x)
 )
 def late_interaction_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-interaction reranking answered ENTIRELY from persisted
@@ -1599,7 +1599,7 @@ def docstore_as_of_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
           "full-outer"),
     # same machinery as docstore_as_of_fetch; the diff's full-outer
     # join pattern is driver-visible via orders_snapshot_diff's twin
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def docstore_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC between docstore versions (io/docstore.

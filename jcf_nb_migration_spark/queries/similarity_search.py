@@ -496,7 +496,6 @@ def _sql_pq_oracle() -> str:
     "pq_codes",
     oracle=_sql_pq_oracle(),
     tags=("similarity", "quantization", "pq"),
-    driver_visible=False,
 )
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization end-to-end: train {PQ_M} independent L2
@@ -553,7 +552,6 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY probe_id
     """,
     tags=("similarity", "knn", "classification"),
-    driver_visible=False,
 )
 def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN majority-vote label propagation: classify each probe vector
@@ -620,7 +618,6 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY probe_id, rank
     """,
     tags=("similarity", "contrastive", "mining"),
-    driver_visible=False,
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: for each probe,
@@ -901,7 +898,7 @@ def _cached_residual(spark: SparkSession, sf_dir: str):
     tags=("similarity", "ann", "ivf", "pq", "residual", "ivfadc"),
     # residual sibling of pq_codes / ivfpq_ann_probe (both patterns
     # driver-visible via ivfpq_ann_probe)
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def ivfpq_residual_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC-proper encoding (the FAISS IVF-PQ default): PQ codebooks

@@ -97,7 +97,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM marked GROUP BY user_id ORDER BY user_id
     """,
     tags=("streaming", "session-window"),
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window(30 min) — checked against the lag/cumsum
@@ -120,7 +120,6 @@ def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming surface externally exercised by streaming_hourly_counts
     # (real readStream, green oracle); kept local to fit the 50-name
     # driver window
-    driver_visible=False,
 )
 def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact stream enriched against a static dimension table
@@ -161,7 +160,6 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events GROUP BY user_id ORDER BY user_id
     """,
     tags=("streaming", "stateful", "applyInPandasWithState"),
-    driver_visible=False,
 )
 def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary stateful streaming with an EXACT oracle: a per-user
@@ -221,6 +219,7 @@ def stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE e.event_type = 'error'
     """,
     tags=("streaming", "stream-stream-join", "interval"),
+    driver_visible=False,  # rotated out r13 7th wave (green r10-r12, 3x)
 )
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join executed as an ACTUAL streaming
@@ -277,10 +276,10 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT * FROM m UNION ALL SELECT * FROM um
     """,
     tags=("streaming", "stream-stream-join", "left-outer", "watermark"),
-    # real readStream; the distinctive semantics (watermark-gated NULL
-    # emission) are exactly encoded in the oracle; inner-join twin
+    # rotated INTO the driver window r13 (7th wave, first-time name):
+    # real readStream with watermark-gated NULL emission exactly
+    # encoded in the oracle; witnesses the rotated-out inner twin
     # streaming_interval_join / range_join_error_click
-    driver_visible=False,
 )
 def streaming_interval_join_louter(spark: SparkSession,
                                    sf_dir: str) -> DataFrame:
@@ -324,7 +323,6 @@ def streaming_interval_join_louter(spark: SparkSession,
     tags=("streaming", "stream-static-join", "scd2", "point-in-time"),
     # real readStream; batch PIT twin = orders_pit_customer_join
     # (customer_scd2_history family, driver-visible)
-    driver_visible=False,
 )
 def streaming_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time SCD2 enrichment of a STREAM: each streaming order

@@ -435,7 +435,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, unnest(fps) AS fp FROM wins
     """,
     tags=("text", "fingerprint", "winnowing"),
-    driver_visible=False,
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (rolling k-gram hash + min-per-window) fingerprints,
@@ -598,6 +597,7 @@ def _sql_simhash_cte(bits: int = D.SIMHASH_BITS) -> str:
     SELECT * FROM fps
     """,
     tags=("dedup", "simhash"),
+    driver_visible=False,  # rotated out r13 7th wave (green r10-r12, 3x)
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document (±1 votes per hash bit over the
@@ -965,7 +965,7 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("text", "dispersion", "boilerplate", "curation"),
     # two-level count rollup on the term key — tfidf/vocabulary family
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    driver_visible=False,  # rotated out r13 7th wave (green r11-r12, 2x)
 )
 def term_source_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Source-dispersion profile of frequent terms — the boilerplate

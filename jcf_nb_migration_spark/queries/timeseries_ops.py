@@ -409,7 +409,6 @@ def event_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "gaps-and-islands", "streak"),
     # per-key window + double groupBy — latest_event_per_user /
     # sessionization physical family
-    driver_visible=False,
 )
 def user_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: per user, runs of CONSECUTIVE active days
@@ -519,7 +518,6 @@ def daily_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "markov", "transition"),
     # per-key lag window + double count rollup — the sessionization /
     # funnel family (event_sessionization driver-visible)
-    driver_visible=False,
 )
 def event_type_transition_matrix(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:

@@ -8,7 +8,32 @@ Usage: PYTHONPATH=. python tools/coverage_report.py [--stdout]
 
 from __future__ import annotations
 
+import glob
+import json
+import re
 import sys
+
+
+def last_driver_green() -> dict[str, int]:
+    """Per query: the most recent round whose committed driver artifact
+    (CORRECTNESS_r*.json) shows it passing every check it was given
+    (rows + schema + hash when an oracle exists, rows otherwise, no
+    err). Generated — not hand-maintained — so the `last green` column
+    below is always exactly what the artifacts say; the regeneration
+    test in tests/test_coverage_map.py is the CI check (VERDICT r12
+    item 8)."""
+    out: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        if "LOCAL" in path:
+            continue
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name, res in json.load(open(path)).items():
+            ok = (res.get("err") is None and res.get("rows_match")
+                  and res.get("schema_match", True)
+                  and res.get("hash_match", True))
+            if ok:
+                out[name] = max(out.get(name, 0), rnd)
+    return out
 
 
 def render() -> str:
@@ -16,6 +41,7 @@ def render() -> str:
     from jcf_nb_migration_spark.registry import all_queries
 
     qs = all_queries()
+    greens = last_driver_green()
     n_driver = sum(1 for q in qs.values() if q.driver_visible)
     lines = [
         "# COVERAGE — registered queries",
@@ -34,7 +60,11 @@ def render() -> str:
         "query exercising the same physical plan pattern (coverage_map"
         ".py, CI-checked by tests/test_coverage_map.py); `pytest:` "
         "entries are surfaces with no possible visible twin, pinned by "
-        "the named test instead.",
+        "the named test instead. The `last green` column is the most "
+        "recent round whose committed driver artifact shows the query "
+        "passing every check it was given (generated from "
+        "CORRECTNESS_r*.json by tools/coverage_report.py; the "
+        "regeneration test CI-checks it against the artifacts).",
         "",
         "## Contract changes (driver-visible output semantics)",
         "",
@@ -57,17 +87,26 @@ def render() -> str:
         "salted_user_totals, pii_scrub_stats, and mktsegment_distinct "
         "(each green in 5-6 prior driver rounds) rotated OUT with "
         "pattern twins recorded in the coverage map.",
+        "- **r13** driver-window rotation (7th wave): eighteen "
+        "never-driver-checked names rotated IN, five of them streaming "
+        "(stateful_running_totals, streaming_interval_join_louter, "
+        "stream_static_enrich, streaming_pit_enrich, "
+        "pysource_stream_synthdocs) — before r13 the streaming family "
+        "had a single driver-checked member ever; eighteen multi-green "
+        "incumbents rotated OUT with pattern twins in the coverage map.",
         "",
-        "| query | tags | oracle | driver | covered by | bench | summary |",
-        "|---|---|---|---|---|---|---|",
+        "| query | tags | oracle | driver | last green | covered by | bench | summary |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name, q in sorted(qs.items()):
         doc = q.doc.split(".")[0].replace("\n", " ").replace("|", "/")
         cover = "—" if q.driver_visible else COVERED_BY.get(name, "??")
+        green = f"r{greens[name]}" if name in greens else "never"
         lines.append(
             f"| {name} | {', '.join(q.tags)} | "
             f"{'exact' if q.oracle else 'rows-only'} | "
             f"{'yes' if q.driver_visible else 'local-only'} | "
+            f"{green} | "
             f"{cover} | "
             f"{'yes' if q.headline else ''} | {doc}. |")
     return "\n".join(lines) + "\n"
