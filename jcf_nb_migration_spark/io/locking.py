@@ -20,15 +20,21 @@ Mechanics:
   live dir unguarded), created with ``O_CREAT | O_EXCL`` (atomic on
   POSIX local/NFSv3+ filesystems) and holding JSON
   ``{pid, host, op, ts}`` for diagnosis.
-- Reentrant per process: composite ops (maintain → compact, restore →
-  residue recovery) nest freely; only a DIFFERENT process (or a
-  different layout handle in the same process after release) conflicts.
+- Reentrant per THREAD: composite ops (maintain → compact, restore →
+  residue recovery) nest freely within the thread that took the lock;
+  a different thread of the same process conflicts exactly like a
+  different process would (ADVICE r12 — a per-process set let a second
+  thread run unguarded and lose the lock mid-mutation).
 - Stale-lock recovery: a crashed writer leaves its lock behind. If the
   lock's host matches and its pid is no longer alive, the lock is
   broken automatically and the op proceeds (the layout's own crash
-  recovery then handles any residue). A live pid — or a foreign host,
-  where liveness can't be checked — raises with the holder's identity;
-  ``break_writer_lock`` is the operator's explicit override.
+  recovery then handles any residue). The break is TOCTOU-safe: the
+  lock is renamed aside atomically and unlinked only if it is still
+  byte-for-byte the lock that was judged stale; a fresh lock acquired
+  by a concurrent recoverer in the window is restored no-clobber and
+  the break reported failed (ADVICE r12). A live pid — or a foreign
+  host, where liveness can't be checked — raises with the holder's
+  identity; ``break_writer_lock`` is the operator's explicit override.
 - Readers never lock: probes/fetches/scans are versioned by manifests
   and snapshot file lists, so they see a consistent commit point
   regardless of concurrent writers.
@@ -50,9 +56,13 @@ from contextlib import contextmanager
 
 LOCK_SUFFIX = ".writer.lock"
 
-# realpaths whose lock THIS process already holds (reentrancy);
-# thread-safe via _held_guard since tests drive racing threads.
-_held: set[str] = set()
+# (thread_ident, realpath) -> nesting depth for locks THIS process
+# holds. Keyed by thread so only genuine same-thread nesting is
+# reentrant: a SECOND thread mutating the same layout concurrently is
+# a conflict exactly like a second process would be (a plain realpath
+# set once let it run unguarded, and the first thread's release then
+# unlinked the on-disk lock mid-mutation — ADVICE r12).
+_held: dict[tuple[int, str], int] = {}
 _held_guard = threading.Lock()
 
 
@@ -110,11 +120,56 @@ def _try_acquire(path: str, op: str) -> bool:
     return True
 
 
+def _break_if_still(path: str, stale: dict) -> bool:
+    """Atomically break the lock at ``path`` ONLY if it is still the
+    exact lock we judged stale (same pid/host/ts). Plain read-then-
+    unlink is a TOCTOU (ADVICE r12): between judging the holder dead
+    and unlinking, another recovering writer may have broken the stale
+    lock and acquired a fresh LIVE one — unlinking that would let two
+    writers mutate concurrently. Instead the lock is renamed to a
+    process-unique name (atomic: exactly one renamer wins; losers get
+    FileNotFoundError), inspected off to the side, and either
+    discarded (still the stale one) or restored no-clobber via
+    ``os.link`` (someone's fresh lock — put it back and report the
+    break as failed)."""
+    lp = _lock_path(path)
+    tmp = f"{lp}.breaking.{os.getpid()}.{threading.get_ident()}"
+    try:
+        os.rename(lp, tmp)
+    except FileNotFoundError:
+        return True  # already broken by a concurrent recoverer
+    try:
+        with open(tmp) as fh:
+            cur = json.load(fh)
+    except (OSError, ValueError):
+        cur = {}
+    if (cur.get("pid") == stale.get("pid")
+            and cur.get("host") == stale.get("host")
+            and cur.get("ts") == stale.get("ts")):
+        os.unlink(tmp)
+        return True
+    # We stole a LIVE lock created in the race window. Restore it
+    # without clobbering any even-newer lock (link is atomic EEXIST).
+    try:
+        os.link(tmp, lp)
+    except FileExistsError:
+        # A third writer acquired meanwhile; tmp's owner and the new
+        # holder now conflict — surface it loudly rather than pick.
+        os.unlink(tmp)
+        raise ConcurrentWriterError(
+            f"layout at {path}: lost a three-way race while breaking "
+            "a stale writer lock; manual break_writer_lock(path) "
+            "required after verifying no writer is live")
+    os.unlink(tmp)
+    return False
+
+
 @contextmanager
 def writer_lock(path: str, op: str):
     """Exclusive writer lock over a layout dir for the duration of one
-    state-changing op. Reentrant within the process; raises
-    ``ConcurrentWriterError`` if another live process holds it."""
+    state-changing op. Reentrant within the holding THREAD (composite
+    ops nest); a different thread or process raises
+    ``ConcurrentWriterError``."""
     if path is None or not os.path.isdir(path):
         # creation path / error path: the wrapped op either builds the
         # dir (naturally single-writer: O_EXCL-like dir semantics) or
@@ -122,9 +177,20 @@ def writer_lock(path: str, op: str):
         yield
         return
     real = os.path.realpath(path)
+    key = (threading.get_ident(), real)
     with _held_guard:
-        reentrant = real in _held
-        if not reentrant:
+        reentrant = key in _held
+        if reentrant:
+            _held[key] += 1
+        else:
+            if any(k[1] == real for k in _held):
+                # Another THREAD of this process holds the layout. The
+                # on-disk lock records our pid, so the stale-pid path
+                # would wrongly break it — conflict explicitly instead.
+                raise ConcurrentWriterError(
+                    f"layout at {path} has a live writer in another "
+                    "thread of this process; concurrent mutation is "
+                    "unsupported — serialize the ops")
             if not _try_acquire(real, op):
                 holder = read_writer_lock(real) or {}
                 same_host = holder.get("host") == socket.gethostname()
@@ -143,18 +209,24 @@ def writer_lock(path: str, op: str):
                         "concurrent mutation is unsupported — wait for "
                         "it, or break_writer_lock(path) after verifying "
                         "the holder is dead")
-                break_writer_lock(real)
+                if not _break_if_still(real, holder):
+                    raise ConcurrentWriterError(
+                        f"layout at {path}: another writer recovered "
+                        "the stale lock first and is live")
                 if not _try_acquire(real, op):  # lost the re-race
                     raise ConcurrentWriterError(
                         f"layout at {path}: another writer re-acquired "
                         "the lock while breaking a stale one")
-            _held.add(real)
+            _held[key] = 1
     try:
         yield
     finally:
-        if not reentrant:
-            with _held_guard:
-                _held.discard(real)
+        with _held_guard:
+            _held[key] -= 1
+            done = _held[key] == 0
+            if done:
+                del _held[key]
+        if done:
             break_writer_lock(real)
 
 

@@ -244,3 +244,160 @@ def test_interleaved_two_writer_fuzz(spark, tmp_path):
         else:
             op(100 + step)
         assert read_writer_lock(path) is None, f"step {step}: lock leak"
+
+
+# ------------------------------------------ ADVICE r12: thread safety
+
+def test_second_thread_conflicts_not_reentrant(tmp_path):
+    """A second THREAD mutating the same layout is a conflict, not a
+    reentrant nesting (ADVICE r12): it must raise while the first
+    thread holds the lock, and the first thread's release must leave
+    the on-disk lock gone exactly once — never mid-mutation."""
+    import threading
+
+    d = str(tmp_path / "layout")
+    os.makedirs(d)
+    entered = threading.Event()
+    release = threading.Event()
+    errs = []
+
+    def holder():
+        with writer_lock(d, "thread-a"):
+            entered.set()
+            release.wait(10)
+
+    def contender():
+        entered.wait(10)
+        try:
+            with writer_lock(d, "thread-b"):
+                errs.append("thread-b entered while thread-a held")
+        except ConcurrentWriterError:
+            pass
+        else:
+            if not errs:
+                errs.append("no ConcurrentWriterError raised")
+
+    ta = threading.Thread(target=holder)
+    tb = threading.Thread(target=contender)
+    ta.start(); tb.start()
+    tb.join(20)
+    # the on-disk lock must still be thread-a's, untouched by b's try
+    assert read_writer_lock(d)["op"] == "thread-a"
+    release.set()
+    ta.join(20)
+    assert errs == []
+    assert read_writer_lock(d) is None
+    with writer_lock(d, "after"):  # acquirable again once a released
+        pass
+
+
+def test_stale_break_is_toctou_safe(tmp_path):
+    """ADVICE r12: breaking a stale lock must not unlink a FRESH lock
+    acquired by a concurrent recoverer in the judge→break window. The
+    break renames the lock aside, verifies it is still byte-identical
+    to the one judged stale, and restores it no-clobber otherwise."""
+    from jcf_nb_migration_spark.io.locking import _break_if_still
+
+    d = str(tmp_path / "layout")
+    os.makedirs(d)
+    lp = d + ".writer.lock"
+
+    # case 1: the lock is still the stale one -> broken, gone
+    stale = {"pid": 12345, "host": "this-host", "op": "x", "ts": 1.0}
+    with open(lp, "w") as fh:
+        json.dump(stale, fh)
+    assert _break_if_still(d, stale) is True
+    assert not os.path.exists(lp)
+
+    # case 2: a fresh LIVE lock replaced it in the window -> restored
+    # untouched, break reported failed
+    fresh = {"pid": os.getpid(), "host": "this-host", "op": "y",
+             "ts": 2.0}
+    with open(lp, "w") as fh:
+        json.dump(fresh, fh)
+    assert _break_if_still(d, stale) is False
+    assert read_writer_lock(d) == fresh
+
+    # case 3: already broken by a concurrent recoverer -> fine
+    os.unlink(lp)
+    assert _break_if_still(d, stale) is True
+
+
+# ------------------------- VERDICT r12 item 5: real-process contention
+
+_RACER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from jcf_nb_migration_spark.io.locking import (
+    ConcurrentWriterError, writer_lock)
+path, tag, hold = sys.argv[1], sys.argv[2], float(sys.argv[3])
+wins = 0
+conflicts = 0
+for i in range(int(sys.argv[4])):
+    try:
+        with writer_lock(path, f"{{tag}}-{{i}}"):
+            # mutate a shared counter file non-atomically: torn if two
+            # writers ever overlap
+            p = os.path.join(path, "counter")
+            n = int(open(p).read()) if os.path.exists(p) else 0
+            time.sleep(hold)
+            with open(p, "w") as fh:
+                fh.write(str(n + 1))
+            wins += 1
+    except ConcurrentWriterError:
+        conflicts += 1
+        time.sleep(hold / 2)
+print(json.dumps({{"wins": wins, "conflicts": conflicts}}))
+"""
+
+
+def test_cross_process_contention_and_sigkill_recovery(tmp_path):
+    """Two REAL processes race the same layout (the lock's whole
+    design is separate-process exclusion): every round exactly one
+    side mutates — the non-atomic read/sleep/write counter equals the
+    total wins, which a torn overlap would break — and a SIGKILLed
+    holder's leftover lock is broken by the stale-pid path, not
+    leaked."""
+    import subprocess
+    import sys as _sys
+    import textwrap
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = str(tmp_path / "layout")
+    os.makedirs(d)
+    script = textwrap.dedent(_RACER.format(repo=repo))
+    rounds = 8
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", script, d, tag, "0.05", str(rounds)],
+            stdout=subprocess.PIPE, text=True)
+        for tag in ("a", "b")
+    ]
+    results = [json.loads(p.communicate(timeout=60)[0]) for p in procs]
+    assert all(p.returncode == 0 for p in procs)
+    total_wins = sum(r["wins"] for r in results)
+    counter = int(open(os.path.join(d, "counter")).read())
+    assert counter == total_wins, (results, counter)
+    assert total_wins >= rounds  # liveness: contention never deadlocked
+    assert read_writer_lock(d) is None  # no lock leaked
+
+    # SIGKILL the holder mid-mutation: the lock survives the kill, a
+    # fresh writer judges it stale (same host, dead pid) and proceeds
+    holder = subprocess.Popen(
+        [_sys.executable, "-c", script, d, "k", "30", "1"],
+        stdout=subprocess.PIPE, text=True)
+    for _ in range(200):
+        lk = read_writer_lock(d)
+        if lk and lk.get("pid") == holder.pid:
+            break
+        time.sleep(0.05)
+    else:
+        holder.kill()
+        raise AssertionError("holder never acquired the lock")
+    holder.kill()
+    holder.wait()
+    assert read_writer_lock(d)["pid"] == holder.pid  # leftover lock
+    with writer_lock(d, "recoverer"):  # stale-pid path breaks it
+        assert read_writer_lock(d)["pid"] == os.getpid()
+    assert read_writer_lock(d) is None

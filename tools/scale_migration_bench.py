@@ -209,7 +209,9 @@ def main() -> None:
         try:
             with open(best_path) as fh:
                 best = json.load(fh)
-        except OSError:
+        except (OSError, ValueError):
+            # a truncated/corrupt best file degrades to
+            # no-best-tracking instead of aborting the run (ADVICE r12)
             best = {}
         doc["inflation_vs_best"] = {}
         for key in ("value", "value_warm_plan", "value_parquet_sink"):
