@@ -46,6 +46,16 @@ their bests):
 - "queries_load_normalized": min x (parallel_calib_best / this run's),
   capped at 1 — the diagnostic view separating "engine got slower"
   from "host had fewer cores"; "queries" stays the raw wall.
+
+r13 (VERDICT r12 item 2): the >1.3x notes and the retry trigger now
+adjudicate against "steady_median" — the median of the last ≤9
+committed driver-round mins per query (auto-appended "history" in
+bench_best.json) — instead of the min-ever 'best'. A one-day
+lower-tail outlier best (decontaminate_ngrams' 0.895 s vs its
+1.3-1.4 s measured steady state) can no longer flag every later
+ordinary day; a genuine plan regression still flags, because the
+median follows the recent regime. "inflation_vs_best" (min-ever view)
+stays in the artifact for cross-round forensics.
 """
 
 from __future__ import annotations
@@ -69,9 +79,22 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "bench_best.json")) as fh:
             bb = json.load(fh)
-        best_known = bb["best"] if abs(sf - bb.get("sf", -1)) < 1e-9 else {}
+        same_sf = abs(sf - bb.get("sf", -1)) < 1e-9
+        best_known = bb["best"] if same_sf else {}
+        steady = bb.get("steady_median", {}) if same_sf else {}
     except (OSError, ValueError, KeyError):
+        bb = {}
+        same_sf = False
         best_known = {}
+        steady = {}
+    # Adjudication reference (VERDICT r12 item 2): the >1.3x in-artifact
+    # notes and the retry-on-load trigger compare against the STEADY-
+    # STATE MEDIAN of the last committed driver-round mins, not the
+    # min-ever — a one-day lower-tail outlier best (decontaminate's
+    # r10 0.895 s vs its 1.3-1.4 s steady state) otherwise flags every
+    # later ordinary day. 'best' remains the min-ever and still feeds
+    # the inflation_vs_best diagnostic view.
+    steady_ref = {n: steady.get(n, b) for n, b in best_known.items()}
 
     # Pre-flight load gate (VERDICT r7 item 4): two driver rounds
     # running, the committed artifact was captured under loadavg 4.5-5.3
@@ -183,8 +206,8 @@ def main() -> None:
         # (bounded) and re-measure up to twice — every raw run stays
         # in the series, so the artifact still shows the burst.
         retries = 0
-        while (name in best_known and retries < 2
-               and min(series) > 1.25 * best_known[name]):
+        while (name in steady_ref and retries < 2
+               and min(series) > 1.25 * steady_ref[name]):
             waited = 0
             while os.getloadavg()[0] > gate and waited < 60:
                 time.sleep(10)
@@ -195,12 +218,13 @@ def main() -> None:
             series.append(round(time.time() - t0, 3))
         runs[name] = series
         timings[name] = min(series)
-        if name in best_known and timings[name] > 1.3 * best_known[name]:
+        if name in steady_ref and timings[name] > 1.3 * steady_ref[name]:
             notes.append(
                 f"{name}: min {timings[name]}s is "
-                f"{timings[name] / best_known[name]:.2f}x its recorded "
-                f"best {best_known[name]}s — suspect host load "
-                "(see loadavg) or a plan regression")
+                f"{timings[name] / steady_ref[name]:.2f}x its "
+                f"steady-state median {steady_ref[name]}s (min-ever "
+                f"{best_known.get(name)}s) — suspect host load "
+                "(see loadavg/parallel_calib) or a plan regression")
         # Queries persist intermediates (shingle index, per-doc
         # signatures); drop them so later queries aren't measured
         # under accumulated cache memory pressure.
@@ -238,6 +262,9 @@ def main() -> None:
     if inflation:
         vals = sorted(inflation.values())
         med_inflation = vals[len(vals) // 2]
+    inflation_steady = {
+        n: round(timings[n] / steady_ref[n], 2)
+        for n in timings if steady_ref.get(n, 0) > 0}
     pcal_end = _parallel_calib()
     # Load-normalized per-query seconds (DIAGNOSTIC, clearly labeled —
     # "queries" stays the raw wall): scale each min by the ratio of
@@ -269,6 +296,27 @@ def main() -> None:
     if pcal_best and pcal_now > 0:
         factor = min(1.0, pcal_best / pcal_now)
         normalized = {n: round(v * factor, 3) for n, v in timings.items()}
+    # Append this run's mins to the per-query history and refresh the
+    # steady-state medians (auto-maintained like parallel_calib_best:
+    # the history is a RECORD of measured driver-round conditions, not
+    # a claim about the engine — query 'best' entries stay a manual,
+    # committed decision). Cap 9 so the median tracks the recent regime
+    # and a months-old outlier ages out.
+    if same_sf and timings:
+        import statistics
+        try:
+            with open(bb_path) as fh:
+                bb_doc = json.load(fh)
+            hist = bb_doc.setdefault("history", {})
+            for n, v in timings.items():
+                hist[n] = (hist.get(n, []) + [v])[-9:]
+            bb_doc["steady_median"] = {
+                n: round(statistics.median(v), 3) for n, v in hist.items()}
+            with open(bb_path, "w") as fh:
+                json.dump(bb_doc, fh, indent=1)
+                fh.write("\n")
+        except (OSError, ValueError):
+            pass
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -278,6 +326,9 @@ def main() -> None:
         "runs": runs,
         "inflation_vs_best": inflation,
         "median_inflation_vs_best": med_inflation,
+        "inflation_vs_steady": inflation_steady,
+        "steady_median_ref": {n: steady_ref[n] for n in timings
+                              if n in steady_ref},
         "loadavg": {"start": list(load_start),
                     "end": list(os.getloadavg())},
         "load_gate": load_gate,
