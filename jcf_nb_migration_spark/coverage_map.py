@@ -454,4 +454,19 @@ COVERED_BY: dict[str, str] = {
     "orders_price_drift_psi": "daily_volume_anomalies",  # grouped
     #   distribution rollup + broadcast-baseline compare over one scan
     #   (PSI bins vs per-day anomaly z-scores)
+    # --- r13 additions (registered local-only from birth) -----------
+    "weighted_median_jvm": "winsorized_order_values",
+}
+
+# Scale twins (VERDICT r12 item 7): API-surface queries whose measured
+# cost model is the point (e.g. a grouped-agg pandas UDF) paired with
+# the pure-JVM formulation that IS the 100-TB path. The contract is
+# machine-checked by tests/test_coverage_map.py: both names registered,
+# and both carry the LITERAL SAME oracle SQL — same inputs, same
+# output, different execution surface — so the claim "a scale path
+# exists and computes the same thing" is CI, not prose.
+SCALE_TWINS: dict[str, str] = {
+    # Arrow-shipped per-group Python sort  vs  groupBy(key, value)
+    # partial-agg collapse + one window over distinct values:
+    "weighted_median_gagg": "weighted_median_jvm",
 }

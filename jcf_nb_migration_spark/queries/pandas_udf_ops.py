@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jcf_nb_migration_spark.registry import query, t
+from jcf_nb_migration_spark.registry import dec, query, t
 
 _SQL_MOMENTS = """
         SELECT l_returnflag, COUNT(*) AS n,
@@ -277,9 +277,7 @@ def doc_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "chunk_idx")
 
 
-@query(
-    "weighted_median_gagg",
-    oracle="""
+_WMEDIAN_ORACLE = """
     WITH w AS (
         SELECT l_returnflag, l_extendedprice AS p,
                SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
@@ -293,7 +291,12 @@ def doc_chunk_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, MIN(p) AS wmedian
     FROM w WHERE cw * 2 >= tw
     GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
+    """
+
+
+@query(
+    "weighted_median_gagg",
+    oracle=_WMEDIAN_ORACLE,
     tags=("pandas-udf", "grouped-agg", "robust-stats"),
     driver_visible=False,  # rotated OUT r12 6th wave (visible
     #   same-pattern twin recorded in coverage_map.py)
@@ -334,6 +337,61 @@ def weighted_median_gagg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(wmedian(F.col("l_extendedprice"), F.col("l_quantity"),
                          F.col("l_orderkey"), F.col("l_linenumber"))
                  .alias("wmedian"))
+            .orderBy("l_returnflag"))
+
+
+@query(
+    "weighted_median_jvm",
+    oracle=_WMEDIAN_ORACLE,  # IDENTICAL oracle to weighted_median_gagg
+    #   — the machine-checked scale-twin contract (coverage_map
+    #   .SCALE_TWINS + tests/test_coverage_map.py): same inputs, same
+    #   output, different execution surface.
+    tags=("robust-stats", "two-phase-rank", "scale-twin"),
+    driver_visible=False,  # local-only: scale twin of
+    #   weighted_median_gagg; pattern visible via
+    #   winsorized_order_values (shared two-phase-rank/robust-stats
+    #   tags)
+)
+def weighted_median_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM two-phase weighted median — weighted_median_gagg's
+    SCALE PATH (VERDICT r12 item 7). The grouped-agg pandas UDF ships
+    every group's rows through Arrow and sorts them in Python; this
+    twin stays inside whole-stage codegen and shrinks the data BEFORE
+    the ordered step:
+
+    phase 1 — ``groupBy(flag, price) -> sum(weight)``: map-side
+    combinable partial aggregation; the shuffle carries one row per
+    DISTINCT (flag, price), not one per lineitem. The weighted median
+    depends only on the price -> total-weight map, so the collapse is
+    lossless: the oracle's row-level decimal running sum crosses the
+    half-total threshold at exactly the same price as the collapsed
+    cumulative sum (ties share a price, so the crossing row's price
+    equals the first collapsed price whose doubled cum reaches the
+    total).
+
+    phase 2 — one window exchange over the collapsed rows (cumulative
+    + total weight per flag), threshold filter, MIN(price) per flag.
+    At 100 TB the heavy input never sorts: the only ordered operation
+    runs over |distinct prices per flag| rows. Exact decimal weights
+    end-to-end — bit-identical to both the UDF twin and the shared
+    oracle."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    collapsed = (li.groupBy("l_returnflag", "l_extendedprice")
+                 .agg(F.sum(dec("l_quantity")).alias("w")))
+    cum_w = (Window.partitionBy("l_returnflag")
+             .orderBy("l_extendedprice")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    all_w = Window.partitionBy("l_returnflag")
+    ranked = collapsed.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.sum("w").over(cum_w).alias("cw"),
+        F.sum("w").over(all_w).alias("tw"))
+    return (ranked.where(F.col("cw") * 2 >= F.col("tw"))
+            .groupBy("l_returnflag")
+            .agg(F.min("p").alias("wmedian"))
             .orderBy("l_returnflag"))
 
 

@@ -104,3 +104,24 @@ def test_every_twin_is_justified_by_tag_or_documented_pattern():
     assert not missing, (
         "twin pairs with neither a shared tag nor an inline pattern "
         f"justification in coverage_map.py: {missing}")
+
+
+def test_scale_twins_share_the_literal_oracle():
+    """VERDICT r12 item 7: every SCALE_TWINS pair — an API-surface
+    query (whose cost model is the point) and its pure-JVM scale
+    formulation — must be machine-checked, not prose: both registered,
+    and both carrying the LITERAL SAME oracle SQL, so 'a scale path
+    exists and computes the same thing' is enforced by CI. The oracle
+    run itself (tests/test_query_oracles.py covers every registered
+    query) then proves both engines produce that same result."""
+    from jcf_nb_migration_spark.coverage_map import SCALE_TWINS
+
+    allq = registry.all_queries()
+    assert SCALE_TWINS, "SCALE_TWINS emptied — restore or retire the test"
+    for surface, scale in SCALE_TWINS.items():
+        assert surface in allq, surface
+        assert scale in allq, scale
+        assert allq[surface].oracle and allq[scale].oracle
+        assert allq[surface].oracle == allq[scale].oracle, (
+            f"{surface} and {scale} no longer share the literal oracle "
+            "— the scale-twin equivalence claim is broken")
