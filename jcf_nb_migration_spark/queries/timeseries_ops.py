@@ -310,24 +310,37 @@ def user_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     their first event, and each later active week counts them at
     offset = week - cohort_week; retention is the share of the cohort
     still active. The classic growth-analytics triangle. Physical
-    shape: two user-keyed aggregations (first-event, distinct active
-    weeks) joined on user_id, reduced to the bounded
-    (cohort, offset) grid, then a bounded join against cohort sizes —
-    nothing wider than a user shuffle touches raw events."""
+    shape (restructured r13 — was 2.53x at the 100x curve point on
+    THREE wide exchanges: user-groupBy for first events, a
+    (user, week) distinct, and a user-keyed join): ONE exchange on
+    user_id computes min-week and the distinct active-week set in the
+    same partial-aggregated pass (collect_set combines map-side, so
+    the shuffle carries per-user deduped week sets, not events);
+    exploding the set yields the bounded (cohort, offset) grid
+    directly. Cohort sizes need no second aggregation: every user is
+    active in their own cohort week, so the offset-0 count IS the
+    cohort size — read back with a window over the tiny grid. The
+    per-user set is bounded by the number of calendar weeks the
+    product has existed, so collect_set is safe at any corpus size."""
+    from pyspark.sql import Window
+
     ev = t(spark, sf_dir, "events")
     week_idx = F.expr("unix_micros(ts) div 86400000000 div 7")
-    firsts = (ev.groupBy("user_id")
-              .agg(F.expr("min(unix_micros(ts)) div 86400000000 div 7")
-                   .alias("cohort_week")))
-    active = ev.select("user_id", week_idx.alias("week_idx")).distinct()
-    sizes = (firsts.groupBy("cohort_week")
-             .agg(F.count(F.lit(1)).alias("cohort_size")))
-    ret = (active.join(firsts, "user_id")
+    per_user = (ev.select("user_id", week_idx.alias("week_idx"))
+                .groupBy("user_id")
+                .agg(F.min("week_idx").alias("cohort_week"),
+                     F.collect_set("week_idx").alias("weeks")))
+    ret = (per_user
+           .select("cohort_week", F.explode("weeks").alias("week_idx"))
            .groupBy("cohort_week",
                     (F.col("week_idx") - F.col("cohort_week"))
                     .alias("week_offset"))
            .agg(F.count(F.lit(1)).alias("n_users")))
-    return (ret.join(sizes, "cohort_week")
+    cohort = Window.partitionBy("cohort_week")
+    return (ret.withColumn(
+                "cohort_size",
+                F.max(F.when(F.col("week_offset") == 0,
+                             F.col("n_users"))).over(cohort))
             .select("cohort_week", "week_offset", "n_users",
                     F.round(F.lit(1.0) * F.col("n_users")
                             / F.col("cohort_size"), 9)
