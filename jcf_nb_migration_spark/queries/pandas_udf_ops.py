@@ -149,6 +149,18 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame({"error_id": pd.Series(dtype="Int64"),
                                  "click_id": pd.Series(dtype="Int64")})
         left = left.sort_values(["ts", "event_id"])
+        if right.empty:
+            # error-only user: an EMPTY cogroup side arrives without
+            # columns (sort/merge would KeyError) — emit every error
+            # with a NULL click_id, exactly the oracle's
+            # LAST_VALUE(... IGNORE NULLS) with no prior click.
+            # Latent until the r13 fixture regeneration introduced
+            # error-only users.
+            return pd.DataFrame({
+                "error_id": left["event_id"].astype("Int64"),
+                "click_id": pd.Series([pd.NA] * len(left),
+                                      dtype="Int64"),
+            })
         right = right.sort_values(["ts", "event_id"])
         m = pd.merge_asof(left, right, on="ts",
                           suffixes=("_err", "_clk"),
