@@ -47,23 +47,65 @@ def fuzzy_self_join_pairs(df: DataFrame, id_col: str, str_col: str,
     """All (id_a < id_b) pairs whose ``str_col`` values are within
     Levenshtein distance ``max_ed`` — exact result, deletion-blocked
     candidate generation (module docstring). Columns: id_a, name_a,
-    id_b, name_b, edit_dist."""
-    keys = df.select(
-        F.col(id_col), F.col(str_col),
-        F.explode(deletion_keys(str_col, max_ed)).alias("key"))
+    id_b, name_b, edit_dist.
+
+    r13 restructure: blocking and edit-distance verification run over
+    DISTINCT string values, and id pairs are expanded back afterwards
+    by two name-keyed equi-joins. With repeated values (real-world
+    name/title columns; the derived probe fixture replicates part
+    names 10x) the old row-level blocking re-verified every copy
+    against every copy — candidate work grew with the SQUARE of the
+    repetition factor (measured 18.4x wall at the 10x-derived point on
+    part names drawn from TPC-H's ~bounded vocabulary). Distinct-level
+    matching keeps the candidate join flat in the repetition factor;
+    the only quadratic object left is the OUTPUT itself (every
+    cross-copy pair really is within distance 0), produced by an
+    equi-join, never by edit-distance work. Same-string id pairs never
+    enter blocking at all: they are exactly the name-equality
+    self-join with edit_dist 0."""
+    rows = df.select(F.col(id_col), F.col(str_col))
+    names = rows.select(F.col(str_col).alias("__name")).distinct()
+    keys = names.select(
+        "__name", F.explode(deletion_keys("__name", max_ed)).alias("key"))
     a, b = keys.alias("a"), keys.alias("b")
-    cand = (
+    npairs = (
         a.join(b, (F.col("a.key") == F.col("b.key"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"a.{str_col}").alias("name_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col(f"b.{str_col}").alias("name_b"))
-        .distinct()
+               & (F.col("a.__name") < F.col("b.__name")))
+        .select(F.col("a.__name").alias("__x"),
+                F.col("b.__name").alias("__y"))
+        .distinct()  # two strings can share several deletion keys
+        .withColumn("edit_dist", F.levenshtein("__x", "__y"))
+        .where(F.col("edit_dist") <= max_ed)
     )
-    return (cand
-            .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-            .where(F.col("edit_dist") <= max_ed))
+    ia = rows.select(F.col(id_col).alias("__ia"),
+                     F.col(str_col).alias("__x"))
+    ib = rows.select(F.col(id_col).alias("__ib"),
+                     F.col(str_col).alias("__y"))
+    swap = F.col("__ia") > F.col("__ib")
+    cross = (
+        npairs.join(ia, "__x").join(ib, "__y")
+        .select(
+            F.when(swap, F.col("__ib")).otherwise(F.col("__ia"))
+            .alias("id_a"),
+            F.when(swap, F.col("__y")).otherwise(F.col("__x"))
+            .alias("name_a"),
+            F.when(swap, F.col("__ia")).otherwise(F.col("__ib"))
+            .alias("id_b"),
+            F.when(swap, F.col("__x")).otherwise(F.col("__y"))
+            .alias("name_b"),
+            "edit_dist")
+    )
+    r1 = rows.select(F.col(id_col).alias("id_a"),
+                     F.col(str_col).alias("name_a"))
+    r2 = rows.select(F.col(id_col).alias("id_b"),
+                     F.col(str_col).alias("name_b"))
+    same = (
+        r1.join(r2, (F.col("name_a") == F.col("name_b"))
+                & (F.col("id_a") < F.col("id_b")))
+        .withColumn("edit_dist",
+                    F.lit(0).cast("int"))
+    )
+    return cross.unionByName(same)
 
 
 def fuzzy_link_pairs(left: DataFrame, left_id: str, left_str: str,

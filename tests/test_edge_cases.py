@@ -89,3 +89,42 @@ class TestNewDedupEdges:
                 f" ' '))")).alias("chunk_idx", "chunk"))
         rows = ch.collect()
         assert len(rows) == 1 and rows[0].chunk == "tiny doc"
+
+
+def test_cogroup_asof_handles_one_sided_users(spark, tmp_path):
+    """r13 regression (found by the driver's fixture regeneration): in
+    cogrouped applyInPandas an EMPTY side arrives as a pandas frame
+    WITHOUT columns. An error-only user must emit its errors with NULL
+    click_id (the oracle's LAST_VALUE ... IGNORE NULLS with no prior
+    click), a click-only user must emit nothing, and a two-sided user
+    must as-of match — pinned on a synthetic events table so the fix
+    never depends on fixture luck again."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: error-only (the empty-click-side case)
+        (1, 101, "error", "2024-01-01 00:00:05"),
+        # user 2: click-only (empty-error-side case)
+        (2, 201, "click", "2024-01-01 00:00:01"),
+        # user 3: click then error -> error matches the click
+        (3, 301, "click", "2024-01-01 00:00:01"),
+        (3, 302, "error", "2024-01-01 00:00:09"),
+        # user 4: error BEFORE any click -> NULL match
+        (4, 401, "error", "2024-01-01 00:00:01"),
+        (4, 402, "click", "2024-01-01 00:00:09"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, event_type string, s string"
+    ).select("user_id", "event_id", "event_type",
+             F.col("s").cast("timestamp").alias("ts"))
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    ev.write.parquet(os.path.join(sf_dir, "events.parquet"))
+
+    from jcf_nb_migration_spark.registry import get
+
+    out = {r["error_id"]: r["click_id"]
+           for r in get("cogroup_asof_pandas").fn(spark, sf_dir).collect()}
+    assert out == {101: None, 302: 301, 401: None}
