@@ -148,18 +148,28 @@ def cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         if left.empty:  # click-only user: no error rows to emit
             return pd.DataFrame({"error_id": pd.Series(dtype="Int64"),
                                  "click_id": pd.Series(dtype="Int64")})
+        nulls = pd.Series([pd.NA] * len(left), dtype="Int64")
+        if "ts" not in left.columns:
+            # Catalyst pruned the data columns (observed on Spark 4.1
+            # when the query result feeds ONLY a count/aggregate that
+            # reads no output column: the cogroup child is pruned to
+            # its grouping key). Row count is all the consumer can
+            # observe, and it is one output row per error — emit that.
+            return pd.DataFrame({"error_id": nulls, "click_id": nulls})
         left = left.sort_values(["ts", "event_id"])
-        if right.empty:
+        if right.empty or "ts" not in right.columns:
             # error-only user: an EMPTY cogroup side arrives without
             # columns (sort/merge would KeyError) — emit every error
             # with a NULL click_id, exactly the oracle's
             # LAST_VALUE(... IGNORE NULLS) with no prior click.
             # Latent until the r13 fixture regeneration introduced
-            # error-only users.
+            # error-only users. The column-presence check doubles as
+            # the pruned-right-side guard (same Spark 4.1 behavior as
+            # above, seen under count-only consumption, where click_id
+            # values are unobservable by construction).
             return pd.DataFrame({
                 "error_id": left["event_id"].astype("Int64"),
-                "click_id": pd.Series([pd.NA] * len(left),
-                                      dtype="Int64"),
+                "click_id": nulls,
             })
         right = right.sort_values(["ts", "event_id"])
         m = pd.merge_asof(left, right, on="ts",

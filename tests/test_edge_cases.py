@@ -128,3 +128,8 @@ def test_cogroup_asof_handles_one_sided_users(spark, tmp_path):
     out = {r["error_id"]: r["click_id"]
            for r in get("cogroup_asof_pandas").fn(spark, sf_dir).collect()}
     assert out == {101: None, 302: 301, 401: None}
+    # count-only consumption: Spark 4.1 prunes the cogroup's right
+    # side to its grouping key in this plan shape (no output column
+    # read) — the UDF must tolerate column-pruned inputs and still
+    # emit one row per error.
+    assert get("cogroup_asof_pandas").fn(spark, sf_dir).count() == 3
