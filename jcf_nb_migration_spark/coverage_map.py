@@ -456,6 +456,9 @@ COVERED_BY: dict[str, str] = {
     #   (PSI bins vs per-day anomaly z-scores)
     # --- r13 additions (registered local-only from birth) -----------
     "weighted_median_jvm": "winsorized_order_values",
+    "grouped_price_model_jvm": "pricing_summary",  # one-pass grouped
+    #   decimal moment aggregation over the lineitem scan — the same
+    #   scan-agg plan family as the flagship pricing rollup
 }
 
 # Scale twins (VERDICT r12 item 7): API-surface queries whose measured
@@ -469,4 +472,7 @@ SCALE_TWINS: dict[str, str] = {
     # Arrow-shipped per-group Python sort  vs  groupBy(key, value)
     # partial-agg collapse + one window over distinct values:
     "weighted_median_gagg": "weighted_median_jvm",
+    # Arrow-shipped whole-group OLS fit (parallelism = group count)
+    # vs one map-side-combinable decimal moment aggregation:
+    "grouped_price_model": "grouped_price_model_jvm",
 }

@@ -38,16 +38,19 @@ _SQL_SLOPE = ("(n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)"
               " * CAST(sx AS DOUBLE))")
 
 
-@query(
-    "grouped_price_model",
-    oracle=f"""
+_PRICE_MODEL_ORACLE = f"""
     SELECT l_returnflag, n,
            round({_SQL_SLOPE}, 9) AS slope,
            round((CAST(sy AS DOUBLE) - {_SQL_SLOPE}
                   * CAST(sx AS DOUBLE)) / n, 9) AS intercept
     FROM ({_SQL_MOMENTS})
     ORDER BY l_returnflag
-    """,
+    """
+
+
+@query(
+    "grouped_price_model",
+    oracle=_PRICE_MODEL_ORACLE,
     tags=("pandas-udf", "applyInPandas", "model-fit"),
     driver_visible=False,
 )
@@ -87,6 +90,48 @@ def grouped_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (li.groupBy("l_returnflag")
             .applyInPandas(fit, "l_returnflag string, n bigint, "
                                 "slope double, intercept double")
+            .orderBy("l_returnflag"))
+
+
+@query(
+    "grouped_price_model_jvm",
+    oracle=_PRICE_MODEL_ORACLE,  # IDENTICAL oracle to
+    #   grouped_price_model — the machine-checked scale-twin contract
+    #   (coverage_map.SCALE_TWINS + tests/test_coverage_map.py).
+    tags=("model-fit", "moments", "scale-twin"),
+    driver_visible=False,  # local-only scale twin; pattern visible
+    #   via pricing_summary (one-pass grouped decimal aggregation
+    #   over the same lineitem scan)
+)
+def grouped_price_model_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM closed-form per-group OLS — grouped_price_model's
+    SCALE PATH. The applyInPandas variant ships every group's rows
+    through Arrow into one Python task per group (3 fixture groups →
+    parallelism 3, measured 4.07x at the 100x curve point); this twin
+    is ONE map-side-combinable decimal moment aggregation (n, Σx, Σy,
+    Σx², Σxy) inside whole-stage codegen — parallelism follows input
+    splits, the shuffle carries 5 numbers per group, and the
+    closed-form slope/intercept arithmetic replays the shared oracle's
+    double conversion exactly. DECIMAL(18,4) operands keep the
+    products at (37,8) and their sums exact in (38,8) — numerically
+    equal to the oracle's (19,4)-operand DuckDB formulation, so the
+    final IEEE ops are bit-identical."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    m = (li.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+              F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy")))
+    nd = F.col("n").cast("double")
+    dsx, dsy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    dsxx, dsxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    slope = (nd * dsxy - dsx * dsy) / (nd * dsxx - dsx * dsx)
+    return (m.select("l_returnflag", "n",
+                     F.round(slope, 9).alias("slope"),
+                     F.round((dsy - slope * dsx) / nd, 9)
+                     .alias("intercept"))
             .orderBy("l_returnflag"))
 
 
