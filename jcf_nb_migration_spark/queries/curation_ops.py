@@ -649,22 +649,41 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBys); scoring joins each occurrence to the bigram/prefix
     count tables on the vocabulary key (heavy-tailed and unbounded, so
     no broadcast hint — AQE decides, the same policy as tfidf's
-    document-frequency join)."""
+    document-frequency join).
+
+    r13 restructure (found by the four-point probe at 3.99x): the
+    occurrence stream was scanned THREE times (bigram counts, prefix
+    counts, scoring join) and both vocabulary joins shuffled the full
+    occurrence table. Now ONE persisted (doc_id, g) count frame —
+    strictly smaller than the occurrences, map-side combined — feeds
+    everything: both count tables aggregate from it, the per-bigram
+    term is computed once at VOCABULARY granularity (two vocab-sized
+    tables joined to each other, never to occurrences), and scoring is
+    a single g-keyed join of the (doc, g) counts with
+    sum(cnt·term) replacing the per-occurrence sum — exact integer
+    arithmetic, identical result."""
     docs = spread(t(spark, sf_dir, "documents"))
     occ = docs.select(
         "doc_id",
         F.explode(T.word_shingles(T.tokens("text"), 2)).alias("g"))
-    occ = occ.withColumn("w1", F.split_part(F.col("g"), F.lit(" "),
+    dg = (occ.groupBy("doc_id", "g")
+          .agg(F.count(F.lit(1)).alias("cnt"))
+          .persist())
+    big = dg.groupBy("g").agg(F.sum("cnt").alias("c_big"))
+    uni = (dg.withColumn("w1", F.split_part(F.col("g"), F.lit(" "),
                                             F.lit(1)))
-    big = occ.groupBy("g").agg(F.count(F.lit(1)).alias("c_big"))
-    uni = occ.groupBy("w1").agg(F.count(F.lit(1)).alias("c_uni"))
+           .groupBy("w1").agg(F.sum("cnt").alias("c_uni")))
+    terms = (big.withColumn("w1", F.split_part(F.col("g"), F.lit(" "),
+                                               F.lit(1)))
+             .join(uni, "w1")
+             .select("g",
+                     F.expr(f"(c_big * {LM_SCALE}) div c_uni")
+                     .alias("term")))
     per_doc = (
-        occ.join(big, "g").join(uni, "w1")
-        .select("doc_id",
-                F.expr(f"(c_big * {LM_SCALE}) div c_uni").alias("term"))
+        dg.join(terms, "g")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bigrams"),
-             F.sum("term").alias("lm_score"))
+        .agg(F.sum("cnt").alias("n_bigrams"),
+             F.sum(F.col("cnt") * F.col("term")).alias("lm_score"))
     )
     return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
