@@ -180,52 +180,82 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-based quality signals (the Gopher/MassiveText rules):
     duplicate-token fraction, characters covered by the most frequent
     2-gram, and characters inside duplicated 5-grams — the filters that
-    catch boilerplate, keyword-stuffed, and looping documents. Two
-    explode→groupBy passes (one per n-gram order), each one shuffle on
-    (doc_id, gram); all ratios are exact-integer numerators over exact-
-    integer denominators with a single final double division, so the
-    oracle comparison is bitwise. Character coverage is occurrence-
-    count × gram length (overlap-blind, the standard approximation)."""
+    catch boilerplate, keyword-stuffed, and looping documents.
+
+    Zero-shuffle: every statistic is per-document, so the gram counts
+    never need to leave the row. Each n-gram array is array_sort'ed and
+    folded once with F.aggregate (run-length state: equal grams are
+    adjacent after the sort, so a run IS an occurrence count) — a
+    narrow whole-stage-codegen projection over the scan, where the
+    previous shape exploded both gram orders and shuffled the full
+    occurrence stream twice on (doc_id, gram). All ratios are exact-
+    integer numerators over exact-integer denominators with a single
+    final double division, so the oracle comparison is bitwise.
+    Character coverage is occurrence-count × gram length (overlap-
+    blind, the standard approximation)."""
     docs = spread(t(spark, sf_dir, "documents"))
-    toks = T.tokens("text")
-    base = docs.select(
+    tokd = docs.select(
         "doc_id", F.length("text").alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"))
+        T.tokens("text").alias("w"))
 
-    def gram_counts(n: int) -> DataFrame:
-        return (docs.select(
-                    "doc_id",
-                    F.explode(T.word_shingles(T.tokens("text"), n))
-                     .alias("g"))
-                .groupBy("doc_id", "g")
-                .agg(F.count(F.lit(1)).alias("cnt")))
+    zero = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
 
-    a2 = (gram_counts(2).groupBy("doc_id")
-          .agg(F.max(F.col("cnt") * F.length("g")).cast("bigint")
-                .alias("top2_chars")))
-    a5 = (gram_counts(5).groupBy("doc_id")
-          .agg(F.coalesce(F.sum(F.when(F.col("cnt") > 1,
-                                       F.col("cnt") * F.length("g"))),
-                          F.lit(0)).cast("bigint").alias("dup5_chars"),
-               F.sum(F.col("cnt") * F.length("g")).cast("bigint")
-                .alias("tot5_chars")))
-    return (
-        base.join(a2, "doc_id", "left").join(a5, "doc_id", "left")
-        .select(
-            "doc_id", "n_tokens",
-            F.when(F.col("n_tokens") > 0,
-                   (F.col("n_tokens") - F.col("n_distinct")).cast("double")
-                   / F.col("n_tokens"))
-             .otherwise(F.lit(0.0)).alias("dup_token_frac"),
-            F.when(F.col("n_chars") > 0,
-                   F.coalesce(F.col("top2_chars"), F.lit(0)).cast("double")
-                   / F.col("n_chars"))
-             .otherwise(F.lit(0.0)).alias("top2_char_frac"),
-            F.when(F.coalesce(F.col("tot5_chars"), F.lit(0)) > 0,
-                   F.col("dup5_chars").cast("double") / F.col("tot5_chars"))
-             .otherwise(F.lit(0.0)).alias("dup5_char_frac"),
-        )
+    # Most-frequent-2-gram chars: one pass over the sorted grams,
+    # tracking (prev gram, current run length, best run*len so far).
+    init2 = F.struct(F.lit(None).cast("string").alias("prev"),
+                     zero.alias("run"), zero.alias("best"))
+
+    def step2(acc, x):
+        run = (F.when(x.eqNullSafe(acc["prev"]), acc["run"] + one)
+                .otherwise(one))
+        best = F.greatest(acc["best"], run * F.length(x).cast("bigint"))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        best.alias("best"))
+
+    top2 = F.aggregate(F.array_sort(T.word_shingles(F.col("w"), 2)),
+                       init2, step2, lambda acc: acc["best"])
+
+    # Duplicated-5-gram chars + total 5-gram chars, same single pass:
+    # when a run reaches 2 the first occurrence's chars are added
+    # retroactively (cnt>1 counts ALL occurrences of the gram).
+    init5 = F.struct(F.lit(None).cast("string").alias("prev"),
+                     zero.alias("run"), zero.alias("dup"),
+                     zero.alias("tot"))
+
+    def step5(acc, x):
+        ln = F.length(x).cast("bigint")
+        run = (F.when(x.eqNullSafe(acc["prev"]), acc["run"] + one)
+                .otherwise(one))
+        dup = (acc["dup"]
+               + F.when(run == one, zero)
+                  .when(run == one + one, ln + ln)
+                  .otherwise(ln))
+        return F.struct(x.alias("prev"), run.alias("run"),
+                        dup.alias("dup"), (acc["tot"] + ln).alias("tot"))
+
+    g5 = F.aggregate(
+        F.array_sort(T.word_shingles(F.col("w"), 5)), init5, step5,
+        lambda acc: F.struct(acc["dup"].alias("dup"),
+                             acc["tot"].alias("tot")))
+
+    stats = tokd.select(
+        "doc_id", "n_chars",
+        F.size("w").alias("n_tokens"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+        top2.alias("top2_chars"), g5.alias("g5"))
+    return stats.select(
+        "doc_id", "n_tokens",
+        F.when(F.col("n_tokens") > 0,
+               (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+               / F.col("n_tokens"))
+         .otherwise(F.lit(0.0)).alias("dup_token_frac"),
+        F.when(F.col("n_chars") > 0,
+               F.col("top2_chars").cast("double") / F.col("n_chars"))
+         .otherwise(F.lit(0.0)).alias("top2_char_frac"),
+        F.when(F.col("g5.tot") > 0,
+               F.col("g5.dup").cast("double") / F.col("g5.tot"))
+         .otherwise(F.lit(0.0)).alias("dup5_char_frac"),
     )
 
 

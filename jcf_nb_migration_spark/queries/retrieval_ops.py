@@ -389,10 +389,15 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     each document reports how many of its token positions fall inside
     any boilerplate occurrence (scrubbing = dropping exactly those
     positions). Shape: positional n-gram explode → document-frequency
-    groupBy on the gram key → semi-join back → position fan-out and a
-    distinct. Every join keys on the gram (shuffled, never broadcast —
-    the gram table is corpus-sized); the position fan-out is a
-    bounded ×{BOIL_N} explode."""
+    groupBy on the gram key → semi-join back → per-doc interval union.
+    Every join keys on the gram (shuffled, never broadcast — the gram
+    table is corpus-sized). Covered-position counting gathers each
+    doc's surviving start positions once (collect_list, one shuffle
+    carrying ONE row per boilerplate occurrence) and takes the union
+    length of the fixed-width intervals [p, p+{BOIL_N}-1] in a single
+    sorted in-row fold — replacing the previous ×{BOIL_N} position
+    fan-out plus a corpus-wide distinct (two extra shuffles of an
+    N×-inflated stream)."""
     docs = spread(t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", T.tokens("text").alias("w"))
     occ = (toks.select(
@@ -404,14 +409,23 @@ def doc_boilerplate_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("doc_id").alias("df"))
             .where(F.col("df") >= BOIL_MIN_DOCS)
             .select("g"))
-    covered = (occ.join(freq, "g", "left_semi")
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(zero.alias("end"), zero.alias("tot"))
+
+    def _merge(acc, p):
+        lo = p.cast("bigint")
+        hi = lo + (BOIL_N - 1)
+        add = F.greatest(zero, hi - F.greatest(acc["end"], lo - 1))
+        return F.struct(F.greatest(acc["end"], hi).alias("end"),
+                        (acc["tot"] + add).alias("tot"))
+
+    per_doc = (occ.join(freq, "g", "left_semi")
+               .groupBy("doc_id")
+               .agg(F.sort_array(F.collect_list("p")).alias("ps"))
                .select("doc_id",
-                       F.explode(F.sequence(
-                           F.col("p"), F.col("p") + (BOIL_N - 1)))
-                       .alias("cp"))
-               .distinct())
-    per_doc = covered.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_covered"))
+                       F.aggregate("ps", init, _merge,
+                                   lambda acc: acc["tot"])
+                        .alias("n_covered")))
     base = toks.select("doc_id", F.size("w").cast("bigint")
                        .alias("n_tokens"))
     return base.join(per_doc, "doc_id", "left").select(
