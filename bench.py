@@ -341,12 +341,16 @@ def main() -> None:
     # Sibling full-artifact file: the driver's tail capture truncated
     # the stdout JSON twice (r9/r10) — the complete artifact survives
     # here regardless of how much of the printed line is kept.
+    # Non-default-SF smoke runs get their own file: a sf0.001 smoke
+    # must never clobber the validated sf0.1 artifact (bit us in r13).
     try:
+        name = ("bench_last_full.json" if abs(sf - 0.1) < 1e-9
+                else f"bench_last_full_sf{sf}.json")
         full = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "bench_last_full.json")
+                            name)
         with open(full, "w") as fh:
             json.dump(out, fh, indent=1)
-        out["full_artifact"] = "bench_last_full.json"
+        out["full_artifact"] = name
     except OSError:
         pass
     print(json.dumps(out))
