@@ -56,6 +56,19 @@ lower-tail outlier best (decontaminate_ngrams' 0.895 s vs its
 ordinary day; a genuine plan regression still flags, because the
 median follows the recent regime. "inflation_vs_best" (min-ever view)
 stays in the artifact for cross-round forensics.
+
+r13 cont: the >1.3x notes adjudicate against the LOAD-NORMALIZED min
+(queries_load_normalized) rather than the raw wall whenever a
+parallel-calibration reference exists. Rationale measured the same
+day: at 1-min loadavg 0.13 the parallel calibration still read
+0.70 s vs its 0.298 s best — the host had ~2.4x less parallel
+throughput than the best recorded day with NOTHING visible in
+loadavg, and every query inflated uniformly (median 1.6x). Dividing
+the host calibration out is the discriminator the note exists for: a
+plan regression inflates the query but not the calibration and still
+flags; a degraded-host day inflates both and no longer spams a note
+per query. Raw walls, inflation_vs_best, and inflation_vs_steady all
+stay in the artifact.
 """
 
 from __future__ import annotations
@@ -218,13 +231,6 @@ def main() -> None:
             series.append(round(time.time() - t0, 3))
         runs[name] = series
         timings[name] = min(series)
-        if name in steady_ref and timings[name] > 1.3 * steady_ref[name]:
-            notes.append(
-                f"{name}: min {timings[name]}s is "
-                f"{timings[name] / steady_ref[name]:.2f}x its "
-                f"steady-state median {steady_ref[name]}s (min-ever "
-                f"{best_known.get(name)}s) — suspect host load "
-                "(see loadavg/parallel_calib) or a plan regression")
         # Queries persist intermediates (shingle index, per-doc
         # signatures); drop them so later queries aren't measured
         # under accumulated cache memory pressure.
@@ -296,6 +302,26 @@ def main() -> None:
     if pcal_best and pcal_now > 0:
         factor = min(1.0, pcal_best / pcal_now)
         normalized = {n: round(v * factor, 3) for n, v in timings.items()}
+    # Per-query >1.3x flags, adjudicated against the LOAD-NORMALIZED
+    # min when a calibration reference exists (raw otherwise). The
+    # calibration measures the HOST (8 parallel busy-loop procs), so
+    # dividing it out is exactly the discriminator the note wants: a
+    # slow ambient day inflates raw walls AND the calibration together
+    # (normalized stays flat — no flag), while a plan regression
+    # inflates only the query (normalized flags it). Raw walls and
+    # both inflation views stay in the artifact either way.
+    for name in timings:
+        if name not in steady_ref or steady_ref[name] <= 0:
+            continue
+        adj = (normalized or timings)[name]
+        if adj > 1.3 * steady_ref[name]:
+            notes.append(
+                f"{name}: load-normalized min {adj}s (raw "
+                f"{timings[name]}s) is {adj / steady_ref[name]:.2f}x "
+                f"its steady-state median {steady_ref[name]}s "
+                f"(min-ever {best_known.get(name)}s) — suspect a plan "
+                "regression (host throughput already divided out via "
+                "parallel_calib)")
     # Append this run's mins to the per-query history and refresh the
     # steady-state medians (auto-maintained like parallel_calib_best:
     # the history is a RECORD of measured driver-round conditions, not
