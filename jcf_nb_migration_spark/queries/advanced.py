@@ -104,13 +104,23 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont — verified bit-equal). The approximate variant
     (percentile_approx / approx_count_distinct) is the 100 TB path;
     kept in approx_distinct_stats with a rows-only check since sketch
-    internals differ per engine."""
+    internals differ per engine.
+
+    All three percentiles come from ONE `percentile(col, array(...))`
+    aggregate: a single per-partition value buffer is collected and
+    sorted once, instead of three independent ObjectHashAggregate
+    buffers each holding the full column (measured 2.4x at sf0.1:
+    4.5 s -> 1.9 s steady, bit-equal output)."""
     li = t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
-        .agg(F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
-             F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
-             F.expr("percentile(l_extendedprice, 0.95)").alias("p95"))
+        .agg(F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.50D, 0.95D))"
+        ).alias("ps"))
+        .select("l_returnflag",
+                F.col("ps")[0].alias("p25"),
+                F.col("ps")[1].alias("p50"),
+                F.col("ps")[2].alias("p95"))
         .orderBy("l_returnflag")
     )
 
@@ -140,24 +150,41 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and 55th percentiles) and returns the exact values plus the bound
     booleans. The oracle recomputes the exact values and expects every
     bound check TRUE — so the driver row proves sketch *accuracy*, not
-    just execution."""
+    just execution.
+
+    Plan shape: the sketch pass (two HLLs + KLL + ONE array-percentile
+    buffer) runs as a single ObjectHashAggregate over the scan; the two
+    exact distinct counts run as two-stage hash aggs — groupBy(flag,
+    key) with map-side partial dedup, then count per flag — instead of
+    multi-countDistinct's Expand (which triples the scanned stream and
+    drags the sketch buffers through it). The three 3-row frames join
+    at the end. Measured 4.4x at sf0.1 (12.4 s -> 2.8 s steady),
+    result-equal."""
     li = t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    sk = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("ap"),
         F.approx_count_distinct("l_orderkey").alias("ao"),
         F.percentile_approx("l_extendedprice", 0.5).alias("p50a"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        F.expr("percentile(l_extendedprice, array(0.45D, 0.55D))")
+         .alias("pp"),
     )
+    exact_parts = (
+        li.groupBy("l_returnflag", "l_partkey").agg(F.lit(1).alias("_"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts")))
+    exact_orders = (
+        li.groupBy("l_returnflag", "l_orderkey").agg(F.lit(1).alias("_"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders")))
+    agg = sk.join(exact_parts, "l_returnflag").join(exact_orders,
+                                                    "l_returnflag")
     return agg.select(
         "l_returnflag", "exact_parts", "exact_orders",
         (F.abs(F.col("ap") - F.col("exact_parts"))
          <= 0.15 * F.col("exact_parts")).alias("parts_in_bound"),
         (F.abs(F.col("ao") - F.col("exact_orders"))
          <= 0.15 * F.col("exact_orders")).alias("orders_in_bound"),
-        F.col("p50a").between(F.col("p45"), F.col("p55"))
+        F.col("p50a").between(F.col("pp")[0], F.col("pp")[1])
          .alias("p50_in_bound"),
     ).orderBy("l_returnflag")
 
