@@ -226,8 +226,18 @@ def writer_lock(path: str, op: str):
             done = _held[key] == 0
             if done:
                 del _held[key]
-        if done:
-            break_writer_lock(real)
+                # Unlink INSIDE the guard: once the _held entry is
+                # gone, a sibling thread's acquisition (which also
+                # runs under the guard) would find the on-disk lock
+                # with OUR pid, judge it stale, break it, and acquire
+                # a fresh one — and an unguarded deferred unlink here
+                # would then delete that successor's LIVE lock,
+                # reopening the two-writer hole. Under the guard the
+                # delete-entry + unlink pair is atomic w.r.t. every
+                # same-process acquisition; cross-process writers
+                # never break a lock whose pid is alive, so they
+                # cannot race this window at all.
+                break_writer_lock(real)
 
 
 def single_writer(fn):

@@ -401,3 +401,73 @@ def test_cross_process_contention_and_sigkill_recovery(tmp_path):
     with writer_lock(d, "recoverer"):  # stale-pid path breaks it
         assert read_writer_lock(d)["pid"] == os.getpid()
     assert read_writer_lock(d) is None
+
+
+def test_release_window_cannot_unlink_successor_lock(tmp_path, monkeypatch):
+    """The release path must unlink its on-disk lock ATOMICALLY with
+    the removal of its _held entry (both under _held_guard). If the
+    unlink trailed outside the guard, a sibling thread acquiring in
+    the gap — which legitimately breaks the releasing thread's
+    same-pid on-disk lock as stale — would then have its FRESH lock
+    deleted by the releaser's deferred unlink, leaving the successor
+    mutating with no lock on disk (the two-writer hole, one level
+    deeper than the ADVICE r12 TOCTOU).
+
+    The unlink is forced slow via monkeypatch; thread B acquires while
+    A's release is parked inside it. With the fix, B blocks on the
+    guard until A's unlink completes and then holds a lock that stays
+    on disk; unfixed, B's fresh lock is the one A unlinks."""
+    import threading
+
+    import jcf_nb_migration_spark.io.locking as lk
+
+    d = str(tmp_path / "layout")
+    os.makedirs(d)
+    in_break = threading.Event()
+    finish_break = threading.Event()
+    real_break = lk.break_writer_lock
+
+    def slow_break(path):
+        in_break.set()
+        finish_break.wait(10)
+        return real_break(path)
+
+    monkeypatch.setattr(lk, "break_writer_lock", slow_break)
+
+    b_inside = threading.Event()
+    b_release = threading.Event()
+    b_err: list[BaseException] = []
+
+    def thread_a():
+        with lk.writer_lock(d, "a"):
+            pass  # release path calls slow_break
+
+    def thread_b():
+        in_break.wait(10)
+        try:
+            with lk.writer_lock(d, "b"):
+                b_inside.set()
+                b_release.wait(10)
+        except BaseException as exc:  # noqa: BLE001 - surfaced below
+            b_err.append(exc)
+            b_inside.set()
+
+    ta = threading.Thread(target=thread_a)
+    tb = threading.Thread(target=thread_b)
+    ta.start(); tb.start()
+    assert in_break.wait(10)
+    # Give B the chance to (wrongly) slip past the guard while A's
+    # unlink is parked; then let A's unlink run to completion.
+    assert not b_inside.wait(0.3), (
+        "thread B acquired while thread A's release was mid-unlink")
+    finish_break.set()
+    ta.join(20)
+    assert b_inside.wait(10)
+    assert b_err == []
+    # B is inside its critical section: its lock must be on disk and
+    # must be B's — A's deferred unlink must not have eaten it.
+    cur = read_writer_lock(d)
+    assert cur is not None and cur["op"] == "b", cur
+    b_release.set()
+    tb.join(20)
+    assert read_writer_lock(d) is None
