@@ -782,18 +782,26 @@ def ivf_index_vacuum(spark, path: str, id_col: str = "vec_id") -> dict:
     (idx.where(F.col("cluster").isin(touched))
      .join(F.broadcast(tomb), id_col, "left_anti")
      .write.mode("overwrite").partitionBy("cluster").parquet(staging))
-    # superseded cluster dirs (and crash residue from a prior swap)
-    # retire to _history once any commit point exists — see the
-    # snapshot section below
+    # Superseded cluster dirs retire to _history once any commit point
+    # exists — see the snapshot section below. The displaced dir parks
+    # under path/_swap_old/cluster=K, NEVER at path/cluster=K.old: an
+    # underscore-prefixed dir is invisible to Spark's partition
+    # discovery, while a `cluster=K.old` sibling is parsed as a
+    # partition VALUE — it flips the cluster column to STRING for
+    # every reader and fails probes' `cluster IN (...)` bigint casts
+    # (measured: NumberFormatException on the isin filter), turning a
+    # crash window into an index-wide read outage.
     for cid in touched:
         live_dir = os.path.join(path, f"cluster={cid}")
         staged_dir = os.path.join(staging, f"cluster={cid}")
-        old = live_dir + ".old"
+        old = os.path.join(path, VEC_SWAP_OLD_SUBDIR, f"cluster={cid}")
         _vec_dispose(path, old, f"cluster={cid}")
+        os.makedirs(os.path.dirname(old), exist_ok=True)
         os.rename(live_dir, old)
         if os.path.isdir(staged_dir):  # absent = cluster fully deleted
             os.rename(staged_dir, live_dir)
         _vec_dispose(path, old, f"cluster={cid}")
+    _rmdir_if_empty(os.path.join(path, VEC_SWAP_OLD_SUBDIR))
     shutil.rmtree(staging, ignore_errors=True)
     _vec_dispose(path, os.path.join(path, VEC_TOMBSTONES_SUBDIR),
                  VEC_TOMBSTONES_SUBDIR)
@@ -834,6 +842,10 @@ def ivf_index_vacuum(spark, path: str, id_col: str = "vec_id") -> dict:
 
 VEC_SNAPSHOTS_SUBDIR = "_snapshots"
 VEC_HISTORY_SUBDIR = "_history"
+VEC_SWAP_OLD_SUBDIR = "_swap_old"  # vacuum's displaced-cluster parking
+#   lot: underscore-prefixed so Spark's partition discovery never sees
+#   it (a `cluster=K.old` SIBLING would be parsed as a partition value
+#   and flip the cluster column to string for every reader)
 _VEC_CONTROL_DIRS = (VEC_SNAPSHOTS_SUBDIR, VEC_HISTORY_SUBDIR)
 
 
@@ -868,7 +880,8 @@ def _vec_rel_parquet(path: str) -> list[str]:
     for root, dirs, files in os.walk(path):
         rel = os.path.relpath(root, path)
         top = rel.split(os.sep)[0]
-        if top in _VEC_CONTROL_DIRS or top.endswith(".old"):
+        if (top in _VEC_CONTROL_DIRS or top == VEC_SWAP_OLD_SUBDIR
+                or top.endswith(".old")):
             dirs[:] = []
             continue
         for f in files:
@@ -936,6 +949,60 @@ def _absorb_old_epoch(path: str, old: str) -> None:
     _vec_retire_dir(path, old, "")
 
 
+def _rmdir_if_empty(d: str) -> None:
+    try:
+        os.rmdir(d)
+    except OSError:
+        pass  # absent, or still holds residue a recovery will handle
+
+
+def _recover_vacuum_residue(path: str) -> None:
+    """Fold crash residue from ``ivf_index_vacuum``'s per-cluster
+    swaps back into a consistent index. The vacuum parks each
+    displaced cluster dir at ``_swap_old/cluster=K`` (and pre-fix
+    crashes may have left a legacy ``cluster=K.old`` sibling — which
+    additionally breaks every reader by flipping the partition column
+    to string, so it must not survive recovery). Per residue dir:
+
+    - live ``cluster=K`` present — crash after the swap-in, before
+      disposal: dispose the residue (retire-or-delete).
+    - live missing, staging ``<path>.vacuum`` COMPLETE (Spark's
+      ``_SUCCESS`` marker): the staged rewrite finished before the
+      crash — complete the swap (staged dir in; absent staged dir
+      means the cluster was fully deleted), then dispose the residue.
+    - live missing, staging incomplete/missing: roll back — the
+      parked dir is the only live copy of the cluster."""
+    import re
+    import shutil as _sh
+
+    staging = path.rstrip("/") + ".vacuum"
+    staged_ok = os.path.exists(os.path.join(staging, "_SUCCESS"))
+    residues: list[tuple[str, str]] = []  # (residue_dir, cluster=K)
+    swap_root = os.path.join(path, VEC_SWAP_OLD_SUBDIR)
+    if os.path.isdir(swap_root):
+        residues += [(os.path.join(swap_root, e), e)
+                     for e in os.listdir(swap_root)
+                     if e.startswith("cluster=")]
+    if os.path.isdir(path):
+        residues += [(os.path.join(path, e), e[:-len(".old")])
+                     for e in os.listdir(path)
+                     if re.fullmatch(r"cluster=[^/]+\.old", e)]
+    for res_dir, part in residues:
+        live_dir = os.path.join(path, part)
+        if os.path.isdir(live_dir):
+            _vec_dispose(path, res_dir, part)
+        elif staged_ok:
+            staged_dir = os.path.join(staging, part)
+            if os.path.isdir(staged_dir):
+                os.rename(staged_dir, live_dir)
+            _vec_dispose(path, res_dir, part)
+        else:
+            os.rename(res_dir, live_dir)  # only full copy: roll back
+    _rmdir_if_empty(swap_root)
+    if residues:
+        _sh.rmtree(staging, ignore_errors=True)
+
+
 def _recover_epoch_residue(path: str) -> None:
     """Fold crash residue from a prior epoch swap (a leftover
     ``<path>.old``) back into the live index — RECOVERED, not blindly
@@ -960,6 +1027,7 @@ def _recover_epoch_residue(path: str) -> None:
 
     old = path.rstrip("/") + ".old"
     if not os.path.isdir(old):
+        _recover_vacuum_residue(path)  # per-cluster swap residue
         return
     if not os.path.isdir(path):
         staging = path.rstrip("/") + ".rebuild"
@@ -967,11 +1035,13 @@ def _recover_epoch_residue(path: str) -> None:
             os.rename(staging, path)  # complete the crashed swap
         else:
             os.rename(old, path)      # roll back: only full copy
+            _recover_vacuum_residue(path)
             return
     if _vec_has_snapshots(old) or _vec_has_snapshots(path):
         _absorb_old_epoch(path, old)
     else:
         shutil.rmtree(old)
+    _recover_vacuum_residue(path)
 
 
 def _epoch_swap(path: str, staging: str) -> None:

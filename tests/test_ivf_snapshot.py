@@ -231,3 +231,123 @@ def test_snapshot_vacuum_sees_stranded_commit_points(spark, tmp_path):
     assert out["dropped_snapshots"] == 0
     ivf_index_restore(spark, path, s0)
     assert len(_probe(spark, path, centroids, pvec)) == 8
+
+
+# ---- vacuum per-cluster swap residue (r13) --------------------------
+#
+# ivf_index_vacuum swaps each touched cluster dir through a parking
+# lot. That lot must be _swap_old/ (underscore-prefixed, invisible to
+# partition discovery) — a `cluster=K.old` SIBLING is parsed as a
+# partition VALUE, flips the cluster column to string for every
+# reader, and fails probes' bigint isin casts. And a crash between
+# the per-cluster renames must be recoverable: complete the swap when
+# the staged rewrite finished (_SUCCESS), roll back when it didn't.
+
+
+def _vacuum_crash_between_renames(spark, path, keep_staging_success):
+    """Manufacture ivf_index_vacuum's crash state between
+    rename(live -> parked) and rename(staged -> live) for one cluster,
+    by replaying exactly the vacuum's steps up to the crash point."""
+    import shutil
+
+    from jcf_nb_migration_spark.io.layout import (
+        VEC_SWAP_OLD_SUBDIR, vec_tombstone_ids)
+
+    tomb = vec_tombstone_ids(spark, path).withColumnRenamed(
+        "vec_id", "vec_id")
+    idx = spark.read.parquet(path)
+    dead = idx.join(F.broadcast(tomb), "vec_id", "left_semi")
+    touched = [r["cluster"] for r in
+               dead.select("cluster").distinct().collect()]
+    assert touched
+    staging = path.rstrip("/") + ".vacuum"
+    shutil.rmtree(staging, ignore_errors=True)
+    (idx.where(F.col("cluster").isin(touched))
+     .join(F.broadcast(tomb), "vec_id", "left_anti")
+     .write.mode("overwrite").partitionBy("cluster").parquet(staging))
+    if not keep_staging_success:
+        os.remove(os.path.join(staging, "_SUCCESS"))
+    cid = touched[0]
+    parked = os.path.join(path, VEC_SWAP_OLD_SUBDIR, f"cluster={cid}")
+    os.makedirs(os.path.dirname(parked), exist_ok=True)
+    os.rename(os.path.join(path, f"cluster={cid}"), parked)
+    return cid, touched
+
+
+def test_vacuum_residue_is_invisible_to_readers(spark, tmp_path):
+    """The parked dir must not leak into partition discovery: with a
+    cluster parked mid-vacuum, reads keep the bigint cluster column
+    and probes still execute (the legacy cluster=K.old sibling made
+    every read infer string and every probe raise)."""
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_res1")
+    victims = [r[0] for r in _probe(spark, path, centroids, pvec)[:2]]
+    ivf_index_delete(spark, path, victims, batch_id=1)
+    _vacuum_crash_between_renames(spark, path, keep_staging_success=True)
+    fresh = spark.read.parquet(path)
+    assert dict(fresh.dtypes)["cluster"] in ("int", "bigint")
+    # probes run (no cast error) and never surface tombstoned ids
+    got = {r[0] for r in _probe(spark, path, centroids, pvec)}
+    assert not set(victims) & got
+
+
+def test_vacuum_crash_with_complete_staging_completes(spark, tmp_path):
+    """Crash between the renames with _SUCCESS in staging: the next
+    snapshot-aware entry completes the swap — the index ends exactly
+    where an uncrashed vacuum would have left that cluster."""
+    from jcf_nb_migration_spark.io.layout import VEC_SWAP_OLD_SUBDIR
+
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_res2")
+    victims = [r[0] for r in _probe(spark, path, centroids, pvec)[:2]]
+    ivf_index_delete(spark, path, victims, batch_id=1)
+    cid, _ = _vacuum_crash_between_renames(
+        spark, path, keep_staging_success=True)
+    out = ivf_index_vacuum(spark, path)  # entry recovery runs first
+    assert not os.path.isdir(
+        os.path.join(path, VEC_SWAP_OLD_SUBDIR, f"cluster={cid}"))
+    live = spark.read.parquet(path)
+    assert live.where(F.col("vec_id").isin(victims)).count() == 0
+    # every non-victim row of the crashed cluster survived
+    expected = emb.join(
+        spark.createDataFrame([(v,) for v in victims], "vec_id bigint"),
+        "vec_id", "left_anti").count()
+    assert live.count() == expected
+    got = {r[0] for r in _probe(spark, path, centroids, pvec)}
+    assert not set(victims) & got
+
+
+def test_vacuum_crash_without_staging_rolls_back(spark, tmp_path):
+    """Crash before the staged rewrite committed (_SUCCESS absent):
+    the parked dir is the only copy — recovery must restore it, and
+    tombstones still mask the dead ids until a later vacuum lands."""
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_res3")
+    victims = [r[0] for r in _probe(spark, path, centroids, pvec)[:2]]
+    ivf_index_delete(spark, path, victims, batch_id=1)
+    cid, _ = _vacuum_crash_between_renames(
+        spark, path, keep_staging_success=False)
+    out = ivf_index_vacuum(spark, path)  # recovery rolls back, then vacuums
+    assert out["reclaimed_ids"] == len(victims)
+    live = spark.read.parquet(path)
+    assert live.where(F.col("vec_id").isin(victims)).count() == 0
+    assert live.count() == emb.count() - len(victims)
+    assert os.path.isdir(os.path.join(path, f"cluster={cid}"))
+
+
+def test_legacy_dot_old_residue_is_recovered(spark, tmp_path):
+    """A pre-fix crash may have left the reader-breaking
+    `cluster=K.old` sibling; recovery must fold it back (roll-back
+    form: no staging) so reads regain the bigint partition column."""
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_res4")
+    n = emb.count()
+    # take one cluster's dir and park it the legacy (broken) way
+    cid = spark.read.parquet(path).select("cluster").head()["cluster"]
+    os.rename(os.path.join(path, f"cluster={cid}"),
+              os.path.join(path, f"cluster={cid}.old"))
+    assert dict(spark.read.parquet(path).dtypes)["cluster"] == "string"
+    sid = ivf_index_snapshot(spark, path, centroids=centroids)
+    assert dict(spark.read.parquet(path).dtypes)["cluster"] in (
+        "int", "bigint")
+    assert spark.read.parquet(path).count() == n
+    # and the snapshot listed the recovered cluster's files
+    from jcf_nb_migration_spark.io.layout import _vec_read_snapshot
+    assert any(f.startswith(f"cluster={cid}/")
+               for f in _vec_read_snapshot(path, sid)["files"])
