@@ -361,6 +361,8 @@ def docstore_restore(spark: SparkSession, prefix: str, path: str,
     table = f"{prefix}_docs"
     _require_bucketed_table(spark, table, num_buckets, path,
                             "docstore_build", DOCS_SUBDIR)
+    _recover_cow_residue(path)  # restore's two-place moves assume
+    #   every basename is in exactly one of docs/ and _history/
     man = _read_manifest(path, version)
     target = set(man["files"])
     data_dir = os.path.join(path, DOCS_SUBDIR)
@@ -599,6 +601,8 @@ def docstore_compact(spark: SparkSession, prefix: str, path: str,
     # overwrite this path with another store's rows
     _require_bucketed_table(spark, table, num_buckets, path,
                             "docstore_build", DOCS_SUBDIR)
+    _recover_cow_residue(path)  # a half-swapped COW must not feed the
+    #   compactor a live dir with its touched buckets moved aside
     n = _compact_bucketed_table(
         spark, table, path, DOCS_SUBDIR, "doc_id", num_buckets,
         parallelism,
@@ -652,6 +656,50 @@ def _touched_buckets(ids_frame: DataFrame, num_buckets: int) -> set:
     return {r["b"] for r in rows}
 
 
+def _recover_cow_residue(path: str) -> None:
+    """Fold crash residue from a prior file-level COW swap back into a
+    consistent live table. The swap publishes an intent log
+    (``docs.cowswap.json``) atomically before its first rename, so
+    recovery is deterministic and idempotent:
+
+    - plan present: finish the swap — remaining planned old files out
+      of the live dir, remaining planned staged files in — then drop
+      the staging dir, retire the displaced files, remove the plan.
+      The interrupted mutation never committed (ledger + manifest
+      land after the swap), so its replay is an idempotent re-merge
+      over the completed state.
+    - no plan, ``.cowold`` present: pre-intent-log residue or a crash
+      after plan removal — the stranded files are committed snapshot
+      data (some manifest references them): retire to history, never
+      destroy.
+    - no plan, ``.cowstage`` present: the crash predates the first
+      rename — nothing moved; the caller discards the stage."""
+    import json
+    import shutil
+
+    data_dir = os.path.join(path, DOCS_SUBDIR)
+    staging = data_dir.rstrip("/") + ".cowstage"
+    old_dir = data_dir.rstrip("/") + ".cowold"
+    plan_path = data_dir.rstrip("/") + ".cowswap.json"
+    if os.path.isfile(plan_path):
+        with open(plan_path) as fh:
+            plan = json.load(fh)  # atomically published: always whole
+        os.makedirs(old_dir, exist_ok=True)
+        for f in plan["old"]:
+            src = os.path.join(data_dir, f)
+            if os.path.isfile(src):
+                os.replace(src, os.path.join(old_dir, f))
+        for f in plan["staged"]:
+            src = os.path.join(staging, f)
+            if os.path.isfile(src):
+                os.replace(src, os.path.join(data_dir, f))
+        shutil.rmtree(staging, ignore_errors=True)
+        _retire_files(path, old_dir)
+        os.remove(plan_path)
+    elif os.path.isdir(old_dir):
+        _retire_files(path, old_dir)
+
+
 def _rewrite_touched_buckets(spark: SparkSession, table: str,
                              path: str, num_buckets: int,
                              touched: set, transform) -> int:
@@ -671,22 +719,29 @@ def _rewrite_touched_buckets(spark: SparkSession, table: str,
     renamed — byte-identical before and after (pinned in
     tests/test_docstore.py). Replaced files are RETIRED into
     ``_history`` (older version manifests keep reading them; see the
-    time-travel block above) rather than deleted. A crash between the
-    two move phases strands rows in ``docs.cowold`` (documented
-    local-FS stand-in, as for the compactor's swap); the next COW
-    call retires the residue. Returns the number of staged files
-    moved in."""
+    time-travel block above) rather than deleted.
+
+    Crash safety: the file-level swap is driven by an INTENT LOG
+    (``docs.cowswap.json``, written atomically before the first
+    rename, removed after disposal). A crash anywhere inside the swap
+    is completed deterministically from the plan by the next writer —
+    remaining old files out, remaining staged files in, old retired —
+    after which replaying the (never-committed) batch is an
+    idempotent re-merge. Without a plan, recovery cannot tell
+    moved-in staged files from pre-existing ones; the previous
+    plan-less recovery (retire ``.cowold``, DELETE staging) silently
+    erased every co-bucketed row from the live table when the crash
+    landed between the move phases — the replay then read EMPTY
+    touched buckets and rewrote them with batch rows only. Returns
+    the number of staged files moved in."""
+    import json
     import shutil
 
     data_dir = os.path.join(path, DOCS_SUBDIR)
     staging = data_dir.rstrip("/") + ".cowstage"
     old_dir = data_dir.rstrip("/") + ".cowold"
+    _recover_cow_residue(path)
     shutil.rmtree(staging, ignore_errors=True)
-    if os.path.isdir(old_dir):
-        # crashed prior swap: the stranded files are committed
-        # snapshot data (some manifest references them) — retire to
-        # history, never destroy
-        _retire_files(path, old_dir)
     old_files = [f for f in os.listdir(data_dir)
                  if f.endswith(".parquet")
                  and _file_bucket_id(f) in touched]
@@ -706,20 +761,28 @@ def _rewrite_touched_buckets(spark: SparkSession, table: str,
      .option("path", staging)
      .format("parquet").saveAsTable(stage_table))
     spark.sql(f"DROP TABLE {stage_table}")  # external: files remain
+    staged_files = sorted(f for f in os.listdir(staging)
+                          if f.endswith(".parquet"))
+    # intent log first (atomic publish): from here a crash at ANY
+    # point is completed deterministically by _recover_cow_residue
+    plan_path = data_dir.rstrip("/") + ".cowswap.json"
+    tmp = plan_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"old": sorted(old_files), "staged": staged_files},
+                  fh)
+    os.replace(tmp, plan_path)
     os.makedirs(old_dir, exist_ok=True)
     for f in old_files:
         os.rename(os.path.join(data_dir, f), os.path.join(old_dir, f))
-    n_new = 0
-    for f in os.listdir(staging):
-        if f.endswith(".parquet"):
-            os.rename(os.path.join(staging, f),
-                      os.path.join(data_dir, f))
-            n_new += 1
+    for f in staged_files:
+        os.rename(os.path.join(staging, f),
+                  os.path.join(data_dir, f))
     shutil.rmtree(staging, ignore_errors=True)
     # superseded bucket files stay readable to older manifests
     _retire_files(path, old_dir)
+    os.remove(plan_path)
     spark.sql(f"REFRESH TABLE {table}")
-    return n_new
+    return len(staged_files)
 
 
 @single_writer

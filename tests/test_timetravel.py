@@ -350,3 +350,103 @@ def test_restore_rolls_live_table_back(spark, tmp_path):
     docstore_snapshot_vacuum(path, keep_last=1)
     with pytest.raises(ValueError, match="no version 0"):
         docstore_restore(spark, "tt", path, 0)
+
+
+# ---- COW swap crash recovery via the intent log (r13) ---------------
+#
+# The file-level COW swap publishes docs.cowswap.json before its first
+# rename. A crash at ANY point inside the swap must be completed
+# deterministically by the next writer, after which replaying the
+# never-committed batch is an idempotent re-merge. The regression these
+# pin: the old plan-less recovery retired the displaced bucket files
+# and DELETED the staging dir, so a between-the-moves crash + replay
+# read EMPTY touched buckets and silently erased every co-bucketed
+# document from the live table.
+
+
+@pytest.mark.parametrize("fail_at_rename", [1, 2])
+def test_cow_crash_mid_swap_recovers_and_replays(spark, tmp_path,
+                                                 fail_at_rename):
+    """Kill the swap at the Nth file rename (1 = before anything
+    moved, 2 = old out / staged not in — the data-loss window), then
+    replay: the store must end exactly where an uncrashed upsert
+    would."""
+    import os as _os
+
+    path = str(tmp_path / "cowcrash")
+    # 2 buckets ensure the upserted doc shares its bucket with others
+    docstore_build(_docs(spark, range(1, 9)), "cc", path, num_buckets=2)
+    batch = _docs(spark, [1], tag="v2")
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def exploding_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == fail_at_rename:
+            raise RuntimeError("injected crash inside the COW swap")
+        return real_rename(src, dst)
+
+    _os.rename = exploding_rename
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            docstore_upsert(batch, "cc", path, num_buckets=2,
+                            batch_id=7)
+    finally:
+        _os.rename = real_rename
+
+    plan = os.path.join(path, DOCS_SUBDIR).rstrip("/") + ".cowswap.json"
+    assert os.path.isfile(plan)  # the intent log survived the crash
+    # replay the batch: entry recovery completes the swap, then the
+    # merge re-applies idempotently
+    assert docstore_upsert(_docs(spark, [1], tag="v2"), "cc", path,
+                           num_buckets=2, batch_id=7)
+    assert not os.path.isfile(plan)
+    data_dir = os.path.join(path, DOCS_SUBDIR)
+    assert not os.path.isdir(data_dir + ".cowstage")
+    assert not os.path.isdir(data_dir + ".cowold")
+    expected = sorted([(1, "v2 body 1")]
+                      + [(i, f"v1 body {i}") for i in range(2, 9)])
+    assert _rows(docstore_fetch(spark, "cc", path,
+                                list(range(1, 9)))) == expected
+
+
+def test_cow_crash_at_retire_recovers(spark, tmp_path):
+    """Crash AFTER both move phases (during disposal): recovery must
+    retire the displaced files, drop the plan, and leave the live
+    table already carrying the mutation."""
+    import jcf_nb_migration_spark.io.docstore as ds
+
+    path = str(tmp_path / "cowretire")
+    docstore_build(_docs(spark, range(1, 9)), "cr", path, num_buckets=2)
+
+    real_retire = ds._retire_files
+    state = {"armed": True}
+
+    def exploding_retire(p, src_dir):
+        if state["armed"]:
+            state["armed"] = False
+            raise RuntimeError("injected crash at retire")
+        return real_retire(p, src_dir)
+
+    ds._retire_files = exploding_retire
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            docstore_upsert(_docs(spark, [1], tag="v2"), "cr", path,
+                            num_buckets=2, batch_id=9)
+    finally:
+        ds._retire_files = real_retire
+
+    # replay: recovery retires the residue and the merge re-applies
+    assert docstore_upsert(_docs(spark, [1], tag="v2"), "cr", path,
+                           num_buckets=2, batch_id=9)
+    data_dir = os.path.join(path, DOCS_SUBDIR)
+    assert not os.path.isfile(data_dir + ".cowswap.json")
+    assert not os.path.isdir(data_dir + ".cowold")
+    expected = sorted([(1, "v2 body 1")]
+                      + [(i, f"v1 body {i}") for i in range(2, 9)])
+    assert _rows(docstore_fetch(spark, "cr", path,
+                                list(range(1, 9)))) == expected
+    # displaced bucket files landed in history, not the void
+    assert any(f.endswith(".parquet") for f in
+               os.listdir(os.path.join(path, HISTORY_SUBDIR)))
