@@ -1135,15 +1135,22 @@ def ivf_index_restore(spark, path: str, snapshot_id: int):
     man = _vec_read_snapshot(path, snapshot_id)
     want = set(man["files"])
     live = set(_vec_rel_parquet(path))
-    for rel in sorted(live - want):       # displaced by the restore
-        _vec_retire_file(path, os.path.join(path, rel), rel)
+    # Resolvability first, moves second: a snapshot file in neither
+    # the live tree nor history must abort BEFORE any file moves — a
+    # mid-loop raise (after the retire loop) would strand the index
+    # with its displaced files retired and nothing restored, and
+    # re-running reproduces the raise instead of repairing it.
     for rel in sorted(want - live):
-        src = os.path.join(path, VEC_HISTORY_SUBDIR, rel)
-        if not os.path.exists(src):
+        if not os.path.exists(os.path.join(path, VEC_HISTORY_SUBDIR,
+                                           rel)):
             raise ValueError(
                 f"snapshot {snapshot_id} references {rel} which is in "
                 "neither the live tree nor _history — reclaimed by "
                 "ivf_snapshot_vacuum?")
+    for rel in sorted(live - want):       # displaced by the restore
+        _vec_retire_file(path, os.path.join(path, rel), rel)
+    for rel in sorted(want - live):
+        src = os.path.join(path, VEC_HISTORY_SUBDIR, rel)
         dst = os.path.join(path, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.replace(src, dst)

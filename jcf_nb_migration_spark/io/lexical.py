@@ -1279,15 +1279,33 @@ def lexical_index_restore(spark: SparkSession, prefix: str, path: str,
 
 def _restore_files(path: str, man: dict, snapshot_id: int) -> dict:
     """Shared restore file-mover: two-place COW moves per surface the
-    manifest recorded (layout-agnostic — see _take_snapshot)."""
+    manifest recorded (layout-agnostic — see _take_snapshot).
+
+    Resolvability is validated across ALL surfaces BEFORE the first
+    move: a snapshot file missing from both the live dir and history
+    (reclaimed by lexical_snapshot_vacuum) must abort with the live
+    state untouched — a mid-loop raise would strand a half-restored
+    index (some surfaces swapped, some not) that re-running cannot
+    repair, since the raise reproduces."""
     import shutil
 
-    moves = {}
+    plan = {}
     for surface in man["files"]:
         want = set(man["files"][surface])
+        live = set(_live_parquet(path, surface))
+        hist = _history_dir(path, surface)
+        for f in sorted(want - live):
+            if not os.path.exists(os.path.join(hist, f)):
+                raise ValueError(
+                    f"snapshot {snapshot_id} references "
+                    f"{surface}/{f} which is in neither the live dir "
+                    "nor _history — reclaimed by "
+                    "lexical_snapshot_vacuum?")
+        plan[surface] = (want, live)
+    moves = {}
+    for surface, (want, live) in plan.items():
         live_dir = os.path.join(path, surface)
         hist = _history_dir(path, surface)
-        live = set(_live_parquet(path, surface))
         os.makedirs(hist, exist_ok=True)
         for f in sorted(live - want):      # displaced by the restore
             os.replace(os.path.join(live_dir, f),
@@ -1296,14 +1314,8 @@ def _restore_files(path: str, man: dict, snapshot_id: int) -> dict:
         if missing:
             os.makedirs(live_dir, exist_ok=True)
         for f in missing:
-            src = os.path.join(hist, f)
-            if not os.path.exists(src):
-                raise ValueError(
-                    f"snapshot {snapshot_id} references "
-                    f"{surface}/{f} which is in neither the live dir "
-                    "nor _history — reclaimed by "
-                    "lexical_snapshot_vacuum?")
-            os.replace(src, os.path.join(live_dir, f))
+            os.replace(os.path.join(hist, f),
+                       os.path.join(live_dir, f))
         if not want and os.path.isdir(live_dir):
             # surface absent at the commit point (e.g. no tombstones
             # yet): an empty live dir would break the sidecar readers

@@ -351,3 +351,30 @@ def test_legacy_dot_old_residue_is_recovered(spark, tmp_path):
     from jcf_nb_migration_spark.io.layout import _vec_read_snapshot
     assert any(f.startswith(f"cluster={cid}/")
                for f in _vec_read_snapshot(path, sid)["files"])
+
+
+def test_failed_restore_leaves_live_state_untouched(spark, tmp_path):
+    """Same contract as the lexical twin: an unresolvable vector-index
+    restore must abort before ANY retire/move — the prior ordering
+    retired every displaced live file first and then raised, leaving
+    the index with files missing and nothing restored."""
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_abort")
+    s0 = ivf_index_snapshot(spark, path, centroids=centroids)
+    victims = [r[0] for r in _probe(spark, path, centroids, pvec)[:2]]
+    ivf_index_delete(spark, path, victims, batch_id=1)
+    ivf_index_vacuum(spark, path)  # retires s0's touched clusters
+    probe_live = _probe(spark, path, centroids, pvec)
+    from jcf_nb_migration_spark.io.layout import (_vec_read_snapshot,
+                                                  _vec_rel_parquet)
+
+    # break s0: delete a history file the snapshot references and the
+    # live tree no longer holds
+    want = set(_vec_read_snapshot(path, s0)["files"])
+    gone = sorted(want - set(_vec_rel_parquet(path)))
+    assert gone  # the vacuum retired at least one referenced file
+    os.remove(os.path.join(path, VEC_HISTORY_SUBDIR, gone[0]))
+    before = _vec_rel_parquet(path)
+    with pytest.raises(ValueError, match="neither the live tree"):
+        ivf_index_restore(spark, path, s0)
+    assert _vec_rel_parquet(path) == before  # zero files moved
+    assert _probe(spark, path, centroids, pvec) == probe_live

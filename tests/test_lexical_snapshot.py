@@ -261,3 +261,35 @@ def test_crashed_compact_swap_is_recovered(spark, monkeypatch):
     # the commit point survived: its files retired to history, not void
     lexical_index_restore(spark, prefix, path, sid, num_buckets=4)
     assert _probe(spark, prefix, path) == at_commit
+
+
+def test_failed_restore_leaves_live_state_untouched(spark):
+    """An unresolvable restore (snapshot file reclaimed from history)
+    must abort BEFORE any file moves: the live index keeps serving its
+    current state. The prior mid-loop validation stranded a
+    half-restored index — displaced live files already retired, some
+    surfaces swapped — that re-running could not repair."""
+    path = _mk("abort")
+    prefix = "snapabort"
+    lexical_index_build(_toks(spark, BASE_DOCS), prefix, path,
+                        num_buckets=4)
+    s0 = lexical_index_snapshot(spark, prefix, path, num_buckets=4)
+    # mutate so s0's postings retire to history, then break s0 by
+    # deleting one retired file behind the vacuum's back
+    lexical_index_delete(spark, prefix, path, [2], num_buckets=4,
+                         batch_id="d1")
+    lexical_index_vacuum(spark, prefix, path, num_buckets=4)
+    probe_live = _probe(spark, prefix, path)
+    hist = os.path.join(path, HISTORY_SUBDIR, "postings")
+    victim = next(f for f in sorted(os.listdir(hist))
+                  if f.endswith(".parquet"))
+    os.remove(os.path.join(hist, victim))
+
+    import glob
+
+    before = sorted(glob.glob(os.path.join(path, "*", "*.parquet")))
+    with pytest.raises(ValueError, match="neither the live dir"):
+        lexical_index_restore(spark, prefix, path, s0, num_buckets=4)
+    after = sorted(glob.glob(os.path.join(path, "*", "*.parquet")))
+    assert before == after  # no half-restore: zero files moved
+    assert _probe(spark, prefix, path) == probe_live
