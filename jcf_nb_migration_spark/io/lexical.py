@@ -319,6 +319,7 @@ def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
     table = f"{prefix}_postings"
     _require_bucketed_table(spark, table, num_buckets, path,
                             "lexical_index_build", POSTINGS_SUBDIR)
+    _recover_vacuum_plan(spark, prefix, path, num_buckets)
     from jcf_nb_migration_spark.io.layout import (_ledger_commit,
                                                   _ledger_skip)
 
@@ -390,6 +391,7 @@ def lexical_index_delete(spark: SparkSession, prefix: str, path: str,
     _require_bucketed_table(spark, f"{prefix}_postings", num_buckets,
                             path, "lexical_index_build",
                             POSTINGS_SUBDIR)
+    _recover_vacuum_plan(spark, prefix, path, num_buckets)
     bad = [i for i in doc_ids
            if isinstance(i, bool) or not isinstance(i, numbers.Integral)]
     if bad:
@@ -410,6 +412,66 @@ def lexical_index_delete(spark: SparkSession, prefix: str, path: str,
      .parquet(os.path.join(path, TOMBSTONES_SUBDIR)))
     _ledger_commit(marker)
     return True
+
+
+VACUUM_PLAN_FILE = "_vacuum_plan.json"
+
+
+def _recover_vacuum_plan(spark: SparkSession, prefix: str, path: str,
+                         num_buckets: int) -> None:
+    """Finish a crashed lexical_index_vacuum from its intent plan.
+
+    The vacuum's stats reconciliation (n_dead, dl_dead) is computed
+    from the PRE-swap postings — state the swap destroys. Without a
+    plan, a crash around the stats rewrite either bricks the vacuum
+    (stats dir retired but not yet rewritten: the rerun's totals read
+    fails) or permanently drifts the corpus totals (postings swapped,
+    stats not reconciled: the rerun finds no dead postings and
+    cheerfully clears the tombstones, leaving n_docs/avgdl counting
+    reclaimed documents forever). The vacuum therefore publishes the
+    consolidated ABSOLUTE totals to ``_vacuum_plan.json`` before its
+    first destructive step; this recovery — run from every mutating
+    entry point, so no later mutation can interleave with stale
+    totals — either discards the plan (crash before the swap landed:
+    tombstoned ids still have postings; the rerun recomputes) or
+    replays the finalization idempotently (absolute totals, so a
+    re-crash mid-recovery re-applies the same numbers)."""
+    plan_path = os.path.join(path, VACUUM_PLAN_FILE)
+    if not os.path.isfile(plan_path):
+        return
+    import json
+    import shutil
+
+    with open(plan_path) as fh:
+        plan = json.load(fh)
+    table = f"{prefix}_postings"
+    _recover_swap_residue(spark, table, path, POSTINGS_SUBDIR,
+                          _postings_retire(path))
+    tomb = tombstone_ids(spark, path)
+    if tomb is not None:
+        still_live = (spark.table(table)
+                      .join(F.broadcast(tomb), "doc_id", "left_semi")
+                      .limit(1).count() > 0)
+        if still_live:
+            # the postings swap never landed: nothing was destroyed,
+            # the plan's totals are void — the rerun recomputes
+            os.remove(plan_path)
+            return
+    if _has_snapshots(path):
+        _retire_surface_dir(path, os.path.join(path, STATS_SUBDIR),
+                            STATS_SUBDIR)
+    (spark.createDataFrame(
+        [("vacuum", int(plan["n_docs"]), int(plan["sum_dl"]))],
+        "batch_id string, n_docs bigint, sum_dl bigint")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, STATS_SUBDIR)))
+    if _has_snapshots(path):
+        _retire_surface_dir(path, os.path.join(path, TOMBSTONES_SUBDIR),
+                            TOMBSTONES_SUBDIR)
+    else:
+        shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
+                      ignore_errors=True)
+    os.remove(plan_path)
 
 
 @single_writer
@@ -435,9 +497,11 @@ def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
     table = f"{prefix}_postings"
     _require_bucketed_table(spark, table, num_buckets, path,
                             "lexical_index_build", POSTINGS_SUBDIR)
+    _recover_vacuum_plan(spark, prefix, path, num_buckets)
     tomb = tombstone_ids(spark, path)
     if tomb is None:
         return {"reclaimed_docs": 0, "reclaimed_postings": 0}
+    import json
     import shutil
 
     # Reconcile BEFORE the swap, from the live postings: per-doc dl
@@ -454,6 +518,15 @@ def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
     old = (spark.read.parquet(os.path.join(path, STATS_SUBDIR))
            .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
            .head())
+    # Intent plan (absolute consolidated totals) BEFORE the first
+    # destructive step — see _recover_vacuum_plan for the two crash
+    # modes this closes.
+    plan_path = os.path.join(path, VACUUM_PLAN_FILE)
+    tmp = plan_path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"n_docs": int(old["n"]) - n_dead,
+                   "sum_dl": int(old["s"]) - dl_dead}, fh)
+    os.replace(tmp, plan_path)
     live = (spark.table(table)
             .join(F.broadcast(tomb), "doc_id", "left_anti"))
     _compact_bucketed_table(
@@ -480,6 +553,7 @@ def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
     else:
         shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
                       ignore_errors=True)
+    os.remove(plan_path)
     return {"reclaimed_docs": n_dead, "reclaimed_postings": n_postings}
 
 
@@ -657,6 +731,7 @@ def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
     # overwrite this path with another index's rows
     _require_bucketed_table(spark, table, num_buckets, path,
                             "lexical_index_build", POSTINGS_SUBDIR)
+    _recover_vacuum_plan(spark, prefix, path, num_buckets)
     return _compact_bucketed_table(
         spark, table, path, POSTINGS_SUBDIR, "tok", num_buckets,
         parallelism,
@@ -1222,6 +1297,7 @@ def lexical_index_snapshot(spark: SparkSession, prefix: str, path: str,
     _require_bucketed_table(spark, f"{prefix}_postings", num_buckets,
                             path, "lexical_index_build",
                             POSTINGS_SUBDIR)
+    _recover_vacuum_plan(spark, prefix, path, num_buckets)
     _recover_swap_residue(spark, f"{prefix}_postings", path,
                           POSTINGS_SUBDIR, _postings_retire(path))
     return _take_snapshot(path, _SNAP_SURFACES, num_buckets, note)
@@ -1264,6 +1340,7 @@ def lexical_index_restore(spark: SparkSession, prefix: str, path: str,
     table = f"{prefix}_postings"
     _require_bucketed_table(spark, table, num_buckets, path,
                             "lexical_index_build", POSTINGS_SUBDIR)
+    _recover_vacuum_plan(spark, prefix, path, num_buckets)
     _recover_swap_residue(spark, table, path, POSTINGS_SUBDIR,
                           _postings_retire(path))
     man = _read_snapshot(path, snapshot_id)

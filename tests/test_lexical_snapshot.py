@@ -293,3 +293,62 @@ def test_failed_restore_leaves_live_state_untouched(spark):
     after = sorted(glob.glob(os.path.join(path, "*", "*.parquet")))
     assert before == after  # no half-restore: zero files moved
     assert _probe(spark, prefix, path) == probe_live
+
+
+# ---- vacuum intent plan (r13): stats reconciliation survives crashes
+
+
+def _vacuum_crash(spark, prefix, path, when):
+    """Run lexical_index_vacuum but crash `when` ∈ {'before_swap',
+    'after_swap'} relative to the postings compact-swap."""
+    import jcf_nb_migration_spark.io.lexical as L
+
+    real = L._compact_bucketed_table
+
+    def exploding(*a, **k):
+        if when == "before_swap":
+            raise RuntimeError("injected crash before the swap")
+        out = real(*a, **k)
+        raise RuntimeError("injected crash after the swap")
+
+    L._compact_bucketed_table = exploding
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            lexical_index_vacuum(spark, prefix, path, num_buckets=4)
+    finally:
+        L._compact_bucketed_table = real
+
+
+@pytest.mark.parametrize("when", ["before_swap", "after_swap"])
+def test_vacuum_crash_then_rerun_matches_fresh_build(spark, when):
+    """The regression: a crash AFTER the postings swap but before the
+    stats rewrite left the corpus totals counting the reclaimed
+    documents forever — the rerun found no dead postings, subtracted
+    nothing, and cleared the tombstones. The intent plan (absolute
+    consolidated totals, published before the first destructive step)
+    makes the rerun finish the reconciliation; a crash BEFORE the
+    swap must instead void the plan and recompute."""
+    from jcf_nb_migration_spark.io.lexical import VACUUM_PLAN_FILE
+
+    path = _mk(f"plan_{when}")
+    prefix = f"vplan{when.replace('_', '')}"
+    lexical_index_build(_toks(spark, BASE_DOCS), prefix, path,
+                        num_buckets=4)
+    lexical_index_delete(spark, prefix, path, [2, 3], num_buckets=4,
+                         batch_id="d1")
+    _vacuum_crash(spark, prefix, path, when)
+    assert os.path.isfile(os.path.join(path, VACUUM_PLAN_FILE))
+
+    stats = lexical_index_vacuum(spark, prefix, path, num_buckets=4)
+    assert not os.path.isfile(os.path.join(path, VACUUM_PLAN_FILE))
+    if when == "before_swap":
+        assert stats["reclaimed_docs"] == 2  # nothing was lost: rerun
+        #   recomputed the reconciliation from intact postings
+
+    # post-recovery scoring must equal a fresh build over survivors
+    ref_path = _mk(f"planref_{when}")
+    survivors = [d for d in BASE_DOCS if d[0] not in (2, 3)]
+    lexical_index_build(_toks(spark, survivors), f"vref{when[:3]}",
+                        ref_path, num_buckets=4)
+    assert _probe(spark, prefix, path) == _probe(
+        spark, f"vref{when[:3]}", ref_path)
