@@ -361,8 +361,9 @@ def docstore_restore(spark: SparkSession, prefix: str, path: str,
     table = f"{prefix}_docs"
     _require_bucketed_table(spark, table, num_buckets, path,
                             "docstore_build", DOCS_SUBDIR)
-    _recover_cow_residue(path)  # restore's two-place moves assume
-    #   every basename is in exactly one of docs/ and _history/
+    _recover_cow_residue(path, spark, table)  # restore's two-place
+    #   moves assume every basename is in exactly one of docs/ and
+    #   _history/
     man = _read_manifest(path, version)
     target = set(man["files"])
     data_dir = os.path.join(path, DOCS_SUBDIR)
@@ -601,8 +602,8 @@ def docstore_compact(spark: SparkSession, prefix: str, path: str,
     # overwrite this path with another store's rows
     _require_bucketed_table(spark, table, num_buckets, path,
                             "docstore_build", DOCS_SUBDIR)
-    _recover_cow_residue(path)  # a half-swapped COW must not feed the
-    #   compactor a live dir with its touched buckets moved aside
+    _recover_cow_residue(path, spark, table)  # a half-swapped COW must
+    #   not feed the compactor a live dir with touched buckets aside
     n = _compact_bucketed_table(
         spark, table, path, DOCS_SUBDIR, "doc_id", num_buckets,
         parallelism,
@@ -656,7 +657,8 @@ def _touched_buckets(ids_frame: DataFrame, num_buckets: int) -> set:
     return {r["b"] for r in rows}
 
 
-def _recover_cow_residue(path: str) -> None:
+def _recover_cow_residue(path: str, spark: SparkSession | None = None,
+                         table: str | None = None) -> None:
     """Fold crash residue from a prior file-level COW swap back into a
     consistent live table. The swap publishes an intent log
     (``docs.cowswap.json``) atomically before its first rename, so
@@ -673,7 +675,11 @@ def _recover_cow_residue(path: str) -> None:
       data (some manifest references them): retire to history, never
       destroy.
     - no plan, ``.cowstage`` present: the crash predates the first
-      rename — nothing moved; the caller discards the stage."""
+      rename — nothing moved; the caller discards the stage.
+
+    When ``spark``/``table`` are given and a plan was replayed, the
+    table's cached file listing is refreshed — the completion moved
+    files the catalog may still reference at their old location."""
     import json
     import shutil
 
@@ -682,8 +688,18 @@ def _recover_cow_residue(path: str) -> None:
     old_dir = data_dir.rstrip("/") + ".cowold"
     plan_path = data_dir.rstrip("/") + ".cowswap.json"
     if os.path.isfile(plan_path):
-        with open(plan_path) as fh:
-            plan = json.load(fh)  # atomically published: always whole
+        try:
+            with open(plan_path) as fh:
+                plan = json.load(fh)
+        except ValueError as exc:
+            # published with flush+fsync+rename, so a torn plan means
+            # external interference — name the file instead of
+            # bricking every entry point with a bare JSONDecodeError
+            raise RuntimeError(
+                f"corrupt COW swap plan at {plan_path}: {exc}; "
+                "inspect docs/, docs.cowstage and docs.cowold, "
+                "reconcile manually, then delete the plan file"
+            ) from exc
         os.makedirs(old_dir, exist_ok=True)
         for f in plan["old"]:
             src = os.path.join(data_dir, f)
@@ -696,6 +712,8 @@ def _recover_cow_residue(path: str) -> None:
         shutil.rmtree(staging, ignore_errors=True)
         _retire_files(path, old_dir)
         os.remove(plan_path)
+        if spark is not None and table is not None:
+            spark.sql(f"REFRESH TABLE {table}")
     elif os.path.isdir(old_dir):
         _retire_files(path, old_dir)
 
@@ -740,7 +758,7 @@ def _rewrite_touched_buckets(spark: SparkSession, table: str,
     data_dir = os.path.join(path, DOCS_SUBDIR)
     staging = data_dir.rstrip("/") + ".cowstage"
     old_dir = data_dir.rstrip("/") + ".cowold"
-    _recover_cow_residue(path)
+    _recover_cow_residue(path, spark, table)
     shutil.rmtree(staging, ignore_errors=True)
     old_files = [f for f in os.listdir(data_dir)
                  if f.endswith(".parquet")
@@ -770,6 +788,9 @@ def _rewrite_touched_buckets(spark: SparkSession, table: str,
     with open(tmp, "w") as fh:
         json.dump({"old": sorted(old_files), "staged": staged_files},
                   fh)
+        fh.flush()
+        os.fsync(fh.fileno())  # the plan gates a destructive swap: a
+        #   rename durable before its data would strand a torn plan
     os.replace(tmp, plan_path)
     os.makedirs(old_dir, exist_ok=True)
     for f in old_files:

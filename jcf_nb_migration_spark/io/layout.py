@@ -368,6 +368,9 @@ def ivf_index_append(new_emb: DataFrame, centroids, path: str,
     into effectively-once for this sink."""
     from jcf_nb_migration_spark.functions.similarity import ivf_assign
 
+    _recover_epoch_residue(path)  # an append into a cluster dir that a
+    #   crashed vacuum parked in _swap_old would recreate the live dir
+    #   and make later recovery dispose the parked (only) copy
     marker, skip = _ledger_skip(path, batch_id)
     if skip:
         return False  # replayed delivery: already appended
@@ -438,6 +441,10 @@ def ivf_index_maintain(spark, path: str, centroids,
     import os
     import shutil
 
+    _recover_epoch_residue(path)  # BEFORE any read: a cluster parked
+    #   by a crashed vacuum is invisible to the scans below — a
+    #   rebuild staged without it would drop the cluster from the new
+    #   epoch entirely
     report = ivf_centroid_drift(spark, path, centroids,
                                 min_mean_cos, vec_col).collect()
     if not any(r["retrain"] for r in report):
@@ -586,6 +593,8 @@ def ivfadc_index_append(new_emb: DataFrame, centroids, books, path: str,
         # silently de-sensitize the retrain trigger.
         raise ValueError("batch_id 'base' is reserved for the build's "
                          "baseline quant stats")
+    _recover_epoch_residue(path)  # same parked-cluster hazard as
+    #   ivf_index_append
     marker, skip = _ledger_skip(path, batch_id)
     if skip:
         return False  # replayed delivery: already appended
@@ -666,6 +675,8 @@ def ivfadc_index_maintain(spark, path: str, emb: DataFrame, centroids,
 
     from jcf_nb_migration_spark.functions.similarity import pq_train
 
+    _recover_epoch_residue(path)  # as in ivf_index_maintain: the
+    #   rebuild below must see clusters a crashed vacuum parked
     report = ivfadc_quant_drift(spark, path, rel_threshold).collect()
     if not any(r["retrain"] for r in report):
         return False, books
@@ -728,6 +739,7 @@ def ivf_index_delete(spark, path: str, vec_ids,
     ids = sorted({int(i) for i in vec_ids})
     if not ids:
         return False
+    _recover_epoch_residue(path)
     marker, skip = _ledger_skip(
         path, None if batch_id is None else f"vdel-{batch_id}")
     if skip:
@@ -1107,8 +1119,21 @@ def ivf_index_snapshot(spark, path: str, centroids=None,
 def ivf_index_snapshots(spark, path: str):
     """The vector index's commit-point log as a frame: one row per
     live snapshot (id, note, file count, whether centroids were
-    captured)."""
-    _recover_epoch_residue(path)
+    captured).
+
+    This lister is not a writer, so recovery (which MOVES files) runs
+    only if the writer lock is free — recovering while a live vacuum
+    is mid-swap would rmtree its staging and turn the rest of its
+    touched-cluster loop into disposals. With a live writer, skip:
+    that writer already ran recovery at its own entry."""
+    from jcf_nb_migration_spark.io.locking import (ConcurrentWriterError,
+                                                   writer_lock)
+
+    try:
+        with writer_lock(path, "snapshots_list_recovery"):
+            _recover_epoch_residue(path)
+    except ConcurrentWriterError:
+        pass
     rows = []
     for sid in _vec_list_snapshots(path):
         m = _vec_read_snapshot(path, sid)

@@ -319,7 +319,7 @@ def lexical_index_append(new_toks: DataFrame, prefix: str, path: str,
     table = f"{prefix}_postings"
     _require_bucketed_table(spark, table, num_buckets, path,
                             "lexical_index_build", POSTINGS_SUBDIR)
-    _recover_vacuum_plan(spark, prefix, path, num_buckets)
+    _recover_vacuum_plan(spark, prefix, path)
     from jcf_nb_migration_spark.io.layout import (_ledger_commit,
                                                   _ledger_skip)
 
@@ -391,7 +391,7 @@ def lexical_index_delete(spark: SparkSession, prefix: str, path: str,
     _require_bucketed_table(spark, f"{prefix}_postings", num_buckets,
                             path, "lexical_index_build",
                             POSTINGS_SUBDIR)
-    _recover_vacuum_plan(spark, prefix, path, num_buckets)
+    _recover_vacuum_plan(spark, prefix, path)
     bad = [i for i in doc_ids
            if isinstance(i, bool) or not isinstance(i, numbers.Integral)]
     if bad:
@@ -417,8 +417,36 @@ def lexical_index_delete(spark: SparkSession, prefix: str, path: str,
 VACUUM_PLAN_FILE = "_vacuum_plan.json"
 
 
-def _recover_vacuum_plan(spark: SparkSession, prefix: str, path: str,
-                         num_buckets: int) -> None:
+def _finalize_vacuum(spark: SparkSession, path: str,
+                     n_docs: int, sum_dl: int) -> None:
+    """The vacuum's finalization, shared verbatim by the normal path
+    and the crash-recovery replay so the two can never drift: retire
+    (under snapshots) and rewrite the consolidated stats row with the
+    ABSOLUTE totals, clear the tombstones, drop the intent plan.
+    Idempotent — absolute totals re-apply to the same state."""
+    import shutil
+
+    if _has_snapshots(path):
+        _retire_surface_dir(path, os.path.join(path, STATS_SUBDIR),
+                            STATS_SUBDIR)
+    (spark.createDataFrame(
+        [("vacuum", int(n_docs), int(sum_dl))],
+        "batch_id string, n_docs bigint, sum_dl bigint")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(os.path.join(path, STATS_SUBDIR)))
+    if _has_snapshots(path):
+        _retire_surface_dir(path, os.path.join(path, TOMBSTONES_SUBDIR),
+                            TOMBSTONES_SUBDIR)
+    else:
+        shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
+                      ignore_errors=True)
+    plan_path = os.path.join(path, VACUUM_PLAN_FILE)
+    if os.path.isfile(plan_path):
+        os.remove(plan_path)
+
+
+def _recover_vacuum_plan(spark: SparkSession, prefix: str,
+                         path: str) -> None:
     """Finish a crashed lexical_index_vacuum from its intent plan.
 
     The vacuum's stats reconciliation (n_dead, dl_dead) is computed
@@ -440,10 +468,18 @@ def _recover_vacuum_plan(spark: SparkSession, prefix: str, path: str,
     if not os.path.isfile(plan_path):
         return
     import json
-    import shutil
 
-    with open(plan_path) as fh:
-        plan = json.load(fh)
+    try:
+        with open(plan_path) as fh:
+            plan = json.load(fh)
+    except ValueError as exc:
+        # published with flush+fsync+rename — a torn plan means
+        # external interference; name it instead of bricking every
+        # entry point with a bare JSONDecodeError
+        raise RuntimeError(
+            f"corrupt vacuum plan at {plan_path}: {exc}; inspect the "
+            "postings/stats/tombstone surfaces, reconcile manually, "
+            "then delete the plan file") from exc
     table = f"{prefix}_postings"
     _recover_swap_residue(spark, table, path, POSTINGS_SUBDIR,
                           _postings_retire(path))
@@ -457,21 +493,7 @@ def _recover_vacuum_plan(spark: SparkSession, prefix: str, path: str,
             # the plan's totals are void — the rerun recomputes
             os.remove(plan_path)
             return
-    if _has_snapshots(path):
-        _retire_surface_dir(path, os.path.join(path, STATS_SUBDIR),
-                            STATS_SUBDIR)
-    (spark.createDataFrame(
-        [("vacuum", int(plan["n_docs"]), int(plan["sum_dl"]))],
-        "batch_id string, n_docs bigint, sum_dl bigint")
-     .coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(path, STATS_SUBDIR)))
-    if _has_snapshots(path):
-        _retire_surface_dir(path, os.path.join(path, TOMBSTONES_SUBDIR),
-                            TOMBSTONES_SUBDIR)
-    else:
-        shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
-                      ignore_errors=True)
-    os.remove(plan_path)
+    _finalize_vacuum(spark, path, plan["n_docs"], plan["sum_dl"])
 
 
 @single_writer
@@ -497,12 +519,11 @@ def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
     table = f"{prefix}_postings"
     _require_bucketed_table(spark, table, num_buckets, path,
                             "lexical_index_build", POSTINGS_SUBDIR)
-    _recover_vacuum_plan(spark, prefix, path, num_buckets)
+    _recover_vacuum_plan(spark, prefix, path)
     tomb = tombstone_ids(spark, path)
     if tomb is None:
         return {"reclaimed_docs": 0, "reclaimed_postings": 0}
     import json
-    import shutil
 
     # Reconcile BEFORE the swap, from the live postings: per-doc dl
     # (constant within a doc's postings), counted once per doc.
@@ -526,6 +547,9 @@ def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
     with open(tmp, "w") as fh:
         json.dump({"n_docs": int(old["n"]) - n_dead,
                    "sum_dl": int(old["s"]) - dl_dead}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())  # gates a destructive swap: a rename
+        #   durable before its data would strand a torn plan
     os.replace(tmp, plan_path)
     live = (spark.table(table)
             .join(F.broadcast(tomb), "doc_id", "left_anti"))
@@ -535,25 +559,11 @@ def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
         lambda: lexical_index_attach(spark, prefix, path, num_buckets),
         frame=live, retire=_postings_retire(path))
     # Under snapshots the sidecars COW-retire like the postings: the
-    # stats rows being replaced and the tombstones being cleared are
-    # exactly what a commit point's scoring state consists of.
-    if _has_snapshots(path):
-        _retire_surface_dir(path, os.path.join(path, STATS_SUBDIR),
-                            STATS_SUBDIR)
-    # One consolidated stats row replacing the whole sidecar; the
-    # epoch tag makes post-vacuum artifacts self-describing.
-    (spark.createDataFrame(
-        [("vacuum", int(old["n"]) - n_dead, int(old["s"]) - dl_dead)],
-        "batch_id string, n_docs bigint, sum_dl bigint")
-     .coalesce(1).write.mode("overwrite")
-     .parquet(os.path.join(path, STATS_SUBDIR)))
-    if _has_snapshots(path):
-        _retire_surface_dir(path, os.path.join(path, TOMBSTONES_SUBDIR),
-                            TOMBSTONES_SUBDIR)
-    else:
-        shutil.rmtree(os.path.join(path, TOMBSTONES_SUBDIR),
-                      ignore_errors=True)
-    os.remove(plan_path)
+    # consolidated stats row and the tombstone clear are the shared
+    # finalizer — identical to the crash-recovery replay by
+    # construction (one code path, zero drift).
+    _finalize_vacuum(spark, path, int(old["n"]) - n_dead,
+                     int(old["s"]) - dl_dead)
     return {"reclaimed_docs": n_dead, "reclaimed_postings": n_postings}
 
 
@@ -731,7 +741,7 @@ def lexical_index_compact(spark: SparkSession, prefix: str, path: str,
     # overwrite this path with another index's rows
     _require_bucketed_table(spark, table, num_buckets, path,
                             "lexical_index_build", POSTINGS_SUBDIR)
-    _recover_vacuum_plan(spark, prefix, path, num_buckets)
+    _recover_vacuum_plan(spark, prefix, path)
     return _compact_bucketed_table(
         spark, table, path, POSTINGS_SUBDIR, "tok", num_buckets,
         parallelism,
@@ -1297,7 +1307,7 @@ def lexical_index_snapshot(spark: SparkSession, prefix: str, path: str,
     _require_bucketed_table(spark, f"{prefix}_postings", num_buckets,
                             path, "lexical_index_build",
                             POSTINGS_SUBDIR)
-    _recover_vacuum_plan(spark, prefix, path, num_buckets)
+    _recover_vacuum_plan(spark, prefix, path)
     _recover_swap_residue(spark, f"{prefix}_postings", path,
                           POSTINGS_SUBDIR, _postings_retire(path))
     return _take_snapshot(path, _SNAP_SURFACES, num_buckets, note)
@@ -1340,7 +1350,7 @@ def lexical_index_restore(spark: SparkSession, prefix: str, path: str,
     table = f"{prefix}_postings"
     _require_bucketed_table(spark, table, num_buckets, path,
                             "lexical_index_build", POSTINGS_SUBDIR)
-    _recover_vacuum_plan(spark, prefix, path, num_buckets)
+    _recover_vacuum_plan(spark, prefix, path)
     _recover_swap_residue(spark, table, path, POSTINGS_SUBDIR,
                           _postings_retire(path))
     man = _read_snapshot(path, snapshot_id)

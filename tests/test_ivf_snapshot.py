@@ -378,3 +378,88 @@ def test_failed_restore_leaves_live_state_untouched(spark, tmp_path):
         ivf_index_restore(spark, path, s0)
     assert _vec_rel_parquet(path) == before  # zero files moved
     assert _probe(spark, path, centroids, pvec) == probe_live
+
+
+def test_maintain_recovers_parked_cluster_before_rebuild(spark, tmp_path):
+    """A cluster parked by a crashed vacuum is invisible to scans; if
+    maintain read its rebuild input before recovery, the new epoch
+    would be staged WITHOUT that cluster and the swap would discard
+    the only copy. Recovery must run at maintain entry."""
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_mnt")
+    n = emb.count()
+    victims = [r[0] for r in _probe(spark, path, centroids, pvec)[:1]]
+    ivf_index_delete(spark, path, victims, batch_id=1)
+    _vacuum_crash_between_renames(spark, path, keep_staging_success=True)
+    # no drift -> maintain returns False, but entry recovery must have
+    # healed the parked cluster first
+    rebuilt, _ = ivf_index_maintain(spark, path, centroids,
+                                    min_mean_cos=-1.0)
+    assert rebuilt is False
+    live = spark.read.parquet(path)
+    assert live.count() == n - len(victims)
+    assert live.where(F.col("vec_id").isin(victims)).count() == 0
+
+
+def test_append_recovers_parked_cluster_first(spark, tmp_path):
+    """An append that lands in a parked cluster would recreate the
+    live dir and make later recovery dispose the parked (only) copy —
+    append must recover at entry, before any file lands."""
+    from jcf_nb_migration_spark.io.layout import VEC_SWAP_OLD_SUBDIR
+
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_app")
+    n = emb.count()
+    victims = [r[0] for r in _probe(spark, path, centroids, pvec)[:1]]
+    ivf_index_delete(spark, path, victims, batch_id=1)
+    cid, _ = _vacuum_crash_between_renames(
+        spark, path, keep_staging_success=True)
+    batch = spark.createDataFrame(
+        [(10_000_000 + i, [float(i)] * 8) for i in range(4)],
+        "vec_id bigint, embedding array<double>")
+    assert ivf_index_append(batch, centroids, path, batch_id=2)
+    assert not os.path.isdir(
+        os.path.join(path, VEC_SWAP_OLD_SUBDIR, f"cluster={cid}"))
+    live = spark.read.parquet(path)
+    # survivors + appended batch; nothing from the parked copy lost
+    assert live.count() == n - len(victims) + 4
+    assert live.where(F.col("vec_id").isin(victims)).count() == 0
+
+
+def test_snapshots_lister_skips_recovery_under_live_writer(spark,
+                                                           tmp_path):
+    """ivf_index_snapshots is an unlocked reader: when a live writer
+    holds the layout (e.g. a vacuum mid-swap), it must NOT run
+    recovery (which moves files and rmtrees the writer's staging) —
+    and must not raise either."""
+    from jcf_nb_migration_spark.io.layout import VEC_SWAP_OLD_SUBDIR
+    from jcf_nb_migration_spark.io.locking import writer_lock
+
+    emb, centroids, path, pvec = _fixture(spark, tmp_path, "ivf_list")
+    ivf_index_snapshot(spark, path, centroids=centroids)
+    victims = [r[0] for r in _probe(spark, path, centroids, pvec)[:1]]
+    ivf_index_delete(spark, path, victims, batch_id=1)
+    cid, _ = _vacuum_crash_between_renames(
+        spark, path, keep_staging_success=True)
+    parked = os.path.join(path, VEC_SWAP_OLD_SUBDIR, f"cluster={cid}")
+    import threading
+
+    held = threading.Event()
+    release = threading.Event()
+
+    def writer():
+        with writer_lock(path, "simulated-vacuum"):
+            held.set()
+            release.wait(20)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    assert held.wait(10)
+    try:
+        rows = ivf_index_snapshots(spark, path).collect()  # no raise
+        assert len(rows) == 1
+        assert os.path.isdir(parked)  # residue untouched under writer
+    finally:
+        release.set()
+        t.join(20)
+    # lock free: the lister may now recover
+    ivf_index_snapshots(spark, path).collect()
+    assert not os.path.isdir(parked)
