@@ -87,17 +87,18 @@ def brute_force_topk_pandas(emb: DataFrame, probe: DataFrame, k: int = 10,
     import numpy as np
     import pandas as pd
 
+    from jcf_nb_migration_spark.localrel import local_df
     from jcf_nb_migration_spark.registry import spread
 
     out_schema = "neighbor_id long, cos_sim double"
     head = probe.select(vec_col).head(1)
     if not head or head[0][0] is None:
         # empty/NULL probe: empty result with the declared schema
-        return emb.sparkSession.createDataFrame([], out_schema)
+        return local_df(emb.sparkSession, [], out_schema)
     pvec = np.asarray(head[0][0], dtype=np.float64)
     pnorm = float(np.sqrt(pvec @ pvec))
     if pnorm == 0.0:  # zero-norm probe: every cosine is undefined
-        return emb.sparkSession.createDataFrame([], out_schema)
+        return local_df(emb.sparkSession, [], out_schema)
     sess = emb.sparkSession
     bpvec = sess.sparkContext.broadcast(pvec)
 

@@ -54,6 +54,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jcf_nb_migration_spark.localrel import local_df
+
 from jcf_nb_migration_spark.io.lexical import (
     _IDENT,
     _check_meta,
@@ -261,9 +263,9 @@ def docstore_history(spark: SparkSession, path: str) -> DataFrame:
     rows = [(m["version"], m["op"], m["batch_id"], len(m["files"]))
             for m in (_read_manifest(path, v)
                       for v in _list_manifests(path))]
-    return spark.createDataFrame(
-        rows, "version bigint, op string, batch_id string, "
-              "n_files bigint")
+    return local_df(
+        spark, rows, "version bigint, op string, batch_id string, "
+                     "n_files bigint")
 
 
 def docstore_as_of(spark: SparkSession, prefix: str, path: str,
@@ -279,7 +281,7 @@ def docstore_as_of(spark: SparkSession, prefix: str, path: str,
     _checked_prefix(prefix)  # same identifier hygiene as the table API
     man = _read_manifest(path, version)
     if not man["files"]:
-        return spark.createDataFrame([], man["columns"])
+        return local_df(spark, [], man["columns"])
     data_dir = os.path.join(path, DOCS_SUBDIR)
     hist = os.path.join(path, HISTORY_SUBDIR)
     paths = []
@@ -768,7 +770,7 @@ def _rewrite_touched_buckets(spark: SparkSession, table: str,
         cur = spark.read.schema(schema).parquet(
             *[os.path.join(data_dir, f) for f in old_files])
     else:
-        cur = spark.createDataFrame([], schema)
+        cur = local_df(spark, [], schema)
     stage_table = f"{table}_cowstage"
     spark.sql(f"DROP TABLE IF EXISTS {stage_table}")
     # coalesce(1): one file per touched bucket; the staged volume is
@@ -889,8 +891,7 @@ def docstore_delete(spark: SparkSession, prefix: str, path: str,
         path, None if batch_id is None else f"cowdel-{batch_id}")
     if skip:
         return False
-    ids_frame = spark.createDataFrame([(i,) for i in ids],
-                                      "doc_id bigint")
+    ids_frame = local_df(spark, [(i,) for i in ids], "doc_id bigint")
     touched = _touched_buckets(ids_frame, num_buckets)
     _rewrite_touched_buckets(
         spark, table, path, num_buckets, touched,

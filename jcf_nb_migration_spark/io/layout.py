@@ -31,6 +31,8 @@ import os
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from jcf_nb_migration_spark.localrel import local_df
+
 
 def cluster_write(df: DataFrame, path: str, cluster_cols: list[str],
                   num_files: int | None = None,
@@ -221,8 +223,8 @@ def ivfadc_index_probe(spark, path: str, centroids, books,
     ranked = sorted(((-_py_cosine(pv, cvec), cid) for cid, cvec in rows))
     shortlist = [cid for _, cid in ranked[:nprobe]]
     cvec_by_id = dict(rows)
-    pres = spark.createDataFrame(
-        [(cid, [a - b for a, b in zip(pv, cvec_by_id[cid])])
+    pres = local_df(
+        spark, [(cid, [a - b for a, b in zip(pv, cvec_by_id[cid])])
          for cid in shortlist],
         "cluster bigint, prvec array<double>")
     idx = spark.read.parquet(path).where(F.col("cluster").isin(shortlist))
@@ -400,8 +402,8 @@ def ivf_centroid_drift(spark, path: str, centroids,
     from jcf_nb_migration_spark.functions import similarity as S
 
     rows = S._centroid_rows(centroids)
-    cent = spark.createDataFrame(
-        [(int(cid), [float(x) for x in cvec]) for cid, cvec in rows],
+    cent = local_df(
+        spark, [(int(cid), [float(x) for x in cvec]) for cid, cvec in rows],
         "cluster bigint, cvec array<double>")
     idx = (spark.read.parquet(path)
            .withColumn("cluster", F.col("cluster").cast("bigint")))
@@ -486,8 +488,8 @@ def _residuals_frame(emb: DataFrame, centroids,
 
     rows = S._centroid_rows(centroids)
     assigned = S.ivf_assign(emb, rows, id_col, vec_col)
-    cent = emb.sparkSession.createDataFrame(
-        [(cid, [float(x) for x in cvec]) for cid, cvec in rows],
+    cent = local_df(
+        emb.sparkSession, [(cid, [float(x) for x in cvec]) for cid, cvec in rows],
         "cluster bigint, c_vec array<double>")
     return (assigned.join(F.broadcast(cent), "cluster")
             .select(id_col, "cluster",
@@ -744,7 +746,7 @@ def ivf_index_delete(spark, path: str, vec_ids,
         path, None if batch_id is None else f"vdel-{batch_id}")
     if skip:
         return False
-    (spark.createDataFrame([(i,) for i in ids], "vec_id bigint")
+    (local_df(spark, [(i,) for i in ids], "vec_id bigint")
      .coalesce(1).write.mode("append")
      .parquet(os.path.join(path, VEC_TOMBSTONES_SUBDIR)))
     _ledger_commit(marker)
@@ -1139,8 +1141,8 @@ def ivf_index_snapshots(spark, path: str):
         m = _vec_read_snapshot(path, sid)
         rows.append((sid, m.get("note", ""), len(m["files"]),
                      m.get("centroids") is not None))
-    return spark.createDataFrame(
-        rows or [(None, None, None, None)],
+    return local_df(
+        spark, rows or [(None, None, None, None)],
         "snapshot int, note string, n_files int, has_centroids boolean"
     ).where(F.col("snapshot").isNotNull())
 

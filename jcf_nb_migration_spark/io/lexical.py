@@ -61,6 +61,8 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jcf_nb_migration_spark.localrel import local_df
+
 STATS_SUBDIR = "stats"
 POSTINGS_SUBDIR = "postings"
 TOMBSTONES_SUBDIR = "tombstones"
@@ -407,7 +409,7 @@ def lexical_index_delete(spark: SparkSession, prefix: str, path: str,
         path, None if batch_id is None else f"del-{batch_id}")
     if skip:
         return False
-    (spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    (local_df(spark, [(i,) for i in ids], "doc_id bigint")
      .coalesce(1).write.mode("append")
      .parquet(os.path.join(path, TOMBSTONES_SUBDIR)))
     _ledger_commit(marker)
@@ -429,8 +431,8 @@ def _finalize_vacuum(spark: SparkSession, path: str,
     if _has_snapshots(path):
         _retire_surface_dir(path, os.path.join(path, STATS_SUBDIR),
                             STATS_SUBDIR)
-    (spark.createDataFrame(
-        [("vacuum", int(n_docs), int(sum_dl))],
+    (local_df(
+        spark, [("vacuum", int(n_docs), int(sum_dl))],
         "batch_id string, n_docs bigint, sum_dl bigint")
      .coalesce(1).write.mode("overwrite")
      .parquet(os.path.join(path, STATS_SUBDIR)))
@@ -1043,7 +1045,7 @@ def positional_index_delete(spark: SparkSession, prefix: str,
         path, None if batch_id is None else f"del-{batch_id}")
     if skip:
         return False
-    (spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+    (local_df(spark, [(i,) for i in ids], "doc_id bigint")
      .coalesce(1).write.mode("append")
      .parquet(os.path.join(path, TOMBSTONES_SUBDIR)))
     _ledger_commit(marker)
@@ -1324,8 +1326,8 @@ def lexical_index_snapshots(spark: SparkSession, path: str) -> DataFrame:
                      len(m["files"][POSTINGS_SUBDIR]),
                      len(m["files"][STATS_SUBDIR]),
                      len(m["files"][TOMBSTONES_SUBDIR])))
-    return spark.createDataFrame(
-        rows or [(None, None, None, None, None)],
+    return local_df(
+        spark, rows or [(None, None, None, None, None)],
         "snapshot int, note string, n_postings_files int, "
         "n_stats_files int, n_tombstone_files int"
     ).where(F.col("snapshot").isNotNull())

@@ -67,6 +67,8 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from jcf_nb_migration_spark.localrel import local_df
+
 DATA_SUBDIR = "data"
 MANIFESTS_SUBDIR = "_zmanifests"
 VERSIONS_SUBDIR = "_zversions"
@@ -433,9 +435,9 @@ def zorder_history(spark: SparkSession, path: str) -> DataFrame:
         man = _read_version(path, v)
         rows.append((man["version"], man["op"], man["batch_id"],
                      sum(s["n_files"] for s in man["segments"])))
-    return spark.createDataFrame(
-        rows, "version bigint, op string, batch_id string, "
-              "n_files bigint")
+    return local_df(
+        spark, rows, "version bigint, op string, batch_id string, "
+                     "n_files bigint")
 
 
 @single_writer
@@ -522,7 +524,7 @@ def zordered_scan(spark: SparkSession, path: str,
     survivors, _ = _pruned_files(spark, path, ranges, version)
     data_dir = os.path.join(path, DATA_SUBDIR)
     if not survivors:
-        df = spark.createDataFrame([], man["ddl"])
+        df = local_df(spark, [], man["ddl"])
     else:
         df = spark.read.schema(man["ddl"]).parquet(
             *[os.path.join(data_dir, f) for f in survivors])

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions import text as T
+from jcf_nb_migration_spark.localrel import local_df
 from jcf_nb_migration_spark.functions.similarity import (
     cosine, ivf_ann_probe, ivf_assign, ivf_probe_clusters, kmeans_train,
 )
@@ -794,8 +795,8 @@ def ann_snapshot_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  for r in ivf_index_probe(spark, path, centroids, pvec,
                                           k=10, nprobe=2,
                                           exclude_id=0).collect()]
-    live = (spark.createDataFrame(
-        live_rows, "neighbor_id bigint, cluster int, cos_sim double")
+    live = (local_df(
+        spark, live_rows, "neighbor_id bigint, cluster int, cos_sim double")
         .select(F.lit("post_vacuum").alias("state"), "*"))
     ivf_index_restore(spark, path, sid)
     restored = (ivf_index_probe(spark, path, centroids, pvec,

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions.text import tokens
+from jcf_nb_migration_spark.localrel import local_df
 from jcf_nb_migration_spark.registry import query, t
 
 N_ITER = 4
@@ -116,9 +117,9 @@ def logreg_gd_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     int64; a 100 TB corpus would drop to 1e6 units (same mechanism,
     looser grid) or sum in decimal."""
     rows = _cached_training(spark, sf_dir)[1]
-    return spark.createDataFrame(
-        rows, "iter int, n_correct bigint, sse9 bigint, "
-              "w0 double, w1 double, w2 double, w3 double"
+    return local_df(
+        spark, rows, "iter int, n_correct bigint, sse9 bigint, "
+                     "w0 double, w1 double, w2 double, w3 double"
     ).orderBy("iter")
 
 

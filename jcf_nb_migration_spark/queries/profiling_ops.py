@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions.upsert import scd2_merge, upsert
+from jcf_nb_migration_spark.localrel import local_df
 from jcf_nb_migration_spark.queries.text_analysis import _SQL_TOKS
 from jcf_nb_migration_spark.registry import query, spread, sql_dsum, t
 
@@ -962,8 +963,8 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the total broadcast back. The first digit comes from the integer
     part's decimal rendering — identical string semantics in both
     engines for values ≥ 1."""
-    exp = spark.createDataFrame(sorted(BENFORD.items()),
-                                "digit int, expected_share double")
+    exp = local_df(spark, sorted(BENFORD.items()),
+                   "digit int, expected_share double")
     orders = t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
     # floor() explicitly before the BIGINT cast: DuckDB's
     # double::BIGINT ROUNDS while Spark's cast truncates (the

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions import text as T
+from jcf_nb_migration_spark.localrel import local_df
 from jcf_nb_migration_spark.queries.curation_ops import _sql_ngrams
 from jcf_nb_migration_spark.queries.text_analysis import (_sql_hash48,
                                                           _SQL_TOKS)
@@ -1016,7 +1017,7 @@ def doc_fetch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k=10 rows — the request-bounded id list every serving fetch
     # starts from (NOT a corpus collect)
     ranked = [(r["doc_id"], r["bm25"]) for r in hits.collect()]
-    scores = spark.createDataFrame(ranked, "doc_id bigint, bm25 double")
+    scores = local_df(spark, ranked, "doc_id bigint, bm25 double")
     fetched = docstore_fetch(spark, ds_prefix, ds_path,
                              [i for i, _ in ranked])
     return (fetched.join(F.broadcast(scores), "doc_id")
@@ -1137,8 +1138,7 @@ def _maxsim_rescore(spark: SparkSession, dtoks: DataFrame,
     ``short(doc_id, bm25)``. Single-sourced so the ad-hoc and served
     late-interaction queries can never drift apart."""
     temb = dtoks.select("doc_id", *_li_dims(F.col("tok"), "e")).alias("t")
-    qemb = (spark.createDataFrame([(w,) for w in BM25_TERMS],
-                                  "qtok string")
+    qemb = (local_df(spark, [(w,) for w in BM25_TERMS], "qtok string")
             .select("qtok", *_li_dims(F.col("qtok"), "q")).alias("q"))
     dot = sum((F.col(f"q.q{d}") * F.col(f"t.e{d}") for d in range(1, LI_DIM)),
               F.col("q.q0") * F.col("t.e0"))
@@ -1230,7 +1230,7 @@ def late_interaction_served(spark: SparkSession, sf_dir: str) -> DataFrame:
               bm25_probe(spark, f"lexidx_{tag}", lex_path, BM25_TERMS,
                          BM25_K1, BM25_B, k=LI_SHORTLIST)
               .select("doc_id", "bm25").collect()]
-    short = spark.createDataFrame(ranked, "doc_id bigint, bm25 double")
+    short = local_df(spark, ranked, "doc_id bigint, bm25 double")
     fetched = docstore_fetch(spark, f"fwdidx_{tag}", fwd_path,
                              [i for i, _ in ranked])
     dtoks = (fetched.select("doc_id", F.explode("w").alias("tok"))
@@ -1367,8 +1367,8 @@ def docstore_upsert_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.concat(F.lit("v2:"), F.col("text"))
                         .alias("text"),
                        F.lit("v2").alias("lang"), "source", "n_chars"))
-    new_rows = spark.createDataFrame(
-        [(max_id + k, f"new doc {k}", "new", "upsert",
+    new_rows = local_df(
+        spark, [(max_id + k, f"new doc {k}", "new", "upsert",
           len(f"new doc {k}")) for k in UPSERT_NEW],
         "doc_id bigint, text string, lang string, source string, "
         "n_chars bigint")
@@ -1457,7 +1457,7 @@ def bm25_batch_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical_index_build(toks, prefix, path, num_buckets=8)
     qrows = ([(0, w) for w in BM25_TERMS]
              + [(1, w) for w in BATCH_Q2])
-    queries = spark.createDataFrame(qrows, "query_id bigint, tok string")
+    queries = local_df(spark, qrows, "query_id bigint, tok string")
     return bm25_batch_probe(spark, prefix, path, queries,
                             BM25_K1, BM25_B, k=10)
 
@@ -1498,8 +1498,8 @@ def _tt_store(spark: SparkSession, sf_dir: str, subdir: str):
                        F.concat(F.lit("v2:"), F.col("text"))
                         .alias("text"),
                        F.lit("v2").alias("lang")))
-    new_rows = spark.createDataFrame(
-        [(max_id + k, f"new doc {k}", "new") for k in (1, 2)],
+    new_rows = local_df(
+        spark, [(max_id + k, f"new doc {k}", "new") for k in (1, 2)],
         "doc_id bigint, text string, lang string")
     docstore_upsert(updated.unionByName(new_rows), prefix, path,
                     num_buckets=8)

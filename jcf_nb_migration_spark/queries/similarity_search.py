@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions import similarity as S
+from jcf_nb_migration_spark.localrel import local_df
 from jcf_nb_migration_spark.registry import query, t
 
 def _sql_cos(a: str, b: str) -> str:
@@ -867,8 +868,8 @@ def _residual_frame(spark: SparkSession, sf_dir: str):
     emb = t(spark, sf_dir, "embeddings")
     rows = S._centroid_rows(cached_kmeans(emb, sf_dir, 8, 2))
     assigned = S.ivf_assign(emb, rows)
-    cent = spark.createDataFrame(
-        [(cid, vec) for cid, vec in rows],
+    cent = local_df(
+        spark, [(cid, vec) for cid, vec in rows],
         "cluster bigint, c_vec array<double>")
     return (assigned.join(F.broadcast(cent), "cluster")
             .select("vec_id", "cluster",
@@ -1102,8 +1103,8 @@ def ivfadc_residual_multiprobe(spark: SparkSession,
     probe = (emb.where(F.col("vec_id") == 0)
              .select(F.col("embedding").alias("pvec")))
     pshort = S.ivf_probe_clusters(probe, rows, vec_col="pvec", nprobe=2)
-    cent = spark.createDataFrame(
-        [(cid, vec) for cid, vec in rows],
+    cent = local_df(
+        spark, [(cid, vec) for cid, vec in rows],
         "cluster bigint, c_vec array<double>")
     pres = (pshort.join(cent, "cluster")
             .select("cluster",

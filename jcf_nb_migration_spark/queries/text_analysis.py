@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from jcf_nb_migration_spark.functions import dedup as D
 from jcf_nb_migration_spark.functions import text as T
+from jcf_nb_migration_spark.localrel import local_df
 from jcf_nb_migration_spark.registry import query, spread, t
 
 # DuckDB-side token/shingle expressions matching text.tokens /
@@ -254,8 +255,8 @@ def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact's shape."""
     docs = t(spark, sf_dir, "documents")
     merges = T.bpe_train(docs, "text", T.BPE_NUM_MERGES)
-    return spark.createDataFrame(
-        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+    return local_df(
+        spark, [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
         "merge_rank int, lhs string, rhs string")
 
 
