@@ -55,16 +55,43 @@ def events_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(st)
 
 
+def _ephemeral_checkpoint() -> str:
+    """Scratch checkpoint dir for a driven-to-completion verification
+    stream, preferring tmpfs (/dev/shm) over the disk-backed temp dir.
+
+    Every state-store commit fsyncs a delta file per store per shuffle
+    partition per micro-batch — a left-outer interval join runs 4
+    stores × shuffle.partitions × (data batch + watermark batch), and
+    at the ~4 ms/fsync this host's disk measures that is seconds of
+    pure commit overhead for state measured in kilobytes (r13 probe:
+    summed commitTimeMs 59 s + 83 s across two batches). These
+    checkpoints are ephemeral by construction (fresh dir per run,
+    removed after stop); a production stream that needs a durable
+    restart point passes its own ``checkpointLocation`` instead of
+    going through this harness. ``SPARK_GRAFT_STREAM_SCRATCH``
+    overrides the scratch root (e.g. to test the disk path)."""
+    root = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if root is None:
+        root = ("/dev/shm" if os.path.isdir("/dev/shm")
+                else tempfile.gettempdir())
+    return tempfile.mkdtemp(prefix="jcf_stream_ckpt_", dir=root)
+
+
 def run_to_memory(stream_df: DataFrame, name: str,
                   output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion into a memory sink
     and return the sink's content as a batch DataFrame."""
+    import shutil
+
+    ckpt = _ephemeral_checkpoint()
     q = (stream_df.writeStream.outputMode(output_mode)
+         .option("checkpointLocation", ckpt)
          .format("memory").queryName(name).start())
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")  # noqa: S608
 
 
@@ -237,13 +264,18 @@ def foreach_batch_parquet_sink(spark: SparkSession, sf_dir: str,
          .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
         seen.append(batch_id)
 
+    import shutil
+
     st = (events_stream_source(spark, sf_dir)
           .select("event_id", "user_id", "event_type", "value"))
-    q = st.writeStream.foreachBatch(write_batch).start()
+    ckpt = _ephemeral_checkpoint()
+    q = (st.writeStream.option("checkpointLocation", ckpt)
+         .foreachBatch(write_batch).start())
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return seen
 
 
