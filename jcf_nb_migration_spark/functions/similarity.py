@@ -133,7 +133,60 @@ def _centroid_rows(centroids, id_col: str = "vec_id",
     return sorted((int(i), [float(x) for x in v]) for i, v in centroids)
 
 
-def _centroid_sims(vec_col: str,
+def _sql_expr_of(vec: Column | str) -> str:
+    """SQL text for a vector operand: a plain column name is quoted
+    directly; any other Column renders through its unresolved
+    expression's canonical SQL (one py4j call for the whole operand)."""
+    if isinstance(vec, str):
+        if re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", vec):
+            return f"`{vec}`"
+        vec = F.col(vec)
+    return vec._jc.toString()
+
+
+def _sql_dlit(x: float) -> str:
+    """Exact double literal: repr() is the shortest round-trip decimal
+    and Spark's literal parser (Double.parseDouble) is correctly
+    rounded, so the parsed double is bit-identical to ``x``."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite centroid component: {x}")
+    return repr(x) + "D"
+
+
+def _sql_vec_lit(v: list[float]) -> str:
+    return "array(" + ", ".join(_sql_dlit(x) for x in v) + ")"
+
+
+def _sql_as_double(e: str) -> str:
+    # mirrors as_double: transform(vec, x -> cast double)
+    return f"transform({e}, x -> CAST(x AS DOUBLE))"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    # mirrors dot(): zip_with multiply, left-to-right aggregate fold
+    # from a 0.0 double seed — the identical op sequence, so results
+    # are bit-identical (parity pinned in tests/test_ann.py)
+    return (f"aggregate(zip_with({_sql_as_double(a)}, "
+            f"{_sql_as_double(b)}, (x, y) -> x * y), 0D, "
+            f"(acc, v) -> acc + v)")
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (f"({_sql_dot(a, b)} / (SQRT({_sql_dot(a, a)}) * "
+            f"SQRT({_sql_dot(b, b)})))")
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    # mirrors sqdist(): the diff list appears twice, exactly like the
+    # Column tree (dot(d, d) re-casts the already-double diff — a
+    # semantic no-op kept for tree parity)
+    d = (f"zip_with({_sql_as_double(a)}, {_sql_as_double(b)}, "
+         f"(x, y) -> x - y)")
+    return _sql_dot(d, d)
+
+
+def _centroid_sims(vec_col: Column | str,
                    rows: list[tuple[int, list[float]]]) -> Column:
     """array(struct(sim, neg_id)) over the centroid list — the building
     block for narrow argmax/top-n centroid selection. Struct ordering
@@ -141,12 +194,33 @@ def _centroid_sims(vec_col: str,
     via the negated id) — the same tie-break as ORDER BY sim DESC,
     c_id ASC.
 
+    Built as ONE JVM-parsed SQL expression (the lsh_bucket fast-path
+    precedent): the Column formulation spent seconds per call in py4j
+    lambda construction — K centroids × cosine is ~12 K lambda nodes,
+    each a py4j round trip — where the SQL string parses in
+    milliseconds and yields the identical op sequence (bit parity
+    pinned in tests/test_ann.py::test_centroid_sql_fastpath_parity).
+
     Small-K regime only: the centroids are compiled into the expression
     tree as K·dim literals, so analysis/codegen cost grows linearly and
     becomes impractical beyond a few hundred centroids (coarse
     quantization is exactly that regime). For real-IVF centroid counts
     (K in the tens of thousands) use ivf_assign_pandas, which ships the
     centroid matrix as a broadcast variable instead."""
+    v = _sql_expr_of(vec_col)
+    entries = []
+    for cid, cvec in rows:
+        c = _sql_vec_lit(cvec)
+        entries.append(
+            f"named_struct('sim', {_sql_cosine(v, c)}, "
+            f"'neg_id', CAST({-cid} AS BIGINT))")
+    return F.expr("array(" + ", ".join(entries) + ")")
+
+
+def _centroid_sims_columns(vec_col: str,
+                           rows: list[tuple[int, list[float]]]) -> Column:
+    """The original Column-tree formulation of _centroid_sims, kept as
+    the parity reference for the SQL fast path (never on a hot path)."""
     structs = []
     for cid, cvec in rows:
         lit = F.lit([float(x) for x in cvec])  # one literal node
@@ -306,12 +380,27 @@ def sqdist(a: Column, b: Column) -> Column:
     return dot(d, d)
 
 
-def _centroid_dists(vec: Column,
+def _centroid_dists(vec: Column | str,
                     rows: list[tuple[int, list[float]]]) -> Column:
     """array(struct(dist, c_id)) over the centroid list; array_min
     picks (lowest distance, then lowest centroid id) — same tie-break
     as ORDER BY dist ASC, c_id ASC. Small-K literal-tree regime, like
-    _centroid_sims."""
+    _centroid_sims, and built through the same one-shot SQL parse
+    (bit parity with the Column tree pinned in tests/test_ann.py)."""
+    v = _sql_expr_of(vec)
+    entries = []
+    for cid, cvec in rows:
+        c = _sql_vec_lit(cvec)
+        entries.append(
+            f"named_struct('dist', {_sql_sqdist(v, c)}, "
+            f"'c_id', CAST({cid} AS BIGINT))")
+    return F.expr("array(" + ", ".join(entries) + ")")
+
+
+def _centroid_dists_columns(vec: Column,
+                            rows: list[tuple[int, list[float]]]) -> Column:
+    """Original Column-tree _centroid_dists, kept as the parity
+    reference for the SQL fast path (never on a hot path)."""
     structs = []
     for cid, cvec in rows:
         lit = F.lit([float(x) for x in cvec])  # one literal node

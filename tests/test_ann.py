@@ -320,3 +320,33 @@ def test_lsh_bucket_expr_path_matches_column_path(spark):
         S.lsh_bucket(F.col("embedding"), planes).alias("b_col"))
     assert both.where(F.col("b_expr") != F.col("b_col")).count() == 0
     assert both.where(F.col("b_expr").isNull()).count() == 0
+
+
+def test_centroid_sql_fastpath_parity(spark, emb, centroids):
+    """_centroid_sims/_centroid_dists build ONE JVM-parsed SQL
+    expression instead of a K x dim py4j Column tree; the parsed
+    expression must be bit-identical (exact float equality on every
+    sim/dist, same tie-break ids) to the retained Column-tree
+    reference — IVF assignment, PQ codes, and probe pruning all ride
+    on these helpers."""
+    rows = S._centroid_rows(centroids)
+
+    both = emb.select(
+        S._centroid_sims("embedding", rows).alias("s_sql"),
+        S._centroid_sims_columns("embedding", rows).alias("s_col"),
+        S._centroid_dists(F.col("embedding"), rows).alias("d_sql"),
+        S._centroid_dists_columns(F.col("embedding"), rows).alias("d_col"),
+    )
+    diff = both.where(
+        (F.col("s_sql") != F.col("s_col")) | (F.col("d_sql") != F.col("d_col")))
+    assert diff.count() == 0
+    assert both.where(F.col("s_sql").isNull() | F.col("d_sql").isNull()).count() == 0
+
+    # the IVFADC path feeds a computed Column operand (a subvector
+    # slice) — the SQL rendering of a non-trivial Column must agree too
+    sub_rows = [(c, v[:4]) for c, v in rows]
+    sub = F.slice(F.col("embedding"), 1, 4)
+    both2 = emb.select(
+        S._centroid_dists(sub, sub_rows).alias("d_sql"),
+        S._centroid_dists_columns(sub, sub_rows).alias("d_col"))
+    assert both2.where(F.col("d_sql") != F.col("d_col")).count() == 0
