@@ -84,35 +84,98 @@ def _sql_bm25_ctes() -> str:
     )"""
 
 
-def _bm25_frames(toks: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _bm25_perdoc(toks: DataFrame,
+                 carry: tuple[str, ...] = ()) -> DataFrame:
+    """One corpus pass → PERSISTED narrow per-doc proxy
+    ``(doc_id, *carry, dl, tf_0..tf_{k-1})``: dl is the token count,
+    tf_i the in-row frequency of query term i
+    (``size(filter(w, x -> x = term))`` — no explode, no shuffle).
+
+    The guide-§8 move applied to lexical scoring: every BM25 decision
+    (stats, document frequency, the score itself) depends only on
+    these few bytes per document, never on the text again — so the
+    heavy text column is scanned and tokenized exactly ONCE and every
+    downstream consumer reads the cached proxy. The proxy is
+    |docs| × ~40 bytes (MEMORY_AND_DISK-persistable at any corpus
+    scale by construction); the corpus itself is never cached. The
+    r13 before-plan for retrieval_pipeline_e2e showed SIX scans of
+    documents.parquet — six tokenizations plus the explode and its
+    (doc_id, tok) shuffle — for information this one projection
+    carries."""
+    def _is(term):
+        # a dedicated factory: a two-parameter lambda would be read
+        # by F.filter as the (element, index) form
+        return lambda x: x == term
+
+    cols: list = [F.col(c) for c in ("doc_id", *carry)]
+    cols.append(F.size("w").alias("dl"))
+    for i, term in enumerate(BM25_TERMS):
+        cols.append(F.size(F.filter(F.col("w"), _is(term)))
+                    .cast("bigint").alias(f"tf_{i}"))
+    return toks.select(*cols).persist()
+
+
+def _bm25_frames(toks: DataFrame,
+                 perdoc: DataFrame | None = None
+                 ) -> tuple[DataFrame, DataFrame]:
     """Shared lexical scorer: ``toks(doc_id, w)`` → ``(tf, bm)`` where
     ``tf`` is the per-(doc, query-term) frequency table and ``bm`` the
-    per-doc ``(doc_id, n_terms_matched, bm25)`` frame. One token
-    explode feeds both the tf table and the per-term document
-    frequency; df and the scalar (N, avgdl) stats are bounded by the
-    QUERY size, not the corpus, so both broadcast by construction, and
-    the only corpus-sized shuffle is the tf groupBy on (doc_id, tok).
-    Score rounded to 9 decimals (sum order across engines)."""
-    dl = toks.select("doc_id", F.size("w").alias("dl"))
-    stats = dl.agg(
+    per-doc ``(doc_id, n_terms_matched, bm25)`` frame.
+
+    r13 shape (guide §2.3/§2.4/§8): term frequencies are computed
+    IN-ROW on the persisted ``_bm25_perdoc`` proxy, so the corpus
+    explode and its (doc_id, tok) shuffle are gone entirely — the
+    scalar (N, avgdl) stats and the per-term document frequencies
+    collapse into ONE map-side-combined aggregate over the proxy (a
+    1-row broadcast), and scoring is a whole-stage-codegen projection.
+    Zero corpus-sized shuffles remain. The per-term score expression
+    is textually the joined formulation's arithmetic; contributions
+    sum in fixed term order, and the score stays rounded to 9
+    decimals (the same rounding that already absorbed sum order
+    across engines — hash-verified against the unchanged oracle at
+    sf0.01/sf0.1/derived)."""
+    if perdoc is None:
+        perdoc = _bm25_perdoc(toks)
+    k = len(BM25_TERMS)
+    tfs = [F.col(f"tf_{i}") for i in range(k)]
+    stats = perdoc.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
-    occ = (toks.select("doc_id", F.explode("w").alias("tok"))
-           .where(F.col("tok").isin(list(BM25_TERMS))))
-    tf = (occ.groupBy("doc_id", "tok")
-          .agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = occ.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5))
-    denom = (F.col("tf") + BM25_K1 * (1.0 - BM25_B
-             + BM25_B * F.col("dl") / F.col("avgdl")))
-    bm = (tf.join(F.broadcast(dfreq), "tok")
-          .join(dl, "doc_id")
-          .crossJoin(F.broadcast(stats))
-          .groupBy("doc_id")
-          .agg(F.count(F.lit(1)).alias("n_terms_matched"),
-               F.round(F.sum(idf * F.col("tf") * (BM25_K1 + 1.0) / denom),
-                       9).alias("bm25")))
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[F.sum(F.when(tfs[i] > 0, 1).otherwise(0)).cast("bigint")
+          .alias(f"df_{i}") for i in range(k)])
+    contribs = []
+    for i in range(k):
+        dfc = F.col(f"df_{i}")
+        idf = F.log(1.0 + (F.col("n_docs") - dfc + 0.5) / (dfc + 0.5))
+        denom = (tfs[i] + BM25_K1 * (1.0 - BM25_B
+                 + BM25_B * F.col("dl") / F.col("avgdl")))
+        # absent terms contribute literal 0.0 — x + 0.0 == x exactly,
+        # so the fixed-order fold equals the matched-only sum
+        contribs.append(
+            F.when(tfs[i] > 0, idf * tfs[i] * (BM25_K1 + 1.0) / denom)
+            .otherwise(F.lit(0.0)))
+    nmatch = F.when(tfs[0] > 0, 1).otherwise(0)
+    for i in range(1, k):
+        nmatch = nmatch + F.when(tfs[i] > 0, 1).otherwise(0)
+    score = contribs[0]
+    for c in contribs[1:]:
+        score = score + c
+    bm = (perdoc.crossJoin(F.broadcast(stats))
+          .where(nmatch > 0)
+          .select("doc_id",
+                  nmatch.cast("bigint").alias("n_terms_matched"),
+                  F.round(score, 9).alias("bm25")))
+    # tf keeps the old explode-path contract — (doc_id, tok, tf) rows
+    # only where tf > 0 — but expands in-row from the proxy's k
+    # columns (k = |query terms|), never from the corpus token stream
+    pairs = F.array(*[
+        F.struct(F.lit(term).alias("tok"), tfs[i].alias("tf"))
+        for i, term in enumerate(BM25_TERMS)])
+    tf = (perdoc.select(
+            "doc_id",
+            F.explode(F.filter(pairs, lambda s: s["tf"] > 0)).alias("p"))
+          .select("doc_id", F.col("p.tok").alias("tok"),
+                  F.col("p.tf").alias("tf")))
     return tf, bm
 
 
@@ -627,8 +690,12 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
              .where((F.col("lang") == RPE_LANG)
                     & (F.size("w") >= RPE_MIN_TOKS))
              .select("doc_id", "source", "w"))
-    # lexical list over the gated corpus
-    _, bm = _bm25_frames(gated.select("doc_id", "w"))
+    # ONE corpus scan for the whole lexical+gate side: the persisted
+    # per-doc proxy carries source alongside dl/tf, so the BM25
+    # scorer, the ANN gate id-list, and the final metadata join-back
+    # all read the proxy (the before-plan paid six scans+tokenizes)
+    perdoc = _bm25_perdoc(gated, carry=("source",))
+    _, bm = _bm25_frames(gated, perdoc=perdoc)
     # bounded-window: post-limit:20 — applied after .limit(RPE_LIST_K)
     wl = Window.orderBy(F.desc("bm25"), "doc_id")
     list_lex = (bm.orderBy(F.desc("bm25"), "doc_id").limit(RPE_LIST_K)
@@ -638,7 +705,7 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # semantic list: candidates gated (probe row exempt so the lookup
     # never depends on the probe doc's own quality)
     emb = t(spark, sf_dir, "embeddings")
-    gid = gated.select(F.col("doc_id").alias("vec_id"))
+    gid = perdoc.select(F.col("doc_id").alias("vec_id"))
     emb_in = (emb.where(F.col("vec_id") == RPE_PROBE_ID)
               .unionByName(emb.join(gid, "vec_id", "left_semi")
                            .where(F.col("vec_id") != RPE_PROBE_ID)))
@@ -657,7 +724,7 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.lit(0.0))
                     + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rank_sem")),
                                  F.lit(0.0)), 9).alias("rrf")))
-    return (fused.join(gated.select("doc_id", "source"), "doc_id")
+    return (fused.join(perdoc.select("doc_id", "source"), "doc_id")
             .select("doc_id", "rank_lex", "rank_sem", "rrf", "source")
             .orderBy(F.desc("rrf"), "doc_id").limit(RPE_TOP))
 
