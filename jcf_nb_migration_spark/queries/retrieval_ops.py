@@ -85,7 +85,8 @@ def _sql_bm25_ctes() -> str:
 
 
 def _bm25_perdoc(toks: DataFrame,
-                 carry: tuple[str, ...] = ()) -> DataFrame:
+                 carry: tuple[str, ...] = (),
+                 persist: bool = True) -> DataFrame:
     """One corpus pass → PERSISTED narrow per-doc proxy
     ``(doc_id, *carry, dl, tf_0..tf_{k-1})``: dl is the token count,
     tf_i the in-row frequency of query term i
@@ -112,7 +113,11 @@ def _bm25_perdoc(toks: DataFrame,
     for i, term in enumerate(BM25_TERMS):
         cols.append(F.size(F.filter(F.col("w"), _is(term)))
                     .cast("bigint").alias(f"tf_{i}"))
-    return toks.select(*cols).persist()
+    out = toks.select(*cols)
+    # persist=False exists for measurement tooling (serving_bench's
+    # data-touched walker needs the storage-backed plan, which an
+    # InMemoryRelation would hide); query paths keep the default.
+    return out.persist() if persist else out
 
 
 def _bm25_frames(toks: DataFrame,

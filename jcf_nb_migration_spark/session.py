@@ -40,7 +40,17 @@ _SQL_CONFS = {
     # row groups of the fact table. No-op on broadcasts/small inputs.
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
+    # Initial reduce-partition count. 32 is the LOCAL default (matches
+    # the harness's local[32]; AQE coalescing makes the exact value
+    # uncritical on small inputs). It is env-parameterised, not a
+    # constant the plans depend on: at cluster scale set it (or
+    # spark.sql.adaptive.coalescePartitions.initialPartitionNum) so
+    # post-shuffle partitions land in the 100 MB-1 GB range the guide
+    # prescribes — e.g. ~1e5 initial partitions for a 100 TB shuffle —
+    # and let AQE coalesce down. Results are partition-count
+    # independent (oracle-checked); only task granularity changes.
+    "spark.sql.shuffle.partitions":
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
     "spark.sql.session.timeZone": "UTC",
     # The synthetic events table stores TIMESTAMP(NANOS) which the
     # vectorized reader rejects; read as long and convert (registry.t).

@@ -67,7 +67,8 @@ def main() -> int:
                                                    phrase_probe,
                                                    positional_index_build)
     from jcf_nb_migration_spark.queries.retrieval_ops import (
-        BM25_B, BM25_K1, BM25_TERMS, PHRASE, _bm25_frames, _positions)
+        BM25_B, BM25_K1, BM25_TERMS, PHRASE, _bm25_frames, _bm25_perdoc,
+        _positions)
     from jcf_nb_migration_spark.registry import t
 
     spark = get_spark("serving-bench")
@@ -234,7 +235,22 @@ def main() -> int:
     # scale-proportional evidence: bytes/files the executed scans read
     probe_df = bm25_probe(spark, "svb_lex", os.path.join(base, "lex"),
                           BM25_TERMS, BM25_K1, BM25_B, k=20)
-    _, bm_adhoc = _bm25_frames(toks)
+    # The ad-hoc scorer's read set must reflect the corpus pass it
+    # performs from storage. Two steps, both required: run the bm25
+    # timings FIRST, then clear the cached per-doc proxy they
+    # registered and score from an UNPERSISTED proxy — cache
+    # substitution is canonical-plan-keyed, so while the entry exists
+    # even a frame built without .persist() plans as an
+    # InMemoryTableScan (0 files) instead of the documents.parquet
+    # FileScan the ad-hoc path fundamentally pays from storage.
+    bm25_fam = {"served": _best_of(runs, bm25_served),
+                "adhoc": _best_of(runs, bm25_adhoc),
+                "served_touched": _data_touched(probe_df)}
+    spark.catalog.clearCache()
+    _, bm_adhoc = _bm25_frames(
+        toks, perdoc=_bm25_perdoc(toks, persist=False))
+    bm25_fam["adhoc_touched"] = _data_touched(
+        bm_adhoc.orderBy(F.desc("bm25"), "doc_id").limit(20))
     fetch_df = docstore_fetch(spark, "svb_ds", os.path.join(base, "ds"),
                               ids)
     out = {
@@ -245,12 +261,7 @@ def main() -> int:
                 "served_touched": _data_touched(
                     ivf_index_probe(spark, ivf_path, centroids, pvec,
                                     k=10, nprobe=2, exclude_id=0))},
-        "bm25": {"served": _best_of(runs, bm25_served),
-                 "adhoc": _best_of(runs, bm25_adhoc),
-                 "served_touched": _data_touched(probe_df),
-                 "adhoc_touched": _data_touched(
-                     bm_adhoc.orderBy(F.desc("bm25"), "doc_id")
-                     .limit(20))},
+        "bm25": bm25_fam,
         "phrase": {"served": _best_of(runs, phrase_served),
                    "adhoc": _best_of(runs, phrase_adhoc)},
         "fetch": {"served": _best_of(runs, fetch_served),
