@@ -784,9 +784,13 @@ def ivf_index_vacuum(spark, path: str, id_col: str = "vec_id") -> dict:
     tomb = tomb.withColumnRenamed("vec_id", id_col)
     idx = spark.read.parquet(path)
     dead = idx.join(F.broadcast(tomb), id_col, "left_semi")
-    touched = [r["cluster"] for r in
-               dead.select("cluster").distinct().collect()]
-    n_ids = dead.select(id_col).distinct().count()
+    # one pass over the dead set for both the touched-cluster list and
+    # the reclaimed-id count (cluster set is k-bounded by the layout)
+    dead_row = dead.agg(
+        F.collect_set("cluster").alias("cs"),
+        F.countDistinct(id_col).alias("n")).head()
+    touched = sorted(dead_row["cs"])
+    n_ids = int(dead_row["n"])
     if not touched:
         _vec_dispose(path, os.path.join(path, VEC_TOMBSTONES_SUBDIR),
                      VEC_TOMBSTONES_SUBDIR)

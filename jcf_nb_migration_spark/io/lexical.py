@@ -528,16 +528,21 @@ def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
     import json
 
     # Reconcile BEFORE the swap, from the live postings: per-doc dl
-    # (constant within a doc's postings), counted once per doc.
+    # (constant within a doc's postings), counted once per doc. The
+    # reclaimed-postings total rides the same per-doc partials, so the
+    # reconciliation is ONE pass over the dead postings, not two.
     dead = (spark.table(table)
             .join(F.broadcast(tomb), "doc_id", "left_semi"))
-    dead_stats = (dead.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    dead_stats = (dead.groupBy("doc_id")
+                  .agg(F.first("dl").alias("dl"),
+                       F.count(F.lit(1)).alias("np"))
                   .agg(F.count(F.lit(1)).alias("n"),
-                       F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+                       F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+                       F.coalesce(F.sum("np"), F.lit(0)).alias("p"))
                   .head())
     n_dead = int(dead_stats["n"])
     dl_dead = int(dead_stats["s"])
-    n_postings = dead.count()
+    n_postings = int(dead_stats["p"])
     old = (spark.read.parquet(os.path.join(path, STATS_SUBDIR))
            .agg(F.sum("n_docs").alias("n"), F.sum("sum_dl").alias("s"))
            .head())
@@ -1074,8 +1079,15 @@ def positional_index_vacuum(spark: SparkSession, prefix: str,
 
     dead = (spark.table(table)
             .join(F.broadcast(tomb), "doc_id", "left_semi"))
-    n_docs = dead.select("doc_id").distinct().count()
-    n_rows = dead.count()
+    # one pass for both reclaimed totals (per-doc partials, then a
+    # global rollup) instead of a distinct-count pass plus a count pass
+    dead_stats = (dead.groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("np"))
+                  .agg(F.count(F.lit(1)).alias("n"),
+                       F.coalesce(F.sum("np"), F.lit(0)).alias("m"))
+                  .head())
+    n_docs = int(dead_stats["n"])
+    n_rows = int(dead_stats["m"])
     live = (spark.table(table)
             .join(F.broadcast(tomb), "doc_id", "left_anti"))
     _compact_bucketed_table(

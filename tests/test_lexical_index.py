@@ -704,9 +704,11 @@ def test_vacuum_matches_rebuild_without_deleted(spark, tmp_path):
                         num_buckets=4)
     lexical_index_delete(spark, "lexti_vac", path, victims,
                          num_buckets=4)
+    expect_postings = (spark.table("lexti_vac_postings")
+                       .where(F.col("doc_id").isin(victims)).count())
     out = lexical_index_vacuum(spark, "lexti_vac", path, num_buckets=4)
     assert out["reclaimed_docs"] == len(victims)
-    assert out["reclaimed_postings"] > 0
+    assert out["reclaimed_postings"] == expect_postings > 0
     assert not _os.path.isdir(_os.path.join(path, TOMBSTONES_SUBDIR))
     rb_path = str(tmp_path / "lex_vac_rb")
     lexical_index_build(
