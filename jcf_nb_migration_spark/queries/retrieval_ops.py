@@ -1772,8 +1772,9 @@ def bm25_snapshot_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     live_rows = [(r["doc_id"], r["n_terms_matched"], r["bm25"])
                  for r in bm25_probe(spark, prefix, path, BM25_TERMS,
                                      BM25_K1, BM25_B, k=20).collect()]
-    live = (spark.createDataFrame(
-        live_rows, "doc_id bigint, n_terms_matched bigint, bm25 double")
+    live = (local_df(
+        spark, live_rows,
+        "doc_id bigint, n_terms_matched bigint, bm25 double")
         .select(F.lit("post_vacuum").alias("state"), "*"))
     lexical_index_restore(spark, prefix, path, sid, num_buckets=8)
     restored = (bm25_probe(spark, prefix, path, BM25_TERMS,
@@ -1861,8 +1862,8 @@ def phrase_snapshot_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     live_rows = [(r["doc_id"], r["n_occurrences"], r["first_pos"])
                  for r in phrase_probe(spark, prefix, path, PHRASE,
                                        k=20).collect()]
-    live = (spark.createDataFrame(
-        live_rows,
+    live = (local_df(
+        spark, live_rows,
         "doc_id bigint, n_occurrences bigint, first_pos bigint")
         .select(F.lit("post_vacuum").alias("state"), "*"))
     positional_index_restore(spark, prefix, path, sid, num_buckets=8)
