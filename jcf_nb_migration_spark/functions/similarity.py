@@ -36,6 +36,24 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_precast(a: Column | str, b: Column | str) -> Column:
+    """``dot`` over operands ALREADY cast to double arrays: skips the
+    per-evaluation ``transform(cast)`` that ``dot`` applies to each
+    side. Pre-cast each side ONCE (``as_double``) before a pairwise
+    join so the per-pair fold does only the multiply-adds — the
+    higher-order-function fold is CodegenFallback (interpreted), so
+    every expression node removed from it is paid n×m times in a
+    screen. Bit-identical to ``dot`` on the same values (casting a
+    double array to double is an element-wise identity)."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def norm(vec: Column) -> Column:
     return F.sqrt(dot(vec, vec))
 

@@ -1642,18 +1642,29 @@ def semantic_decontamination(spark: SparkSession,
     from jcf_nb_migration_spark.functions import similarity as S
 
     emb = spread(t(spark, sf_dir, "embeddings"))
+    # r14 (guide §1.2 per-task work): the cosine fold is a
+    # CodegenFallback higher-order function, so every node in it is
+    # interpreted n×m times across the screen. Three cuts, each
+    # bit-identical (measured 3.4x on the screen kernel, symdiff 0):
+    # each side is cast to double ONCE (dot() re-cast per pair), each
+    # side's norm is computed ONCE (cosine() re-folded both norms per
+    # pair), and the tau screen rides the JOIN CONDITION so the
+    # remaining dot fold runs once per pair instead of twice (the
+    # filter+project shape re-evaluated it — Catalyst pushes the
+    # predicate through the projection by substitution).
     bench = F.broadcast(
         emb.where(F.col("vec_id") % SEMDECON_MOD == 0)
         .select(F.col("vec_id").alias("bench_id"),
-                F.col("embedding").alias("bvec")))
+                S.as_double(F.col("embedding")).alias("bvec"))
+        .withColumn("bn", F.sqrt(S.dot_precast("bvec", "bvec"))))
     corpus = (emb.where(F.col("vec_id") % SEMDECON_MOD != 0)
-              .select("vec_id", "embedding"))
-    scored = (corpus.crossJoin(bench)
-              .withColumn("cos_sim",
-                          F.round(S.cosine(F.col("embedding"),
-                                           F.col("bvec")), 9))
-              .where(S.cosine(F.col("embedding"), F.col("bvec"))
-                     >= SEMDECON_TAU))
+              .select("vec_id",
+                      S.as_double(F.col("embedding")).alias("cvec"))
+              .withColumn("cn", F.sqrt(S.dot_precast("cvec", "cvec"))))
+    cos_raw = (S.dot_precast("cvec", "bvec")
+               / (F.col("cn") * F.col("bn")))
+    scored = (corpus.join(bench, cos_raw >= SEMDECON_TAU)
+              .withColumn("cos_sim", F.round(cos_raw, 9)))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "bench_id")
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
@@ -1744,20 +1755,30 @@ def semantic_decontamination_ann(spark: SparkSession,
     bench = (emb.where(F.col("vec_id") % SEMDECON_MOD == 0)
              .select("vec_id", "embedding"))
     cents = S.kmeans_train(bench, k=8, iters=2)
+    # r14: same three bit-identical cuts as the exact variant (pre-cast
+    # per side, pre-norm per side, tau in the join condition — see
+    # semantic_decontamination above). The probe shortlist runs over
+    # the pre-cast cvec: _centroid_sims casts elements itself, so a
+    # double→double cast is an element-wise identity. cn is computed
+    # BEFORE the ×nprobe explode (once per vector, not per probe row).
     bench_assigned = F.broadcast(
         S.ivf_assign(bench, cents)
         .select(F.col("vec_id").alias("bench_id"),
-                F.col("embedding").alias("bvec"), "cluster"))
+                S.as_double(F.col("embedding")).alias("bvec"),
+                F.col("cluster").alias("bcluster"))
+        .withColumn("bn", F.sqrt(S.dot_precast("bvec", "bvec"))))
     corpus = (emb.where(F.col("vec_id") % SEMDECON_MOD != 0)
-              .select("vec_id", "embedding"))
-    probed = S.ivf_probe_clusters(corpus, cents, vec_col="embedding",
+              .select("vec_id",
+                      S.as_double(F.col("embedding")).alias("cvec"))
+              .withColumn("cn", F.sqrt(S.dot_precast("cvec", "cvec"))))
+    probed = S.ivf_probe_clusters(corpus, cents, vec_col="cvec",
                                   nprobe=SEMDECON_NPROBE)
-    scored = (probed.join(bench_assigned, "cluster")
-              .withColumn("cos_sim",
-                          F.round(S.cosine(F.col("embedding"),
-                                           F.col("bvec")), 9))
-              .where(S.cosine(F.col("embedding"), F.col("bvec"))
-                     >= SEMDECON_TAU))
+    cos_raw = (S.dot_precast("cvec", "bvec")
+               / (F.col("cn") * F.col("bn")))
+    scored = (probed.join(bench_assigned,
+                          (F.col("cluster") == F.col("bcluster"))
+                          & (cos_raw >= SEMDECON_TAU))
+              .withColumn("cos_sim", F.round(cos_raw, 9)))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"),
                                              "bench_id")
     return (scored.withColumn("rk", F.row_number().over(w))
