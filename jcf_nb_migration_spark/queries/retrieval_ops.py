@@ -708,12 +708,17 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(wl).cast("bigint")
                         .alias("rank_lex")))
     # semantic list: candidates gated (probe row exempt so the lookup
-    # never depends on the probe doc's own quality)
+    # never depends on the probe doc's own quality). r14 (guide §2.4):
+    # ONE embeddings scan — the probe id joins the gated id set and a
+    # single semi-join admits exactly {probe} ∪ gated, the same row
+    # set the two-leg union scanned embeddings twice for (set algebra:
+    # probe-row ∪ (gated ∖ probe) = gated ∪ {probe}; semi-join output
+    # is per-left-row, so no dedup subtlety).
     emb = t(spark, sf_dir, "embeddings")
-    gid = perdoc.select(F.col("doc_id").alias("vec_id"))
-    emb_in = (emb.where(F.col("vec_id") == RPE_PROBE_ID)
-              .unionByName(emb.join(gid, "vec_id", "left_semi")
-                           .where(F.col("vec_id") != RPE_PROBE_ID)))
+    gid = (perdoc.select(F.col("doc_id").alias("vec_id"))
+           .unionByName(local_df(spark, [(RPE_PROBE_ID,)],
+                                 "vec_id bigint")))
+    emb_in = emb.join(gid, "vec_id", "left_semi")
     cand = S.lsh_ann_multiprobe(emb_in, probe_id=RPE_PROBE_ID,
                                 n_planes=6, dim=64, k=RPE_LIST_K)
     # bounded-window: post-limit:20 — lsh_ann_multiprobe k-limits first
@@ -721,8 +726,22 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_sem = (cand.select(F.col("neighbor_id").alias("doc_id"),
                             F.row_number().over(ws).cast("bigint")
                             .alias("rank_sem")))
+    # r14 (guide §2.4): the RRF merge of two k-bounded rank lists was
+    # a full-outer SortMergeJoin — TWO sort exchanges for 20-row
+    # sides (Spark cannot broadcast a full-outer hash join). Each
+    # list's doc_ids are unique by construction (row_number over a
+    # limit), so full-outer ≡ union + one max-per-side groupBy: ONE
+    # tiny exchange, identical (doc_id, rank_lex, rank_sem) triples
+    # (max over {rank, NULL} is the rank; a side's absence stays
+    # NULL, exactly the outer join's padding).
     fused = (
-        list_lex.join(list_sem, "doc_id", "full_outer")
+        list_lex.withColumn("rank_sem", F.lit(None).cast("bigint"))
+        .unionByName(list_sem.select(
+            "doc_id", F.lit(None).cast("bigint").alias("rank_lex"),
+            "rank_sem"))
+        .groupBy("doc_id")
+        .agg(F.max("rank_lex").alias("rank_lex"),
+             F.max("rank_sem").alias("rank_sem"))
         .select("doc_id", "rank_lex", "rank_sem",
                 F.round(
                     F.coalesce(F.lit(1.0) / (RRF_K + F.col("rank_lex")),
