@@ -1059,25 +1059,37 @@ def winsorized_order_values(spark: SparkSession,
                  F.col("o_totalprice").alias("val"),
                  F.col("o_orderkey").alias("k")))
     nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # r14 (guide §2.4): the in-bucket row_number was a Window
+    # partitioned by (seg, pid) — Catalyst cannot see that pid IS the
+    # physical partition, so it re-exchanged the full fact a second
+    # time. Sort WITHIN the range partitions instead (no exchange) and
+    # derive the in-bucket rank arithmetically: rows of one (seg, pid)
+    # group are contiguous in the sorted partition, so
+    # monotonically_increasing_id() minus the group's min id is the
+    # 0-based row_number by (val, k) — identical ranks, zero-exchange.
     ranged = (v.repartitionByRange(nb, "seg", "val", "k")
+              .sortWithinPartitions("seg", "val", "k")
               .withColumn("pid", F.spark_partition_id())
+              .withColumn("mid", F.monotonically_increasing_id())
               .persist())
     counts = ranged.groupBy("seg", "pid").agg(
-        F.count(F.lit(1)).alias("cnt"))
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("mid").alias("m0"))
     # bounded-window: buckets:spark.sql.shuffle.partitions — ≤nb
     # subtotal rows per segment, constant in data size
     w_off = (Window.partitionBy("seg").orderBy("pid")
              .rowsBetween(Window.unboundedPreceding, -1))
     off = counts.select(
-        "seg", "pid",
+        "seg", "pid", "m0",
         F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("p_off"))
     nseg = counts.groupBy("seg").agg(F.sum("cnt").alias("n"))
-    w_in = Window.partitionBy("seg", "pid").orderBy("val", "k")
-    ranked = (ranged.withColumn("r_in", F.row_number().over(w_in))
-              .join(off, ["seg", "pid"])
+    # off is ≤ |segments|·nb rows — broadcast it explicitly (§3.1)
+    # rather than letting the planner sort-merge the fact against it
+    ranked = (ranged.join(F.broadcast(off), ["seg", "pid"])
               .join(F.broadcast(nseg), "seg")
               .select("seg", "val",
-                      (F.col("p_off") + F.col("r_in")).alias("rn"),
+                      (F.col("p_off") + (F.col("mid") - F.col("m0"))
+                       + F.lit(1)).alias("rn"),
                       "n"))
     lo_rn = F.expr(f"({WINSOR_LO} * n + 99) div 100")
     hi_rn = F.expr(f"({WINSOR_HI} * n + 99) div 100")

@@ -728,15 +728,20 @@ def session_conversion_funnel(spark: SparkSession,
     hash aggregate on (user, session) plus an equi-join back — three
     bounded passes over the sessionized frame, which is persisted so
     the stages share one window materialization."""
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tus = F.unix_micros(F.col("ts"))
-    gap = tus - F.lag(tus).over(w)
+    # r14 (guide §2.4): both window passes (the lag gap and the
+    # running session counter) order by the SAME key — tus, the
+    # microsecond image of ts, is order-isomorphic to it (µs-precision
+    # timestamps convert injectively), so the two Window operators
+    # share ONE exchange AND one sort instead of sorting the events
+    # twice (the lag window used to order by the raw ts).
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("tus"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
     is_new = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
-    wc = (Window.partitionBy("user_id").orderBy("tus", "event_id")
-          .rowsBetween(Window.unboundedPreceding, 0))
-    sess = (ev.select("user_id", "event_id", "event_type",
-                      tus.alias("tus"), is_new.alias("is_new"))
+    wc = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = (ev.withColumn("is_new", is_new)
             .withColumn("session_id", F.sum("is_new").over(wc))
             .drop("is_new")
             .persist())
