@@ -785,10 +785,23 @@ def ivf_index_vacuum(spark, path: str, id_col: str = "vec_id") -> dict:
     idx = spark.read.parquet(path)
     dead = idx.join(F.broadcast(tomb), id_col, "left_semi")
     # one pass over the dead set for both the touched-cluster list and
-    # the reclaimed-id count (cluster set is k-bounded by the layout)
+    # the reclaimed-id count (cluster set is k-bounded by the layout).
+    # collect_set silently DROPS null clusters (unlike the pre-r13
+    # distinct().collect()); a dead row living only under a null
+    # cluster would otherwise clear tombstones without rewriting
+    # anything, resurrecting deleted vectors. The engine's writers
+    # never produce a null cluster, so count-and-raise (ADVICE r13).
     dead_row = dead.agg(
         F.collect_set("cluster").alias("cs"),
-        F.countDistinct(id_col).alias("n")).head()
+        F.countDistinct(id_col).alias("n"),
+        F.count(F.when(F.col("cluster").isNull(), 1)).alias("nulls")).head()
+    if int(dead_row["nulls"]):
+        raise ValueError(
+            f"ivf_index_vacuum: {int(dead_row['nulls'])} tombstoned "
+            f"row(s) under a NULL cluster in {path!r} — the index was "
+            "not written by this engine's writers; refusing to vacuum "
+            "(the null-cluster dir cannot be staged and its tombstones "
+            "must not be cleared)")
     touched = sorted(dead_row["cs"])
     n_ids = int(dead_row["n"])
     if not touched:

@@ -533,8 +533,13 @@ def lexical_index_vacuum(spark: SparkSession, prefix: str, path: str,
     # reconciliation is ONE pass over the dead postings, not two.
     dead = (spark.table(table)
             .join(F.broadcast(tomb), "doc_id", "left_semi"))
+    # max not first: dl is constant within a doc's postings by the
+    # build invariant, so they are equal — but max is deterministic
+    # even if a future writer violates it, and reclaimed_postings now
+    # rides the same grouped pass (ADVICE r13: one nondeterministic
+    # agg would corrupt two returned stats instead of one).
     dead_stats = (dead.groupBy("doc_id")
-                  .agg(F.first("dl").alias("dl"),
+                  .agg(F.max("dl").alias("dl"),
                        F.count(F.lit(1)).alias("np"))
                   .agg(F.count(F.lit(1)).alias("n"),
                        F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
