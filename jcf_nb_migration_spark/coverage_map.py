@@ -26,7 +26,6 @@ from __future__ import annotations
 COVERED_BY: dict[str, str] = {
     # --- ANN / similarity ------------------------------------------------
     # bucket/cluster-shortlist equi-join + per-probe ranking window:
-    "ann_lsh_batch_probes": "hard_negative_mining",
     "ann_lsh_bucketed": "hard_negative_mining",
     "ann_lsh_multiprobe": "hard_negative_mining",
     "ivf_ann_multiprobe": "hard_negative_mining",  # same IVF cluster-shortlist
@@ -37,16 +36,16 @@ COVERED_BY: dict[str, str] = {
     # (second wave), superseding ivfadc_residual_probe:
     "ivfadc_residual_probe": "pq_codes",  # same residual-PQ
     #   code machinery (probe shortlist shape: hard_negative_mining_ann)
-    "triplet_mining_ann": "hard_negative_mining",  # same IVF candidate
-    #   generator, positive+negative windows joined
-    "embedding_quantize_int8": "pq_codes",  # same quantize-encode projection
     # quantized_rerank_topk rotated INTO the driver window r9
     "embedding_norm_stats": "hard_negative_mining",
     "embedding_normalize": "hard_negative_mining",
-    # record_linkage_merge rotated INTO the driver window r9 (second
-    # wave), superseding fuzzy_name_matches as the blocking witness:
-    "fuzzy_name_matches": "record_linkage_merge",
-    "part_name_fuzzy_pairs": "record_linkage_merge",  # blocked fuzzy
+    # record_linkage_merge rotated OUT r14 (8th wave, green r9-r13);
+    # the blocked-candidate-equi-join + exact-verify pattern stays
+    # visible via the LSH band-blocking twin:
+    "fuzzy_name_matches": "lsh_incremental_dedup",  # deletion-key
+    #   blocking equi-join + edit-distance verify == band-blocking
+    #   candidate equi-join + exact-similarity verify
+    "part_name_fuzzy_pairs": "lsh_incremental_dedup",  # blocked fuzzy
     #   pair join (deletion-key blocking + edit-distance verify)
     # --- dedup -----------------------------------------------------------
     # dedup_clusters_lsh rotated OUT in the r9 second wave (green
@@ -59,14 +58,11 @@ COVERED_BY: dict[str, str] = {
     #   all-pairs edges
     # linkgraph_cc_starcontraction rotated INTO the driver window r7
     "dedup_ngram_jaccard": "lsh_incremental_dedup",
-    "doc_containment_pairs": "lsh_incremental_dedup",  # rare-shingle
-    #   candidate equi-join + full-set verify, asymmetric metric
     # paragraph_dedup rotated INTO the driver window r7
     "minhash_signatures": "lsh_incremental_dedup",
     # lsh_incremental_dedup rotated INTO the driver window r9
     # bloom_incremental_dedup rotated INTO the driver window r7
     "doc_fingerprint": "doc_winnow_fingerprints",  # per-doc fingerprint projection over the same tokenized scan
-    "source_dedup_matrix": "doc_winnow_fingerprints",
     # --- text / curation -------------------------------------------------
     # bpe_merge_table / doc_bpe_stats rotated OUT in the r9 second
     # wave (green r3-r8); the BPE trainer loop is pinned by
@@ -78,34 +74,26 @@ COVERED_BY: dict[str, str] = {
     # doc_subword_stats rotated INTO the driver window r10 4th wave,
     # superseding doc_token_stats as the token-explode witness:
     "doc_token_stats": "doc_subword_stats",
-    "doc_bigram_lm_score": "corpus_novelty_curve",
     # token_pmi_pairs rotated INTO the driver window r9
     # gopher_quality_flags rotated INTO the driver window r9
     # logreg_gd_training rotated OUT in the r9 second wave (green
     # r5-r8); the iterative fixed-point-aggregate loop stays visible
     # via linkgraph_pagerank:
-    "logreg_gd_training": "logreg_calibration",  # the train loop whose
-    #   serve/calibration half is the visible twin; per-round
-    #   map-side-combinable aggregate + bounded driver state
+    "logreg_gd_training": "linkgraph_bfs_reachability",  # per-round
+    #   map-side-combinable aggregate + bounded driver state — the
+    #   iterative driver-loop fixpoint family (its serve/calibration
+    #   twin rotated OUT r14)
     "doc_lang_id": "doc_subword_stats",
     "code_switch_profile": "doc_subword_stats",  # chunk explode +
     #   per-doc lang-mix rollup (paragraph_dedup's shuffle graph)
-    "doc_repetition_stats": "corpus_novelty_curve",  # gram-explode agg
-    #   (rotated out of the window r5 for logreg_gd_training)
-    "curation_funnel": "doc_subword_stats",  # staged narrow
-    #   quality filters over the same per-doc stats scan
-    "corpus_release_report": "corpus_novelty_curve",  # dataset-card
-    #   rollup: shared base + four 1-row aggregates crossJoined; the
-    #   heavy branch is decontaminate's n-gram equi-join
+    "doc_repetition_stats": "doc_bigram_lm_score",  # in-row per-doc
+    #   gram stats over the same tokenized scan (gram family)
     # curation_pipeline_e2e rotated OUT in the r9 second wave (green
     # r6-r8); every stage stays individually visible:
     "curation_pipeline_e2e": "gopher_quality_flags",
     # semdedup_prune rotated OUT in the r9 second wave (green r4-r8):
     "semdedup_prune": "lsh_incremental_dedup",  # standing-index
     #   candidate shortlist + per-doc keep/drop verdict
-    "cluster_balanced_sample": "dsir_importance",  # k-means assign +
-    #   deterministic weighted-threshold sample over per-doc scores
-    "cluster_topic_terms": "semantic_decon_ann_recall",
 
     # --- retrieval -------------------------------------------------------
     # bm25_top_docs rotated INTO the driver window r7
@@ -114,30 +102,23 @@ COVERED_BY: dict[str, str] = {
     # positional self-join — the term-keyed probe family
     # phrase_match_served / bm25_filtered_served / doc_fetch_served
     # rotated INTO the driver window r9 (second wave)
-    "phrase_match_docs": "phrase_snapshot_served",  # ad-hoc scan twin
-    #   of the served positional probes (same positional join)
+    "phrase_match_docs": "bm25_batch_served",  # term-keyed postings
+    #   probe of the same lexical index (positional witnesses rotated
+    #   OUT r14; the positional self-join leg rides the same read path)
     # --- corpus assembly / sampling --------------------------------------
-    "stratified_sample": "dsir_importance",  # deterministic hash-threshold
-    #   sampling; DSIR is the weighted form of the same per-doc selection pass
-    "source_sampling_weights": "dsir_importance",  # per-source weight
-    #   computation feeding the same weighted-selection pass
+    "stratified_sample": "source_sampling_weights",  # deterministic
+    #   hash-threshold sampling; the weights query drives the same
+    #   per-doc selection pass
     "doc_chunk_overlap": "doc_chunk_spans_udtf",
     # --- profiling / sketches -------------------------------------------
     "customer_column_profile": "daily_volume_anomalies",
     "referential_integrity_audit": "daily_volume_anomalies",
     "benford_first_digit": "daily_volume_anomalies",
-    "source_embedding_drift": "pricing_summary",  # group agg over a
-    #   pushed-filter scan + broadcast scalar compare
-    "source_report_card": "pricing_summary",  # multi-branch
-    #   aggregate rollup over one shared scan
     "price_histogram": "winsorized_order_values",  # value-bucket/rank
     #   assignment + bounded-grid count rollup
     "quantity_price_correlation": "pricing_summary",  # scan-agg moments
     #   (sum/sumsq/cross) in one pass
-    "daily_new_users": "cohort_ltv_curve",
-    "promo_session_attribution": "orders_pit_customer_join",  # session
-    #   intervals x broadcast promo calendar overlap join + as-of
-    #   attribution pick — the time-band/PIT pair-join family
+    "daily_new_users": "session_conversion_funnel",
     # --- relational / TPC-H shapes --------------------------------------
     # r7 rotation: six 5-6x-green incumbents OUT (history preserved in
     # CORRECTNESS_r1-r6) to admit the never-checked families above.
@@ -151,17 +132,19 @@ COVERED_BY: dict[str, str] = {
     # via gopher_quality_flags:
     "part_clean_chain": "gopher_quality_flags",  # codegen'd regex +
     #   when/otherwise projection chain over one table, no shuffle
-    "salted_user_totals": "customer_order_distribution",  # explicit-salt
-    #   two-phase agg == Q13's agg-of-agg double aggregation; AQE skew twin
+    "salted_user_totals": "pricing_summary",  # explicit-salt two-phase
+    #   agg == the same partial/final hash-agg pair; AQE skew twin
     #   pinned in tests/test_plans.py::test_aqe_splits_skewed_join
     "pii_scrub_stats": "gopher_quality_flags",  # regex-replace narrow
     #   projection; plan pinned by test_plans::test_pii_scrub_is_narrow
-    "mktsegment_distinct": "cms_token_counts",  # distinct-value family:
-    #   single-key distinct agg vs its sketched count twin
+    "mktsegment_distinct": "pricing_summary",  # single-key distinct agg
+    #   == the same two-level hash-aggregate plan
     "customers_with_urgent_orders": "top_revenue_customers",
-    "customers_without_orders": "customer_set_ops",  # left-anti non-existence
-    #   join; EXCEPT compiles to the same left-anti shape
-    "high_balance_never_fulfilled": "customer_set_ops",
+    "customers_without_orders": "top_revenue_customers",  # left-anti
+    #   non-existence join on the same customer/order keys (set-ops
+    #   witness rotated OUT r14; EXCEPT lowers to this left-anti shape)
+    "high_balance_never_fulfilled": "top_revenue_customers",  # EXCEPT ==
+    #   left-anti hash join on the same customer keys
     "discounted_brand_revenue": "top_revenue_customers",
     # nation_trade_volume rotated INTO the driver window r10 4th wave,
     # superseding local_supplier_volume as the broadcast-dim star-join
@@ -192,10 +175,12 @@ COVERED_BY: dict[str, str] = {
     # (EXPAND) witness:
     "lineitem_cube": "nation_metrics_unpivot",  # grouping-sets/reshape
     #   (EXPAND) family: cube vs unpivot of the same wide agg
-    "order_value_ranks": "lateral_top_customers",  # keyed ranked window; the
-    #   lateral compiles to the same rank-take
-    "user_running_value": "cohort_ltv_curve",  # per-user/cohort running
-    #   cumulative window, same window exchange
+    "order_value_ranks": "session_conversion_funnel",  # keyed ranked
+    #   window — the same per-key Window exchange+sort shape as the
+    #   funnel's per-user windows (lateral witness rotated OUT r14)
+    "user_running_value": "session_conversion_funnel",  # per-user running
+    #   cumulative window — the funnel's session counter is the same
+    #   unbounded-preceding sum window
     "incremental_agg_merge": "pricing_summary",  # partial-agg
     #   union + merge groupBy of the same scan-agg
     "retractable_agg_merge": "pricing_summary",  # signed-partial
@@ -203,16 +188,16 @@ COVERED_BY: dict[str, str] = {
     # corpus_novelty_curve rotated INTO the driver window r10 4th
     # wave, superseding decontaminate_ngrams as the shingle-explode +
     # agg/join witness (decontaminate stays bench-measured):
-    "decontaminate_ngrams": "corpus_novelty_curve",
+    "decontaminate_ngrams": "doc_bigram_lm_score",  # n-gram explode
+    #   + gram-keyed equi-join (still benched every round)
     "event_sequence_pattern": "session_conversion_funnel",
     # --- CDC / temporal --------------------------------------------------
-    "orders_upsert": "orders_pit_customer_join",  # keyed CDC merge-latest over the same orders feed the PIT join consumes
+    "orders_upsert": "orders_snapshot_diff",  # keyed CDC merge-latest
+    #   over the same orders feed the snapshot diff consumes
     # r10: docstore time travel — build/COW/bucketed-fetch machinery is
     # the visible docstore_upsert_fetch; the manifest AS-OF read path
     # and the version-diff full-outer compare are additionally pinned
     # by tests/test_timetravel.py
-    "scalar_iter_doc_stats": "doc_subword_stats",  # SCALAR_ITER pandas
-    #   UDF surface; same per-doc stat output as the built-in path
     "volume_shipping_report": "top_revenue_customers",
     # large_volume_customers rotated INTO the driver window r9
     # (second wave). Q18 notes kept for history:
@@ -226,14 +211,15 @@ COVERED_BY: dict[str, str] = {
     # user_rolling_7d rotated INTO the driver window r10 4th wave,
     # superseding latest_event_per_user as the per-user event-time
     # window witness:
-    "latest_event_per_user": "lateral_top_customers",  # per-key top-1 ranked
-    #   take (row_number window == decorrelated lateral)
+    "latest_event_per_user": "session_conversion_funnel",  # per-user
+    #   row_number-window take over the same events scan (lateral
+    #   witness rotated OUT r14); still benched every round
     "signup_to_purchase_latency": "winsorized_order_values",  # ordinal
     #   rank arithmetic over a population-bounded window
     # events_variant_extract rotated INTO the driver window r9,
     # superseding events_json_bucket as the JSON-extraction witness:
-    "events_json_bucket": "events_schema_profile",
-    "user_event_type_map": "events_schema_profile",
+    "events_json_bucket": "user_event_type_map",  # from_json payload
+    #   extraction + agg over the same events column
     # event_sessionization rotated OUT in the r9 second wave (green
     # r1-r8); the per-user ordered-window family stays visible:
     "event_sessionization": "session_conversion_funnel",
@@ -243,15 +229,66 @@ COVERED_BY: dict[str, str] = {
     # range_join_error_click rotated OUT in the r9 second wave (green
     # r1-r8); the events-pair time-band join stays visible via
     # asof_click_before_error:
-    "range_join_error_click": "orders_pit_customer_join",  # same
-    #   pair-match semantics (banded |ts diff| vs PIT as-of pick);
-    #   the JVM banded equi-join plan is pinned in test_plans.py
+    "range_join_error_click": "promo_session_attribution",  # same
+    #   time-band pair-match semantics (banded |ts diff| vs session
+    #   interval overlap); the JVM banded equi-join plan is pinned in
+    #   test_plans.py
     # --- python surfaces -------------------------------------------------
     # arrow_doc_stats rotated INTO the driver window r10 4th wave,
     # superseding multimodal_frame_sample as the Arrow-batched Python
     # map witness:
-    "multimodal_frame_sample": "media_perceptual_dedup",
-    "grouped_price_model": "doc_pareto_frontier",
+    "multimodal_frame_sample": "scalar_iter_doc_stats",  # batched-
+    #   Python fan-out surface (pandas-udf family; the multimodal
+    #   dedup witness rotated OUT r14)
+    "grouped_price_model": "grouped_price_model_jvm",  # its own scale
+    #   twin (SCALE_TWINS): the literal same oracle, pure-JVM plan
+    # --- r14 rotation (8th wave): eighteen multi-green incumbents OUT
+    #     (history in CORRECTNESS_r1-r13) to admit eighteen
+    #     never-driver-checked names; each rotated-out name keeps a
+    #     same-pattern visible twin -----------------------------------
+    "corpus_novelty_curve": "doc_bigram_lm_score",  # gram/shingle
+    #   explode -> gram-keyed count agg + join-back per doc (novelty
+    #   first-occurrence vs bigram LM scoring over the same grams)
+    "bm25_snapshot_served": "bm25_batch_served",  # same bucket-pruned
+    #   BM25 probe of the same serving index; commit-point lifecycle
+    #   also exercised by docstore_as_of_fetch's versioned read
+    "customer_order_distribution": "important_supplier_share",  # TPC-H
+    #   shape family: outer-join agg-of-agg vs scalar-subquery HAVING
+    "dq_expectations": "gopher_quality_flags",  # fused per-rule
+    #   conditional-agg quality report over one scan
+    "lineitem_zorder_asof": "docstore_as_of_fetch",  # versioned-layout
+    #   as-of read via manifest (z-order data files vs docstore COW)
+    "logreg_calibration": "bm25_batch_served",  # broadcast-model scoring
+    #   projection + bounded group agg (serving-scorer family)
+    "doc_pareto_frontier": "scalar_iter_doc_stats",  # grouped pandas-UDF
+    #   surface over the same per-doc stats scan
+    "dsir_importance": "source_sampling_weights",  # importance-weighted
+    #   deterministic hash-threshold selection; the weights query
+    #   computes the same per-source weighting pass
+    "media_perceptual_dedup": "source_dedup_matrix",  # fingerprint-keyed
+    #   cross-group dedup rollup (perceptual hash vs content hash)
+    "phrase_snapshot_served": "bm25_batch_served",  # bucket-pruned
+    #   postings probe of the same serving index (positional self-join
+    #   leg rides the same io/lexical read path)
+    "cohort_ltv_curve": "session_conversion_funnel",  # per-user
+    #   epoch-bucket windows + rollup over the same events scan
+    "k_anonymity_audit": "gopher_quality_flags",  # groupBy-threshold
+    #   audit screen: hash-agg + threshold filter over one scan
+    "lateral_top_customers": "important_supplier_share",  # correlated
+    #   subquery decorrelated to per-group agg + join-back (lateral
+    #   rank-take vs scalar-subquery HAVING)
+    "events_schema_profile": "user_event_type_map",  # same JSON-payload
+    #   extraction scan (schema census vs map-typed from_json)
+    "customer_set_ops": "top_revenue_customers",  # INTERSECT/EXCEPT
+    #   lower to left-semi/left-anti hash joins on the same keys
+    "record_linkage_merge": "lsh_incremental_dedup",  # blocked candidate
+    #   equi-join + exact verify (deletion-key blocking + edit distance
+    #   vs LSH band-blocking + exact similarity) + survivor rollup
+    "cms_token_counts": "pricing_summary",  # bounded mergeable-sketch
+    #   counter table == one partial/final hash-agg pass
+    "orders_pit_customer_join": "promo_session_attribution",  # temporal
+    #   pair-join family: PIT as-of pick vs interval-overlap + as-of
+    #   attribution pick over the same keyed feeds
     "pysource_synthdocs":
         "pytest:test_pysource Python DataSource batch reader (no "
         "visible twin; ordered per-band digest oracle runs locally)",
@@ -260,10 +297,12 @@ COVERED_BY: dict[str, str] = {
     # history is CORRECTNESS_r1-r8) to admit fifteen never-checked
     # names; six remain bench headlines, so their perf is still
     # measured every round -----------------------------------------------
-    "asof_click_before_error": "orders_pit_customer_join",  # ordered
-    #   as-of pick family (still benched)
+    "asof_click_before_error": "promo_session_attribution",  # ordered
+    #   as-of/interval pick family (still benched; the PIT witness
+    #   rotated OUT r14)
     "price_quantiles": "winsorized_order_values",  # two-phase ordinal rank
-    "approx_distinct_stats": "cms_token_counts",
+    "approx_distinct_stats": "pricing_summary",  # one-pass mergeable
+    #   sketch aggregation == the same partial/final hash-agg plan
     "tfidf_top_terms": "source_quota_cap",  # term-keyed rollup
     #   + top-k-per-key window
     "doc_quality_score": "doc_subword_stats",  # narrow per-doc stats
@@ -274,7 +313,8 @@ COVERED_BY: dict[str, str] = {
     #   cosine fold (still benched)
     "forecast_revenue": "pricing_summary",  # pushed-filter scan-agg
     #   (still benched)
-    "multimodal_decode": "media_perceptual_dedup",
+    "multimodal_decode": "scalar_iter_doc_stats",  # batched-Python
+    #   binary-decode surface (pandas-udf family)
     "lookup_replace_nation": "top_revenue_customers",  # broadcast-dim lookup
     #   equi-join; unmatched-wiped semantics pytest-pinned
     "document_purge": "gopher_quality_flags",  # full-row predicate scan
@@ -284,17 +324,20 @@ COVERED_BY: dict[str, str] = {
     "ann_brute_force_topk": "hard_negative_mining",
     "shipping_priority": "top_revenue_customers",  # filtered join +
     #   group agg + distributed take (still benched)
-    "user_hourly_resample": "cohort_ltv_curve",
+    "user_hourly_resample": "session_conversion_funnel",
     # --- r10 rotation: multi-green incumbents rotated out; each keeps
     #     a same-pattern visible twin ------------------------------------
-    "customer_scd2_history": "orders_pit_customer_join",
+    "customer_scd2_history": "orders_snapshot_diff",  # keyed CDC
+    #   latest-version pick over the same keyed feed
     "customer_tags": "gopher_quality_flags",  # narrow per-row derive
     #   (array ops vs ratio flags), codegen'd projection
-    "table_counts": "dq_expectations",  # union of per-table counts; same
-    #   fused per-table conditional-agg report plan
+    "table_counts": "gopher_quality_flags",  # union of per-table counts;
+    #   the same fused conditional-agg report plan (dq witness rotated
+    #   OUT r14)
     "streaming_hourly_counts": "streaming_interval_join_louter",
-    "corpus_mixture_sample": "dsir_importance",  # temperature/mixture weights
-    #   -> deterministic weighted selection, same one-pass plan
+    "corpus_mixture_sample": "source_sampling_weights",  # temperature/
+    #   mixture weights -> deterministic weighted selection, same
+    #   one-pass plan
     "ivfpq_ann_probe": "pq_codes",  # same residual-PQ codes + ADC probe machinery
     "knn_ann_label_propagation": "hard_negative_mining",
     "bm25_top_docs": "bm25_batch_served",  # same postings+stats BM25 plan, ad-hoc vs served
@@ -313,7 +356,8 @@ COVERED_BY: dict[str, str] = {
     #   hard_negative_mining_ann (bucketed shortlist + rank window)
     "large_volume_customers": "top_revenue_customers",
     "trigram_backoff_score": "gopher_quality_flags",
-    "heavy_hitters_topk": "cms_token_counts",
+    "heavy_hitters_topk": "pricing_summary",  # bounded sketch-count
+    #   hash-agg + ordered take (sketch witness rotated OUT r14)
     "doc_boilerplate_coverage": "doc_winnow_fingerprints",  # span
     #   explode -> hash -> cross-doc frequency shuffle (boilerplate
     #   span counts vs winnow fingerprint spans over the same scan)
@@ -335,9 +379,9 @@ COVERED_BY: dict[str, str] = {
     #   postings probe, term filter vs batched terms
     "bm25_top_docs_served": "bm25_batch_served",  # N=1 case of the
     #   batched bucket-pruned BM25 probe
-    "cogroup_asof_pandas": "orders_pit_customer_join",  # as-of pick
-    #   over keyed ordered feeds (cogrouped pandas vs PIT join); the
-    #   batched-python surface stays visible via arrow_doc_stats
+    "cogroup_asof_pandas": "scalar_iter_doc_stats",  # batched-pandas
+    #   Python surface (cogroup vs scalar-iter); the as-of pick
+    #   semantics stay visible via promo_session_attribution
     "corpus_sorted_export": "packing_efficiency_report",  # two-phase
     #   global-order computation (range-partitioned sort vs
     #   bucket-subtotal prefix sum), both plan-guarded in test_plans
@@ -358,13 +402,14 @@ COVERED_BY: dict[str, str] = {
     #   frontier equi-join to a certified fixpoint (same engine)
     "linkgraph_khop_sssp": "linkgraph_bfs_reachability",  # per-round
     #   frontier equi-join (+ MIN groupBy relax) fixpoint
-    "phrase_match_served": "phrase_snapshot_served",  # bucket-pruned
-    #   two-term positional read, adjacency vs proximity band
+    "phrase_match_served": "bm25_batch_served",  # bucket-pruned two-term
+    #   postings read of the same serving index
     "quantized_rerank_topk": "late_interaction_rerank",  # shortlist +
     #   bounded rerank two-stage serving plan
     "token_pmi_pairs": "event_type_transition_matrix",  # pair-key count
     #   join + broadcast totals (PMI vs lift — same Apriori-k=2 plan)
-    "user_cohort_retention": "cohort_ltv_curve",
+    "user_cohort_retention": "session_conversion_funnel",  # per-user
+    #   epoch bucketing + double aggregation over the same events scan
     "nation_market_share": "important_supplier_share",
     # --- r11 additions (registered local-only from birth) -----------
     # --- r12 rotation (6th wave): eighteen multi-green incumbents OUT
@@ -374,32 +419,37 @@ COVERED_BY: dict[str, str] = {
     "hard_negative_mining_ann": "hard_negative_mining",  # same IVF
     #   cluster-shortlist probe + per-probe rank window, now with the
     #   commit-point lifecycle around it (7 driver greens r1-r11)
-    "bm25_tombstone_served": "bm25_snapshot_served",  # same
-    #   delete->vacuum->probe serving pattern; the snapshot adds the
-    #   commit-point lifecycle around the same vacuum
-    "proximity_ranked_docs": "phrase_snapshot_served",  # ad-hoc scan
-    #   twin of the served positional-proximity probe
+    "bm25_tombstone_served": "bm25_batch_served",  # same bucket-pruned
+    #   BM25 probe of the same serving index (the snapshot/tombstone
+    #   lifecycle witness rotated OUT r14)
+    "proximity_ranked_docs": "bm25_batch_served",  # term-keyed postings
+    #   probe family (positional witnesses rotated OUT r14)
     "join_key_skew_profile": "daily_volume_anomalies",  # grouped-count
     #   distribution rollup over one scan, same profile-agg plan
     "linkgraph_pagerank": "knn_label_propagation",  # per-round
     #   node-keyed equi-join + groupBy fixpoint loop (same engine)
-    "weighted_median_gagg": "doc_pareto_frontier",
+    "weighted_median_gagg": "weighted_median_jvm",  # its own scale
+    #   twin (SCALE_TWINS): the literal same oracle, pure-JVM plan
     "linkgraph_triangles": "linkgraph_bfs_reachability",
     "docstore_upsert_fetch": "docstore_as_of_fetch",
     "cobucketed_order_revenue": "bm25_batch_served",  # co-bucketed
     #   zero-exchange join; the bucket-pruned read side stays visible
     "streaming_dedup": "streaming_interval_join_louter",
-    "weighted_corpus_sample": "dsir_importance",  # A-ES weighted
-    #   sampling == DSIR importance-weighted selection: both one-pass
-    #   deterministic weight-threshold scans over per-doc scores
-    "user_rolling_7d": "cohort_ltv_curve",
+    "weighted_corpus_sample": "source_sampling_weights",  # A-ES weighted
+    #   sampling == weight-driven selection: both one-pass deterministic
+    #   weight-threshold scans over per-doc/per-source scores
+    "user_rolling_7d": "session_conversion_funnel",
     "nation_trade_volume": "important_supplier_share",
     "idle_rich_customers": "important_supplier_share",
-    "events_variant_extract": "events_schema_profile",
-    "hll_sketch_union": "cms_token_counts",
-    "sole_failing_supplier": "customer_set_ops",  # Q21's semi+anti
-    #   composite; INTERSECT/EXCEPT compile to the same left-semi /
-    #   left-anti hash joins on the customer keys
+    "events_variant_extract": "user_event_type_map",  # same semi-
+    #   structured payload extraction scan (variant path vs map-typed
+    #   from_json)
+    "hll_sketch_union": "pricing_summary",  # mergeable-sketch union ==
+    #   the same partial/final agg-merge plan (sketch witness rotated
+    #   OUT r14)
+    "sole_failing_supplier": "top_revenue_customers",  # Q21's semi+anti
+    #   composite lowers to left-semi/left-anti hash joins on the same
+    #   supplier/order keys (set-ops witness rotated OUT r14)
     "arrow_doc_stats": "doc_chunk_spans_udtf",  # Arrow-batched Python
     #   surface: mapInArrow per-batch vs UDTF generator, same batch
     #   shape and schema contract
@@ -426,8 +476,9 @@ COVERED_BY: dict[str, str] = {
     "docstore_change_feed": "docstore_as_of_fetch",  # same docstore
     #   manifest/version read path; the feed diffs two versions the
     #   as-of fetch pins individually
-    "lineitem_zorder_pruned": "lineitem_zorder_asof",  # same z-order
-    #   manifest min/max pruning read; as-of adds version selection
+    "lineitem_zorder_pruned": "docstore_as_of_fetch",  # manifest-scoped
+    #   pruned read of a versioned layout (z-order min/max vs docstore
+    #   manifest; the z-order witness rotated OUT r14)
     "semantic_decontamination": "semantic_decon_ann_recall",  # the
     #   recall report runs the exact leg AND the ANN leg of the same
     #   decontamination join
@@ -441,8 +492,8 @@ COVERED_BY: dict[str, str] = {
     "association_rules_pairs": "event_type_transition_matrix",  # pair-
     #   keyed count aggregate + broadcast marginal totals (lift vs
     #   row-normalized transition probabilities)
-    "proximity_ranked_served": "phrase_snapshot_served",  # bucket-pruned
-    #   positional postings probe (proximity band vs phrase adjacency)
+    "proximity_ranked_served": "bm25_batch_served",  # bucket-pruned
+    #   postings probe of the same serving index
     "term_source_dispersion": "source_quota_cap",  # term/source-keyed
     #   rollup + top-k-per-key window (source_quota_cap's own pattern)
     "duplicate_spans": "doc_winnow_fingerprints",  # span/k-gram explode
@@ -455,10 +506,6 @@ COVERED_BY: dict[str, str] = {
     #   distribution rollup + broadcast-baseline compare over one scan
     #   (PSI bins vs per-day anomaly z-scores)
     # --- r13 additions (registered local-only from birth) -----------
-    "weighted_median_jvm": "winsorized_order_values",
-    "grouped_price_model_jvm": "pricing_summary",  # one-pass grouped
-    #   decimal moment aggregation over the lineitem scan — the same
-    #   scan-agg plan family as the flagship pricing rollup
 }
 
 # Scale twins (VERDICT r12 item 7): API-surface queries whose measured

@@ -579,9 +579,7 @@ def ivfpq_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY p.probe_id
     """,
     tags=("similarity", "contrastive", "triplet", "ann", "composed"),
-    # same candidate generator as knn_ann_label_propagation /
-    # hard_negative_mining_ann (both driver-visible)
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def triplet_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-triplet assembly from the ANN index: for each seed

@@ -270,7 +270,7 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
     tags=("corpus", "sampling", "mixture"),
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def source_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Square-root temperature sampling weights per source: the

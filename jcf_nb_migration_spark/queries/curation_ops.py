@@ -664,10 +664,7 @@ def lsh_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """,
     tags=("curation", "quality", "lm", "ngram"),
-    # kept local to fit the 50-name driver window; the vocabulary-keyed
-    # join pattern is driver-visible via tfidf_top_terms and
-    # decontaminate_ngrams
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained bigram language-model fluency score — the
@@ -760,7 +757,7 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) ORDER BY stage_idx
     """,
     tags=("curation", "funnel", "quality"),
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed keep/drop report a curation pipeline publishes:
@@ -1014,7 +1011,7 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY f.source ORDER BY f.source
     """,
     tags=("curation", "report", "rollup"),
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def source_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-source corpus report a curation pipeline publishes at
@@ -1121,7 +1118,7 @@ CLUSTER_CAP = 20  # kept vectors per semantic cluster (topic balancing)
     ORDER BY cluster, samp_rank
     """.replace("{IVF}", _SQL_IVF_ASSIGNED),
     tags=("curation", "sampling", "kmeans", "topic-balance"),
-    driver_visible=False,  # composes two driver-visible patterns:
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
     #   semdedup_prune's trained assignment + tfidf's per-group top-k
 )
 def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1916,10 +1913,7 @@ TOPIC_MIN_TF = 5      # corpus support floor (kills hapax noise)
     ORDER BY cluster, lift DESC, term
     """,
     tags=("curation", "kmeans", "topic-labeling", "tfidf", "composed"),
-    # composes the trained k-means assignment (semdedup_prune,
-    # driver-visible) with the tf-lift ranking family
-    # (tfidf_top_terms); per-cluster top-k window = source_quota_cap
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic labels for embedding clusters — the human-readable half
@@ -2034,10 +2028,7 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tok, dup, cont, sp
     """,
     tags=("curation", "dataset-card", "report", "composed"),
-    # dataset-card rollup composing dedup_exact / decontaminate /
-    # split machinery (all driver-visible) into 1-row scalar
-    # aggregates crossJoined — the important_supplier_share idiom
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def corpus_release_report(spark: SparkSession,
                           sf_dir: str) -> DataFrame:
@@ -2126,6 +2117,9 @@ def corpus_release_report(spark: SparkSession,
     """,
     tags=("curation", "skyline", "pareto", "multi-objective",
           "pandas-udf"),
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by scalar_iter_doc_stats (coverage_map.py)
+    driver_visible=False,
 )
 def doc_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto frontier of the corpus on (token count, type-token

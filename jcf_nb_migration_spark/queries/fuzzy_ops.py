@@ -154,6 +154,9 @@ def fuzzy_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
           "golden-record", "survivorship"),
     # rotated INTO the driver window r9 second wave (first-time name;
     # supersedes fuzzy_name_matches as the blocking family's witness)
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by lsh_incremental_dedup (coverage_map.py)
+    driver_visible=False,
 )
 def record_linkage_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage with survivorship — the incoming-batch-vs-master

@@ -209,6 +209,9 @@ def _cached_training(spark: SparkSession, sf_dir: str):
        .replace("{ITERS}", _SQL_ITERS)
        .replace("{P}", _P_EXPR),
     tags=("ml", "serving", "calibration"),
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by bm25_batch_served (coverage_map.py)
+    driver_visible=False,
 )
 def logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-then-serve: score every document with the FINAL trained

@@ -140,10 +140,9 @@ def _sql_ahash() -> str:
     """,
     tags=("multimodal", "dedup", "perceptual-hash", "simhash",
           "composed"),
-    # composes the multimodal payload column with the banded-Hamming
-    # machinery (simhash_near_pairs, driver-visible); the oracle is
-    # the naive all-pairs formulation the banding provably equals
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by source_dedup_matrix (coverage_map.py)
+    driver_visible=False,
 )
 def media_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-duplicate detection for MEDIA columns — the

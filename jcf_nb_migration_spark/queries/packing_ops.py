@@ -363,6 +363,9 @@ def corpus_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kept local to fit the 50-name driver window; the hashed-feature
     # scoring pattern is driver-visible via doc_lang_id and
     # doc_quality_score
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by source_sampling_weights (coverage_map.py)
+    driver_visible=False,
 )
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, "Data Selection

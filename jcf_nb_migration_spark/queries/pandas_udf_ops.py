@@ -99,7 +99,7 @@ def grouped_price_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   grouped_price_model — the machine-checked scale-twin contract
     #   (coverage_map.SCALE_TWINS + tests/test_coverage_map.py).
     tags=("model-fit", "moments", "scale-twin"),
-    driver_visible=False,  # local-only scale twin; pattern visible
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
     #   via pricing_summary (one-pass grouped decimal aggregation
     #   over the same lineitem scan)
 )
@@ -414,7 +414,7 @@ def weighted_median_gagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   .SCALE_TWINS + tests/test_coverage_map.py): same inputs, same
     #   output, different execution surface.
     tags=("robust-stats", "two-phase-rank", "scale-twin"),
-    driver_visible=False,  # local-only: scale twin of
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
     #   weighted_median_gagg; pattern visible via
     #   winsorized_order_values (shared two-phase-rank/robust-stats
     #   tags)
@@ -475,11 +475,7 @@ def weighted_median_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents ORDER BY doc_id
     """,
     tags=("pandas-udf", "scalar-iter", "arrow", "vectorized"),
-    # the remaining pandas-UDF evaluation mode (SCALAR_ITER) beside
-    # GROUPED_AGG/applyInPandas/mapInPandas/mapInArrow/UDTF — cheap
-    # per-row work is driver-visible via doc_token_stats (built-ins,
-    # the 100 TB path); this pins the iterator surface itself
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def scalar_iter_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document stats through a SCALAR_ITER pandas UDF — the

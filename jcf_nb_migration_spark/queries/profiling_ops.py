@@ -287,6 +287,9 @@ def hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY version ORDER BY version
     """,
     tags=("scd2", "point-in-time", "temporal-join"),
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by promo_session_attribution (coverage_map.py)
+    driver_visible=False,
 )
 def orders_pit_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join: each order picks the dimension VERSION that
@@ -427,7 +430,7 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY source
     """,
     tags=("profiling", "quality", "embedding"),
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def source_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source embedding drift: cosine of each source's centroid
@@ -526,6 +529,9 @@ def _sql_cms_bucket(tok_expr: str, j: str) -> str:
     ORDER BY exact_count DESC, token
     """,
     tags=("approx", "sketch", "count-min", "mergeable"),
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by pricing_summary (coverage_map.py)
+    driver_visible=False,
 )
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over corpus token frequencies, checked against
@@ -645,6 +651,9 @@ def _sql_dq() -> str:
     "dq_expectations",
     oracle=_sql_dq(),
     tags=("data-quality", "expectations", "control-plane"),
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by gopher_quality_flags (coverage_map.py)
+    driver_visible=False,
 )
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality expectation suite (the dbt-test /
@@ -777,6 +786,9 @@ K_ANON = 5  # suppression threshold: groups smaller than this leak
     tags=("privacy", "k-anonymity", "audit"),
     # quasi-identifier groupBy + one-row rollup — the
     # customer_column_profile / table_counts physical family
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by gopher_quality_flags (coverage_map.py)
+    driver_visible=False,
 )
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over the quasi-identifier tuple (segment,

@@ -285,7 +285,9 @@ def nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY custdist DESC, c_count DESC
     """,
     tags=("tpch-shape", "outer-join", "double-agg", "tpch-q13"),
-    driver_visible=True,  # rotated INTO the driver window r11 (first-time name)
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by important_supplier_share (coverage_map.py)
+    driver_visible=False,
     #                        returned_item_report; the stacked second
     #                        agg is a bounded-domain groupBy
 )

@@ -196,6 +196,9 @@ def part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("lateral", "correlated-subquery", "topn"),
     # per-group ordered take — physical twin of latest_event_per_user
     # (window rank) and shipping_priority (ordered limit)
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by important_supplier_share (coverage_map.py)
+    driver_visible=False,
 )
 def lateral_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated LATERAL subquery: per nation, the top-2 customers by
@@ -310,6 +313,9 @@ def nullsafe_cohort_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     # INTERSECT/EXCEPT plan as left-semi/left-anti aggregates — the
     # same join kinds driver-visible via customers_without_orders /
     # customers_with_urgent_orders
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by top_revenue_customers (coverage_map.py)
+    driver_visible=False,
 )
 def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI set operations as audit counts: BUILDING-segment customers
@@ -793,6 +799,9 @@ ZO_AS_OF_MOD = 97   # deterministic append-batch selector
     # build→append→as-of lifecycle; the snapshot machinery is pinned
     # by tests/test_zorder.py and the pruned-scan family stays
     # driver-visible via lineitem_zorder_pruned (same module)
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by docstore_as_of_fetch (coverage_map.py)
+    driver_visible=False,
 )
 def lineitem_zorder_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIME TRAVEL over the z-ordered layout (io/zorder versioning,

@@ -1750,6 +1750,9 @@ def docstore_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("retrieval", "bm25", "serving", "bucketed", "tombstone",
           "snapshot", "time-travel"),
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by bm25_batch_served (coverage_map.py)
+    driver_visible=False,
 )
 def bm25_snapshot_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit points on the serving index (io/lexical.py snapshot
@@ -1842,6 +1845,9 @@ def _sql_phrase_state(where: str) -> str:
     """,
     tags=("retrieval", "phrase", "positional", "serving", "snapshot",
           "time-travel", "tombstone"),
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by bm25_batch_served (coverage_map.py)
+    driver_visible=False,
 )
 def phrase_snapshot_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Commit points on the POSITIONAL layout (io/lexical.py —

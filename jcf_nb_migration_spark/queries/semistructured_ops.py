@@ -38,6 +38,9 @@ from jcf_nb_migration_spark.registry import query, t
     GROUP BY event_type, key ORDER BY event_type, key
     """,
     tags=("semistructured", "json", "profiling"),
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by user_event_type_map (coverage_map.py)
+    driver_visible=False,
 )
 def events_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Producer-drift observability: which keys appear in the payload
@@ -91,9 +94,7 @@ def events_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c GROUP BY user_id ORDER BY user_id
     """,
     tags=("semistructured", "map-type", "from_json", "hof"),
-    # per-key double aggregate + codegen'd map HOFs; physical family
-    # events_json_bucket (driver-visible)
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-typed column surface: per user, a map<event_type, count> is

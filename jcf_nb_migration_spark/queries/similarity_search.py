@@ -295,9 +295,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM dims d JOIN stats s ON s.dim_idx = d.dim_idx
     """,
     tags=("similarity", "quantization", "compression"),
-    # kept local to fit the 50-name driver window; the posexplode +
-    # per-dim-agg pattern is driver-visible via embedding pipelines
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar (int8) quantization of the embedding column — the 4×
@@ -371,7 +369,7 @@ N_BATCH_PROBES = 10
     ORDER BY probe_id, rk
     """,
     tags=("similarity", "ann", "lsh", "batch"),
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def ann_lsh_batch_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched ANN — many probes answered in ONE plan (the

@@ -775,9 +775,7 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
     tags=("dedup", "containment", "asymmetric", "prefix-filter"),
-    # prefix-filtered candidate equi-join + full-set verify is the
-    # minhash_lsh_dedup shuffle graph (driver-visible)
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup pairs by shingle-set CONTAINMENT ≥ 0.8 —
@@ -824,6 +822,9 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "novelty", "dedup-diagnostic"),
     # rotated IN r10 4th wave: the shingle-explode + agg/join family's
     # driver witness (decontaminate_ngrams rotated out)
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by doc_bigram_lm_score (coverage_map.py)
+    driver_visible=False,
 )
 def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source novelty: what fraction of a source's 3-gram shingle
@@ -1106,11 +1107,7 @@ def code_switch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2 ORDER BY 1, 2
     """,
     tags=("dedup", "provenance", "matrix", "cross-source"),
-    # kept local: 0 rows at sf0.01 (no cross-source duplicate pairs
-    # in the small fixture) makes it a trivially-hashing window
-    # entry; pattern twin: simhash_fingerprints (coverage_map.py);
-    # still oracle-run at every pytest, non-empty at sf0.1.
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def source_dedup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WHERE duplication comes from — the provenance matrix a crawl

@@ -826,10 +826,7 @@ PROMO_START_H, PROMO_END_H = 18, 20   # daily 18:00-20:00 UTC window
     GROUP BY p.promo_day ORDER BY p.promo_day
     """,
     tags=("timeseries", "interval-join", "attribution", "composed"),
-    # sessionization (event_sessionization) + broadcast interval
-    # overlap join; the asymmetric range-join family
-    # (range_join_error_click) without a shared equi-key
-    driver_visible=False,
+    driver_visible=True,  # rotated INTO the driver window r14 (8th wave, first-time name)
 )
 def promo_session_attribution(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
@@ -919,6 +916,9 @@ def promo_session_attribution(spark: SparkSession,
     # cohort-retention family (driver-visible twins:
     # latest_event_per_user's per-key window, pricing_summary's
     # decimal rollup)
+    # rotated OUT of the driver window r14 (8th wave);
+    # pattern witnessed by session_conversion_funnel (coverage_map.py)
+    driver_visible=False,
 )
 def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort lifetime-value curves — the revenue companion of
