@@ -1636,28 +1636,48 @@ def semantic_decontamination(spark: SparkSession,
     bench suites the same query runs against the IVF shortlist
     instead of the full bench table (the knn_ann_label_propagation
     candidate generator)."""
+    bench_raw, corpus = _semdecon_sides(spark, sf_dir)
+    return _semdecon_exact_screen(bench_raw, corpus)
+
+
+def _semdecon_sides(spark, sf_dir: str):
+    """One builder for both screens' inputs: the raw bench rows (the
+    k-means trainer/assigner consumes the uncast embedding) and the
+    pre-cast, pre-normed corpus frame. r14 (guide §1.2): cast and norm
+    are paid ONCE per vector, never per pair — and the recall report
+    persists THIS frame so its two legs share one materialization
+    instead of two embeddings scans."""
     from jcf_nb_migration_spark.functions import similarity as S
 
     emb = spread(t(spark, sf_dir, "embeddings"))
-    # r14 (guide §1.2 per-task work): the cosine fold is a
-    # CodegenFallback higher-order function, so every node in it is
-    # interpreted n×m times across the screen. Three cuts, each
-    # bit-identical (measured 3.4x on the screen kernel, symdiff 0):
-    # each side is cast to double ONCE (dot() re-cast per pair), each
-    # side's norm is computed ONCE (cosine() re-folded both norms per
-    # pair), and the tau screen rides the JOIN CONDITION so the
-    # remaining dot fold runs once per pair instead of twice (the
-    # filter+project shape re-evaluated it — Catalyst pushes the
-    # predicate through the projection by substitution).
-    bench = F.broadcast(
-        emb.where(F.col("vec_id") % SEMDECON_MOD == 0)
-        .select(F.col("vec_id").alias("bench_id"),
-                S.as_double(F.col("embedding")).alias("bvec"))
-        .withColumn("bn", F.sqrt(S.dot_precast("bvec", "bvec"))))
+    bench_raw = (emb.where(F.col("vec_id") % SEMDECON_MOD == 0)
+                 .select("vec_id", "embedding"))
     corpus = (emb.where(F.col("vec_id") % SEMDECON_MOD != 0)
               .select("vec_id",
                       S.as_double(F.col("embedding")).alias("cvec"))
               .withColumn("cn", F.sqrt(S.dot_precast("cvec", "cvec"))))
+    return bench_raw, corpus
+
+
+def _semdecon_exact_screen(bench_raw, corpus) -> DataFrame:
+    """The exact screen over pre-built sides. r14 (guide §1.2
+    per-task work): the cosine fold is a CodegenFallback higher-order
+    function, so every node in it is interpreted n×m times across the
+    screen. Three cuts, each bit-identical (measured 3.4x on the
+    screen kernel, symdiff 0): each side is cast to double ONCE
+    (dot() re-cast per pair), each side's norm is computed ONCE
+    (cosine() re-folded both norms per pair), and the tau screen
+    rides the JOIN CONDITION so the remaining dot fold runs once per
+    pair instead of twice (the filter+project shape re-evaluated it —
+    Catalyst pushes the predicate through the projection by
+    substitution)."""
+    from jcf_nb_migration_spark.functions import similarity as S
+
+    bench = F.broadcast(
+        bench_raw
+        .select(F.col("vec_id").alias("bench_id"),
+                S.as_double(F.col("embedding")).alias("bvec"))
+        .withColumn("bn", F.sqrt(S.dot_precast("bvec", "bvec"))))
     cos_raw = (S.dot_precast("cvec", "bvec")
                / (F.col("cn") * F.col("bn")))
     scored = (corpus.join(bench, cos_raw >= SEMDECON_TAU)
@@ -1746,28 +1766,27 @@ def semantic_decontamination_ann(spark: SparkSession,
     the broadcast assigned bench, per-vector top-1 window. The oracle
     replays the identical k-means + shortlist in SQL, so the
     DETERMINISTIC shortlist is hash-checked, not just the scoring."""
+    bench_raw, corpus = _semdecon_sides(spark, sf_dir)
+    return _semdecon_ann_screen(bench_raw, corpus)
+
+
+def _semdecon_ann_screen(bench_raw, corpus) -> DataFrame:
+    """The IVF-shortlisted screen over pre-built sides. r14: same
+    three bit-identical cuts as the exact variant (pre-cast per side,
+    pre-norm per side, tau in the join condition — see
+    _semdecon_exact_screen). The probe shortlist runs over the
+    pre-cast cvec: _centroid_sims casts elements itself, so a
+    double→double cast is an element-wise identity. cn is computed
+    BEFORE the ×nprobe explode (once per vector, not per probe row)."""
     from jcf_nb_migration_spark.functions import similarity as S
 
-    emb = spread(t(spark, sf_dir, "embeddings"))
-    bench = (emb.where(F.col("vec_id") % SEMDECON_MOD == 0)
-             .select("vec_id", "embedding"))
-    cents = S.kmeans_train(bench, k=8, iters=2)
-    # r14: same three bit-identical cuts as the exact variant (pre-cast
-    # per side, pre-norm per side, tau in the join condition — see
-    # semantic_decontamination above). The probe shortlist runs over
-    # the pre-cast cvec: _centroid_sims casts elements itself, so a
-    # double→double cast is an element-wise identity. cn is computed
-    # BEFORE the ×nprobe explode (once per vector, not per probe row).
+    cents = S.kmeans_train(bench_raw, k=8, iters=2)
     bench_assigned = F.broadcast(
-        S.ivf_assign(bench, cents)
+        S.ivf_assign(bench_raw, cents)
         .select(F.col("vec_id").alias("bench_id"),
                 S.as_double(F.col("embedding")).alias("bvec"),
                 F.col("cluster").alias("bcluster"))
         .withColumn("bn", F.sqrt(S.dot_precast("bvec", "bvec"))))
-    corpus = (emb.where(F.col("vec_id") % SEMDECON_MOD != 0)
-              .select("vec_id",
-                      S.as_double(F.col("embedding")).alias("cvec"))
-              .withColumn("cn", F.sqrt(S.dot_precast("cvec", "cvec"))))
     probed = S.ivf_probe_clusters(corpus, cents, vec_col="cvec",
                                   nprobe=SEMDECON_NPROBE)
     cos_raw = (S.dot_precast("cvec", "bvec")
@@ -1808,11 +1827,31 @@ def semantic_decon_ann_recall(spark: SparkSession,
     pairs with the same threshold), so the report has no fp column —
     n_ann <= n_exact always; the pytest oracle checks equality
     anyway via the full-outer join shape."""
-    exact = semantic_decontamination(spark, sf_dir).select(
+    # r14 (VERDICT r13 item 4): both legs run the IDENTICAL screen
+    # helpers over ONE pair of shared side frames. A persisted shared
+    # corpus was A/B-measured and REJECTED: materializing the
+    # pre-cast/pre-normed corpus cost more than the two fused
+    # scan+cast+norm passes it replaced (7.31 s vs 6.20 s at the
+    # 10x-derived point; the per-pair folds dominate and caching does
+    # not touch them), so the legs deliberately re-derive the frame
+    # from the shared builder (guide §1.1: empirical loop beats the
+    # "ideal" one-materialization plan here).
+    bench_raw, corpus = _semdecon_sides(spark, sf_dir)
+    exact = _semdecon_exact_screen(bench_raw, corpus).select(
         "vec_id", F.lit(1).alias("_e"))
-    ann = semantic_decontamination_ann(spark, sf_dir).select(
+    ann = _semdecon_ann_screen(bench_raw, corpus).select(
         "vec_id", F.lit(1).alias("_a"))
-    j = exact.join(ann, "vec_id", "full_outer")
+    # Flag sets have unique vec_ids by construction (top-1 per vec_id),
+    # so full_outer == union + one max-per-side groupBy: one tiny
+    # exchange instead of a two-sort SortMergeJoin FullOuter (§2.4 —
+    # the same rewrite as retrieval_pipeline_e2e's RRF merge). max over
+    # {1, NULL} is 1; a side's absence stays NULL, exactly the outer
+    # join's padding.
+    j = (exact.withColumn("_a", F.lit(None).cast("int"))
+         .unionByName(ann.select(
+             "vec_id", F.lit(None).cast("int").alias("_e"), "_a"))
+         .groupBy("vec_id")
+         .agg(F.max("_e").alias("_e"), F.max("_a").alias("_a")))
     return j.agg(
         F.sum("_e").cast("bigint").alias("n_exact"),
         F.sum("_a").cast("bigint").alias("n_ann"),
