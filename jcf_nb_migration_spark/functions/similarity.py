@@ -601,7 +601,8 @@ def lsh_ann_same_bucket(emb: DataFrame, probe_id: int, n_planes: int = 6,
 def lsh_ann_multiprobe(emb: DataFrame, probe_id: int, n_planes: int = 6,
                        dim: int = 64, k: int = 10,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding") -> DataFrame:
+                       vec_col: str = "embedding",
+                       probe_src: DataFrame | None = None) -> DataFrame:
     """Multi-probe hyperplane LSH: candidates come from the probe's
     own bucket PLUS every Hamming-1 neighbor (one sign flip) — the
     standard recall fix for vectors that sit near a hyperplane. The
@@ -609,15 +610,28 @@ def lsh_ann_multiprobe(emb: DataFrame, probe_id: int, n_planes: int = 6,
     equi-joined on ``bucket``, so at scale this stays a bucket-pruned
     read of n_planes+1 buckets, never a corpus scan. Exact cosine
     ranks the candidate union; top-k returned.
-    Columns: neighbor_id, bucket, cos_sim."""
+    Columns: neighbor_id, bucket, cos_sim.
+
+    ``probe_src`` (r14, guide §2.4/§6): where the probe row should be
+    READ from when ``emb`` is itself a filtered/joined view that is
+    known to contain the probe row. Passing the base table here turns
+    the probe-side lookup into one pushed-down point filter on the
+    scan instead of re-evaluating ``emb``'s whole lineage (e.g. a
+    semi-join) just to find one row. Candidates always come from
+    ``emb``. Results are identical whenever the probe row appears in
+    both frames with the same vector."""
     planes = hyperplane_signs(n_planes, dim)
     with_bucket = emb.select(
         F.col(id_col), F.col(vec_col),
         lsh_bucket(vec_col, planes).alias("bucket"),
     )
+    probe_base = with_bucket if probe_src is None else probe_src.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket(vec_col, planes).alias("bucket"),
+    )
     masks = [0] + [1 << p for p in range(n_planes)]
     probe = F.broadcast(
-        with_bucket.where(F.col(id_col) == probe_id)
+        probe_base.where(F.col(id_col) == probe_id)
         .select(F.col(vec_col).alias("__probe_vec"),
                 F.explode(F.array(*[
                     F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks

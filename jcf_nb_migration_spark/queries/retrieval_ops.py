@@ -708,19 +708,21 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.row_number().over(wl).cast("bigint")
                         .alias("rank_lex")))
     # semantic list: candidates gated (probe row exempt so the lookup
-    # never depends on the probe doc's own quality). r14 (guide §2.4):
-    # ONE embeddings scan — the probe id joins the gated id set and a
-    # single semi-join admits exactly {probe} ∪ gated, the same row
-    # set the two-leg union scanned embeddings twice for (set algebra:
-    # probe-row ∪ (gated ∖ probe) = gated ∪ {probe}; semi-join output
-    # is per-left-row, so no dedup subtlety).
+    # never depends on the probe doc's own quality). r14 (guide §2.4,
+    # §6): the candidate side is ONE semi-join of embeddings against
+    # the gated id set (read from the persisted proxy), and the probe
+    # VECTOR is read straight off the base scan as a pushed-down point
+    # filter (probe_src) — the earlier union/semi shapes either
+    # scanned embeddings through two branches or re-evaluated the
+    # semi-join on the probe side just to find one row. Candidate set
+    # unchanged: the multiprobe join excludes the probe id itself, so
+    # gated-only candidates == (gated ∪ {probe}) ∖ {probe}.
     emb = t(spark, sf_dir, "embeddings")
-    gid = (perdoc.select(F.col("doc_id").alias("vec_id"))
-           .unionByName(local_df(spark, [(RPE_PROBE_ID,)],
-                                 "vec_id bigint")))
+    gid = perdoc.select(F.col("doc_id").alias("vec_id"))
     emb_in = emb.join(gid, "vec_id", "left_semi")
     cand = S.lsh_ann_multiprobe(emb_in, probe_id=RPE_PROBE_ID,
-                                n_planes=6, dim=64, k=RPE_LIST_K)
+                                n_planes=6, dim=64, k=RPE_LIST_K,
+                                probe_src=emb)
     # bounded-window: post-limit:20 — lsh_ann_multiprobe k-limits first
     ws = Window.orderBy(F.desc("cos_sim"), "neighbor_id")
     list_sem = (cand.select(F.col("neighbor_id").alias("doc_id"),
