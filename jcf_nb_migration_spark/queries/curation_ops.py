@@ -1996,7 +1996,14 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ctp.groupBy("term").agg(F.sum("tf").alias("corpus_tf"))
     corpus_n = ctp.agg(F.sum("tf").cast("bigint").alias("corpus_n"))
     csz = ctp.groupBy("cluster").agg(F.sum("tf").alias("cluster_n"))
-    scored = (ctp.join(tot, "term")
+    # r14 (guide §3.1, the doc_bigram_lm_score precedent): tot is
+    # VOCABULARY-bounded (one row per distinct term — ~1k at sf0.1,
+    # Heaps-law sublinear in production), but its size estimate stacks
+    # an aggregate on a cached relation and came out big enough that
+    # the planner sort-merged this join, shuffling the K×vocab counts
+    # frame. The explicit broadcast pins the bounded side; cutover for
+    # a vocabulary past the cap: drop the hint, AQE shuffles.
+    scored = (ctp.join(F.broadcast(tot), "term")
               .where(F.col("corpus_tf") >= TOPIC_MIN_TF)
               .join(F.broadcast(csz), "cluster")
               .crossJoin(F.broadcast(corpus_n))
