@@ -131,6 +131,18 @@ def adjudicate_drift(normalized: dict | None, best_known: dict,
     return notes
 
 
+def cap_notes(notes: list[str], limit: int = 8) -> list[str]:
+    """Cap the PRINTED contract line's notes (r14): notes are the one
+    contract field without a fixed size, so a globally bad round could
+    flag every query and re-bloat the stdout line past the driver's
+    capture — the exact failure the bare-contract line exists to
+    prevent. The artifact (bench_last_full.json) keeps the full list."""
+    if len(notes) <= limit:
+        return notes
+    return notes[:limit] + [
+        f"(+{len(notes) - limit} more notes — see full_artifact)"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
@@ -429,6 +441,7 @@ def main() -> None:
     # must never clobber the validated sf0.1 artifact (bit us in r13).
     contract_keys = ("metric", "value", "unit", "queries", "sf", "notes")
     line = {k: out[k] for k in contract_keys}
+    line["notes"] = cap_notes(line["notes"])
     try:
         name = ("bench_last_full.json" if abs(sf - 0.1) < 1e-9
                 else f"bench_last_full_sf{sf}.json")

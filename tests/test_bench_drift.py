@@ -74,3 +74,16 @@ def test_threshold_is_strict_and_per_query() -> None:
         {"q_fast": 1.5, "q_slow": 3.2}, BEST, hist_norm)
     assert len(notes) == 1
     assert notes[0].startswith("q_slow")
+
+
+def test_printed_notes_are_capped() -> None:
+    # The printed contract line caps notes at 8 + a pointer; the full
+    # list stays in the artifact (bench_last_full.json).
+    notes = [f"q{i}: flagged" for i in range(20)]
+    capped = bench.cap_notes(notes)
+    assert len(capped) == 9
+    assert capped[:8] == notes[:8]
+    assert capped[-1] == "(+12 more notes — see full_artifact)"
+    # short lists pass through untouched (identity, not a copy quirk)
+    assert bench.cap_notes(notes[:8]) == notes[:8]
+    assert bench.cap_notes([]) == []
