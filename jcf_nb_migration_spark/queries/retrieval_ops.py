@@ -701,12 +701,19 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all read the proxy (the before-plan paid six scans+tokenizes)
     perdoc = _bm25_perdoc(gated, carry=("source",))
     _, bm = _bm25_frames(gated, perdoc=perdoc)
-    # bounded-window: post-limit:20 — applied after .limit(RPE_LIST_K)
-    wl = Window.orderBy(F.desc("bm25"), "doc_id")
+    # r14 (guide §2.4, second pass): each top-20 list is cut by a
+    # TakeOrderedAndProject whose output is ALREADY one partition, but
+    # ranking each list with its own Window and merging with a groupBy
+    # paid three more single-partition exchanges — three extra AQE
+    # stage boundaries on ≤40 rows. Both lists now union as
+    # (doc_id, score, side) rows, coalesce(1) (narrow, no shuffle over
+    # two single-partition inputs), and EVERYTHING downstream — the
+    # per-side rank windows, the per-doc merge, the RRF arithmetic —
+    # runs in that one stage: SinglePartition satisfies every
+    # clustering requirement, so Catalyst inserts no exchange at all.
     list_lex = (bm.orderBy(F.desc("bm25"), "doc_id").limit(RPE_LIST_K)
-                .select("doc_id",
-                        F.row_number().over(wl).cast("bigint")
-                        .alias("rank_lex")))
+                .select("doc_id", F.col("bm25").alias("score"),
+                        F.lit(0).alias("side")))
     # semantic list: candidates gated (probe row exempt so the lookup
     # never depends on the probe doc's own quality). r14 (guide §2.4,
     # §6): the candidate side is ONE semi-join of embeddings against
@@ -723,34 +730,35 @@ def retrieval_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = S.lsh_ann_multiprobe(emb_in, probe_id=RPE_PROBE_ID,
                                 n_planes=6, dim=64, k=RPE_LIST_K,
                                 probe_src=emb)
-    # bounded-window: post-limit:20 — lsh_ann_multiprobe k-limits first
-    ws = Window.orderBy(F.desc("cos_sim"), "neighbor_id")
-    list_sem = (cand.select(F.col("neighbor_id").alias("doc_id"),
-                            F.row_number().over(ws).cast("bigint")
-                            .alias("rank_sem")))
-    # r14 (guide §2.4): the RRF merge of two k-bounded rank lists was
-    # a full-outer SortMergeJoin — TWO sort exchanges for 20-row
-    # sides (Spark cannot broadcast a full-outer hash join). Each
-    # list's doc_ids are unique by construction (row_number over a
-    # limit), so full-outer ≡ union + one max-per-side groupBy: ONE
-    # tiny exchange, identical (doc_id, rank_lex, rank_sem) triples
-    # (max over {rank, NULL} is the rank; a side's absence stays
-    # NULL, exactly the outer join's padding).
+    list_sem = cand.select(F.col("neighbor_id").alias("doc_id"),
+                           F.col("cos_sim").alias("score"),
+                           F.lit(1).alias("side"))
+    # Per-side ranks in the fused single partition: row_number over
+    # (side; score desc, doc_id) reproduces each list's original
+    # (desc score, id) ranking exactly — every list's doc_ids are
+    # unique by construction (BM25 is per-doc; a multiprobe candidate
+    # matches exactly one probe bucket), so the per-doc merge is the
+    # same max-per-side fold as the full-outer join's padding
+    # (bounded-window: const:40 — two ≤20-row lists).
+    wr = Window.partitionBy("side").orderBy(F.desc("score"), "doc_id")
+    ranked = (list_lex.unionByName(list_sem).coalesce(1)
+              .withColumn("rank", F.row_number().over(wr).cast("bigint")))
     fused = (
-        list_lex.withColumn("rank_sem", F.lit(None).cast("bigint"))
-        .unionByName(list_sem.select(
-            "doc_id", F.lit(None).cast("bigint").alias("rank_lex"),
-            "rank_sem"))
-        .groupBy("doc_id")
-        .agg(F.max("rank_lex").alias("rank_lex"),
-             F.max("rank_sem").alias("rank_sem"))
+        ranked.groupBy("doc_id")
+        .agg(F.max(F.when(F.col("side") == 0, F.col("rank")))
+             .alias("rank_lex"),
+             F.max(F.when(F.col("side") == 1, F.col("rank")))
+             .alias("rank_sem"))
         .select("doc_id", "rank_lex", "rank_sem",
                 F.round(
                     F.coalesce(F.lit(1.0) / (RRF_K + F.col("rank_lex")),
                                F.lit(0.0))
                     + F.coalesce(F.lit(1.0) / (RRF_K + F.col("rank_sem")),
                                  F.lit(0.0)), 9).alias("rrf")))
-    return (fused.join(perdoc.select("doc_id", "source"), "doc_id")
+    # fused is k-bounded (≤40 rows) — broadcast it explicitly (§3.1) so
+    # the SF-proportional per-doc proxy streams with no exchange
+    return (F.broadcast(fused)
+            .join(perdoc.select("doc_id", "source"), "doc_id")
             .select("doc_id", "rank_lex", "rank_sem", "rrf", "source")
             .orderBy(F.desc("rrf"), "doc_id").limit(RPE_TOP))
 
